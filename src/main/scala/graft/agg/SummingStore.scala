@@ -1,0 +1,73 @@
+package graft.agg
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only store of partial aggregates with read-side re-summing —
+  * the SummingMergeTree analog (kafka+clickhouse.md:205-211).
+  *
+  * Contract (kafka+clickhouse.md:396-401): rows sharing the key columns
+  * are summed lazily — in ClickHouse at background merge, here either by
+  * an optional [[compact]] job or, always and sufficiently, by the
+  * mandatory read-side `groupBy(key).sum` in [[read]]. Correctness never
+  * depends on compaction; compaction only bounds the number of partial
+  * rows scanned at read time.
+  *
+  * This design (append partials, re-sum on read) is deliberately chosen
+  * over a stateful streaming aggregation: it reproduces the reference's
+  * unbounded-lateness tolerance (a late event lands in its old day bucket
+  * whenever it arrives, kafka+clickhouse.md:396-400) which a watermarked
+  * stateful agg would violate by dropping late data (SURVEY.md §2 H4).
+  *
+  * Scale note: partial rows are bounded by (#batches x |key domain|), not
+  * by raw event count, so the store stays tiny relative to the stream;
+  * periodic [[compact]] keeps read amplification bounded over long runs.
+  */
+final class SummingStore(path: String, keyCols: Seq[String],
+    sumCols: Seq[String]) {
+
+  /** Append one block of partial aggregates. `batchId` makes the write
+    * idempotent under streaming restarts (exactly-once per epoch): each
+    * micro-batch writes to its own `batch=<id>` subdir and a replayed
+    * batch simply overwrites the same subdir with identical content.
+    */
+  def append(partials: DataFrame, batchId: Long): Unit =
+    partials.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+
+  /** Append without batch identity (batch-mode callers). */
+  def append(partials: DataFrame): Unit =
+    partials.write.mode(SaveMode.Append).parquet(s"$path/batch=0")
+
+  private def merged(spark: SparkSession): DataFrame = {
+    val raw = spark.read.option("basePath", path).parquet(s"$path/batch=*")
+    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    raw
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((keyCols ++ sumCols).map(col): _*)
+  }
+
+  /** Merged view: the mandatory read-side re-sum. */
+  def read(spark: SparkSession): DataFrame = merged(spark)
+
+  /** Background-merge analog: collapse all partials into one block.
+    * Optional; [[read]] is correct with or without it. Materializes the
+    * merged result to a temp dir before deleting any source partials, so
+    * a crash mid-compaction never loses data (the temp dir is ignored by
+    * [[read]]'s `batch=*` glob).
+    */
+  def compact(spark: SparkSession): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/_compact_tmp")
+    merged(spark).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val base = new Path(path)
+    if (fs.exists(base)) {
+      fs.listStatus(base).foreach { st =>
+        if (st.getPath.getName.startsWith("batch="))
+          fs.delete(st.getPath, true)
+      }
+    }
+    fs.rename(tmp, new Path(s"$path/batch=compacted"))
+  }
+}

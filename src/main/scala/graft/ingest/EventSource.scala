@@ -1,0 +1,64 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.config.PipelineConfig
+
+/** Readers for the event stream — the consumer side of the reference.
+  *
+  * Two consumption styles in the reference collapse into one here:
+  *  - the manual Python poll loop (kafka+clickhouse.md:127-143): poll,
+  *    skip None, log+skip broker errors, UTF-8 decode, json.loads;
+  *  - the ClickHouse Kafka-engine table `queue` (kafka+clickhouse.md:
+  *    183-194): a table that *is* a consumer, format JSONEachRow.
+  *
+  * Both are exactly a streaming DataFrame over JSON lines:
+  * `readStream` + `from_json(value, schema)`. Topics are directories of
+  * JSON-lines files (PipelineConfig); swapping in a real broker is
+  * `format("kafka")` + the same `from_json`.
+  *
+  * Error handling: where the reference's consumer crashes on a missing
+  * key (kafka+clickhouse.md:146-153) and skips broker errors, we route:
+  * `from_json` yields null structs for malformed records, which callers
+  * split into a dead-letter sink via [[corrupt]]/[[wellFormed]].
+  */
+object EventSource {
+
+  /** Raw JSON-line values of a topic, as an unbounded DataFrame with a
+    * single `value STRING` column (the Kafka record value after UTF-8
+    * decode, kafka+clickhouse.md:143). `maxFilesPerTrigger` bounds
+    * micro-batch size like `kafka_max_block_size` would.
+    */
+  def streamRaw(spark: SparkSession, cfg: PipelineConfig, topicKey: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(cfg.topicDir(topicKey))
+      .toDF("value")
+
+  /** Batch view over the same topic dir (replay-from-earliest analog,
+    * kafka+clickhouse.md:130). */
+  def batchRaw(spark: SparkSession, cfg: PipelineConfig,
+      topicKey: String): DataFrame =
+    spark.read.text(cfg.topicDir(topicKey)).toDF("value")
+
+  /** JSONEachRow decode (kafka+clickhouse.md:194): one JSON object per
+    * line -> typed columns + the original value retained for
+    * dead-lettering. A record whose parse fails has a null `parsed`.
+    */
+  def decode(raw: DataFrame, schema: StructType): DataFrame =
+    raw
+      .filter(col("value").isNotNull && length(trim(col("value"))) > 0)
+      .withColumn("parsed", from_json(col("value"), schema))
+
+  /** Records that parsed — flattened to the schema's columns. */
+  def wellFormed(decoded: DataFrame): DataFrame =
+    decoded.filter(col("parsed").isNotNull).select(col("parsed.*"))
+
+  /** Records that failed to parse — the dead-letter split (the upgrade
+    * over the reference's crash-on-malformed). */
+  def corrupt(decoded: DataFrame): DataFrame =
+    decoded.filter(col("parsed").isNull).select(col("value"))
+}

@@ -1,0 +1,131 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.agg.DailyRollup
+
+/** The reference's complete query surface (SURVEY.md §2), expressed over
+  * the `events` testdata table (the analog of its event stream — see
+  * FIXTURES.md §B mapping: event_type<->level, ts<->timestamp,
+  * props<->metadata, user_id<->campaign_id's key role).
+  *
+  * Every entry is oracle-paired: the DuckDB SQL twin lives in [[oracles]]
+  * with identical aliases and a total ORDER BY so hash comparison is
+  * deterministic. Sums of doubles are rounded in both systems.
+  */
+object ReferenceQueries {
+
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** events-domain enum map (the Enum8 name->code operator, F7, applied
+    * to this table's closed 5-value domain). */
+  private val eventCodes =
+    Seq("click" -> 1, "error" -> 2, "purchase" -> 3, "signup" -> 4,
+      "view" -> 5)
+
+  private def eventCode(c: Column): Column =
+    eventCodes.foldLeft(lit(null).cast("int")) {
+      case (acc, (name, code)) =>
+        when(c === lit(name), lit(code)).otherwise(acc)
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1/E3 + F1/F2 + B2/B3 — the MV query (kafka+clickhouse.md:224-229).
+    // Temporal outputs are cast to string/epoch in every query here so
+    // the oracle compare is representation-exact (parquet ns/us vs
+    // DuckDB timestamp types would otherwise diverge).
+    "mv_daily_rollup" -> ((s, d) =>
+      DailyRollup.fromEvents(events(s, d))
+        .select(col("day").cast("string").as("day"), col("level"),
+          col("total"))
+        .orderBy(col("day"), col("level"))),
+
+    // E2/E4/E5 — partial+final split then the dashboard read
+    // (kafka+clickhouse.md:240-243): rollup to partials, re-sum.
+    "mv_level_totals" -> ((s, d) =>
+      DailyRollup.levelTotals(DailyRollup.fromEvents(events(s, d)))
+        .orderBy(col("level"))),
+
+    // B1 + C1-C3 + G1 — the Part-1 retrieval (kafka+clickhouse.md:
+    // 160-166): equality on entity key AND enum value, project, sort desc.
+    "events_point_lookup" -> ((s, d) =>
+      events(s, d)
+        .filter(col("user_id") === lit(7) &&
+          col("event_type") === lit("click"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("ts_us").desc, col("event_id"))),
+
+    // F7 — Enum8 name<->code mapping over the closed domain.
+    "enum_name_to_code" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type").as("level"),
+          eventCode(col("event_type")).as("code"))
+        .agg(count(lit(1)).as("total"))
+        .orderBy(col("level"))),
+
+    // F3 — toYYYYMMDD partition key (kafka+clickhouse.md:102), exact
+    // numeric form for partition-pruning parity.
+    "partition_key_yyyymmdd" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_format(col("ts"), "yyyyMMdd").cast("int")
+          .as("event_date"))
+        .agg(count(lit(1)).as("total"))
+        .orderBy(col("event_date"))),
+
+    // F4/F5 — JSON parse of the metadata/props payload
+    // (kafka+clickhouse.md:143,152).
+    "json_props_extract" -> ((s, d) =>
+      events(s, d)
+        .groupBy(get_json_object(col("props"), "$.k").cast("int")
+          .as("k_val"))
+        .agg(count(lit(1)).as("total"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("k_val"))),
+
+    // H5-adjacent — calendar bucketing finer than day (engine surface:
+    // time truncation as a first-class rollup key).
+    "hourly_rollup" -> ((s, d) =>
+      events(s, d)
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+          col("event_type").as("level"))
+        .agg(count(lit(1)).as("total"))
+        .orderBy(col("hour_us"), col("level")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mv_daily_rollup" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        | event_type AS level, count(*) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mv_level_totals" ->
+      """SELECT event_type AS level, count(*) AS total_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_point_lookup" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |FROM events
+        |WHERE user_id = 7 AND event_type = 'click'
+        |ORDER BY ts_us DESC, event_id""".stripMargin,
+    "enum_name_to_code" ->
+      """SELECT event_type AS level,
+        | CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |  WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+        |  WHEN 'view' THEN 5 END AS code,
+        | count(*) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "partition_key_yyyymmdd" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS event_date,
+        | count(*) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "json_props_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        | count(*) AS total, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hourly_rollup" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |  AS hour_us,
+        | event_type AS level, count(*) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
