@@ -1,0 +1,308 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** North-star query surface over the TPC-H-ish star schema — fills the
+  * operator categories the reference demonstrably lacks (SURVEY.md §2
+  * D/G absence rows): joins of every flavor, window functions, set
+  * operations, LIMIT/top-k, distinct + grouping-set aggregation.
+  *
+  * Scale stance (100 TB design point): dimension tables (region, nation,
+  * supplier, customer, part) are explicitly `broadcast()` so the big
+  * fact-side scans never shuffle for them; only fact-fact joins
+  * (orders<->lineitem) use a shuffle, on their natural key. Aggregations
+  * are declarative groupBys -> Catalyst plans partial/final hash aggs
+  * with map-side combine; AQE handles skew/partition sizing at runtime.
+  *
+  * Determinism for the oracle compare: every double aggregate is rounded
+  * on both sides, every query ends in a total ORDER BY over output
+  * columns (keys break ties), temporal outputs are cast to string.
+  */
+object StarSchemaQueries {
+
+  /** Exact money arithmetic for oracle parity. Two distinct hazards,
+    * both observed as last-cent mismatches vs DuckDB at sf0.01:
+    *  1. double SUM accumulation order differs between engines -> sum in
+    *     DECIMAL (integer arithmetic, order-independent);
+    *  2. casting a double *product* to decimal rounds differently (Spark
+    *     rounds the exact binary value, DuckDB a scaled double) -> cast
+    *     each clean-decimal FACTOR (prices .2f, rates .2f) to decimal
+    *     first and multiply exactly, so no engine ever rounds a product.
+    */
+  private def dec(c: org.apache.spark.sql.Column, t: String = "decimal(12,2)") =
+    c.cast(t)
+  private def revenue =
+    dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(6,4)") - dec(col("l_discount"), "decimal(6,4)"))
+  private def charge =
+    revenue * (lit(1).cast("decimal(6,4)") +
+      dec(col("l_tax"), "decimal(6,4)"))
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    round(sum(c), 2).cast("double")
+  private def moneyAvg(c: org.apache.spark.sql.Column) =
+    round(avg(c), 2).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: the canonical scan->filter->multi-agg rollup.
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(dec(col("l_quantity"))).as("sum_qty"),
+          moneySum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          moneySum(revenue).as("sum_disc_price"),
+          moneySum(charge).as("sum_charge"),
+          moneyAvg(dec(col("l_quantity"))).as("avg_qty"),
+          moneyAvg(dec(col("l_extendedprice"))).as("avg_price"),
+          moneyAvg(dec(col("l_discount"), "decimal(6,4)")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 shape: dim-filtered 3-way join + top-k by aggregate.
+    // customer is broadcast (dim); orders<->lineitem shuffle on orderkey.
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit("1996-07-01")))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp(lit("1996-07-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"))
+        .agg(moneySum(revenue).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way star join, all dims broadcast.
+    "q5_regional_revenue" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(moneySum(revenue).as("rev"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    "q10_returned_items" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      li.join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(moneySum(revenue).as("rev"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Semi join (EXISTS): orders having any near-max-quantity line.
+    "join_semi_exists" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // Anti join (NOT EXISTS): orders with no such line.
+    "join_anti_not_exists" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 49),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // Ranking window: top-3 orders per customer by price.
+    "window_rank_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Analytic window: per-supplier running revenue over ship order.
+    // Explicit ROWS frame + total ordering keeps the double accumulation
+    // order identical to the oracle's.
+    "window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .withColumn("running_rev",
+          round(sum(revenue).over(w), 2).cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_rev"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Set ops (distinct semantics, matching SQL INTERSECT/EXCEPT/UNION).
+    "setop_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey")).distinct()
+        .intersect(o.filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_custkey")).distinct())
+        .orderBy(col("o_custkey"))
+    }),
+    "setop_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey")).distinct()
+        .except(o.filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_custkey")).distinct())
+        .orderBy(col("o_custkey"))
+    }),
+    "setop_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .union(o.filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_custkey")))
+        .distinct()
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Grouping sets: CUBE with distinct aggregates; grouping nulls
+    // normalized to 'ALL' for stable compare.
+    "agg_cube_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n_orders"), col("n_parts"), col("n_rows"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // LIMIT / top-k on a raw column (exact doubles, no aggregation).
+    "topk_limit" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .limit(10))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+        |   AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) * (1 + CAST(l_tax AS DECIMAL(6,4))))), 2) AS DOUBLE) AS sum_charge,
+        | CAST(round(avg(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |   AS avg_qty,
+        | CAST(round(avg(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+        |   AS DOUBLE) AS avg_price,
+        | CAST(round(avg(CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE)
+        |   AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+        | CAST(round(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))))), 2) AS DOUBLE) AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2 ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_regional_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(round(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))))), 2) AS DOUBLE) AS rev,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        | CAST(round(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))))), 2) AS DOUBLE) AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin,
+    "join_semi_exists" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_anti_not_exists" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(round(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))))) OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |  AS DOUBLE) AS running_rev
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "setop_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "setop_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "setop_union" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |UNION
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "agg_cube_distinct" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "topk_limit" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin
+  )
+}
