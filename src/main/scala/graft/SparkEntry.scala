@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.agg.DailyRollup
-import graft.query.{ReferenceQueries, StarSchemaQueries}
+import graft.query.{PipelineQueries, ReferenceQueries, StarSchemaQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ StarSchemaQueries.queries
+    ReferenceQueries.queries ++ StarSchemaQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracles ++ StarSchemaQueries.oracles
+    ReferenceQueries.oracles ++ StarSchemaQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -46,19 +46,27 @@ object EventSource {
 
   /** JSONEachRow decode (kafka+clickhouse.md:194): one JSON object per
     * line -> typed columns + the original value retained for
-    * dead-lettering. A record whose parse fails has a null `parsed`.
+    * dead-lettering. PERMISSIVE from_json yields an all-null struct for
+    * malformed input (not a null struct), so corruption is detected as
+    * "no schema field materialized".
     */
-  def decode(raw: DataFrame, schema: StructType): DataFrame =
+  def decode(raw: DataFrame, schema: StructType): DataFrame = {
+    val parsed = from_json(col("value"), schema)
+    val anyField = coalesce(
+      schema.fieldNames.map(f => col(s"parsed.$f").cast("string")): _*)
     raw
       .filter(col("value").isNotNull && length(trim(col("value"))) > 0)
-      .withColumn("parsed", from_json(col("value"), schema))
+      .withColumn("parsed", parsed)
+      .withColumn("is_corrupt",
+        col("parsed").isNull || anyField.isNull)
+  }
 
   /** Records that parsed — flattened to the schema's columns. */
   def wellFormed(decoded: DataFrame): DataFrame =
-    decoded.filter(col("parsed").isNotNull).select(col("parsed.*"))
+    decoded.filter(!col("is_corrupt")).select(col("parsed.*"))
 
   /** Records that failed to parse — the dead-letter split (the upgrade
     * over the reference's crash-on-malformed). */
   def corrupt(decoded: DataFrame): DataFrame =
-    decoded.filter(col("parsed").isNull).select(col("value"))
+    decoded.filter(col("is_corrupt")).select(col("value"))
 }

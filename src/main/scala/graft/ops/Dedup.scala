@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Four families, in increasing scale-sophistication:
+  *  - exact: hash-groupBy on a canonical fingerprint — one shuffle on the
+  *    hash, fully scalable.
+  *  - n-gram Jaccard (exact pairwise): ground truth for near-dup pairs.
+  *    Quadratic — correct at test scale and used as the oracle; at 100 TB
+  *    you run [[minHashCandidates]] first and only verify candidates.
+  *  - MinHash + LSH banding: the scale path. One pass to signatures
+  *    (map-side-combined min aggs), explode to band keys, shuffle on
+  *    (band, signature) — near-dup candidates without any cross join.
+  *  - SimHash: 64-bit fingerprints + pigeonhole banding for Hamming
+  *    candidates — cheapest per-doc state, good for streaming dedup.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by canonical content fingerprint. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keeper_id"))
+
+  /** Size-ratio prefilter: |A∩B|/|A∪B| >= t implies |A| >= t*|B| (and
+    * symmetrically), so this join predicate provably drops no qualifying
+    * pair — pure pruning before the expensive set ops. */
+  private def sizeCompatible(t: Double): Column =
+    col("a.n_sh") >= ceil(col("b.n_sh") * t) &&
+      col("b.n_sh") >= ceil(col("a.n_sh") * t)
+
+  private def withShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      TextAnalysis.shingles(col("text"), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+
+  /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
+    * Quadratic self-join with the size prefilter; ground truth at test
+    * scale.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, t: Double): DataFrame = {
+    val sh = withShingles(docs, n)
+    sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id") && sizeCompatible(t))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+            / size(array_union(col("a.sh"), col("b.sh"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
+  /** MinHash signatures: numHashes independent permutations simulated by
+    * xxhash64(shingle + salt_i); one exploded pass, min-agg per doc
+    * (map-side combine keeps the shuffle at |docs| x numHashes longs).
+    */
+  def minHashSignatures(docs: DataFrame, n: Int,
+      numHashes: Int): DataFrame = {
+    val sh = withShingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(concat(col("s"), lit(s"#$i")))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over minhash signatures -> candidate pairs (doc_a <
+    * doc_b). bands*rowsPerBand must equal the signature width. Candidate
+    * generation is a shuffle on (band, bandHash) + within-bucket pairing;
+    * no cross join anywhere.
+    */
+  def minHashCandidates(docs: DataFrame, n: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minHashSignatures(docs, n, bands * rowsPerBand)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+            : _*)).as("sig"))
+    }: _*)
+    val exploded = sigs
+      .select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact verification of candidates:
+    * the production-scale equivalent of [[jaccardPairs]] (recall bounded
+    * by the banding curve, ~0.9998 at j=0.9 with 8x4).
+    */
+  def minHashDedup(docs: DataFrame, n: Int = 3,
+      t: Double = 0.8): DataFrame = {
+    val cand = minHashCandidates(docs, n)
+    val sh = withShingles(docs, n).select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
+  /** 64-bit SimHash per document: per-bit +/-1 votes over 3-gram
+    * shingle hashes (shingles, not unigrams — documents sharing a
+    * vocabulary would otherwise collapse into near-identical hashes),
+    * folded back into one long. One exploded pass + 64 small aggs. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"), 3)).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    val voted = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val packed = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    voted.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, via
+    * pigeonhole banding: split the 64-bit hash into (maxDist+1) chunks —
+    * any pair within maxDist must agree on at least one chunk, so
+    * chunk-equality join finds all of them without a cross join.
+    */
+  def simHashPairs(docs: DataFrame, maxDist: Int = 7): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sh = simHash(docs)
+    val chunkStructs = array((0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }: _*)
+    val exploded = sh.select(col("doc_id"), col("simhash"),
+        explode(chunkStructs).as("cs"))
+      .select(col("doc_id"), col("simhash"),
+        col("cs.chunk").as("chunk"), col("cs.key").as("key"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — exact, and with a broadcast
+  * query side it is a single narrow pass over the corpus (no shuffle
+  * except the final per-query top-k), so it scales to any corpus size
+  * at O(|corpus| x |queries| x dim).
+  *
+  * Scale path: random-hyperplane LSH bucketing — signatures are a narrow
+  * map; candidate generation is a bucket-equality join, so the pair
+  * space shrinks from |corpus|^2 to the bucket collision set. Exact
+  * re-ranking runs only on candidates.
+  *
+  * All arithmetic uses double-cast higher-order functions (codegen'd);
+  * no UDFs.
+  */
+object Similarity {
+
+  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity between two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * queries is expected to be small -> broadcast; ranking is on the
+    * 4-decimal-rounded similarity with id tie-break so results are
+    * deterministic and engine-portable.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** All pairs (a < b) with cosine >= t — embedding-space near-dup
+    * detection. Exact (quadratic); the LSH variant below is the scale
+    * path.
+    */
+  def nearDupPairs(vectors: DataFrame, t: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = vectors.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 4).as("sim"))
+      .filter(col("sim") >= t)
+  }
+
+  /** Deterministic random hyperplanes (seeded) as literal arrays — the
+    * plan embeds them as constants, broadcast for free with the plan. */
+  private def hyperplanes(numPlanes: Int, dim: Int,
+      seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature: bit i = sign(v . plane_i), packed to long. */
+  def lshSignature(emb: Column, numPlanes: Int = 16, dim: Int = 64,
+      seed: Long = 42L): Column = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val v = asDouble(emb)
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH-bucketed near-neighbor candidates re-ranked exactly: same
+    * output shape as [[bruteForceTopK]] but the cross join is replaced
+    * by a bucket-equality join. Standard multi-table hyperplane LSH:
+    * `tables` independent signatures of `planesPerTable` bits each
+    * (distinct seeds), plus hamming-1 multiprobe on the query side —
+    * recall rises with tables, candidate count stays ~|corpus| x
+    * tables x probes / 2^bits instead of |corpus| x |queries|.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      tables: Int = 4, planesPerTable: Int = 8): DataFrame = {
+    val bucketStructs = array((0 until tables).map { t =>
+      struct(lit(t).as("table"),
+        lshSignature(col("embedding"), planesPerTable,
+          seed = 42L + t).as("sig"))
+    }: _*)
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), explode(bucketStructs).as("bk"))
+      .select(col("neighbor_id"), col("c_emb"),
+        col("bk.table").as("table"), col("bk.sig").as("sig"))
+    // query side: own bucket + each hamming-1 neighbor, per table
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), explode(bucketStructs).as("bk"))
+      .select(col("query_id"), col("q_emb"),
+        col("bk.table").as("table"),
+        explode(array((col("bk.sig") +: (0 until planesPerTable).map(i =>
+          col("bk.sig").bitwiseXOR(lit(1L << i)))): _*)).as("sig"))
+      .distinct()
+    val scored = c.join(broadcast(q), Seq("table", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table. All pure column expressions (codegen'd, no UDFs):
+  * at 100 TB these run as narrow map stages inside whole-stage codegen,
+  * no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — the shared primitive. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word n-gram shingles (distinct), 1-based element_at; guarded for
+    * texts shorter than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array_distinct(array(concat_ws(" ", t))))
+  }
+
+  /** Token count (whitespace model). Long-typed for oracle-dtype parity
+    * (DuckDB len() is BIGINT). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Stopword hit count against a fixed profile — array HOF, no UDF. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
+    val set = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t))).cast("long")
+  }
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Word lists chosen to be disjoint across languages so the
+    * argmax is stable. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "por")
+  )
+
+  /** Language-ID scores + argmax prediction (ties resolve in profile
+    * order). Returns (score columns, predicted column). */
+  def langId(text: Column): (Seq[Column], Column) = {
+    val scores = langProfiles.map { case (lang, words) =>
+      stopwordHits(text, words).as(s"score_$lang")
+    }
+    val scoreCols = langProfiles.map { case (lang, words) =>
+      lang -> stopwordHits(text, words)
+    }
+    val predicted = scoreCols.tail.foldLeft(
+      (scoreCols.head._2, lit(scoreCols.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+    (scores, predicted)
+  }
+
+  /** Quality metrics: explicit character classes (not POSIX classes —
+    * Java regex vs RE2 disagree on those). Ratios rounded for engine
+    * parity. */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val nTokens = tokenCount(t)
+    val nPunct = nChars - length(regexp_replace(t, "[.,!?;:]", ""))
+    val nDigit = nChars - length(regexp_replace(t, "[0-9]", ""))
+    val nSpace = nChars - length(regexp_replace(t, " ", ""))
+    df.withColumn("n_chars_c", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len",
+        round((nChars - nSpace).cast("double") / nTokens, 4))
+      .withColumn("punct_ratio", round(nPunct.cast("double") / nChars, 4))
+      .withColumn("digit_ratio", round(nDigit.cast("double") / nChars, 4))
+      .withColumn("stopword_ratio",
+        round(stopwordHits(t, langProfiles.head._2).cast("double")
+          / nTokens, 4))
+  }
+
+  /** Document fingerprint: content hash over whitespace-normalized
+    * lowercase text — the canonical-form dedup key. md5 (not xxhash64)
+    * so external systems can reproduce it. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

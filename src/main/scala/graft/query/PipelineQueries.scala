@@ -1,0 +1,222 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators as driver-contract queries:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+  * similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle pairing: everything SQL-expressible gets a DuckDB twin.
+  * MinHash/SimHash/LSH internals hash with xxhash64 (not reproducible
+  * in DuckDB) -> registered rows-only; but `dedup_ngram_jaccard` runs
+  * the LSH+exact-verify path *against the exact-SQL oracle* — the
+  * banding recall at the planted near-dup similarities (~0.9+) is
+  * ~1-1e-7 with 16x4 banding, and equality is additionally pinned by
+  * tests against the exact quadratic path.
+  */
+object PipelineQueries {
+
+  private val jaccardT = 0.8
+  private val cosineT = 0.4 // demo threshold: testdata max pair sim ~0.51
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: canonical-fingerprint hash groups.
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d))
+        .orderBy(col("text_hash"))),
+
+    // Near-dup pairs by 3-gram Jaccard — MinHash-LSH candidates +
+    // exact verification (the 100 TB path), oracle'd by exact SQL.
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.minHashDedup(Tables.documents(s, d), n = 3, t = jaccardT)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // SimHash near-dup candidates (Hamming <= 7 via pigeonhole bands).
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Embedding-space near-dup pairs (exact cosine threshold).
+    "embedding_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), cosineT)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // Brute-force cosine top-10 for 8 query vectors.
+    "sim_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed top-k (scale path; probabilistic recall -> rows-only).
+    "sim_cosine_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Token counting (whitespace model).
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: length/punct/digit/stopword ratios.
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityMetrics(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars_c"), col("n_tokens"),
+          col("avg_token_len"), col("punct_ratio"), col("digit_ratio"),
+          col("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // Language-ID heuristic: stopword-profile scores + argmax.
+    "text_lang_id" -> ((s, d) => {
+      val (scores, predicted) = TextAnalysis.langId(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id") +: scores :+ predicted.as("predicted"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint (canonical-form md5).
+    "doc_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // Multimodal: binary payload + typed metadata (oracle-checkable
+    // byte accounting; decode is the stubbed stage below).
+    "multimodal_bytes" -> ((s, d) =>
+      Multimodal.mediaTable(Tables.documents(s, d))
+        .select(col("doc_id"),
+          length(col("media")).cast("long").as("n_bytes"),
+          col("format"))
+        .orderBy(col("doc_id"))),
+
+    // Multimodal decode plumbing (stub decoder -> fixed-shape features).
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.mediaTable(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("format"),
+          round(element_at(col("features"), 1), 4).as("byte_mean"),
+          round(element_at(col("features"), 2), 4).as("byte_var"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val enStop =
+    TextAnalysis.langProfiles.head._2.map(w => s"'$w'").mkString(", ")
+  private def stopList(lang: String) =
+    TextAnalysis.langProfiles.find(_._1 == lang).get._2
+      .map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  AS text_hash,
+        | count(*) AS dup_count, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') w
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(
+        |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |   for i in range(1, len(w)-1)]) s
+        | FROM t)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "embedding_neardup" ->
+      """SELECT vec_a, vec_b, sim FROM (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_cosine_topk" ->
+      """SELECT query_id, neighbor_id, sim, rank FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])), 4) AS sim,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |     CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
+        | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        | WHERE q.vec_id < 8)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         | length(text) AS n_chars_c,
+         | len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |   AS n_tokens,
+         | round((length(text) - (length(text)
+         |    - length(replace(text, ' ', ''))))::DOUBLE
+         |  / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 4)
+         |   AS avg_token_len,
+         | round((length(text)
+         |    - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+         |  / length(text), 4) AS punct_ratio,
+         | round((length(text)
+         |    - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+         |  / length(text), 4) AS digit_ratio,
+         | round(len(list_filter(
+         |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    x -> list_contains([$enStop], x)))::DOUBLE
+         |  / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 4)
+         |   AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH s AS (
+         | SELECT doc_id,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         | FROM documents)
+         |SELECT doc_id,
+         | len(list_filter(toks, x -> list_contains([${stopList("en")}], x)))
+         |   AS score_en,
+         | len(list_filter(toks, x -> list_contains([${stopList("de")}], x)))
+         |   AS score_de,
+         | len(list_filter(toks, x -> list_contains([${stopList("es")}], x)))
+         |   AS score_es,
+         | CASE
+         |  WHEN len(list_filter(toks,
+         |    x -> list_contains([${stopList("es")}], x))) > greatest(
+         |     len(list_filter(toks,
+         |       x -> list_contains([${stopList("en")}], x))),
+         |     len(list_filter(toks,
+         |       x -> list_contains([${stopList("de")}], x)))) THEN 'es'
+         |  WHEN len(list_filter(toks,
+         |    x -> list_contains([${stopList("de")}], x))) >
+         |   len(list_filter(toks,
+         |     x -> list_contains([${stopList("en")}], x))) THEN 'de'
+         |  ELSE 'en' END AS predicted
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_bytes" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine on known vectors") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+      (Array(3f, 4f), Array(3f, 4f), 1.0)
+    ).toDF("a", "b", "expected")
+    val got = df.select(Similarity.cosine(col("a"), col("b")), col("expected"))
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("bruteForceTopK matches a driver-side recompute") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val topk = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+
+    // recompute on the driver from raw vectors
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val q = vecs.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(q, v)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(topk.toSeq == expected.toSeq)
+  }
+
+  test("lshTopK returns exact-ranked subset with full k rows per query") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val res = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 10)
+    val byQuery = res.groupBy("query_id").count().collect()
+      .map(r => r.getLong(1))
+    assert(byQuery.forall(_ == 10L), "each query should fill its top-10")
+  }
+}

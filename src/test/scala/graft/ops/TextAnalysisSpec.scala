@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens, shingles and counts") {
+    val df = Seq("The quick  brown fox").toDF("text")
+    assert(df.select(TextAnalysis.tokenCount(col("text"))).head().getLong(0)
+      == 4L)
+    val sh = df.select(TextAnalysis.shingles(col("text"), 3))
+      .head().getSeq[String](0)
+    assert(sh.toSet == Set("the quick brown", "quick brown fox"))
+  }
+
+  test("shingles on texts shorter than n degrade to one whole-text shingle") {
+    val df = Seq("hello world").toDF("text")
+    val sh = df.select(TextAnalysis.shingles(col("text"), 3))
+      .head().getSeq[String](0)
+    assert(sh.toSeq == Seq("hello world"))
+  }
+
+  test("fingerprint is whitespace/case-canonical") {
+    val df = Seq(("a  B\tc", "a b c"), ("x", "y")).toDF("t1", "t2")
+    val eq = df.select(
+      (TextAnalysis.fingerprint(col("t1")) ===
+        TextAnalysis.fingerprint(col("t2"))).as("e")).collect()
+    assert(eq.map(_.getBoolean(0)).toSeq == Seq(true, false))
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist nicht da",
+      "el perro y la casa es de los gatos"
+    ).toDF("text")
+    val (_, predicted) = TextAnalysis.langId(col("text"))
+    val got = df.select(predicted).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "es"))
+  }
+
+  test("quality metrics on a crafted string") {
+    val df = Seq((1L, "ab cd, ef 12!")).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityMetrics(df).head()
+    assert(m.getAs[Long]("n_chars_c") == 13L)
+    assert(m.getAs[Long]("n_tokens") == 4L)
+    assert(m.getAs[Double]("punct_ratio") == math.rint(2.0 / 13 * 1e4) / 1e4)
+    assert(m.getAs[Double]("digit_ratio") == math.rint(2.0 / 13 * 1e4) / 1e4)
+  }
+}
