@@ -32,9 +32,15 @@ object Dedup {
     col("a.n_sh") >= ceil(col("b.n_sh") * t) &&
       col("b.n_sh") >= ceil(col("a.n_sh") * t)
 
+  /** doc_id + shingle array, with tokens materialized in their own
+    * projection so the shingle transform reads a bound array attribute
+    * (inline tokenization re-runs the split regex per shingle — see
+    * [[TextAnalysis.shinglesFromTokens]]). */
   private def withShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
-      TextAnalysis.shingles(col("text"), n).as("sh"))
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextAnalysis.shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
   /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
@@ -53,15 +59,26 @@ object Dedup {
   }
 
   /** MinHash signatures: numHashes independent permutations simulated by
-    * xxhash64(shingle + salt_i); one exploded pass, min-agg per doc
-    * (map-side combine keeps the shuffle at |docs| x numHashes longs).
+    * rehashing a single base shingle hash with the permutation index —
+    * each shingle string is hashed ONCE (xxhash64 over the string), then
+    * the i-th permutation is xxhash64(baseHash, i) over fixed-width
+    * longs (no per-permutation string concat — that was ~5x the cost).
+    * One exploded pass, min-agg per doc; map-side combine keeps the
+    * shuffle at |docs| x numHashes longs.
     */
   def minHashSignatures(docs: DataFrame, n: Int,
       numHashes: Int): DataFrame = {
+    // explode_outer, not explode: InferFiltersFromGenerate would add a
+    // size(sh)>0 filter below the shingle projection with the whole
+    // expression re-inlined against raw text (re-running the tokenizer
+    // per element access — the dominant cost). The rule skips outer
+    // generators; dropping the rare null row afterwards is free.
     val sh = withShingles(docs, n)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("h0", xxhash64(col("s")))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(concat(col("s"), lit(s"#$i")))).as(s"h$i"))
+      min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -75,9 +92,8 @@ object Dedup {
     val sigs = minHashSignatures(docs, n, bands * rowsPerBand)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-            : _*)).as("sig"))
+        xxhash64((0 until rowsPerBand)
+          .map(r => col(s"h${b * rowsPerBand + r}")): _*).as("sig"))
     }: _*)
     val exploded = sigs
       .select(col("doc_id"), explode(bandStructs).as("bs"))
@@ -96,13 +112,22 @@ object Dedup {
     */
   def minHashDedup(docs: DataFrame, n: Int = 3,
       t: Double = 0.8): DataFrame = {
-    val cand = minHashCandidates(docs, n)
-    val sh = withShingles(docs, n).select(col("doc_id"), col("sh"))
+    // Candidate set is tiny (LSH collisions only); materialize it once
+    // (localCheckpoint truncates lineage) so the id-prune and the two
+    // verify joins don't re-run the whole signature pass.
+    val cand = minHashCandidates(docs, n).localCheckpoint(true)
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // Semi join pushes the id filter below the shingle projection, so
+    // shingle arrays are only computed for candidate docs.
+    val sh = withShingles(docs.join(broadcast(ids), Seq("doc_id"),
+        "left_semi"), n)
+      .select(col("doc_id"), col("sh"))
     cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sh", "sh_b"), "doc_b")
+      .join(broadcast(sh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sh", "sh_a")), "doc_a")
+      .join(broadcast(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sh", "sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
@@ -114,9 +139,11 @@ object Dedup {
     * vocabulary would otherwise collapse into near-identical hashes),
     * folded back into one long. One exploded pass + 64 small aggs. */
   def simHash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"),
-        explode(TextAnalysis.shingles(col("text"), 3)).as("t"))
+    // explode_outer for the same InferFiltersFromGenerate reason as in
+    // minHashSignatures
+    val tok = withShingles(docs, 3)
+      .select(col("doc_id"), explode_outer(col("sh")).as("t"))
+      .filter(col("t").isNotNull)
       .withColumn("h", xxhash64(col("t")))
     val bitAggs = (0 until 64).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))

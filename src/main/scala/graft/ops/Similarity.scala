@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+
 /** Similarity search over an embedding column (Array[Float]).
   *
   * Baseline: brute-force cosine top-k — exact, and with a broadcast
@@ -16,22 +18,21 @@ import org.apache.spark.sql.functions._
   * space shrinks from |corpus|^2 to the bucket collision set. Exact
   * re-ranking runs only on candidates.
   *
-  * All arithmetic uses double-cast higher-order functions (codegen'd);
-  * no UDFs.
+  * All vector arithmetic goes through the native codegen
+  * [[graft.functions.VectorDot]] expression (primitive loop inside
+  * whole-stage codegen); no UDFs, no per-element lambda frames.
   */
 object Similarity {
 
-  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+  /** Dot product — native codegen expression (see
+    * [[graft.functions.VectorDot]]); double accumulation over
+    * float/double arrays. */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Cosine similarity between two float-array columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a)
-    val bd = asDouble(b)
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  /** Cosine similarity between two float-array columns (double math,
+    * dot/(|a|*|b|) association — matches the oracle's formula). */
+  def cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
   /** Exact top-k neighbors for each query vector (excluding self).
     * queries is expected to be small -> broadcast; ranking is on the
@@ -41,13 +42,16 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
+      col("embedding").as("q_emb"),
+      vec_norm(col("embedding")).as("q_norm"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"))
+      col("embedding").as("c_emb"),
+      vec_norm(col("embedding")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 4).as("sim"))
+        round(vec_dot(col("q_emb"), col("c_emb"))
+          / (col("q_norm") * col("c_norm")), 4).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -60,12 +64,15 @@ object Similarity {
     */
   def nearDupPairs(vectors: DataFrame, t: Double): DataFrame = {
     val a = vectors.select(col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
+      col("embedding").as("emb_a"),
+      vec_norm(col("embedding")).as("norm_a"))
     val b = vectors.select(col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
+      col("embedding").as("emb_b"),
+      vec_norm(col("embedding")).as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 4).as("sim"))
+        round(vec_dot(col("emb_a"), col("emb_b"))
+          / (col("norm_a") * col("norm_b")), 4).as("sim"))
       .filter(col("sim") >= t)
   }
 
@@ -81,10 +88,9 @@ object Similarity {
   def lshSignature(emb: Column, numPlanes: Int = 16, dim: Int = 64,
       seed: Long = 42L): Column = {
     val planes = hyperplanes(numPlanes, dim, seed)
-    val v = asDouble(emb)
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(vec_dot(emb, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
   }
 
