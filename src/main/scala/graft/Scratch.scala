@@ -21,11 +21,16 @@ object Scratch {
       r
     }
     import org.apache.spark.sql.functions._
-    time("warmup")(docs.count())
-    time("signatures")(graft.ops.Dedup.minHashSignatures(docs, 3, 32)
-      .agg(min("h0")).collect())
-    time("minHashDedup")(graft.ops.Dedup.minHashDedup(docs, 3, 0.8).count())
-    time("simhash pairs")(graft.ops.Dedup.simHashPairs(docs).count())
+    // drive the SQL-function registration surface end-to-end
+    graft.functions.GraftExtensions.register(spark)
+    Tables.embeddings(spark, d).createOrReplaceTempView("embeddings")
+    spark.sql("""SELECT vec_id, round(vec_norm(embedding), 3) AS n,
+      round(vec_dot(embedding, embedding), 3) AS d2
+      FROM embeddings ORDER BY vec_id LIMIT 3""").show()
+    // probe: wrong arity should fail with a clear message
+    try spark.sql("SELECT vec_dot(embedding) FROM embeddings").collect()
+    catch { case e: Exception =>
+      println("arity error => " + e.getMessage.linesIterator.next()) }
     spark.stop()
   }
 }

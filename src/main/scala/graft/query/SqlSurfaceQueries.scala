@@ -1,0 +1,178 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Remaining general-SQL operator surface: predicate varieties (IN /
+  * LIKE / BETWEEN / OR / NOT), outer joins, lag/lead windows, HAVING,
+  * scalar string and date functions — each oracle-paired. Together with
+  * [[StarSchemaQueries]] this makes every absence row of SURVEY.md §2
+  * (C/D/E/F/G) a covered operator.
+  */
+object SqlSurfaceQueries {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C-row extensions: IN, LIKE, BETWEEN, OR, NOT in one predicate.
+    "pred_in_like_range" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+            col("o_totalprice").between(50000, 200000) &&
+            (col("o_orderstatus") === "F" ||
+              !col("o_orderstatus").isin("P")))
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_name").like("Customer#0000000%"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // Full outer join with null-coalesced output: per-customer order
+    // count vs high-balance customer set.
+    "join_full_outer" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val rich = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      counts.join(rich, col("o_custkey") === col("c_custkey"),
+          "full_outer")
+        .select(
+          coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("c_acctbal"), lit(-1.0)).as("acctbal"))
+        .orderBy(col("custkey"))
+    }),
+
+    // Left outer join preserving unmatched left rows.
+    "join_left_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"))
+        .orderBy(col("c_custkey"))),
+
+    // E-row extensions: min/max/avg + HAVING-style post-agg filter.
+    "agg_minmax_having" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(avg(dec2(col("l_quantity"))), 2).cast("double")
+            .as("avg_qty"),
+          round(sum(dec2(col("l_extendedprice"))), 2).cast("double")
+            .as("sum_price"))
+        .filter(col("sum_price") > 1000000)
+        .orderBy(col("l_suppkey"))),
+
+    // G-row extensions: lag/lead analytics (raw doubles — exact).
+    "window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // F-row extensions: string scalar functions.
+    "scalar_string_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 4).as("prefix"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          length(col("p_name")).cast("long").as("name_len"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
+        .orderBy(col("p_partkey"))),
+
+    // F-row extensions: date-part extraction rollup.
+    "scalar_date_parts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("y"), col("q"), col("m"))),
+
+    // Cross join (the one join shape left): region x nation grid.
+    "join_cross_dims" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pred_in_like_range" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_totalprice BETWEEN 50000 AND 200000
+        |  AND (o_orderstatus = 'F' OR o_orderstatus NOT IN ('P'))
+        |  AND c_name LIKE 'Customer#0000000%'
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(o_custkey, c_custkey) AS custkey,
+        | coalesce(n_orders, 0) AS n_orders,
+        | coalesce(c_acctbal, -1.0) AS acctbal
+        |FROM (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |      GROUP BY 1) co
+        |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
+        |      WHERE c_acctbal > 9000) ri
+        |  ON co.o_custkey = ri.c_custkey
+        |ORDER BY custkey""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders
+        |FROM customer LEFT OUTER JOIN (
+        |  SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_minmax_having" ->
+      """SELECT l_suppkey, min(l_quantity) AS min_qty,
+        | max(l_quantity) AS max_qty,
+        | CAST(round(avg(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |   AS avg_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+        |   AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1
+        |HAVING CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+        |   AS DOUBLE) > 1000000
+        |ORDER BY 1""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "scalar_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        | substring(p_name, 1, 4) AS prefix,
+        | p_brand || '/' || p_type AS brand_type,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | length(p_name) AS name_len,
+        | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | CAST(month(o_orderdate) AS INT) AS m, count(*) AS n
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "join_cross_dims" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin
+  )
+}
