@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.config.PipelineConfig
@@ -21,12 +22,34 @@ import graft.model.Schemas
   */
 object DirectPipeline {
 
+  /** @param dedupKeys wire-event fields forming an identity for
+    *   streaming exactly-once-per-event dedup (state-store backed
+    *   `dropDuplicates`, so re-produced events are dropped across
+    *   micro-batches, not just within one). Empty = no dedup (the
+    *   reference's at-least-once behavior). State is unbounded without
+    *   a watermark — at production scale pair with `withWatermark` on
+    *   event_time and accept bounded-lateness dedup (H4 tradeoff), or
+    *   periodically expire state out of band. Corrupt records fall
+    *   back to the raw line as identity so they never collapse with
+    *   real events.
+    */
   def start(spark: SparkSession, cfg: PipelineConfig,
       topicKey: String = "event_tracking",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      dedupKeys: Seq[String] = Nil): StreamingQuery = {
     val decoded = EventSource.decode(
       EventSource.streamRaw(spark, cfg, topicKey), Schemas.wireEvent)
-    decoded.writeStream
+    val deduped =
+      if (dedupKeys.isEmpty) decoded
+      else {
+        val keyCols = dedupKeys.indices.map(i => s"_dk$i")
+        val withKeys = dedupKeys.zipWithIndex.foldLeft(decoded) {
+          case (df, (k, i)) => df.withColumn(s"_dk$i",
+            coalesce(col(s"parsed.$k").cast("string"), col("value")))
+        }
+        withKeys.dropDuplicates(keyCols).drop(keyCols: _*)
+      }
+    deduped.writeStream
       .queryName("clickhouse-writer") // group.id, kafka+clickhouse.md:129
       .option("checkpointLocation", cfg.checkpointDir("clickhouse-writer"))
       .trigger(trigger)

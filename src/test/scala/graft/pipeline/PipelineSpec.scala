@@ -96,6 +96,30 @@ class PipelineSpec extends SparkSpec {
     assert(dead == 1)
   }
 
+  test("streaming dedup drops re-produced events across micro-batches") {
+    val c = cfg()
+    def wire(ct: String, time: String) =
+      s"""{"campaign_id": "$ct", "workspace_id": "w", "email": "u@x.com",
+         | "event_type": "open", "event_time": "$time", "metadata": null}"""
+        .stripMargin.replaceAll("\n", "")
+    val keys = Seq("campaign_id", "event_time", "email")
+    // batch 0: an event + an in-batch duplicate
+    writeTopicFile(c, "event_tracking", "b0.json",
+      Seq(wire("c1", "2026-08-12T10:00:00"),
+        wire("c1", "2026-08-12T10:00:00"),
+        wire("c2", "2026-08-12T11:00:00")))
+    DirectPipeline.start(spark, c, dedupKeys = keys).awaitTermination()
+    assert(DirectPipeline.emailEvents(spark, c).count() == 2)
+    // batch 1: the producer retries c1's event (cross-batch dup) plus
+    // one genuinely new event
+    writeTopicFile(c, "event_tracking", "b1.json",
+      Seq(wire("c1", "2026-08-12T10:00:00"),
+        wire("c3", "2026-08-12T12:00:00")))
+    DirectPipeline.start(spark, c, dedupKeys = keys).awaitTermination()
+    assert(DirectPipeline.emailEvents(spark, c).count() == 3,
+      "cross-batch duplicate must be dropped by the state store")
+  }
+
   test("enum name->code map matches the reference Enum8 exactly") {
     assert(Schemas.eventTypeCodes == Map("delivered" -> 1, "open" -> 2,
       "click" -> 3, "bounce" -> 4, "unsubscribe" -> 5))

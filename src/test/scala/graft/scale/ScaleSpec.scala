@@ -1,0 +1,81 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.config.PipelineConfig
+import graft.ingest.EventSink
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join plans with zero shuffle exchanges") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Bucketing.writeBucketed(li, "li_bkt", "l_orderkey", 4)
+    Bucketing.writeBucketed(ord, "ord_bkt", "l_orderkey", 4)
+
+    val joined = Bucketing.bucketedJoin(spark, "li_bkt", "ord_bkt",
+      "l_orderkey")
+    assert(Bucketing.isExchangeFree(joined),
+      s"expected no shuffle:\n${joined.queryExecution.executedPlan}")
+
+    // and it computes the same rows as the plain (shuffling) join
+    val plain = li.join(ord, Seq("l_orderkey")).count()
+    assert(joined.count() == plain)
+
+    // aggregation on the bucket key is exchange-free too
+    val agg = spark.table("li_bkt").groupBy("l_orderkey")
+      .agg(sum("l_quantity"))
+    assert(Bucketing.isExchangeFree(agg))
+  }
+
+  test("salted join equals plain join") {
+    val events = Tables.events(spark, sf0001)
+    // user dim joined on a deliberately skew-prone key
+    val dim = events.select(col("user_id")).distinct()
+      .withColumn("segment", col("user_id") % 3)
+    val plain = events.join(dim, Seq("user_id"))
+      .groupBy("segment").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Salting
+      .saltedJoin(events, dim, "user_id", discriminator = "event_id")
+      .groupBy("segment").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted two-phase count equals direct count") {
+    val events = Tables.events(spark, sf0001)
+    val direct = events.groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Salting
+      .saltedCount(events, "event_type", discriminator = "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == direct)
+  }
+
+  test("email_events layout prunes day partitions at scan") {
+    val cfg = PipelineConfig(topicsRoot = tmpDir("t"),
+      warehouseRoot = tmpDir("w"))
+    val wire = Seq(
+      ("c1", "w1", "a@x", "open", "2026-08-11T08:00:00", null),
+      ("c1", "w1", "b@x", "open", "2026-08-12T09:00:00", null),
+      ("c2", "w1", "c@x", "click", "2026-08-13T10:00:00", null)
+    ).toDF("campaign_id", "workspace_id", "email", "event_type",
+      "event_time", "metadata")
+      .withColumn("metadata",
+        lit(null).cast("map<string,string>"))
+    EventSink.writeEmailEvents(EventSink.toEmailEvents(wire), cfg)
+
+    val read = spark.read.parquet(cfg.tablePath("email_events"))
+      .filter(col("event_date") === 20260812)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"partition filter not pushed:\n$scan")
+    assert(read.count() == 1)
+  }
+}
