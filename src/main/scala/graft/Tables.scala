@@ -31,4 +31,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so users can `spark.sql`
+    * against the warehouse by name (events via its nanos-safe loader).
+    */
+  def registerViews(s: SparkSession, d: String): Unit = names.foreach {
+    case "events" => events(s, d).createOrReplaceTempView("events")
+    case n => load(s, d, n).createOrReplaceTempView(n)
+  }
 }

@@ -94,6 +94,63 @@ object Similarity {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into `numCells` cells by nearest centroid (one narrow assignment
+    * pass); each query probes only its `nProbe` nearest cells, so the
+    * scored pair space is ~|corpus| x nProbe/numCells per query.
+    * Centroids are a deterministic strided sample of the corpus
+    * (k-means refinement would drop in without changing the dataflow);
+    * they ship to executors as literal plan constants — K x dim doubles.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents: Array[Array[Float]] = {
+      val n = corpus.count()
+      val stride = math.max(1L, n / numCells)
+      corpus.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % stride === 0)
+        .orderBy(col("vec_id")).limit(numCells)
+        .collect().map(_.getSeq[Float](1).toArray)
+    }
+    val centNorms = cents.map(c =>
+      math.sqrt(c.map(x => x.toDouble * x).sum))
+    def centCol(i: Int): Column =
+      array(cents(i).map(v => lit(v.toDouble)): _*)
+    // per-cell affinity: dot(v, c_i)/|c_i| (row norm constant per row,
+    // irrelevant to the argmax)
+    def score(i: Int): Column =
+      vec_dot(col("embedding"), centCol(i)) / lit(centNorms(i))
+    // argmax via a materialized score array — NOT a when/otherwise fold,
+    // which duplicates the running best into both branches and blows
+    // the expression tree up to 2^numCells nodes (hangs the analyzer)
+    val scoreArr = array(cents.indices.map(score): _*)
+    val bestCell =
+      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"),
+        vec_norm(col("embedding")).as("c_norm"),
+        bestCell.as("cell"))
+    // query side: rank all cells, probe the top nProbe
+    val scored = array(cents.indices.map(i =>
+      struct((-score(i)).as("neg"), lit(i).as("cell"))): _*)
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        vec_norm(col("embedding")).as("q_norm"),
+        explode(transform(slice(array_sort(scored), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    val ranked = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vec_dot(col("q_emb"), col("c_emb"))
+          / (col("q_norm") * col("c_norm")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed near-neighbor candidates re-ranked exactly: same
     * output shape as [[bruteForceTopK]] but the cross join is replaced
     * by a bucket-equality join. Standard multi-table hyperplane LSH:

@@ -54,6 +54,16 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-partitioned top-k (scale path; probabilistic recall ->
+    // rows-only).
+    "sim_cosine_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LSH-bucketed top-k (scale path; probabilistic recall -> rows-only).
     "sim_cosine_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)

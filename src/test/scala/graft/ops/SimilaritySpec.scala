@@ -43,6 +43,21 @@ class SimilaritySpec extends SparkSpec {
     assert(topk.toSeq == expected.toSeq)
   }
 
+  test("ivfTopK fills top-k and overlaps brute force on probed cells") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val res = Similarity.ivfTopK(emb.filter(col("vec_id") < 3), emb, 10)
+    val byQuery = res.groupBy("query_id").count().collect()
+      .map(r => r.getLong(1))
+    assert(byQuery.length == 3 && byQuery.forall(_ == 10L))
+    // sims within each query are non-increasing by rank
+    val rows = res.orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Double]("sim")))
+    rows.grouped(10).foreach { g =>
+      assert(g.map(_._2).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("lshTopK returns exact-ranked subset with full k rows per query") {
     val emb = Tables.embeddings(spark, sf0001)
     val res = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 10)

@@ -15,6 +15,8 @@ class ScaleSpec extends SparkSpec {
     val ord = Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_totalprice")
       .withColumnRenamed("o_orderkey", "l_orderkey")
+    Seq("li_bkt", "ord_bkt").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
     Bucketing.writeBucketed(li, "li_bkt", "l_orderkey", 4)
     Bucketing.writeBucketed(ord, "ord_bkt", "l_orderkey", 4)
 
