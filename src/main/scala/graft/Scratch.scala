@@ -21,16 +21,19 @@ object Scratch {
       r
     }
     import org.apache.spark.sql.functions._
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    try {
-      graft.ops.Similarity.ivfTopK(emb.filter(col("vec_id") < 3), emb, 10)
-        .show(5)
-    } catch { case e: Throwable =>
-      var c: Throwable = e
-      while (c.getCause != null) c = c.getCause
-      println("ROOT: " + c.getClass.getName + ": " +
-        Option(c.getMessage).getOrElse("").take(500))
+    val names = Seq("events_point_lookup", "q1_pricing_summary",
+      "q5_regional_revenue", "mv_level_totals", "dedup_ngram_jaccard",
+      "sim_cosine_topk")
+    val sb = new StringBuilder
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, d)
+      sb.append(s"===== $n\n")
+      sb.append(df.queryExecution.executedPlan.treeString.take(3500))
+      sb.append("\n")
     }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/plans.txt"), sb.toString)
+    println("plans written")
     spark.stop()
   }
 }

@@ -1,0 +1,59 @@
+package graft.scale
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table maintenance for streaming-append layouts.
+  *
+  * Micro-batch appends produce one-file-per-batch-per-partition; at
+  * 100 TB that is millions of small files — scan planning and footer
+  * reads dominate. [[compactPartitioned]] rewrites each hive partition
+  * of a parquet table into ~`targetRowsPerFile`-sized files, preserving
+  * the clustering sort (so min/max skipping keeps working), atomically
+  * per partition via a temp-dir swap.
+  *
+  * This is the raw-table sibling of `agg.SummingStore.compact` (which
+  * additionally merges rows); together they are the background-merge
+  * analog of the reference's MergeTree engines
+  * (kafka+clickhouse.md:396-401).
+  */
+object Maintenance {
+
+  def compactPartitioned(spark: SparkSession, path: String,
+      partitionCol: String, sortCols: Seq[String],
+      targetRowsPerFile: Long = 1000000L): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(path)
+    if (!fs.exists(base)) return
+    val partDirs = fs.listStatus(base)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol="))
+    partDirs.foreach { st =>
+      val dir = st.getPath
+      val df = spark.read.parquet(dir.toString)
+      val n = df.count()
+      val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile)
+        .toInt)
+      val tmp = new Path(dir.getParent, s"_compact_${dir.getName}")
+      df.repartition(files)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(dir, true)
+      fs.rename(tmp, dir)
+    }
+  }
+
+  /** Parquet file count under a partitioned table (diagnostic). */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Int =
+      fs.listStatus(p).map { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) 1
+        else 0
+      }.sum
+    val base = new Path(path)
+    if (fs.exists(base)) walk(base) else 0
+  }
+}

@@ -60,6 +60,33 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("compaction collapses small files, preserves rows and pruning") {
+    val cfg = PipelineConfig(topicsRoot = tmpDir("t"),
+      warehouseRoot = tmpDir("w"))
+    def batch(day: Int, n: Int) = (0 until n).map(i =>
+      (s"c$i", "w1", s"u$i@x", "open", f"2026-08-$day%02dT08:00:$i%02d",
+        null)).toDF("campaign_id", "workspace_id", "email", "event_type",
+      "event_time", "metadata")
+      .withColumn("metadata", lit(null).cast("map<string,string>"))
+    // five appends -> many small files across two day partitions
+    (0 until 5).foreach { _ =>
+      EventSink.writeEmailEvents(EventSink.toEmailEvents(batch(11, 6)),
+        cfg)
+      EventSink.writeEmailEvents(EventSink.toEmailEvents(batch(12, 6)),
+        cfg)
+    }
+    val path = cfg.tablePath("email_events")
+    val before = Maintenance.dataFileCount(spark, path)
+    val rowsBefore = spark.read.parquet(path).count()
+    Maintenance.compactPartitioned(spark, path, "event_date",
+      Seq("campaign_id", "event_time"))
+    val after = Maintenance.dataFileCount(spark, path)
+    val rowsAfter = spark.read.parquet(path).count()
+    assert(rowsAfter == rowsBefore, "compaction must not lose rows")
+    assert(after < before, s"file count should drop: $before -> $after")
+    assert(after == 2, "one file per day partition at this size")
+  }
+
   test("email_events layout prunes day partitions at scan") {
     val cfg = PipelineConfig(topicsRoot = tmpDir("t"),
       warehouseRoot = tmpDir("w"))
