@@ -21,19 +21,22 @@ object Scratch {
       r
     }
     import org.apache.spark.sql.functions._
-    val names = Seq("events_point_lookup", "q1_pricing_summary",
-      "q5_regional_revenue", "mv_level_totals", "dedup_ngram_jaccard",
-      "sim_cosine_topk")
-    val sb = new StringBuilder
-    names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, d)
-      sb.append(s"===== $n\n")
-      sb.append(df.queryExecution.executedPlan.treeString.take(3500))
-      sb.append("\n")
-    }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/plans.txt"), sb.toString)
-    println("plans written")
+    val root = java.nio.file.Files.createTempDirectory("dl").toString
+    val cfg = graft.config.PipelineConfig(topicsRoot = s"$root/t",
+      warehouseRoot = s"$root/w")
+    val dir = java.nio.file.Paths.get(cfg.topicDir("event_tracking"))
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("b0.json"),
+      ("""{"campaign_id": "c1", "workspace_id": "w", "email": "a@x", "event_type": "open", "event_time": "2026-08-12T10:00:00", "metadata": null}""" + "\n" +
+       """{"campaign_id": "c2", "workspace_id": "w", "email": "b@x", "event_type": "NOT_AN_ENUM", "event_time": "2026-08-12T10:00:01", "metadata": null}""" + "\n" +
+       """garbage {{{ not json""").getBytes)
+    graft.pipeline.DirectPipeline.start(spark, cfg).awaitTermination()
+    println("email_events rows=" +
+      graft.pipeline.DirectPipeline.emailEvents(spark, cfg).count())
+    val dead = spark.read.text(cfg.tablePath("dead_letter"))
+    println("dead_letter rows=" + dead.count())
+    dead.collect().foreach(r => println("DEAD: " +
+      r.getString(0).take(80)))
     spark.stop()
   }
 }

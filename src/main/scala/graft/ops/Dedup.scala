@@ -134,6 +134,18 @@ object Dedup {
       .filter(col("jaccard") >= t)
   }
 
+  /** Deduplicated corpus: drop the higher-id side of every near-dup
+    * pair (greedy keep-first policy — standard for training-data
+    * cleaning; not transitively minimal, but deterministic and
+    * single-pass). Uses the LSH path for pairs, anti-join to drop.
+    */
+  def dropNearDuplicates(docs: DataFrame, n: Int = 3,
+      t: Double = 0.8): DataFrame = {
+    val dups = minHashDedup(docs, n, t)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(broadcast(dups), Seq("doc_id"), "left_anti")
+  }
+
   /** 64-bit SimHash per document: per-bit +/-1 votes over 3-gram
     * shingle hashes (shingles, not unigrams — documents sharing a
     * vocabulary would otherwise collapse into near-identical hashes),

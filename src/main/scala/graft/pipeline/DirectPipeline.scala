@@ -56,10 +56,14 @@ object DirectPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val wire = EventSource.wellFormed(batch)
         EventSink.writeEmailEvents(EventSink.toEmailEvents(wire), cfg)
-        // Dead-letter path: corrupt JSON + out-of-domain enum values.
-        // The reference skips broker errors (kafka+clickhouse.md:139-141)
-        // and crashes on bad payloads; we persist both for replay.
-        val dead = EventSource.corrupt(batch)
+        // Dead-letter path: corrupt JSON + out-of-domain enum values
+        // (the rows an Enum8 insert would reject). The reference skips
+        // broker errors (kafka+clickhouse.md:139-141) and crashes on
+        // bad payloads; we persist both for replay.
+        val dead = EventSource.corrupt(batch).union(
+          EventSink.invalidEvents(wire)
+            .select(to_json(struct(wire.columns.map(col): _*))
+              .as("value")))
         if (!dead.isEmpty)
           dead.write.mode("append").text(cfg.tablePath("dead_letter"))
       }

@@ -36,11 +36,13 @@ object MaterializedPipeline {
     * counts per micro-batch. */
   def start(spark: SparkSession, cfg: PipelineConfig,
       topicKey: String = "event_tracking",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
     val store = dailyStore(cfg)
     val queue = EventSource.wellFormed(
       EventSource.decode(
-        EventSource.streamRaw(spark, cfg, topicKey), Schemas.queueRecord))
+        EventSource.streamRaw(spark, cfg, topicKey, maxFilesPerTrigger),
+        Schemas.queueRecord))
     queue.writeStream
       .queryName("consumer") // the MV's name, kafka+clickhouse.md:222
       .option("checkpointLocation", cfg.checkpointDir("consumer"))

@@ -35,6 +35,13 @@ object PipelineQueries {
       Dedup.minHashDedup(Tables.documents(s, d), n = 3, t = jaccardT)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Corpus cleaning: the dedup pipeline end-to-end — near-dup pairs
+    // via LSH, greedy drop of the higher-id side, surviving doc ids.
+    "dedup_drop_neardups" -> ((s, d) =>
+      Dedup.dropNearDuplicates(Tables.documents(s, d), 3, jaccardT)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // SimHash near-dup candidates (Hamming <= 7 via pigeonhole bands).
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHashPairs(Tables.documents(s, d))
@@ -151,6 +158,24 @@ object PipelineQueries {
         |    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_drop_neardups" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') w
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(
+        |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |   for i in range(1, len(w)-1)]) s
+        | FROM t),
+        |dups AS (
+        | SELECT DISTINCT b.doc_id AS doc_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+        |ORDER BY doc_id""".stripMargin,
     "embedding_neardup" ->
       """SELECT vec_a, vec_b, sim FROM (
         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

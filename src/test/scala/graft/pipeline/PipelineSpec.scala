@@ -91,9 +91,11 @@ class PipelineSpec extends SparkSpec {
     // partition column derived as yyyyMMdd int
     assert(events.select("event_date").distinct().head().getInt(0)
       == 20260812)
-    // corrupt record routed to dead letter, not crashed on
-    val dead = spark.read.text(c.tablePath("dead_letter")).count()
-    assert(dead == 1)
+    // corrupt record AND out-of-domain enum row routed to dead letter
+    // (the reference would crash on the former, error on the latter)
+    val dead = spark.read.text(c.tablePath("dead_letter"))
+    assert(dead.count() == 2)
+    assert(dead.filter(col("value").contains("badtype")).count() == 1)
   }
 
   test("streaming dedup drops re-produced events across micro-batches") {
