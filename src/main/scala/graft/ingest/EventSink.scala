@@ -30,7 +30,7 @@ object EventSink {
   def publish(events: DataFrame, cfg: PipelineConfig,
       topicKey: String): Unit =
     events
-      .select(to_json(struct(events.columns.map(col): _*)).as("value"))
+      .select(to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value"))
       .write.mode(SaveMode.Append).text(cfg.topicDir(topicKey))
 
   /** Enum8 domain check (kafka+clickhouse.md:97): name -> code, null for

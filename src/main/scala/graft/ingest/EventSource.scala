@@ -53,7 +53,7 @@ object EventSource {
   def decode(raw: DataFrame, schema: StructType): DataFrame = {
     val parsed = from_json(col("value"), schema)
     val anyField = coalesce(
-      schema.fieldNames.map(f => col(s"parsed.$f").cast("string")): _*)
+      schema.fieldNames.toIndexedSeq.map(f => col(s"parsed.$f").cast("string")): _*)
     raw
       .filter(col("value").isNotNull && length(trim(col("value"))) > 0)
       .withColumn("parsed", parsed)

@@ -89,7 +89,7 @@ object Similarity {
       seed: Long = 42L): Column = {
     val planes = hyperplanes(numPlanes, dim, seed)
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(vec_dot(emb, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
   }
@@ -115,7 +115,7 @@ object Similarity {
     val centNorms = cents.map(c =>
       math.sqrt(c.map(x => x.toDouble * x).sum))
     def centCol(i: Int): Column =
-      array(cents(i).map(v => lit(v.toDouble)): _*)
+      array(cents(i).toIndexedSeq.map(v => lit(v.toDouble)): _*)
     // per-cell affinity: dot(v, c_i)/|c_i| (row norm constant per row,
     // irrelevant to the argmax)
     def score(i: Int): Column =

@@ -17,6 +17,10 @@ object RollupProps extends Properties("Rollup") {
     .appName("RollupProps")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+    // getOrCreate may CREATE the JVM-wide session for all suites —
+    // keep the warehouse out of the repo like SparkSpec does
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -98,6 +98,32 @@ class PipelineSpec extends SparkSpec {
     assert(dead.filter(col("value").contains("badtype")).count() == 1)
   }
 
+  test("publish -> consume round trip (producer A1 + topic routing A2)") {
+    import spark.implicits._
+    val c = cfg()
+    val events = Seq(
+      ("c1", "delivered", "2026-08-12T10:00:00"),
+      ("c2", "open", "2026-08-12T10:00:01")
+    ).toDF("campaign_id", "event_type", "event_time")
+    EventSink.publish(events, c, "event_tracking")
+    // unknown topic key must fail fast (config registry contract)
+    intercept[IllegalArgumentException] {
+      EventSink.publish(events, c, "no_such_topic")
+    }
+    val back = EventSource.wellFormed(EventSource.decode(
+      EventSource.batchRaw(spark, c, "event_tracking"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("campaign_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("event_time",
+          org.apache.spark.sql.types.StringType)))))
+    val got = back.orderBy("campaign_id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("c1", "delivered"), ("c2", "open")))
+  }
+
   test("streaming dedup drops re-produced events across micro-batches") {
     val c = cfg()
     def wire(ct: String, time: String) =

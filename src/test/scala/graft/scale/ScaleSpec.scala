@@ -15,8 +15,17 @@ class ScaleSpec extends SparkSpec {
     val ord = Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_totalprice")
       .withColumnRenamed("o_orderkey", "l_orderkey")
-    Seq("li_bkt", "ord_bkt").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("li_bkt", "ord_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a table dir can survive from a previous JVM whose catalog is
+      // gone; saveAsTable refuses to reuse the location — clear it
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        t)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     Bucketing.writeBucketed(li, "li_bkt", "l_orderkey", 4)
     Bucketing.writeBucketed(ord, "ord_bkt", "l_orderkey", 4)
 
