@@ -21,16 +21,11 @@ object Scratch {
       r
     }
     import org.apache.spark.sql.functions._
-    val exact = time("exact jaccardPairs sf0.1")(
-      graft.ops.Dedup.jaccardPairs(docsX, 3, 0.8)
-        .select("doc_a", "doc_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet)
-    val lsh = time("minHashDedup sf0.1")(
-      graft.ops.Dedup.minHashDedup(docsX, 3, 0.8)
-        .select("doc_a", "doc_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet)
-    println(s"exact pairs=${exact.size} lsh pairs=${lsh.size} " +
-      s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+    time("warmup")(docsX.count())
+    time("simhash pairs sf0.1")(
+      graft.ops.Dedup.simHashPairs(docsX).count())
+    time("simhash pairs x2")(
+      graft.ops.Dedup.simHashPairs(docsX).count())
     spark.stop()
   }
 }
