@@ -107,6 +107,24 @@ object SqlSurfaceQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("y"), col("q"), col("m"))),
 
+    // Approximate sketches (HLL++ distinct, quantile summaries) — the
+    // at-scale substitutes for exact distinct/percentile. Rows-only
+    // (sketch algorithms differ across engines; accuracy is pinned by
+    // SketchSpec against exact values instead).
+    "agg_approx_sketches" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02)
+            .as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02)
+            .as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+            .as("p95_price"))
+        .orderBy(col("l_returnflag"))),
+
     // Cross join (the one join shape left): region x nation grid.
     "join_cross_dims" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
