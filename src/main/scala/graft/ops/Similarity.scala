@@ -76,6 +76,45 @@ object Similarity {
       .filter(col("sim") >= t)
   }
 
+  /** LSH-bucketed near-dup pairs: multi-table hyperplane signatures,
+    * bucket-collision candidates (equality join on (table, sig) — no
+    * cross join), exact cosine verification of candidates. The scale
+    * path for [[nearDupPairs]]; recall < 1 by the banding curve (rises
+    * with `tables`, and with true-pair similarity).
+    */
+  def nearDupPairsLsh(vectors: DataFrame, t: Double, tables: Int = 8,
+      planesPerTable: Int = 8): DataFrame = {
+    val bucketStructs = array((0 until tables).map { tb =>
+      struct(lit(tb).as("table"),
+        lshSignature(col("embedding"), planesPerTable,
+          seed = 42L + tb).as("sig"))
+    }: _*)
+    val ex = vectors
+      .select(col("vec_id"), explode(bucketStructs).as("bk"))
+      .select(col("vec_id"), col("bk.table").as("table"),
+        col("bk.sig").as("sig"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val withNorm = vectors.select(col("vec_id"),
+      col("embedding").as("emb"), vec_norm(col("embedding")).as("norm"))
+    // no broadcast hints: at test scale both sides are tiny; at real
+    // scale AQE broadcasts the (small) candidate side into the corpus
+    cand
+      .join(withNorm.select(col("vec_id").as("vec_a"),
+        col("emb").as("emb_a"), col("norm").as("norm_a")), "vec_a")
+      .join(withNorm.select(col("vec_id").as("vec_b"),
+        col("emb").as("emb_b"), col("norm").as("norm_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(vec_dot(col("emb_a"), col("emb_b"))
+          / (col("norm_a") * col("norm_b")), 4).as("sim"))
+      .filter(col("sim") >= t)
+  }
+
   /** Deterministic random hyperplanes (seeded) as literal arrays — the
     * plan embeds them as constants, broadcast for free with the plan. */
   private def hyperplanes(numPlanes: Int, dim: Int,

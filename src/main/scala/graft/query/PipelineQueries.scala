@@ -52,6 +52,12 @@ object PipelineQueries {
       Similarity.nearDupPairs(Tables.embeddings(s, d), cosineT)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // LSH-bucketed embedding near-dup (scale path for the above;
+    // probabilistic recall -> rows-only).
+    "embedding_neardup_lsh" -> ((s, d) =>
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, d), cosineT)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
     // Brute-force cosine top-10 for 8 query vectors.
     "sim_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)

@@ -43,6 +43,18 @@ class SimilaritySpec extends SparkSpec {
     assert(topk.toSeq == expected.toSeq)
   }
 
+  test("nearDupPairsLsh returns a subset of exact pairs (perfect precision)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.nearDupPairs(emb, 0.4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, 0.4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact verify must kill false positives")
+    info(s"recall at t=0.4: ${lsh.size}/${exact.size}")
+  }
+
   test("ivfTopK fills top-k and overlaps brute force on probed cells") {
     val emb = Tables.embeddings(spark, sf0001)
     val res = Similarity.ivfTopK(emb.filter(col("vec_id") < 3), emb, 10)
