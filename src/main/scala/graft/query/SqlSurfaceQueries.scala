@@ -125,6 +125,29 @@ object SqlSurfaceQueries {
             .as("p95_price"))
         .orderBy(col("l_returnflag"))),
 
+    // ROLLUP (hierarchical grouping sets; CUBE covered elsewhere).
+    "agg_rollup_time" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("y"), lit(-1)).as("y"),
+          coalesce(col("q"), lit(-1)).as("q"), col("n"))
+        .orderBy(col("y"), col("q"))),
+
+    // Ranking-family windows: dense_rank, percent_rank, ntile.
+    "window_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .filter(col("drank") <= 50)
+        .orderBy(col("o_orderpriority"), col("drank"), col("o_orderkey"))
+    }),
+
     // Cross join (the one join shape left): region x nation grid.
     "join_cross_dims" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
@@ -191,6 +214,23 @@ object SqlSurfaceQueries {
         |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "join_cross_dims" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
-        |ORDER BY r_name, n_name""".stripMargin
+        |ORDER BY r_name, n_name""".stripMargin,
+    "agg_rollup_time" ->
+      """SELECT coalesce(CAST(year(o_orderdate) AS INT), -1) AS y,
+        | coalesce(CAST(quarter(o_orderdate) AS INT), -1) AS q,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+        |ORDER BY 1, 2""".stripMargin,
+    "window_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | dense_rank() OVER w AS drank,
+        | round(percent_rank() OVER w, 6) AS prank,
+        | ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY drank <= 50
+        |ORDER BY o_orderpriority, drank, o_orderkey""".stripMargin
   )
 }
