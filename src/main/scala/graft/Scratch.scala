@@ -21,22 +21,17 @@ object Scratch {
       r
     }
     import org.apache.spark.sql.functions._
-    // drive the Retrieval API end-to-end via public exports
-    val root = java.nio.file.Files.createTempDirectory("ret").toString
-    val cfg = graft.config.PipelineConfig(topicsRoot = s"$root/t",
-      warehouseRoot = s"$root/w")
-    val dir = java.nio.file.Paths.get(cfg.topicDir("event_tracking"))
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve("b.json"),
-      ("""{"campaign_id": "c9", "workspace_id": "w", "email": "u@x", "event_type": "open", "event_time": "2026-08-12T10:00:00", "metadata": null}""" + "\n" +
-       """{"campaign_id": "c9", "workspace_id": "w", "email": "u@x", "event_type": "bounce", "event_time": "2026-08-12T11:00:00", "metadata": null}""").getBytes)
-    graft.pipeline.DirectPipeline.start(spark, cfg).awaitTermination()
-    val opened = graft.query.Retrieval.openedEmails(spark, cfg, "c9")
-    println("openedEmails rows=" + opened.count())
-    println("eventsForDay(20260812)=" +
-      graft.query.Retrieval.eventsForDay(spark, cfg, 20260812).count())
-    println("eventsForDay(20260813)=" +
-      graft.query.Retrieval.eventsForDay(spark, cfg, 20260813).count())
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb.filter(col("vec_id") < 3)
+    val r0 = graft.ops.Similarity.ivfTopK(q, emb, 10)
+    val r2 = graft.ops.Similarity.ivfTopK(q, emb, 10, refineIters = 2)
+    val bf = graft.ops.Similarity.bruteForceTopK(q, emb, 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = pairs(bf)
+    println(s"ivf recall unrefined=${(pairs(r0) & b).size}/${b.size}" +
+      s" refined=${(pairs(r2) & b).size}/${b.size}")
     spark.stop()
   }
 }

@@ -141,20 +141,49 @@ object Similarity {
     * (k-means refinement would drop in without changing the dataflow);
     * they ship to executors as literal plan constants — K x dim doubles.
     */
+  /** One Lloyd (k-means) sweep: assign every vector to its best cell,
+    * recompute each cell's mean vector distributedly (64 avg-aggs over
+    * the assignment — map-side combined, one small shuffle), keep the
+    * old centroid for any emptied cell. */
+  private def lloydStep(corpus: DataFrame,
+      cents: Array[Array[Double]], dim: Int): Array[Array[Double]] = {
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val scoreArr = array(cents.indices.map(i =>
+      vec_dot(col("embedding"),
+        array(cents(i).toIndexedSeq.map(lit): _*)) / lit(norms(i))): _*)
+    val cell =
+      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    val dimAggs = (0 until dim).map(j =>
+      avg(element_at(col("embedding"), j + 1)).as(s"d$j"))
+    val means = corpus.withColumn("cell", cell)
+      .groupBy(col("cell")).agg(dimAggs.head, dimAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) ->
+        (0 until dim).map(j => r.getDouble(j + 1)).toArray).toMap
+    cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+  }
+
+  /** @param refineIters Lloyd iterations applied to the strided seed
+    *   centroids (0 = seeds as-is). Each iteration is one narrow
+    *   assignment pass + one tiny shuffle. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      numCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents: Array[Array[Float]] = {
+      numCells: Int = 16, nProbe: Int = 4,
+      refineIters: Int = 0): DataFrame = {
+    val dim = 64
+    val seeds: Array[Array[Double]] = {
       val n = corpus.count()
       val stride = math.max(1L, n / numCells)
       corpus.select(col("vec_id"), col("embedding"))
         .filter(col("vec_id") % stride === 0)
         .orderBy(col("vec_id")).limit(numCells)
-        .collect().map(_.getSeq[Float](1).toArray)
+        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     }
+    val cents = (0 until refineIters).foldLeft(seeds)((c, _) =>
+      lloydStep(corpus, c, dim))
     val centNorms = cents.map(c =>
-      math.sqrt(c.map(x => x.toDouble * x).sum))
+      math.sqrt(c.map(x => x * x).sum))
     def centCol(i: Int): Column =
-      array(cents(i).toIndexedSeq.map(v => lit(v.toDouble)): _*)
+      array(cents(i).toIndexedSeq.map(lit): _*)
     // per-cell affinity: dot(v, c_i)/|c_i| (row norm constant per row,
     // irrelevant to the argmax)
     def score(i: Int): Column =

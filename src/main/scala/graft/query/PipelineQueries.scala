@@ -86,6 +86,25 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The curation pipeline end-to-end: quality gate -> language gate
+    // -> near-dup removal -> surviving corpus with stats. This is the
+    // composed "prepare training data" flagship; each stage is the
+    // oracle-proven operator above, chained as one declarative plan
+    // (Catalyst fuses the narrow gates into the scan).
+    "pipeline_corpus_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = TextAnalysis.qualityMetrics(docs)
+        .filter(col("n_tokens") >= 20 && col("stopword_ratio") <= 0.5)
+      val (_, predicted) = TextAnalysis.langId(col("text"))
+      val inLang = quality.withColumn("predicted", predicted)
+      val deduped = Dedup.dropNearDuplicates(
+        inLang.select(col("doc_id"), col("text")), 3, jaccardT)
+      inLang.join(deduped.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("predicted"),
+          col("n_tokens"), col("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting (whitespace model).
     "text_token_count" -> ((s, d) =>
       Tables.documents(s, d)
@@ -164,6 +183,51 @@ object PipelineQueries {
         |    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "pipeline_corpus_curation" ->
+      s"""WITH q AS (
+         | SELECT doc_id, text,
+         |  len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |    AS n_tokens,
+         |  round(len(list_filter(
+         |     regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |     x -> list_contains([$enStop], x)))::DOUBLE
+         |   / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 4)
+         |    AS stopword_ratio,
+         |  CASE
+         |   WHEN len(list_filter(regexp_split_to_array(lower(trim(text)),
+         |     '\\s+'), x -> list_contains([${stopList("es")}], x)))
+         |    > greatest(
+         |     len(list_filter(regexp_split_to_array(lower(trim(text)),
+         |       '\\s+'), x -> list_contains([${stopList("en")}], x))),
+         |     len(list_filter(regexp_split_to_array(lower(trim(text)),
+         |       '\\s+'), x -> list_contains([${stopList("de")}], x))))
+         |    THEN 'es'
+         |   WHEN len(list_filter(regexp_split_to_array(lower(trim(text)),
+         |     '\\s+'), x -> list_contains([${stopList("de")}], x)))
+         |    > len(list_filter(regexp_split_to_array(lower(trim(text)),
+         |       '\\s+'), x -> list_contains([${stopList("en")}], x)))
+         |    THEN 'de'
+         |   ELSE 'en' END AS predicted
+         | FROM documents),
+         |f AS (
+         | SELECT * FROM q
+         | WHERE n_tokens >= 20 AND stopword_ratio <= 0.5),
+         |t AS (
+         | SELECT doc_id,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') w FROM f),
+         |sh AS (
+         | SELECT doc_id, list_distinct(
+         |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |   for i in range(1, len(w)-1)]) s
+         | FROM t),
+         |dups AS (
+         | SELECT DISTINCT b.doc_id AS doc_b
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+         |    / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.8)
+         |SELECT doc_id, predicted, n_tokens, stopword_ratio
+         |FROM f WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_drop_neardups" ->
       """WITH t AS (
         | SELECT doc_id,

@@ -70,6 +70,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK with Lloyd refinement keeps the contract and can only help") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val refined = Similarity.ivfTopK(emb.filter(col("vec_id") < 3), emb,
+      10, refineIters = 2)
+    val byQuery = refined.groupBy("query_id").count().collect()
+      .map(r => r.getLong(1))
+    assert(byQuery.length == 3 && byQuery.forall(_ == 10L))
+    // refined cells must still partition the corpus: every corpus
+    // vector lands in exactly one cell, so probing all cells == brute
+    // force; with nProbe = numCells the result matches brute force
+    val full = Similarity.ivfTopK(emb.filter(col("vec_id") === 0), emb,
+      5, numCells = 4, nProbe = 4, refineIters = 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+    val brute = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+    assert(full.toSeq == brute.toSeq,
+      "probing every cell must equal brute force")
+  }
+
   test("lshTopK returns exact-ranked subset with full k rows per query") {
     val emb = Tables.embeddings(spark, sf0001)
     val res = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 10)
