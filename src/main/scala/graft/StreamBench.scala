@@ -59,12 +59,43 @@ object StreamBench {
       .collect().map(_.getLong(1)).sum
     require(totals == nEvents, s"MV total $totals != $nEvents")
 
-    // Part 1: direct insert of the same stream read as wire events is
-    // shape-mismatched; measure the raw-append path on its own topic
     val mvRate = nEvents / mvSec
     println(s"""{"metric":"stream_mv_events_per_sec","value":$mvRate,""" +
       s""""unit":"events/sec","events":$nEvents,"seconds":$mvSec,""" +
       s""""batches":${nFiles / 2}}""")
+
+    // Part 1: direct insert — wire-shaped events on their own topic,
+    // full validate + partitioned columnar append per micro-batch.
+    val wcfg = PipelineConfig(topicsRoot = s"$root/topics",
+      topics = Map("event_tracking" -> "wire.topic"),
+      warehouseRoot = s"$root/wh_direct")
+    val wdir = Paths.get(wcfg.topicDir("event_tracking"))
+    Files.createDirectories(wdir)
+    id = 0
+    (0 until nFiles).foreach { f =>
+      val sb = new StringBuilder(perFile * 160)
+      (0 until perFile).foreach { _ =>
+        val lvl = levels(id % levels.length)
+        val sec = id % 86400
+        val t = f"2026-08-${10 + id % 3}%02dT${sec / 3600}%02d:" +
+          f"${(sec / 60) % 60}%02d:${sec % 60}%02d"
+        sb.append(s"""{"campaign_id": "c${id % 500}",""")
+          .append(s""" "workspace_id": "w", "email": "u$id@x",""")
+          .append(s""" "event_type": "$lvl", "event_time": "$t",""")
+          .append(s""" "metadata": {"k": "$id"}}\n""")
+        id += 1
+      }
+      Files.writeString(wdir.resolve(f"part-$f%04d.json"), sb.toString)
+    }
+    val directSec = timed {
+      DirectPipeline.start(spark, wcfg).awaitTermination()
+    }
+    val stored = DirectPipeline.emailEvents(spark, wcfg).count()
+    require(stored == nEvents, s"direct stored $stored != $nEvents")
+    val directRate = nEvents / directSec
+    println(s"""{"metric":"stream_direct_events_per_sec",""" +
+      s""""value":$directRate,"unit":"events/sec","events":$nEvents,""" +
+      s""""seconds":$directSec}""")
     spark.stop()
   }
 }
