@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.agg.DailyRollup
-import graft.query.{PipelineQueries, ReferenceQueries, SqlSurfaceQueries, StarSchemaQueries}
+import graft.query.{PipelineQueries, ReferenceQueries, SqlSurfaceQueries, StarSchemaQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ StarSchemaQueries.queries ++
-      PipelineQueries.queries ++ SqlSurfaceQueries.queries
+      PipelineQueries.queries ++ SqlSurfaceQueries.queries ++
+      TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ StarSchemaQueries.oracles ++
-      PipelineQueries.oracles ++ SqlSurfaceQueries.oracles
+      PipelineQueries.oracles ++ SqlSurfaceQueries.oracles ++
+      TemporalQueries.oracles
 }
