@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.agg.DailyRollup
-import graft.query.{PipelineQueries, ReferenceQueries, SqlSurfaceQueries, StarSchemaQueries, TemporalQueries}
+import graft.query.{PipelineQueries, ReferenceQueries, ReshapeQueries, SamplingQueries, SqlSurfaceQueries, StarSchemaQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ StarSchemaQueries.queries ++
       PipelineQueries.queries ++ SqlSurfaceQueries.queries ++
-      TemporalQueries.queries
+      TemporalQueries.queries ++ ReshapeQueries.queries ++
+      SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ StarSchemaQueries.oracles ++
       PipelineQueries.oracles ++ SqlSurfaceQueries.oracles ++
-      TemporalQueries.oracles
+      TemporalQueries.oracles ++ ReshapeQueries.oracles ++
+      SamplingQueries.oracles
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here is keyed on a Knuth multiplicative hash of a stable
+  * id — NOT on `rand()` — so a sample is (a) reproducible run-to-run
+  * and cluster-to-cluster, (b) stable under repartitioning and
+  * re-ingestion, (c) consistent across engines (the hash is plain
+  * 64-bit arithmetic any SQL engine evaluates identically, which is
+  * what makes these operators oracle-checkable at all). At 100 TB,
+  * rand()-sampling is unrepeatable and resample-on-retry skews
+  * downstream stats; key-hash sampling is the standard fix.
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash of a non-negative integer id, folded
+    * into [0, buckets): (id * 2654435761) mod 2^32 mod buckets.
+    * 2654435761 = floor(2^32 / phi), the classic Fibonacci-hashing
+    * multiplier — consecutive ids scatter uniformly. Fits 64-bit
+    * arithmetic for ids up to ~3.4e9.
+    */
+  def hashBucket(id: Column, buckets: Int): Column =
+    (id * lit(2654435761L)) % lit(4294967296L) % lit(buckets)
+
+  /** Adds a `split` column: 'train' for ~trainPct% of rows, 'test' for
+    * the rest — disjoint, exhaustive, deterministic in the id. */
+  def trainTestSplit(df: DataFrame, id: Column,
+      trainPct: Int): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(id, 100) < trainPct, lit("train"))
+        .otherwise(lit("test")))
+
+  /** Keep a deterministic ~(num/denom) fraction of rows. */
+  def sampleFraction(df: DataFrame, id: Column, num: Int,
+      denom: Int): DataFrame =
+    df.filter(hashBucket(id, denom) < num)
+
+  /** At most `n` rows per stratum, chosen by hash order (a
+    * deterministic pseudo-random draw), id as tie-break. One shuffle
+    * on the strata key; `row_number` keeps only the first n per group.
+    */
+  def stratifiedFixedN(df: DataFrame, stratum: Column, id: Column,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(hashBucket(id, 1 << 30), id)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

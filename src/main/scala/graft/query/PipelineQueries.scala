@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators as driver-contract queries:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -57,6 +57,16 @@ object PipelineQueries {
     "embedding_neardup_lsh" -> ((s, d) =>
       Similarity.nearDupPairsLsh(Tables.embeddings(s, d), cosineT)
         .orderBy(col("vec_a"), col("vec_b"))),
+
+    // Duplicate CLUSTERS: connected components over the near-dup pair
+    // graph (transitive closure the greedy pair-drop misses), labeled
+    // by each component's min vec_id.
+    "dedup_components" -> ((s, d) =>
+      Components.connectedComponents(
+          Similarity.nearDupPairs(Tables.embeddings(s, d), cosineT)
+            .select(col("vec_a").as("src"), col("vec_b").as("dst")))
+        .select(col("id").as("vec_id"), col("comp"))
+        .orderBy(col("vec_id"))),
 
     // Brute-force cosine top-10 for 8 query vectors.
     "sim_cosine_topk" -> ((s, d) => {
@@ -253,6 +263,22 @@ object PipelineQueries {
         |    CAST(b.embedding AS DOUBLE[])), 4) AS sim
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE pairs AS (
+        | SELECT vec_a AS src, vec_b AS dst FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        | WHERE sim >= 0.4),
+        |sym AS (SELECT src, dst FROM pairs
+        |  UNION SELECT dst, src FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.comp FROM sym s JOIN reach r ON s.dst = r.id)
+        |SELECT id AS vec_id, min(comp) AS comp
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_cosine_topk" ->
       """SELECT query_id, neighbor_id, sim, rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

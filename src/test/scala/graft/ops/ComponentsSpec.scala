@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Connected components: hand-checked graphs plus a randomized check
+  * against a driver-side union-find reference.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain, clique, and disjoint pair resolve to min-id labels") {
+    // chain 1-2-3-4 (diameter 3: needs real propagation), clique
+    // {10,11,12}, pair {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (21L, 20L)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("drop list keeps one representative per cluster") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val dropped = Components.dropList(edges)
+      .as[(Long, Long)].collect().toSet
+    assert(dropped == Set((2L, 1L), (3L, 1L), (8L, 7L)))
+  }
+
+  test("random graph matches a union-find reference") {
+    val rnd = new scala.util.Random(11)
+    val edgeSeq = Seq.fill(200)((rnd.nextInt(120).toLong,
+      rnd.nextInt(120).toLong)).filter { case (a, b) => a != b }
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edgeSeq.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonicalize union-find roots to component-min ids
+    val byRoot = nodes.groupBy(find)
+    val expected = byRoot.values.flatMap { ns =>
+      val m = ns.min; ns.map(_ -> m)
+    }.toMap
+    val got = Components.connectedComponents(edgeSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic sampling: disjoint/exhaustive split near the target
+  * rate, stable across runs, stratified caps respected.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = spark.range(0, 10000).select(col("id"))
+
+  test("train/test split is disjoint, exhaustive, near 80/20, stable") {
+    val split = Sampling.trainTestSplit(ids, col("id"), 80)
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000)
+    // Knuth hash scatters uniformly: within ±2% of target on 10k ids
+    assert(math.abs(counts("train") - 8000L) < 200,
+      s"train=${counts("train")}")
+    // deterministic: a second evaluation yields identical membership
+    val again = Sampling.trainTestSplit(ids, col("id"), 80)
+    assert(split.exceptAll(again).isEmpty)
+  }
+
+  test("sampleFraction keeps ~num/denom deterministically") {
+    val kept = Sampling.sampleFraction(ids, col("id"), 1, 10)
+    val n = kept.count()
+    assert(math.abs(n - 1000L) < 100, s"n=$n")
+    assert(kept.exceptAll(
+      Sampling.sampleFraction(ids, col("id"), 1, 10)).isEmpty)
+    // subset property: the 10% sample is inside the 20% sample
+    val wider = Sampling.sampleFraction(ids, col("id"), 2, 10)
+    assert(kept.exceptAll(wider).isEmpty)
+  }
+
+  test("stratifiedFixedN caps each stratum at n, keeps small strata") {
+    val df = ids.withColumn("g", col("id") % 7)
+    val out = Sampling.stratifiedFixedN(df, col("g"), col("id"), 5)
+    val per = out.groupBy("g").count().as[(Long, Long)].collect().toMap
+    assert(per.size == 7 && per.values.forall(_ == 5L))
+    // a stratum smaller than n survives whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("id", "g")
+    val outTiny = Sampling.stratifiedFixedN(tiny, col("g"), col("id"), 5)
+    assert(outTiny.count() == 3)
+  }
+}
