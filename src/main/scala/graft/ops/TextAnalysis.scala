@@ -95,4 +95,16 @@ object TextAnalysis {
     * so external systems can reproduce it. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** PII masking: emails then phone-like digit runs replaced with
+    * placeholder tags — the scrub pass a training corpus goes through
+    * before anything else sees it. Patterns are deliberately in the
+    * RE2-compatible subset (no backrefs/lookarounds) so the same
+    * regexes run identically on other engines' regexp_replace.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "\\+?[0-9][0-9-]{6,}[0-9]", "<PHONE>")
 }

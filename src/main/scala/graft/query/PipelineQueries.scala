@@ -145,6 +145,20 @@ object PipelineQueries {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // PII scrub: the corpus text is synthetic word-salad, so each doc
+    // gets a deterministic email + phone appended (built from doc_id)
+    // before masking — proving the scrub actually rewrites. Output is
+    // md5 of the scrubbed text (compact, engine-portable).
+    "text_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(TextAnalysis.scrubPii(concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example or +1-202-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))
+            .as("scrubbed_md5"))
+        .orderBy(col("doc_id"))),
+
     // Multimodal: binary payload + typed metadata (oracle-checkable
     // byte accounting; decode is the stubbed stage below).
     "multimodal_bytes" -> ((s, d) =>
@@ -348,6 +362,14 @@ object PipelineQueries {
     "multimodal_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id, md5(regexp_replace(regexp_replace(
+        |  text || ' contact user' || doc_id || '@mail.example or ' ||
+        |    '+1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+        |    4, '0'),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |  '\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -152,7 +152,24 @@ object SqlSurfaceQueries {
     "join_cross_dims" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select(col("r_name"), col("n_name"))
-        .orderBy(col("r_name"), col("n_name")))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // Per-source corpus profile: the data-quality summary a pipeline
+    // computes before training (volumes, language spread, emptiness,
+    // char-length stats) — one pass, all aggregates map-side combined.
+    "corpus_profile" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("text").isNull ||
+            length(trim(col("text"))) === 0, 1L).otherwise(0L))
+            .as("n_empty"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(avg(dec2(col("n_chars"))), 2).cast("double")
+            .as("avg_chars"))
+        .orderBy(col("source")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +239,15 @@ object SqlSurfaceQueries {
         |FROM orders
         |GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
         |ORDER BY 1, 2""".stripMargin,
+    "corpus_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT lang) AS n_langs,
+        | CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | CAST(round(avg(CAST(n_chars AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |   AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_rank_family" ->
       """SELECT o_orderpriority, o_orderkey,
         | dense_rank() OVER w AS drank,

@@ -50,4 +50,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.getAs[Double]("punct_ratio") == math.rint(2.0 / 13 * 1e4) / 1e4)
     assert(m.getAs[Double]("digit_ratio") == math.rint(2.0 / 13 * 1e4) / 1e4)
   }
+
+  test("scrubPii masks emails and phone-like runs, leaves prose alone") {
+    val cases = Seq(
+      ("mail me at jo.doe+spam@corp.example.co now",
+        "mail me at <EMAIL> now"),
+      ("call +1-202-555-0134 or 0049-30-1234567 today",
+        "call <PHONE> or <PHONE> today"),
+      ("short digits 12345 stay; year 2026 stays",
+        "short digits 12345 stay; year 2026 stays"),
+      ("a@b.io and 555-123-4567", "<EMAIL> and <PHONE>"))
+    val out = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.scrubPii(col("text")))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
 }
