@@ -96,6 +96,45 @@ object StreamBench {
     println(s"""{"metric":"stream_direct_events_per_sec",""" +
       s""""value":$directRate,"unit":"events/sec","events":$nEvents,""" +
       s""""seconds":$directSec}""")
+
+    // Sessionization: the keyed-state path (flatMapGroupsWithState +
+    // event-time timeout) over its own topic — 5000 recurring users,
+    // time-ordered stream, per-user cadence (~67 min) longer than the
+    // 30-min gap so sessions continuously close via timeout.
+    val scfg = PipelineConfig(topicsRoot = s"$root/topics",
+      topics = Map("event_tracking" -> "sess.topic"),
+      warehouseRoot = s"$root/wh_sess")
+    val sdir = Paths.get(scfg.topicDir("event_tracking"))
+    Files.createDirectories(sdir)
+    id = 0
+    (0 until nFiles).foreach { f =>
+      val sb = new StringBuilder(perFile * 160)
+      (0 until perFile).foreach { _ =>
+        val sec0 = (id * 4) / 5 // 0.8 s of event time per event
+        val day = 10 + sec0 / 86400
+        val sec = sec0 % 86400
+        val t = f"2026-08-$day%02dT${sec / 3600}%02d:" +
+          f"${(sec / 60) % 60}%02d:${sec % 60}%02d"
+        sb.append(s"""{"campaign_id": "c1", "workspace_id": "w",""")
+          .append(s""" "email": "u${id % 5000}@x",""")
+          .append(s""" "event_type": "open", "event_time": "$t",""")
+          .append(""" "metadata": {}}""").append('\n')
+        id += 1
+      }
+      Files.writeString(sdir.resolve(f"part-$f%04d.json"), sb.toString)
+    }
+    val sessSec = timed {
+      graft.pipeline.SessionPipeline.start(spark, scfg,
+        maxFilesPerTrigger = 2).awaitTermination()
+    }
+    val closed = graft.pipeline.SessionPipeline
+      .closedSessions(spark, scfg).count()
+    require(closed > 0 && closed <= nEvents,
+      s"implausible closed-session count $closed")
+    val sessRate = nEvents / sessSec
+    println(s"""{"metric":"stream_session_events_per_sec",""" +
+      s""""value":$sessRate,"unit":"events/sec","events":$nEvents,""" +
+      s""""seconds":$sessSec,"closed_sessions":$closed}""")
     spark.stop()
   }
 }
