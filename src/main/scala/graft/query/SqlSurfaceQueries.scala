@@ -148,6 +148,53 @@ object SqlSurfaceQueries {
         .orderBy(col("o_orderpriority"), col("drank"), col("o_orderkey"))
     }),
 
+    // Value-family windows: first/last/nth over an explicit full-frame
+    // (UNBOUNDED..UNBOUNDED — last_value over the default frame is the
+    // classic running-value trap).
+    "window_value_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // RANGE frame: cumulative revenue per priority including ties at
+    // the same price (decimal accumulation — order-independent, unlike
+    // a double sum over an unordered tie group).
+    "window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(sum(dec2(col("o_totalprice"))).over(w), 2)
+            .cast("double").as("cum_price"))
+        .orderBy(col("o_orderpriority"), col("cum_price"),
+          col("o_orderkey"))
+    }),
+
+    // GROUPING SETS beyond ROLLUP/CUBE: two independent 1-D slices
+    // plus the grand total in one pass.
+    "agg_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        // pre-project the computed key: groupingSets matches grouping
+        // columns by expression, and an alias inside the set list
+        // breaks that match (the slice's key comes out null)
+        .withColumn("y", year(col("o_orderdate")))
+        .groupingSets(
+          Seq(Seq(col("y")), Seq(col("o_orderpriority")), Seq()),
+          col("y"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("y"), lit(-1)).as("y"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"))
+        .orderBy(col("y"), col("prio"))),
+
     // Cross join (the one join shape left): region x nation grid.
     "join_cross_dims" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
@@ -238,6 +285,31 @@ object SqlSurfaceQueries {
         | count(*) AS n
         |FROM orders
         |GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+        |ORDER BY 1, 2""".stripMargin,
+    "window_value_family" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_totalprice) OVER w AS first_price,
+        | last_value(o_totalprice) OVER w AS last_price,
+        | nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2)
+        |   AS DOUBLE) AS cum_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, cum_price, o_orderkey""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(CAST(year(o_orderdate) AS INT), -1) AS y,
+        | coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate)),
+        |  (o_orderpriority), ())
         |ORDER BY 1, 2""".stripMargin,
     "corpus_profile" ->
       """SELECT source, count(*) AS n_docs,
