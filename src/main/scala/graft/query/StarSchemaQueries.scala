@@ -145,8 +145,14 @@ object StarSchemaQueries {
     // Explicit ROWS frame + total ordering keeps the double accumulation
     // order identical to the oracle's.
     "window_running_sum" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (duplicate keys with different prices exist at sf0.1+), so the
+      // ordering tie-breaks through the value columns — with them, even
+      // fully identical rows yield a deterministic running-sum multiset
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"), col("l_discount"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .withColumn("running_rev",
@@ -273,7 +279,8 @@ object StarSchemaQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(round(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))))) OVER (
         |   PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |     l_extendedprice, l_discount
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |  AS DOUBLE) AS running_rev
         |FROM lineitem

@@ -30,6 +30,23 @@ object TemporalQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // The same sessions via Spark's NATIVE session_window operator —
+    // the built-in gap window (kept alongside ops.Sessionize, which
+    // also yields per-row session ids the rollup form cannot).
+    // Boundary semantics differ from Sessionize deliberately: a gap of
+    // exactly 30 min starts a NEW session here (window end is
+    // last_event + gap, exclusive), and the emitted end is that
+    // deadline, not the last event time — the oracle encodes both.
+    "session_window_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))),
+
     // For every purchase, the user's most recent click at-or-before it
     // (attribution shape). AsOfJoin = union-merge, single shuffle on
     // user_id — not a pairwise range join.
@@ -88,6 +105,22 @@ object TemporalQueries {
         |  count(*) AS n_events, min(ts_us) AS start_us,
         |  max(ts_us) AS end_us, max(ts_us) - min(ts_us) AS dur_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "session_window_native" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM t WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS sid FROM f)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |  max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "join_asof_prev_click" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
