@@ -91,7 +91,19 @@ object ReferenceQueries {
         .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
           col("event_type").as("level"))
         .agg(count(lit(1)).as("total"))
-        .orderBy(col("hour_us"), col("level")))
+        .orderBy(col("hour_us"), col("level"))),
+
+    // ReplacingMergeTree analog (the ClickHouse engine-family sibling
+    // of the reference's Summing engine): latest state per
+    // (user_id, event_type), version = event time, event_id tie.
+    "replacing_latest" -> ((s, d) =>
+      graft.scale.Maintenance.latestByKey(
+          events(s, d).select(col("user_id"), col("event_type"),
+            col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("value")),
+          Seq(col("user_id"), col("event_type")),
+          version = col("ts_us"), tie = col("event_id"))
+        .orderBy(col("user_id"), col("event_type")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -126,6 +138,14 @@ object ReferenceQueries {
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
         |  AS hour_us,
         | event_type AS level, count(*) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "replacing_latest" ->
+      """SELECT user_id, event_type, event_id,
+        | epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+        |    event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin
   )
 }

@@ -148,6 +148,39 @@ object SqlSurfaceQueries {
         .orderBy(col("o_orderpriority"), col("drank"), col("o_orderkey"))
     }),
 
+    // Exact order statistics (the non-approx counterpart of
+    // agg_approx_sketches): median + interpolated percentile.
+    "agg_exact_median" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(median(col("l_quantity")), 2).as("med_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 2)
+            .as("p25_price"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 2)
+            .as("p75_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // Ordered string aggregation (collect_list -> sort -> join; the
+    // string_agg/group_concat operator).
+    "agg_string_concat" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 50)
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(array_sort(collect_list(
+          col("l_linenumber").cast("string"))), ",").as("lines"))
+        .orderBy(col("l_orderkey"))),
+
+    // Statistical aggregates: sample stddev/variance + correlation
+    // (small-magnitude columns so 4-decimal rounding is FP-safe).
+    "agg_stats_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 4).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_discount")), 4)
+            .as("corr_qd"))
+        .orderBy(col("l_returnflag"))),
+
     // Value-family windows: first/last/nth over an explicit full-frame
     // (UNBOUNDED..UNBOUNDED — last_value over the default frame is the
     // classic running-value trap).
@@ -286,6 +319,23 @@ object SqlSurfaceQueries {
         |FROM orders
         |GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
         |ORDER BY 1, 2""".stripMargin,
+    "agg_exact_median" ->
+      """SELECT l_returnflag, round(median(l_quantity), 2) AS med_qty,
+        | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price,
+        | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_string_concat" ->
+      """SELECT l_orderkey,
+        | string_agg(CAST(l_linenumber AS VARCHAR), ','
+        |   ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines
+        |FROM lineitem WHERE l_orderkey <= 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_stats_funcs" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_discount), 4) AS var_disc,
+        | round(corr(l_quantity, l_discount), 4) AS corr_qd
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_value_family" ->
       """SELECT o_custkey, o_orderkey,
         | first_value(o_totalprice) OVER w AS first_price,

@@ -1,7 +1,8 @@
 package graft.scale
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table maintenance for streaming-append layouts.
@@ -19,6 +20,23 @@ import org.apache.spark.sql.functions._
   * (kafka+clickhouse.md:396-401).
   */
 object Maintenance {
+
+  /** ReplacingMergeTree-style read: keep only the newest row per key,
+    * newest = greatest (version, tie). ClickHouse's Replacing engine
+    * resolves duplicates lazily at merge time; on Spark the same
+    * contract is this windowed filter at read (or inside
+    * [[compactPartitioned]]'s rewrite to make it physical). One
+    * shuffle on the key; `tie` must make the order total for a
+    * deterministic survivor.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[Column], version: Column,
+      tie: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(version.desc, tie.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   def compactPartitioned(spark: SparkSession, path: String,
       partitionCol: String, sortCols: Seq[String],

@@ -116,4 +116,17 @@ class ScaleSpec extends SparkSpec {
       s"partition filter not pushed:\n$scan")
     assert(read.count() == 1)
   }
+
+  test("latestByKey keeps the newest row per key with tie-break") {
+    val df = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 20L, 101L), // newer version wins
+      (1L, "b", 20L, 102L),
+      (2L, "a", 30L, 103L), (2L, "a", 30L, 104L)  // version tie -> id
+    ).toDF("k1", "k2", "v", "id")
+    val got = Maintenance.latestByKey(df,
+        Seq(col("k1"), col("k2")), col("v"), col("id"))
+      .select("k1", "k2", "id").as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((1L, "a", 101L), (1L, "b", 102L), (2L, "a", 104L)))
+  }
 }
