@@ -14,8 +14,8 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    Seq("session_gap", "join_asof_prev_click", "range_join_price_bands",
-      "vocab_topk", "sample_stratified_lang", "pivot_status_counts")
+    Seq("agg_exact_median", "agg_string_concat", "agg_stats_funcs",
+      "replacing_latest", "session_window_native")
       .foreach { q =>
         println(s"===== $q =====")
         println(SparkEntry.queries(q)(spark, d)

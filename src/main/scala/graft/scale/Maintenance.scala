@@ -38,6 +38,26 @@ object Maintenance {
       .drop("__rn")
   }
 
+  /** Physical Replacing merge: rewrite a parquet table keeping only
+    * the newest row per key — the background-merge half of the
+    * Replacing contract ([[latestByKey]] being the read-time half;
+    * after compaction reads no longer pay the window). Same temp-dir
+    * swap discipline as [[compactPartitioned]].
+    */
+  def compactReplacing(spark: SparkSession, path: String,
+      keyCols: Seq[String], versionCol: String, tieCol: String,
+      numFiles: Int = 1): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val merged = latestByKey(spark.read.parquet(path),
+      keyCols.map(col), col(versionCol), col(tieCol))
+    val tmp = new Path(path + "__compact_tmp")
+    merged.repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dst = new Path(path)
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
   def compactPartitioned(spark: SparkSession, path: String,
       partitionCol: String, sortCols: Seq[String],
       targetRowsPerFile: Long = 1000000L): Unit = {

@@ -128,5 +128,15 @@ class ScaleSpec extends SparkSpec {
       .select("k1", "k2", "id").as[(Long, String, Long)]
       .collect().toSet
     assert(got == Set((1L, "a", 101L), (1L, "b", 102L), (2L, "a", 104L)))
+
+    // physical merge: rewrite keeps the same survivors, reads no
+    // longer need the window
+    val path = tmpDir("replacing") + "/t"
+    df.write.mode("overwrite").parquet(path)
+    Maintenance.compactReplacing(spark, path, Seq("k1", "k2"), "v", "id")
+    val reread = spark.read.parquet(path)
+      .select("k1", "k2", "id").as[(Long, String, Long)]
+      .collect().toSet
+    assert(reread == got)
   }
 }
