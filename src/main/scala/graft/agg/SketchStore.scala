@@ -1,0 +1,81 @@
+package graft.agg
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only store of mergeable AGGREGATE STATES — the
+  * AggregatingMergeTree analog, completing the ClickHouse engine-family
+  * trio next to [[SummingStore]] (Summing) and
+  * `scale.Maintenance.latestByKey` (Replacing).
+  *
+  * Where SummingStore's partials are plain numbers (additive),
+  * AggregatingMergeTree stores opaque `AggregateFunction(...)` states
+  * that merge under the aggregate's own combine operation. The Spark
+  * analog is a DataSketches HLL state per (key, batch): binary,
+  * mergeable with `hll_union_agg`, finalized with
+  * `hll_sketch_estimate`. COUNT DISTINCT is the canonical non-additive
+  * aggregate: partial distinct counts cannot be summed across batches,
+  * but their sketches union losslessly — so the store supports exact
+  * re-aggregation semantics at any grouping coarser than the stored
+  * key, from state O(lgK) per key instead of O(distinct values).
+  */
+final class SketchStore(path: String, keyCols: Seq[String],
+    lgConfigK: Int = 12) {
+
+  /** Partial states for one block: one HLL sketch of `valueCol` per
+    * key. Call inside `foreachBatch` with the batch's rows. */
+  def partials(block: DataFrame, valueCol: Column): DataFrame =
+    block.groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_agg(valueCol, lit(lgConfigK)).as("state"))
+
+  /** Idempotent append (exactly-once per epoch, same discipline as
+    * [[SummingStore.append]]). */
+  def append(states: DataFrame, batchId: Long): Unit =
+    states.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/batch=$batchId")
+
+  private def raw(spark: SparkSession): DataFrame =
+    spark.read.option("basePath", path).parquet(s"$path/batch=*")
+
+  /** Merged estimate per stored key: union states across batches, then
+    * finalize. The mandatory read-side merge of the Aggregating
+    * contract. */
+  def read(spark: SparkSession): DataFrame =
+    raw(spark)
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("state"), lit(false)))
+        .as("distinct_estimate"))
+      .select((keyCols :+ "distinct_estimate").map(col): _*)
+
+  /** Re-aggregate to a coarser grouping WITHOUT rescanning raw data —
+    * the property that makes stored states better than stored numbers:
+    * distinct counts roll up by unioning states, never by adding
+    * estimates. */
+  def readGrouped(spark: SparkSession, groupCols: Seq[String]): DataFrame =
+    raw(spark)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("state"), lit(false)))
+        .as("distinct_estimate"))
+      .select((groupCols :+ "distinct_estimate").map(col): _*)
+
+  /** Background-merge analog: collapse per-batch states into one block
+    * of unioned states per key. [[read]] is correct without it. */
+  def compact(spark: SparkSession): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/_compact_tmp")
+    raw(spark)
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_union_agg(col("state"), lit(false)).as("state"))
+      .select((keyCols :+ "state").map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val base = new Path(path)
+    if (fs.exists(base)) {
+      fs.listStatus(base).foreach { st =>
+        if (st.getPath.getName.startsWith("batch="))
+          fs.delete(st.getPath, true)
+      }
+    }
+    fs.rename(tmp, new Path(s"$path/batch=compacted"))
+  }
+}

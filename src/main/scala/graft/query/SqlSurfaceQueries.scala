@@ -148,6 +148,23 @@ object SqlSurfaceQueries {
         .orderBy(col("o_orderpriority"), col("drank"), col("o_orderkey"))
     }),
 
+    // Mergeable aggregate states (AggregatingMergeTree analog, see
+    // agg.SketchStore): per-(day, type) HLL states of user_id, unioned
+    // per type and finalized — distinct counts re-aggregated from
+    // O(lgK) states, never by adding estimates. Rows-only (sketch
+    // binary layout is engine-specific); exactness at these
+    // cardinalities is pinned by SketchStoreSpec.
+    "agg_hll_state_rollup" -> ((s, d) => {
+      val states = graft.Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("state"))
+      states.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(
+          hll_union_agg(col("state"), lit(false)))
+          .as("distinct_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // Exact order statistics (the non-approx counterpart of
     // agg_approx_sketches): median + interpolated percentile.
     "agg_exact_median" -> ((s, d) =>

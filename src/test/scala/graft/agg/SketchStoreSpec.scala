@@ -1,0 +1,69 @@
+package graft.agg
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** AggregatingMergeTree contract: states union across batches to the
+  * same answer as a global distinct, roll up to coarser groupings
+  * without rescanning raw data, survive batch replay, and compaction
+  * changes nothing. At these cardinalities (hundreds) the HLL estimate
+  * is exact, so assertions are equalities, not tolerances.
+  */
+class SketchStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkStore(): (SketchStore, String) = {
+    val p = tmpDir("sketch") + "/store"
+    (new SketchStore(p, Seq("day", "level")), p)
+  }
+
+  test("cross-batch union equals global distinct; rollup by states") {
+    val (store, _) = mkStore()
+    // users overlap across batches — summing per-batch distincts would
+    // double-count; unioning states must not
+    val b0 = Seq(("d1", "info", 1L), ("d1", "info", 2L),
+      ("d1", "error", 1L), ("d2", "info", 5L))
+    val b1 = Seq(("d1", "info", 2L), ("d1", "info", 3L),
+      ("d2", "info", 5L), ("d2", "info", 6L))
+    store.append(store.partials(
+      b0.toDF("day", "level", "user"), col("user")), 0L)
+    store.append(store.partials(
+      b1.toDF("day", "level", "user"), col("user")), 1L)
+
+    val perKey = store.read(spark)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2))).toMap
+    assert(perKey == Map(("d1", "info") -> 3L, ("d1", "error") -> 1L,
+      ("d2", "info") -> 2L))
+
+    // rollup to per-level WITHOUT raw data: states union across days.
+    // user 5 appears only under d2/info; users {1,2,3} under d1/info —
+    // a sum of estimates would give 5 for info via double-counting
+    // user overlap across keys if any; the union gives exact 5 here
+    val perLevel = store.readGrouped(spark, Seq("level"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(perLevel == Map("info" -> 5L, "error" -> 1L))
+  }
+
+  test("replayed batch is idempotent; compaction preserves answers") {
+    val (store, _) = mkStore()
+    val b0 = Seq(("d1", "info", 10L), ("d1", "info", 11L))
+    val states = store.partials(
+      b0.toDF("day", "level", "user"), col("user"))
+    store.append(states, 0L)
+    store.append(states, 0L) // replay of the same epoch
+    assert(store.read(spark).collect()
+      .map(_.getLong(2)).toSeq == Seq(2L))
+
+    store.append(store.partials(
+      Seq(("d1", "info", 11L), ("d1", "info", 12L))
+        .toDF("day", "level", "user"), col("user")), 1L)
+    val before = store.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    store.compact(spark)
+    val after = store.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == before && after == Set(("d1", "info", 3L)))
+  }
+}
