@@ -66,4 +66,43 @@ class SketchStoreSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(after == before && after == Set(("d1", "info", 3L)))
   }
+
+  test("streaming maintenance: foreachBatch appends states per epoch") {
+    import java.nio.file.{Files, Paths}
+    import graft.config.PipelineConfig
+    import graft.ingest.EventSource
+    import graft.model.Schemas
+    val c = PipelineConfig(topicsRoot = tmpDir("topics"),
+      warehouseRoot = tmpDir("wh"))
+    val dir = Paths.get(c.topicDir("event_tracking"))
+    Files.createDirectories(dir)
+    def line(ts: Long, lvl: String, user: String) =
+      s"""{"timestamp": $ts, "level": "$lvl", "message": "$user"}"""
+    // same user appears in both files: per-batch distinct partials
+    // would double-count, unioned states must not
+    Files.write(dir.resolve("b0.json"), Seq(
+      line(1700000000L, "info", "u1"), line(1700000010L, "info", "u2"),
+      line(1700000020L, "error", "u1")).mkString("\n").getBytes)
+    Files.write(dir.resolve("b1.json"), Seq(
+      line(1700090000L, "info", "u2"), line(1700090010L, "info", "u3"))
+      .mkString("\n").getBytes)
+    val store = new SketchStore(c.tablePath("distinct_users"),
+      Seq("level"))
+    val q = EventSource.wellFormed(
+        EventSource.decode(
+          EventSource.streamRaw(spark, c, "event_tracking", 1),
+          Schemas.queueRecord))
+      .writeStream
+      .option("checkpointLocation", c.checkpointDir("sketcher"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          id: Long) =>
+        store.append(store.partials(batch, col("message")), id)
+      }
+      .start()
+    q.awaitTermination()
+    val got = store.read(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("info" -> 3L, "error" -> 1L))
+  }
 }

@@ -59,6 +59,17 @@ class AttributionJoinSpec extends SparkSpec {
     assert(AttributionJoin.attributions(spark, c).count() == 2)
   }
 
+  test("corrupt and schema-less lines are dropped, never crash") {
+    val c = cfg()
+    writeTopicFile(c, "b0.json", Seq(
+      wire("u1", "delivered", "2026-01-01T10:00:00"),
+      """{"garbage": true}""",
+      "not json at all {{{",
+      wire("u1", "click", "2026-01-01T10:10:00")))
+    AttributionJoin.start(spark, c).awaitTermination()
+    assert(AttributionJoin.attributions(spark, c).count() == 1)
+  }
+
   test("a click matching two deliveries in window yields both rows") {
     val c = cfg()
     writeTopicFile(c, "b0.json", Seq(
