@@ -42,11 +42,7 @@ final class SketchStore(path: String, keyCols: Seq[String],
     * finalize. The mandatory read-side merge of the Aggregating
     * contract. */
   def read(spark: SparkSession): DataFrame =
-    raw(spark)
-      .groupBy(keyCols.map(col): _*)
-      .agg(hll_sketch_estimate(hll_union_agg(col("state"), lit(false)))
-        .as("distinct_estimate"))
-      .select((keyCols :+ "distinct_estimate").map(col): _*)
+    readGrouped(spark, keyCols)
 
   /** Re-aggregate to a coarser grouping WITHOUT rescanning raw data —
     * the property that makes stored states better than stored numbers:
@@ -76,6 +72,8 @@ final class SketchStore(path: String, keyCols: Seq[String],
           fs.delete(st.getPath, true)
       }
     }
-    fs.rename(tmp, new Path(s"$path/batch=compacted"))
+    val dst = new Path(s"$path/batch=compacted")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
+      "compacted states remain in the temp dir")
   }
 }

@@ -68,6 +68,8 @@ final class SummingStore(path: String, keyCols: Seq[String],
           fs.delete(st.getPath, true)
       }
     }
-    fs.rename(tmp, new Path(s"$path/batch=compacted"))
+    val dst = new Path(s"$path/batch=compacted")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
+      "compacted partials remain in the temp dir")
   }
 }

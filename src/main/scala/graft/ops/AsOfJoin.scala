@@ -40,9 +40,14 @@ object AsOfJoin {
     val l = left.select(col(key).as("__key"), col(leftTime).as("__t"),
       col(leftTie).as("__tie"), lit(1).as("__side"),
       leftRow.as("__row"), lit(null).cast(rightType).as("__match"))
-    val r = right.select(col(key).as("__key"), col(rightTime).as("__t"),
-      col(rightTie).as("__tie"), lit(0).as("__side"),
-      lit(null).cast(leftType).as("__row"), rightRow.as("__match"))
+    // SQL equi-join semantics: a NULL key never matches anything. The
+    // window groups nulls together, so null-keyed RIGHT rows must be
+    // dropped here or they would match null-keyed left rows; null-keyed
+    // left rows still pass through (unmatched), like a LEFT JOIN.
+    val r = right.filter(col(key).isNotNull)
+      .select(col(key).as("__key"), col(rightTime).as("__t"),
+        col(rightTie).as("__tie"), lit(0).as("__side"),
+        lit(null).cast(leftType).as("__row"), rightRow.as("__match"))
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

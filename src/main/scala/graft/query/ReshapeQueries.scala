@@ -38,7 +38,11 @@ object ReshapeQueries {
           Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax")),
           "metric", "val")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+        // `val` in the ordering: duplicate (l_orderkey, l_linenumber)
+        // pairs exist in the synthetic data at every sf, so without it
+        // the order of tied rows is engine-dependent
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          col("val"))),
 
     // Vocabulary top-k over the documents corpus: lowercase, split on
     // non-alphabetic runs, explode, count, top 100 — the vocab-building
@@ -74,7 +78,7 @@ object ReshapeQueries {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
         |WHERE l_orderkey <= 100
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
     "vocab_topk" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))

@@ -146,7 +146,7 @@ object StarSchemaQueries {
     // order identical to the oracle's.
     "window_running_sum" -> ((s, d) => {
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
-      // (duplicate keys with different prices exist at sf0.1+), so the
+      // (duplicate keys with different prices exist at every sf), so the
       // ordering tie-breaks through the value columns — with them, even
       // fully identical rows yield a deterministic running-sum multiset
       val w = Window.partitionBy(col("l_suppkey"))

@@ -16,19 +16,13 @@ object TemporalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 30-minute-gap user sessions: one shuffle on user_id (Sessionize),
     // per-session bounds/volume rollup on the same key.
-    "session_gap" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      Sessionize.assign(ev, col("user_id"), col("ts"),
-          col("event_id"), gapSec = 1800L)
-        .groupBy(col("user_id"), col("session_seq").as("session_id"))
-        .agg(count(lit(1)).as("n_events"),
-          min(unix_micros(col("ts"))).as("start_us"),
-          max(unix_micros(col("ts"))).as("end_us"))
+    "session_gap" -> ((s, d) =>
+      Sessionize.sessions(Tables.events(s, d), col("user_id"),
+          col("ts"), col("event_id"), gapSec = 1800L)
+        .withColumnRenamed("session_seq", "session_id")
         .select(col("user_id"), col("session_id"), col("n_events"),
-          col("start_us"), col("end_us"),
-          (col("end_us") - col("start_us")).as("dur_us"))
-        .orderBy(col("user_id"), col("session_id"))
-    }),
+          col("start_us"), col("end_us"), col("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))),
 
     // The same sessions via Spark's NATIVE session_window operator —
     // the built-in gap window (kept alongside ops.Sessionize, which

@@ -65,6 +65,19 @@ class TemporalOpsSpec extends SparkSpec {
       4L -> Some(13L), 5L -> None))
   }
 
+  test("asof join: NULL keys never match (SQL equi-join semantics)") {
+    val quotes = Seq((Option.empty[Long], 100L, 10L),
+      (Option(1L), 100L, 11L)).toDF("k", "qt", "qid")
+    val trades = Seq((Option.empty[Long], 200L, 1L),
+      (Option(1L), 200L, 2L)).toDF("k", "tt", "tid")
+    val out = AsOfJoin.joinAsOf(trades, quotes, "k", "tt", "qt",
+        "tid", "qid")
+      .select(col("tid"), col("asof.qid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // the null-keyed trade stays (LEFT semantics) but matches nothing
+    assert(out == Map(1L -> None, 2L -> Some(11L)))
+  }
+
   test("asof join equals naive range formulation on events data") {
     val ev = graft.Tables.events(spark, sf0001)
     val purchases = ev.filter(col("event_type") === "purchase")
