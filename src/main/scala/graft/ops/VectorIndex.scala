@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+
+/** Persisted IVF index: build once, query many — the missing half of
+  * [[Similarity.ivfTopK]], which recomputes cell assignments on every
+  * call. At corpus scale the build is the expensive pass (full scan +
+  * k-means refinement), so it becomes a materialized TABLE:
+  *
+  *  - `<path>/centroids`: numCells rows of (cell, centroid, norm) —
+  *    kilobytes, read to the driver at query time;
+  *  - `<path>/cells`: the corpus rewritten `partitionBy(cell)` with
+  *    per-vector norms precomputed.
+  *
+  * Because `cell` is a PARTITION column, a probe of nProbe cells
+  * compiles to `cell IN (...)` partition pruning — the scan touches
+  * only nProbe/numCells of the files, which is what makes a top-k
+  * query cheap at 100 TB: no index service, just a layout.
+  */
+object VectorIndex {
+
+  /** One Lloyd sweep over normalized affinities (same dataflow as
+    * Similarity.lloydStep, against this module's seed set). */
+  private def lloydStep(corpus: DataFrame, cents: Array[Array[Double]],
+      dim: Int): Array[Array[Double]] = {
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val scoreArr = array(cents.indices.map(i =>
+      vec_dot(col("embedding"),
+        array(cents(i).toIndexedSeq.map(lit): _*)) / lit(norms(i))): _*)
+    val cell =
+      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    val dimAggs = (0 until dim).map(j =>
+      avg(element_at(col("embedding"), j + 1)).as(s"d$j"))
+    val means = corpus.withColumn("cell", cell)
+      .groupBy(col("cell")).agg(dimAggs.head, dimAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) ->
+        (0 until dim).map(j => r.getDouble(j + 1)).toArray).toMap
+    cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+  }
+
+  /** Build the index: strided seeds -> optional Lloyd refinement ->
+    * assign every vector -> write centroids + cell-partitioned corpus.
+    */
+  def buildIvf(corpus: DataFrame, path: String, numCells: Int = 16,
+      refineIters: Int = 2, dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val stride = math.max(1L, n / numCells)
+    val seeds = corpus.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % stride === 0)
+      .orderBy(col("vec_id")).limit(numCells)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents = (0 until refineIters).foldLeft(seeds)((c, _) =>
+      lloydStep(corpus, c, dim))
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    cents.indices.map(i => (i, cents(i).toSeq, centNorms(i)))
+      .toDF("cell", "centroid", "norm")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val scoreArr = array(cents.indices.map(i =>
+      vec_dot(col("embedding"),
+        array(cents(i).toIndexedSeq.map(lit): _*)) / lit(centNorms(i))): _*)
+    val cell =
+      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    corpus
+      .withColumn("cell", cell)
+      .withColumn("c_norm", vec_norm(col("embedding")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
+  /** Query the persisted index: rank cells per query vector on the
+    * driver (centroids are tiny), then probe ONLY the union of the
+    * top-nProbe cells — a `cell IN (...)` filter on the partition
+    * column, so the scan is partition-pruned to the probed fraction.
+    */
+  def queryIvf(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"), col("norm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+    def score(c: (Int, Array[Double], Double)) =
+      vec_dot(col("embedding"),
+        array(c._2.toIndexedSeq.map(lit): _*)) / lit(c._3)
+    val probes = array(cents.map(c =>
+      struct((-score(c)).as("neg"), lit(c._1).as("cell"))).toIndexedSeq: _*)
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        vec_norm(col("embedding")).as("q_norm"),
+        explode(transform(slice(array_sort(probes), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    // the probed cell set, resolved small on the driver so the scan
+    // filter is a literal IN over the partition column
+    val probedCells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cellsScan = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+    val ranked = cellsScan
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(vec_dot(col("q_emb"), col("embedding"))
+          / (col("q_norm") * col("c_norm")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}
