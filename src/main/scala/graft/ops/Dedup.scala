@@ -150,31 +150,41 @@ object Dedup {
     * shingle hashes (shingles, not unigrams — documents sharing a
     * vocabulary would otherwise collapse into near-identical hashes),
     * folded back into one long. One exploded pass + 64 small aggs. */
+  /** Hard cap on shingles hashed per document. Keeps every packed
+    * bit-vote counter below 2^16 (no carry into the adjacent field) and
+    * every packed sum below 2^63 (no long overflow under ANSI mode):
+    * max per-row packed value is 2^48+2^32+2^16+1, and
+    * 32767 * (2^48+2^32+2^16+1) < 2^63. ~32k shingles ≈ a 32k-token
+    * document; longer docs are fingerprinted on their first 32767
+    * shingles (deterministic truncation).
+    */
+  private val MaxSimHashShingles = 32767
+
   def simHash(docs: DataFrame): DataFrame = {
     // explode_outer for the same InferFiltersFromGenerate reason as in
     // minHashSignatures
     val tok = withShingles(docs, 3)
-      .select(col("doc_id"), explode_outer(col("sh")).as("t"))
+      .select(col("doc_id"),
+        explode_outer(slice(col("sh"), 1, MaxSimHashShingles)).as("t"))
       .filter(col("t").isNotNull)
       .withColumn("h", xxhash64(col("t")))
-    // Bit-vote accumulation packed 6 bit-counters x 10 bits per agg
-    // column: 11 packed sums + 1 count instead of 64 sum-aggs (the agg
-    // buffer update was the dominant cost). Safe while shingle count
-    // per doc < 1024 (counters can't carry into the next 10-bit field);
-    // bit b is set iff 2*count_set(b) > n — identical to the +/-1 vote.
-    val groupsOf6 = 11
-    val packAggs = (0 until groupsOf6).map { k =>
-      val bitsHere = math.min(6, 64 - 6 * k)
-      sum((0 until bitsHere).map { j =>
-        shiftrightunsigned(col("h"), 6 * k + j).bitwiseAND(lit(1L)) *
-          lit(1L << (10 * j))
+    // Bit-vote accumulation packed 4 bit-counters x 16 bits per agg
+    // column: 16 packed sums + 1 count instead of 64 sum-aggs (the agg
+    // buffer update was the dominant cost). [[MaxSimHashShingles]]
+    // guarantees counters can't carry into the next 16-bit field; bit b
+    // is set iff 2*count_set(b) > n — identical to the +/-1 vote.
+    val groupsOf4 = 16
+    val packAggs = (0 until groupsOf4).map { k =>
+      sum((0 until 4).map { j =>
+        shiftrightunsigned(col("h"), 4 * k + j).bitwiseAND(lit(1L)) *
+          lit(1L << (16 * j))
       }.reduce(_ + _)).as(s"g$k")
     } :+ count(lit(1)).as("n_sh_tok")
     val voted = tok.groupBy(col("doc_id"))
       .agg(packAggs.head, packAggs.tail: _*)
     val packed = (0 until 64).map { b =>
-      val cnt = shiftrightunsigned(col(s"g${b / 6}"), 10 * (b % 6))
-        .bitwiseAND(lit(1023L))
+      val cnt = shiftrightunsigned(col(s"g${b / 4}"), 16 * (b % 4))
+        .bitwiseAND(lit(65535L))
       when(cnt * 2 > col("n_sh_tok"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     voted.select(col("doc_id"), packed.as("simhash"))

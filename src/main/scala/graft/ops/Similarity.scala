@@ -24,6 +24,12 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
   */
 object Similarity {
 
+  /** Embedding dimensionality, read from the data (array schemas don't
+    * carry length): one LIMIT-1 scan, a driver-side scalar. Callers that
+    * know the dim can pass it explicitly and skip the probe. */
+  private[ops] def embDim(df: DataFrame): Int =
+    df.select(size(col("embedding")).as("d")).head.getInt(0)
+
   /** Dot product — native codegen expression (see
     * [[graft.functions.VectorDot]]); double accumulation over
     * float/double arrays. */
@@ -84,9 +90,10 @@ object Similarity {
     */
   def nearDupPairsLsh(vectors: DataFrame, t: Double, tables: Int = 8,
       planesPerTable: Int = 8): DataFrame = {
+    val dim = embDim(vectors)
     val bucketStructs = array((0 until tables).map { tb =>
       struct(lit(tb).as("table"),
-        lshSignature(col("embedding"), planesPerTable,
+        lshSignature(col("embedding"), planesPerTable, dim,
           seed = 42L + tb).as("sig"))
     }: _*)
     val ex = vectors
@@ -123,8 +130,10 @@ object Similarity {
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH signature: bit i = sign(v . plane_i), packed to long. */
-  def lshSignature(emb: Column, numPlanes: Int = 16, dim: Int = 64,
+  /** Sign-bit LSH signature: bit i = sign(v . plane_i), packed to long.
+    * `dim` must match the embedding column's length — DataFrame-level
+    * callers derive it via [[embDim]]. */
+  def lshSignature(emb: Column, numPlanes: Int, dim: Int,
       seed: Long = 42L): Column = {
     val planes = hyperplanes(numPlanes, dim, seed)
     planes.zipWithIndex.map { case (p, i) =>
@@ -169,7 +178,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numCells: Int = 16, nProbe: Int = 4,
       refineIters: Int = 0): DataFrame = {
-    val dim = 64
+    val dim = embDim(corpus)
     val seeds: Array[Array[Double]] = {
       val n = corpus.count()
       val stride = math.max(1L, n / numCells)
@@ -229,9 +238,10 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       tables: Int = 4, planesPerTable: Int = 8): DataFrame = {
+    val dim = embDim(corpus)
     val bucketStructs = array((0 until tables).map { t =>
       struct(lit(t).as("table"),
-        lshSignature(col("embedding"), planesPerTable,
+        lshSignature(col("embedding"), planesPerTable, dim,
           seed = 42L + t).as("sig"))
     }: _*)
     val c = corpus

@@ -57,6 +57,19 @@ object ReferenceQueries {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
         .orderBy(col("ts_us").desc, col("event_id"))),
 
+    // The same retrieval phrased as parsed SQL via spark.sql — the
+    // reference's users write SQL (kafka+clickhouse.md:160-166), so the
+    // engine's SQL entry point is exercised verbatim-shaped: temp view
+    // + SELECT/WHERE/ORDER BY string. Shares events_point_lookup's
+    // oracle semantics; Catalyst compiles both to the same plan.
+    "events_point_lookup_sql" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, unix_micros(ts) AS ts_us
+              |FROM events_v
+              |WHERE user_id = 7 AND event_type = 'click'
+              |ORDER BY ts_us DESC, event_id""".stripMargin)
+    }),
+
     // F7 — Enum8 name<->code mapping over the closed domain.
     "enum_name_to_code" -> ((s, d) =>
       events(s, d)
@@ -115,6 +128,11 @@ object ReferenceQueries {
       """SELECT event_type AS level, count(*) AS total_count
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_point_lookup" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |FROM events
+        |WHERE user_id = 7 AND event_type = 'click'
+        |ORDER BY ts_us DESC, event_id""".stripMargin,
+    "events_point_lookup_sql" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         |FROM events
         |WHERE user_id = 7 AND event_type = 'click'

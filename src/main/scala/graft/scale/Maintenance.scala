@@ -54,8 +54,25 @@ object Maintenance {
     merged.repartition(numFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val dst = new Path(path)
-    fs.delete(dst, true)
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    swapInPlace(fs, tmp, dst)
+  }
+
+  /** Replace `dst` with `tmp` keeping a readable table at `dst` at all
+    * times: rename the live dir aside to a backup, rename the rewrite
+    * in, then drop the backup. A crash between the two renames leaves
+    * the backup on disk for manual recovery instead of losing the
+    * partition; concurrent readers only ever see a complete dir.
+    */
+  private def swapInPlace(fs: FileSystem, tmp: Path, dst: Path): Unit = {
+    val backup = new Path(dst.getParent, "_backup_" + dst.getName)
+    fs.delete(backup, true)
+    require(fs.rename(dst, backup), s"rename $dst -> $backup failed")
+    if (!fs.rename(tmp, dst)) {
+      // Restore the original before failing so the table stays live.
+      fs.rename(backup, dst)
+      throw new IllegalStateException(s"rename $tmp -> $dst failed")
+    }
+    fs.delete(backup, true)
   }
 
   def compactPartitioned(spark: SparkSession, path: String,
@@ -77,8 +94,7 @@ object Maintenance {
       df.repartition(files)
         .sortWithinPartitions(sortCols.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(dir, true)
-      fs.rename(tmp, dir)
+      swapInPlace(fs, tmp, dir)
     }
   }
 

@@ -98,5 +98,83 @@ class SimilaritySpec extends SparkSpec {
     val byQuery = res.groupBy("query_id").count().collect()
       .map(r => r.getLong(1))
     assert(byQuery.forall(_ == 10L), "each query should fill its top-10")
+    // differential gate vs brute force: top-k recall at the registered
+    // parameters (4 tables x 8 planes + hamming-1 multiprobe)
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 3), emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = res.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"lshTopK recall vs brute force: $recall")
+    assert(recall >= 0.5, s"lshTopK recall $recall collapsed")
+  }
+
+  /** Unit-normalized gaussian vector. */
+  private def unitVec(rnd: scala.util.Random, dim: Int): Array[Float] = {
+    val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  /** Corpus with planted near-dups: every third base vector gets a
+    * perturbed copy at cos ~ 1/sqrt(1 + dim*s^2) (s=0.03, dim=64 ->
+    * ~0.97). Random cross-pairs sit at cos ~ 0, far below any 0.9
+    * threshold, so the planted pairs ARE the exact ground truth.
+    */
+  private def plantedCorpus(dim: Int, nBase: Int, s: Double = 0.03) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until nBase).map(i => (i.toLong, unitVec(rnd, dim)))
+    val dups = base.filter(_._1 % 3 == 0).map { case (id, v) =>
+      val p = v.map(x => x + (s * rnd.nextGaussian()).toFloat)
+      val n = math.sqrt(p.map(x => x.toDouble * x).sum).toFloat
+      (10000L + id, p.map(_ / n))
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("nearDupPairsLsh recall >= 0.9 in its design regime (cos >= 0.9)") {
+    // The registered embedding_neardup_lsh runs at the demo threshold
+    // 0.4 where NO hashing scheme separates pairs (collision prob per
+    // plane ~0.63 vs the random-pair 0.5) — recall there is pinned as
+    // subset-of-exact above. This gate pins the regime the operator is
+    // designed for: production near-dup thresholds (cos >= 0.9), where
+    // the banding curve gives per-pair recall ~0.997.
+    val df = plantedCorpus(dim = 64, nBase = 150)
+    val exact = Similarity.nearDupPairs(df, 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(df, 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 40, s"expected ~50 planted pairs, got ${exact.size}")
+    assert(lsh.subsetOf(exact), "exact verify must kill false positives")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(s"design-regime recall at t=0.9: $recall (${lsh.size}/${exact.size})")
+    assert(recall >= 0.9, s"recall $recall below the 0.9 gate")
+  }
+
+  test("vector ops derive embedding dim from the data (dim=16)") {
+    val df = plantedCorpus(dim = 16, nBase = 100, s = 0.05)
+    // LSH pair path at a non-64 dim: subset of exact, finds planted dups
+    val exact = Similarity.nearDupPairs(df, 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(df, 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && lsh.nonEmpty && lsh.subsetOf(exact))
+    // IVF at a non-64 dim, probing every cell == brute force exactly
+    val full = Similarity.ivfTopK(df.filter(col("vec_id") === 0), df, 5,
+        numCells = 4, nProbe = 4, refineIters = 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+    val brute = Similarity.bruteForceTopK(
+        df.filter(col("vec_id") === 0), df, 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+    assert(full.toSeq == brute.toSeq)
   }
 }

@@ -1,0 +1,40 @@
+package graft.query
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Scale-shape gate over the ENTIRE registered query surface: no
+  * registered query may plan a quadratic join (CartesianProduct /
+  * BroadcastNestedLoopJoin), because at 100 TB that plan never
+  * finishes. Exceptions are explicit and individually justified:
+  *
+  *  - `*_oracle` queries: deliberately quadratic ground-truth anchors
+  *    (exact pair joins kept so the DuckDB oracle and the LSH twins'
+  *    recall stay measurable); their scale-safe twins are the
+  *    registered production shapes.
+  *  - `sim_cosine_topk`: exact brute-force baseline whose DESIGN is a
+  *    broadcast nested loop — the query side is small and broadcast,
+  *    the corpus side streams once (O(corpus x queries), not
+  *    O(corpus^2)); the sublinear paths are sim_cosine_lsh /
+  *    sim_cosine_ivf / sim_cosine_ivf_indexed.
+  *  - `join_cross_dims`: the cross-join operator itself, over two
+  *    tiny dimension tables.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val justifiedQuadratic = Set("sim_cosine_topk", "join_cross_dims")
+
+  test("no quadratic join in any registered non-oracle query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (name.endsWith("_oracle") || justifiedQuadratic(name)) None
+        else {
+          val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct") ||
+              plan.contains("BroadcastNestedLoopJoin")) Some(name)
+          else None
+        }
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join in registered plans: ${offenders.mkString(", ")}")
+  }
+}
