@@ -28,7 +28,10 @@ object Similarity {
     * carry length): one LIMIT-1 scan, a driver-side scalar. Callers that
     * know the dim can pass it explicitly and skip the probe. */
   private[ops] def embDim(df: DataFrame): Int =
-    df.select(size(col("embedding")).as("d")).head.getInt(0)
+    df.select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot infer embedding dim from an empty corpus — pass dim explicitly"))
 
   /** Dot product — native codegen expression (see
     * [[graft.functions.VectorDot]]); double accumulation over

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -49,18 +50,35 @@ object VectorIndex {
     sys.props("java.io.tmpdir") + "/graft_ivf_" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Build the index iff it isn't already on disk (presence = both
-    * halves' _SUCCESS markers) — makes the build a one-time cost that
-    * registered queries can amortize across calls, which is the whole
-    * point of a persisted index. Returns `path`.
+  /** Build the index iff a current one isn't already on disk. "Current"
+    * = both halves' _SUCCESS markers exist AND the `_graft_meta` marker
+    * records the same corpus fingerprint (row count), so a regenerated
+    * testdata dir at the same path triggers a rebuild instead of
+    * silently probing a stale index. The fingerprint costs one
+    * footer-metadata count() per call — negligible next to a probe.
+    * Returns `path`.
     */
   def ensureIvf(corpus: DataFrame, path: String, numCells: Int = 16,
       refineIters: Int = 2): String = {
     val fs = FileSystem.get(
       corpus.sparkSession.sparkContext.hadoopConfiguration)
-    val built = fs.exists(new Path(s"$path/centroids/_SUCCESS")) &&
-      fs.exists(new Path(s"$path/cells/_SUCCESS"))
-    if (!built) buildIvf(corpus, path, numCells, refineIters)
+    val meta = new Path(s"$path/_graft_meta")
+    val fingerprint = s"rows=${corpus.count()};cells=$numCells"
+    val current = fs.exists(new Path(s"$path/centroids/_SUCCESS")) &&
+      fs.exists(new Path(s"$path/cells/_SUCCESS")) &&
+      fs.exists(meta) && {
+        val in = fs.open(meta)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == fingerprint
+        finally in.close()
+      }
+    if (!current) {
+      buildIvf(corpus, path, numCells, refineIters)
+      val out = fs.create(meta, true)
+      try out.write(
+        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     path
   }
 

@@ -57,20 +57,26 @@ object Maintenance {
     swapInPlace(fs, tmp, dst)
   }
 
-  /** Replace `dst` with `tmp` keeping a readable table at `dst` at all
-    * times: rename the live dir aside to a backup, rename the rewrite
-    * in, then drop the backup. A crash between the two renames leaves
+  /** Replace `dst` with `tmp` so readers never see a partially-written
+    * dir: rename the live dir aside to a backup, rename the rewrite in,
+    * then drop the backup. There IS a brief window between the two
+    * renames where `dst` does not exist (a reader starting then gets
+    * path-not-found and should retry); a crash in that window leaves
     * the backup on disk for manual recovery instead of losing the
-    * partition; concurrent readers only ever see a complete dir.
+    * partition.
     */
   private def swapInPlace(fs: FileSystem, tmp: Path, dst: Path): Unit = {
     val backup = new Path(dst.getParent, "_backup_" + dst.getName)
     fs.delete(backup, true)
     require(fs.rename(dst, backup), s"rename $dst -> $backup failed")
     if (!fs.rename(tmp, dst)) {
-      // Restore the original before failing so the table stays live.
-      fs.rename(backup, dst)
-      throw new IllegalStateException(s"rename $tmp -> $dst failed")
+      // Restore the original before failing so the table stays live;
+      // if even the restore fails the data survives at `backup`.
+      val restored = fs.rename(backup, dst)
+      throw new IllegalStateException(
+        s"rename $tmp -> $dst failed" +
+          (if (restored) " (original restored)"
+           else s" AND restore failed — data preserved at $backup"))
     }
     fs.delete(backup, true)
   }

@@ -98,8 +98,11 @@ class SimilaritySpec extends SparkSpec {
     val byQuery = res.groupBy("query_id").count().collect()
       .map(r => r.getLong(1))
     assert(byQuery.forall(_ == 10L), "each query should fill its top-10")
-    // differential gate vs brute force: top-k recall at the registered
-    // parameters (4 tables x 8 planes + hamming-1 multiprobe)
+    // Collapse floor vs brute force on the REAL table. The sf0.001
+    // embeddings are near-random (max pair cosine 0.48 corpus-wide), so
+    // the exact top-10 bottoms out at cos~0 neighbors whose sign-bit
+    // collision probability is near chance — overall recall here can
+    // only gate against collapse, not against the LSH contract.
     val exact = Similarity.bruteForceTopK(
       emb.filter(col("vec_id") < 3), emb, 10)
       .select("query_id", "neighbor_id").collect()
@@ -107,8 +110,26 @@ class SimilaritySpec extends SparkSpec {
     val approx = res.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    info(s"lshTopK recall vs brute force: $recall")
-    assert(recall >= 0.5, s"lshTopK recall $recall collapsed")
+    info(s"lshTopK overall top-10 recall vs brute force: $recall")
+    assert(recall >= 0.2, s"lshTopK recall $recall collapsed")
+  }
+
+  test("lshTopK design-regime gate: finds every planted near-dup") {
+    // The contract gate runs on a corpus that HAS a design regime:
+    // planted near-dups at cos ~0.97, where per-8-bit-table collision
+    // probability is (1-theta/pi)^8 ~ 0.5 and hamming-1 multiprobe x4
+    // tables pushes pair recall to ~1. Every planted dup must appear as
+    // its base vector's rank-1 neighbor.
+    val df = plantedCorpus(dim = 64, nBase = 150)
+    val queries = df.filter(col("vec_id") < 10000L && col("vec_id") % 3 === 0)
+    val res = Similarity.lshTopK(queries, df, 10)
+    val rank1 = res.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val found = rank1.count { case (q, n, s) => n == 10000L + q && s >= 0.9 }
+    info(s"planted dups recovered at rank 1: $found/${rank1.length}")
+    assert(rank1.length == 50 && found >= 45,
+      s"LSH missed planted near-dups: $found/50")
   }
 
   /** Unit-normalized gaussian vector. */
