@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingestion and tokenization: boilerplate detection,
+  * eval-set decontamination, and sequence packing. All three are pure
+  * DataFrame dataflows — the n-gram generation is a codegen'd
+  * HOF-over-array projection (no UDFs), candidate joins are equi-joins
+  * on the n-gram string, and packing is a per-shard prefix sum.
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - n-gram explode multiplies rows by ~doc_len but the downstream
+  *    aggregations are map-side combined; only (ngram, partial) pairs
+  *    shuffle.
+  *  - decontamination broadcasts the EVAL side: benchmark suites are
+  *    KBs-to-MBs of n-grams while the training corpus is the 100 TB
+  *    side, so the scan stays narrow and shuffle-free.
+  *  - packing is embarrassingly parallel per shard (lang here): real
+  *    pipelines pack within a worker's shard, never via a global
+  *    prefix sum, so the window partitions by the shard key.
+  */
+object Curation {
+
+  /** Word n-grams of `text` (space-separated words, matching the
+    * DuckDB-portable `string_split(text, ' ')`), as an array column.
+    * Docs shorter than `n` words yield an empty array — the bare
+    * `sequence(0, size-n)` would DESCEND for negative spans and emit
+    * garbage grams. Callers should project the split words into their
+    * own column first if `text` is expensive (HOF lambdas re-evaluate
+    * captured subexpressions per element).
+    */
+  def wordNgrams(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct (doc_id, ngram) pairs for a documents frame — the shared
+    * candidate-generation step. Distinct BEFORE any join/count so a
+    * gram repeated inside one doc counts that doc once. */
+  def docNgrams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(wordNgrams(col("ws"), n)).as("ngram"))
+      .distinct()
+
+  /** Boilerplate n-grams: word n-grams appearing in at least `minDocs`
+    * DISTINCT documents (headers, footers, license blocks, templated
+    * spans — the C4/RefinedWeb "repeated line" filter generalized to
+    * flat text). One explode + one map-side-combined count; the result
+    * is the removal list a cleaning pass joins against.
+    */
+  def boilerplateNgrams(docs: DataFrame, n: Int = 5,
+      minDocs: Int = 3): DataFrame =
+    docNgrams(docs, n)
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Decontamination: training documents sharing at least one word
+    * n-gram with the evaluation corpus, with the shared-gram count —
+    * the standard pre-training hygiene pass (eval benchmarks must not
+    * leak into training data). The eval n-gram set is broadcast: eval
+    * suites are tiny next to a 100 TB training corpus, so the training
+    * scan is a narrow map + broadcast-hash semi-join, no shuffle of the
+    * big side.
+    */
+  def contaminatedDocs(train: DataFrame, eval: DataFrame,
+      n: Int = 5): DataFrame = {
+    val evalGrams = docNgrams(eval, n).select(col("ngram")).distinct()
+    docNgrams(train, n)
+      .join(broadcast(evalGrams), Seq("ngram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Concatenate-and-chunk sequence packing: within each shard
+    * (`shardCol`), documents are laid end-to-end in `orderCol` order
+    * and cut into fixed `budget`-token training windows — exactly the
+    * packing pre-training pipelines use (documents split across chunk
+    * boundaries rather than padded). Output per doc: its global token
+    * offsets within the shard and the first/last chunk it lands in.
+    * One window prefix-sum per shard — embarrassingly parallel across
+    * shards, which is how packing runs at scale (per worker shard,
+    * never a global sort).
+    */
+  def packChunks(docs: DataFrame, budget: Int, shardCol: String = "lang",
+      orderCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col(shardCol), col(orderCol),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .select(col(shardCol), col(orderCol), col("n_tok"),
+        (col("tok_end") - col("n_tok")).as("tok_start"),
+        col("tok_end"))
+      .withColumn("first_chunk", expr(s"tok_start DIV $budget"))
+      .withColumn("last_chunk", expr(s"(tok_end - 1) DIV $budget"))
+  }
+}

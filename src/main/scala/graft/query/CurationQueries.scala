@@ -1,0 +1,90 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Curation
+
+/** Training-data curation surface: boilerplate n-gram detection,
+  * eval-set decontamination, and sequence packing — each oracle-paired
+  * (the n-gram generation and the per-shard prefix sum are both
+  * expressible in ANSI-ish SQL, so the whole family gets the strong
+  * hash-compare gate rather than rows-only).
+  */
+object CurationQueries {
+
+  private val N = 5        // n-gram width (flat word text; no lines)
+  private val MinDocs = 3  // boilerplate = gram in >= 3 distinct docs
+  private val Budget = 256 // packing window, tokens
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Word 5-grams appearing in >= 3 distinct docs: the removal list of
+    // a C4-style repeated-span filter.
+    "curation_boilerplate" -> ((s, d) =>
+      Curation.boilerplateNgrams(Tables.documents(s, d), N, MinDocs)
+        .orderBy(col("n_docs").desc, col("ngram"))),
+
+    // Training docs (source <> 'src0') sharing any 5-gram with the
+    // held-out eval slice (source = 'src0'), with shared-gram counts.
+    "curation_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.contaminatedDocs(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), N)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Concatenate-and-chunk packing into 256-token windows per lang
+    // shard: each doc's token offsets and first/last chunk.
+    "curation_seq_packing" -> ((s, d) =>
+      Curation.packChunks(Tables.documents(s, d), Budget)
+        .select(col("lang"), col("doc_id"), col("n_tok"),
+          col("tok_start"), col("tok_end"),
+          col("first_chunk"), col("last_chunk"))
+        .orderBy(col("lang"), col("doc_id")))
+  )
+
+  // DuckDB n-gram generation: 1-based inclusive list slices over
+  // string_split; generate_series(1, len-4) yields the same positions
+  // as the Spark transform(sequence(0, size-5)).
+  private val docNgramsSql =
+    s"""SELECT DISTINCT doc_id, array_to_string(ws[i:i+${N - 1}], ' ') AS ngram
+       |FROM (SELECT doc_id, string_split(text, ' ') AS ws, source
+       |      FROM documents) w,
+       |  LATERAL (SELECT unnest(generate_series(1, len(ws) - ${N - 1})) AS i) g""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "curation_boilerplate" ->
+      s"""SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs FROM (
+         |  $docNgramsSql)
+         |GROUP BY ngram HAVING count(*) >= $MinDocs
+         |ORDER BY n_docs DESC, ngram""".stripMargin,
+    "curation_decontaminate" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, source,
+         |    array_to_string(ws[i:i+${N - 1}], ' ') AS ngram
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |        FROM documents) w,
+         |    LATERAL (SELECT unnest(generate_series(1, len(ws) - ${N - 1})) AS i) g)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM (SELECT * FROM grams WHERE source <> 'src0') t
+         |JOIN (SELECT DISTINCT ngram FROM grams WHERE source = 'src0') e
+         |  USING (ngram)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "curation_seq_packing" ->
+      s"""SELECT lang, doc_id,
+         |  CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(tok_end - n_tok AS BIGINT) AS tok_start,
+         |  CAST(tok_end AS BIGINT) AS tok_end,
+         |  CAST((tok_end - n_tok) // $Budget AS BIGINT) AS first_chunk,
+         |  CAST((tok_end - 1) // $Budget AS BIGINT) AS last_chunk
+         |FROM (
+         |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+         |    sum(len(string_split(text, ' ')))
+         |      OVER (PARTITION BY lang ORDER BY doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS tok_end
+         |  FROM documents)
+         |ORDER BY lang, doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordNgrams matches a driver-side recompute; short docs yield none") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c"), // shorter than n=5 -> zero grams, not garbage
+      (3L, "x x x x x x x") // repeats -> repeated grams pre-distinct
+    ).toDF("doc_id", "text")
+    val got = Curation.docNgrams(df, 5)
+      .orderBy("doc_id", "ngram").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = Seq(
+      (1L, "a b c d e"), (1L, "b c d e f"),
+      (3L, "x x x x x"))
+    assert(got.toSeq == expected)
+  }
+
+  test("boilerplate: a span planted in k docs surfaces iff k >= minDocs") {
+    val boiler = "one two three four five"
+    val df = Seq(
+      (1L, s"q w e $boiler r t"),
+      (2L, s"$boiler z z z z"),
+      (3L, s"m n b v c $boiler"),
+      (4L, "only unique words here nothing shared at all"),
+      (5L, "another fully distinct document with its own span")
+    ).toDF("doc_id", "text")
+    val hits = Curation.boilerplateNgrams(df, 5, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hits.get(boiler).contains(3L),
+      s"planted 3-doc span missing from $hits")
+    // nothing else reaches 3 docs
+    assert(hits.keys.forall(_.split(" ").toSet.subsetOf(
+      "one two three four five".split(" ").toSet)))
+  }
+
+  test("decontamination flags exactly the train docs sharing eval grams") {
+    val eval = Seq((100L, "held out benchmark question answer pair text"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "leaked copy benchmark question answer pair text inside"),
+      (2L, "completely unrelated training document about other things")
+    ).toDF("doc_id", "text")
+    val flagged = Curation.contaminatedDocs(train, eval, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1 shares the 5-grams "benchmark question answer pair text"
+    // window ("leaked copy benchmark question answer" is not in eval)
+    assert(flagged.toSeq == Seq((1L, 1L)), flagged.toSeq.toString)
+  }
+
+  test("packing invariants on the real table: contiguous per-shard offsets") {
+    val docs = Tables.documents(spark, sf0001)
+    val packed = Curation.packChunks(docs, 256)
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      // offsets tile the shard: each doc starts where the previous ended
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._5, s"gap between $a and $b")
+        case _ =>
+      }
+      assert(rows.head._4 == 0L)
+      rows.foreach { case (_, _, nTok, start, end, first, last) =>
+        assert(end - start == nTok)
+        assert(first == start / 256 && last == (end - 1) / 256)
+        // a doc spans ceil(nTok/256)+1 chunks at most
+        assert(last - first <= nTok / 256 + 1)
+      }
+    }
+    // shard totals: max tok_end per lang == sum of its token counts
+    val byLang = packed.groupBy(_._1)
+    byLang.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum == rows.map(_._5).max)
+    }
+  }
+}
