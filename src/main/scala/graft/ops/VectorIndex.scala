@@ -117,6 +117,42 @@ object VectorIndex {
       .parquet(s"$path/cells")
   }
 
+  /** Incrementally add vectors to an existing index WITHOUT a rebuild:
+    * assign each new vector to its nearest existing centroid and append
+    * to that cell's partition (dynamic-partition append — only touched
+    * cells gain files). This is the arrival path at scale: the
+    * full-corpus build amortizes over many appends, and a periodic
+    * [[buildIvf]] re-centers drifted centroids (same cadence as any
+    * IVF system's retrain). The `_graft_meta` fingerprint is refreshed
+    * so [[ensureIvf]] sees the grown corpus as current.
+    */
+  def appendIvf(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"), col("norm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val scoreArr = array(cents.map(c =>
+      vec_dot(col("embedding"),
+        array(c._2.toIndexedSeq.map(lit): _*)) / lit(c._3)).toIndexedSeq: _*)
+    val cell = element_at(
+      array(cents.map(c => lit(c._1)).toIndexedSeq: _*),
+      array_position(scoreArr, array_max(scoreArr)).cast("int"))
+    newVecs
+      .withColumn("cell", cell)
+      .withColumn("c_norm", vec_norm(col("embedding")))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val total = spark.read.parquet(s"$path/cells").count()
+    val out = fs.create(new Path(s"$path/_graft_meta"), true)
+    try out.write(s"rows=$total;cells=${cents.length}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Query the persisted index: rank cells per query vector on the
     * driver (centroids are tiny), then probe ONLY the union of the
     * top-nProbe cells — a `cell IN (...)` filter on the partition

@@ -177,6 +177,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below the 0.9 gate")
   }
 
+  test("components over LSH pairs == components over exact pairs (design regime)") {
+    // The registered dedup_components_lsh feeds Components from LSH
+    // candidate pairs. In the regime the operator is built for
+    // (production near-dup thresholds), the LSH pair set equals the
+    // exact pair set (recall 1.0 pinned above), so the clusterings
+    // must be IDENTICAL — pinning that the scale-shape query computes
+    // the same duplicate clusters as the quadratic oracle shape.
+    val df = plantedCorpus(dim = 64, nBase = 150)
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Components.connectedComponents(
+          pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = comps(Similarity.nearDupPairs(df, 0.9))
+    val lsh = comps(Similarity.nearDupPairsLsh(df, 0.9))
+    assert(exact.nonEmpty && lsh == exact,
+      s"clusterings diverge: ${lsh.diff(exact)} / ${exact.diff(lsh)}")
+  }
+
   test("vector ops derive embedding dim from the data (dim=16)") {
     val df = plantedCorpus(dim = 16, nBase = 100, s = 0.05)
     // LSH pair path at a non-64 dim: subset of exact, finds planted dups

@@ -45,4 +45,34 @@ class VectorIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx == adhoc)
   }
+
+  test("incremental append: new vectors land in cells and are findable") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val base = corpus.filter(col("vec_id") % 2 === 0)
+    val delta = corpus.filter(col("vec_id") % 2 === 1)
+    val path = tmpDir("ivf-append") + "/index"
+    VectorIndex.buildIvf(base, path, numCells = 8, refineIters = 1)
+    VectorIndex.appendIvf(delta, path)
+
+    // index now holds the full corpus, centroids untouched
+    assert(spark.read.parquet(s"$path/cells").count() == corpus.count())
+    assert(spark.read.parquet(s"$path/centroids").count() == 8)
+    // the refreshed fingerprint makes ensureIvf treat the grown index
+    // as current (no rebuild wiping the appended half)
+    VectorIndex.ensureIvf(corpus, path, numCells = 8)
+    assert(spark.read.parquet(s"$path/cells").count() == corpus.count())
+
+    // appended vectors are retrievable: querying ALL cells must surface
+    // exactly the brute-force top-k over the full corpus
+    val queries = corpus.filter(col("vec_id") < 3)
+    val full = VectorIndex.queryIvf(spark, path, queries, k = 5,
+        nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact,
+      "full-probe query after append must equal brute force")
+  }
 }
