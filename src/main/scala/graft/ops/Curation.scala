@@ -73,6 +73,24 @@ object Curation {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Within-document repetition: the fraction of a doc's word bigrams
+    * that are duplicates (1 - distinct/total) — the Gopher-family
+    * quality signal that catches degenerate/looping text. Computed
+    * entirely inside one projection (array ops on the split words, no
+    * explode, no shuffle): at 100 TB this is a narrow codegen'd map
+    * over the scan.
+    */
+  def repetitionRatio(docs: DataFrame, n: Int = 2): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), wordNgrams(col("ws"), n).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(
+            lit(1.0) - col("n_distinct") / col("n_grams"), 4)))
+
   /** Concatenate-and-chunk sequence packing: within each shard
     * (`shardCol`), documents are laid end-to-end in `orderCol` order
     * and cut into fixed `budget`-token training windows — exactly the

@@ -35,6 +35,11 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition signal: duplicate-bigram fraction per doc.
+    "curation_doc_repetition" -> ((s, d) =>
+      Curation.repetitionRatio(Tables.documents(s, d), 2)
+        .orderBy(col("doc_id"))),
+
     // Concatenate-and-chunk packing into 256-token windows per lang
     // shard: each doc's token offsets and first/last chunk.
     "curation_seq_packing" -> ((s, d) =>
@@ -72,6 +77,19 @@ object CurationQueries {
          |JOIN (SELECT DISTINCT ngram FROM grams WHERE source = 'src0') e
          |  USING (ngram)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "curation_doc_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |       ELSE round(1.0 - len(list_distinct(grams)) / len(grams), 4)
+        |  END AS rep_ratio
+        |FROM (SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "curation_seq_packing" ->
       s"""SELECT lang, doc_id,
          |  CAST(n_tok AS BIGINT) AS n_tok,

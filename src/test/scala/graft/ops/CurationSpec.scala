@@ -54,6 +54,19 @@ class CurationSpec extends SparkSpec {
     assert(flagged.toSeq == Seq((1L, 1L)), flagged.toSeq.toString)
   }
 
+  test("repetition ratio: looping text scores high, unique text zero") {
+    val df = Seq(
+      (1L, "a b a b a b a b"),   // bigrams: a b, b a alternating -> 7 grams, 2 distinct
+      (2L, "q w e r t y u i"),   // all unique
+      (3L, "solo")               // shorter than n -> 0 grams, ratio 0
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionRatio(df, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 7L, 2L, 0.7143), (2L, 7L, 7L, 0.0), (3L, 0L, 0L, 0.0)))
+  }
+
   test("packing invariants on the real table: contiguous per-shard offsets") {
     val docs = Tables.documents(spark, sf0001)
     val packed = Curation.packChunks(docs, 256)

@@ -30,7 +30,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, skip: set | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -38,6 +38,9 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
     n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if skip and name in skip:
+            print(f"SKIP {name}")
+            continue
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
             duck_df = con.sql(sql).df()
@@ -64,4 +67,9 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    # Optional third arg: comma-separated query names to skip — used for
+    # the sf0.1 cross-check, where a few ORACLES are quadratic SQL that
+    # DuckDB cannot finish at 5k docs/vectors (the Spark side is fine;
+    # those queries stay gated at sf0.01 plus their design-regime specs).
+    skip_names = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+    sys.exit(1 if main(sys.argv[1], sys.argv[2], skip_names) else 0)
