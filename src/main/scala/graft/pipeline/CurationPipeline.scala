@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.Curation
+import graft.ops.TextAnalysis
+
+/** Streaming corpus curation: the batch curation operators
+  * ([[graft.ops.Curation]], [[graft.ops.TextAnalysis]]) applied to a
+  * document stream — how a training corpus actually arrives at 100 TB
+  * (continuous crawl/ingest, not a one-shot table). Per micro-batch:
+  *
+  *   1. quality gates — token-count floor and repetition-ratio ceiling,
+  *      both narrow codegen'd projections fused into the scan;
+  *   2. cross-batch EXACT dedup on the content fingerprint —
+  *      state-store-backed `dropDuplicates`, so a re-crawled page is
+  *      dropped even when it arrives days after the original (state =
+  *      one fingerprint per kept doc; at production scale pair with a
+  *      watermark for bounded-lateness dedup, same H4 tradeoff as
+  *      [[DirectPipeline]]);
+  *   3. accepted docs append to the curated store; rejects append to a
+  *      reject store WITH the failed gate named, so filter tuning is
+  *      auditable (what a pipeline operator actually needs when a
+  *      quality knob changes).
+  *
+  * Near-dup (MinHash/SimHash) stays batch-side by design: banding joins
+  * need the full corpus; the streaming layer handles the exact-identity
+  * tier and periodic batch jobs re-sweep the curated store.
+  */
+object CurationPipeline {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  /** Gate scoring: token count, duplicate-bigram fraction, content
+    * fingerprint, and the failed-gate label (null = accepted). One
+    * narrow projection — no shuffle before the dedup state store. */
+  private def score(raw: DataFrame, minTokens: Long,
+      maxRepetition: Double): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = Curation.wordNgrams(ws, 2)
+    raw
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("rep_ratio",
+        when(size(grams) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(grams)) / size(grams)))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .withColumn("reject_reason",
+        when(col("text").isNull, lit("empty"))
+          .when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("rep_ratio") > maxRepetition, lit("repetitive")))
+  }
+
+  /** Start the curation streams over JSON-lines doc files in `srcDir`:
+    * two queries fanned out from one source (the Structured Streaming
+    * idiom for independent sinks) — the curated stream carries the
+    * cross-batch dedup state in its own checkpoint; the reject stream
+    * is stateless.
+    *
+    * @param minTokens   reject docs shorter than this many tokens
+    * @param maxRepetition reject docs whose duplicate-bigram fraction
+    *   exceeds this (Gopher-style degenerate-text gate)
+    * @return (curated query, rejects query) — caller awaits both
+    */
+  def start(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String, minTokens: Long = 5L,
+      maxRepetition: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow())
+      : (StreamingQuery, StreamingQuery) = {
+    def scored = score(
+      spark.readStream.schema(docSchema).json(srcDir),
+      minTokens, maxRepetition)
+
+    // Cross-batch exact dedup ONLY among docs that pass the gates —
+    // rejected docs must not occupy dedup state (nor shadow a clean
+    // later copy of the same fingerprint).
+    val curatedQ = scored
+      .filter(col("reject_reason").isNull)
+      .dropDuplicates("fingerprint")
+      .writeStream
+      .queryName("curation-pipeline-curated")
+      .option("checkpointLocation", s"$checkpointDir-curated")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_tokens"),
+            round(col("rep_ratio"), 4).as("rep_ratio"))
+          .write.mode("append").parquet(s"$outDir/curated")
+        ()
+      }
+      .start()
+
+    val rejectsQ = scored
+      .filter(col("reject_reason").isNotNull)
+      .writeStream
+      .queryName("curation-pipeline-rejects")
+      .option("checkpointLocation", s"$checkpointDir-rejects")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("doc_id"), col("reject_reason"))
+          .write.mode("append").parquet(s"$outDir/rejects")
+        ()
+      }
+      .start()
+
+    (curatedQ, rejectsQ)
+  }
+
+  def curated(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/curated")
+
+  def rejects(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/rejects")
+}

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class CurationPipelineSpec extends SparkSpec {
+
+  private def writeDocs(srcDir: String, name: String,
+      docs: Seq[(Long, String)]): Unit = {
+    val lines = docs.map { case (id, text) =>
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"crawl"}"""
+    }
+    Files.write(Paths.get(srcDir, name), lines.mkString("\n").getBytes)
+  }
+
+  private def runOnce(srcDir: String, outDir: String,
+      ckDir: String): Unit = {
+    val (curatedQ, rejectsQ) =
+      CurationPipeline.start(spark, srcDir, outDir, ckDir)
+    curatedQ.awaitTermination()
+    rejectsQ.awaitTermination()
+  }
+
+  test("gates + cross-batch dedup: rejects labeled, re-crawl dropped") {
+    val base = tmpDir("curation")
+    val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+    Files.createDirectories(Paths.get(src))
+
+    val goodText = "the quick brown fox jumps over the lazy dog today"
+    // one file per AvailableNow run: same-mtime files order arbitrarily
+    writeDocs(src, "b1.json", Seq(
+      (1L, goodText),
+      (2L, "too short"),                    // < 5 tokens
+      (3L, "a b a b a b a b a b a b"),      // rep_ratio ~0.82
+      (4L, "an entirely different clean document with many words")))
+    runOnce(src, out, ck)
+
+    writeDocs(src, "b2.json", Seq(
+      (5L, goodText),                       // re-crawl of doc 1 -> dedup
+      (6L, "fresh content arriving in the second batch of the crawl")))
+    runOnce(src, out, ck)
+
+    val curated = CurationPipeline.curated(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(curated.toSeq == Seq(1L, 4L, 6L),
+      s"curated = ${curated.mkString(",")}")
+
+    val rejects = CurationPipeline.rejects(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rejects.toSeq == Seq((2L, "too_short"), (3L, "repetitive")))
+
+    // kept metadata is usable downstream: token counts and rounded
+    // repetition scores survive into the curated store
+    val kept = CurationPipeline.curated(spark, out)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .head()
+    assert(kept.getAs[Long]("n_tokens") == 10L)
+    assert(kept.getAs[Double]("rep_ratio") == 0.0)
+  }
+}
