@@ -135,6 +135,49 @@ object StreamBench {
     println(s"""{"metric":"stream_session_events_per_sec",""" +
       s""""value":$sessRate,"unit":"events/sec","events":$nEvents,""" +
       s""""seconds":$sessSec,"closed_sessions":$closed}""")
+
+    // Streaming curation: docs through the gate + fingerprint-dedup
+    // pipeline — 10% exact re-crawls (dropped by state), 5% degenerate
+    // (rejected), ~45-word docs.
+    val nDocs = nEvents / 4
+    val perDocFile = nDocs / nFiles
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val csrc = s"$root/curation_src"
+    Files.createDirectories(Paths.get(csrc))
+    id = 0
+    (0 until nFiles).foreach { f =>
+      val sb = new StringBuilder(perDocFile * 300)
+      (0 until perDocFile).foreach { _ =>
+        val text =
+          if (id % 20 == 19) "loop loop " * 20 + "loop"  // degenerate
+          else {
+            val seed = if (id % 10 == 9) id - 1 else id  // 10% re-crawl
+            val r = new scala.util.Random(seed)
+            Array.fill(45)(vocab(r.nextInt(vocab.length))).mkString(" ")
+          }
+        sb.append(s"""{"doc_id": $id, "text": "$text",""")
+          .append(s""" "lang": "en", "source": "crawl"}""").append('\n')
+        id += 1
+      }
+      Files.writeString(
+        Paths.get(csrc).resolve(f"part-$f%04d.json"), sb.toString)
+    }
+    val curSec = timed {
+      val (cq, rq) = graft.pipeline.CurationPipeline.start(
+        spark, csrc, s"$root/curation_out", s"$root/curation_ck")
+      cq.awaitTermination(); rq.awaitTermination()
+    }
+    val kept = graft.pipeline.CurationPipeline
+      .curated(spark, s"$root/curation_out").count()
+    val rejected = graft.pipeline.CurationPipeline
+      .rejects(spark, s"$root/curation_out").count()
+    require(kept + rejected < nDocs && kept > 0 && rejected > 0,
+      s"curation implausible: kept=$kept rejected=$rejected of $nDocs")
+    val curRate = nDocs / curSec
+    println(s"""{"metric":"stream_curation_docs_per_sec",""" +
+      s""""value":$curRate,"unit":"docs/sec","docs":$nDocs,""" +
+      s""""seconds":$curSec,"kept":$kept,"rejected":$rejected}""")
     spark.stop()
   }
 }

@@ -36,7 +36,7 @@ object Dedup {
     * projection so the shingle transform reads a bound array attribute
     * (inline tokenization re-runs the split regex per shingle — see
     * [[TextAnalysis.shinglesFromTokens]]). */
-  private def withShingles(docs: DataFrame, n: Int): DataFrame =
+  private[ops] def withShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -82,12 +82,13 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding over minhash signatures -> candidate pairs (doc_a <
-    * doc_b). bands*rowsPerBand must equal the signature width. Candidate
-    * generation is a shuffle on (band, bandHash) + within-bucket pairing;
-    * no cross join anywhere.
+  /** Exploded LSH band table: one (doc_id, band, sig) row per band,
+    * where sig hashes that band's rowsPerBand minhash values. The
+    * equi-joinable representation every banding consumer shares —
+    * pairwise candidates here, and the persisted incremental store
+    * ([[SignatureStore]]), which materializes exactly this frame.
     */
-  def minHashCandidates(docs: DataFrame, n: Int = 3, bands: Int = 8,
+  def bandTable(docs: DataFrame, n: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
     val sigs = minHashSignatures(docs, n, bands * rowsPerBand)
     val bandStructs = array((0 until bands).map { b =>
@@ -95,10 +96,20 @@ object Dedup {
         xxhash64((0 until rowsPerBand)
           .map(r => col(s"h${b * rowsPerBand + r}")): _*).as("sig"))
     }: _*)
-    val exploded = sigs
+    sigs
       .select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.sig").as("sig"))
+  }
+
+  /** LSH banding over minhash signatures -> candidate pairs (doc_a <
+    * doc_b). bands*rowsPerBand must equal the signature width. Candidate
+    * generation is a shuffle on (band, bandHash) + within-bucket pairing;
+    * no cross join anywhere.
+    */
+  def minHashCandidates(docs: DataFrame, n: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val exploded = bandTable(docs, n, bands, rowsPerBand)
     exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
