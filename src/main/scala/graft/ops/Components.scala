@@ -22,11 +22,20 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param edges two-column DataFrame (`src`, `dst`), undirected.
+    * @param pointerDoubling add the comp -> label(comp) jump join each
+    *   round. Keeps round count logarithmic in component diameter — the
+    *   safe default for arbitrary graphs at scale. For clique-union
+    *   graphs (near-dup clusters) it saves no rounds and costs one join
+    *   per round (measured: 5 rounds either way on the sf0.1 near-dup
+    *   graph, ~25% cheaper per round without it — graft.CompExp), so
+    *   callers that KNOW the graph is clique-shaped may disable it.
+    * @param verbose print per-round changed counts (diagnostics).
     * @return (`id`, `comp`) for every node incident to an edge, where
     *   `comp` is the smallest node id in the component.
     */
   def connectedComponents(edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, pointerDoubling: Boolean = true,
+      verbose: Boolean = false): DataFrame = {
     // materialize the edge list ONCE before mirroring: `edges` is often
     // an expensive upstream plan (e.g. the near-dup pair join), and the
     // union would otherwise execute it twice
@@ -55,16 +64,18 @@ object Components {
       // so the jump preserves correctness while making convergence
       // logarithmic in component diameter instead of linear (a 75-node
       // chain-ish component converges in ~4 rounds, not ~11).
-      val updated = m1
-        .join(labels.select(col("id").as("comp"),
-          col("comp").as("jump")), Seq("comp"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("jump"), col("comp")))
-            .as("comp"), col("old"))
+      val updated = (if (!pointerDoubling) m1
+        else m1
+          .join(labels.select(col("id").as("comp"),
+            col("comp").as("jump")), Seq("comp"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("jump"), col("comp")))
+              .as("comp"), col("old")))
         .localCheckpoint(true)
       // convergence check scans the just-materialized frame — no
       // second shuffle join per iteration
       val changed = updated.filter(col("comp") =!= col("old")).count()
+      if (verbose) println(s"[components] round $i changed=$changed")
       labels = updated.select(col("id"), col("comp"))
       converged = changed == 0
       i += 1

@@ -57,6 +57,33 @@ object Curation {
       .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Per-document boilerplate fraction: of each doc's distinct word
+    * n-grams, the share that are corpus boilerplate (appear in >=
+    * `minDocs` docs) — the score a cleaning pass thresholds on. The
+    * boilerplate list is the (small) output of [[boilerplateNgrams]],
+    * joined back LEFT so gram-free/clean docs score 0.0 rather than
+    * vanish. At scale the list is broadcast; the doc side is one
+    * explode + one count — same shuffle budget as the detection pass.
+    */
+  def boilerplateFraction(docs: DataFrame, n: Int = 5,
+      minDocs: Int = 3): DataFrame = {
+    val boiler = boilerplateNgrams(docs, n, minDocs)
+      .select(col("ngram"), lit(1).as("is_boiler"))
+    val perDoc = docNgrams(docs, n)
+      .join(broadcast(boiler), Seq("ngram"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("is_boiler")).as("n_boiler"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_boiler") / col("n_grams"), 4)))
+  }
+
   /** Decontamination: training documents sharing at least one word
     * n-gram with the evaluation corpus, with the shared-gram count —
     * the standard pre-training hygiene pass (eval benchmarks must not

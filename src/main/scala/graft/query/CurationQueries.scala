@@ -35,6 +35,12 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cleaning-pass score: share of each doc's distinct 5-grams that
+    // are corpus boilerplate.
+    "curation_boilerplate_frac" -> ((s, d) =>
+      Curation.boilerplateFraction(Tables.documents(s, d), N, MinDocs)
+        .orderBy(col("doc_id"))),
+
     // Gopher-style repetition signal: duplicate-bigram fraction per doc.
     "curation_doc_repetition" -> ((s, d) =>
       Curation.repetitionRatio(Tables.documents(s, d), 2)
@@ -77,6 +83,27 @@ object CurationQueries {
          |JOIN (SELECT DISTINCT ngram FROM grams WHERE source = 'src0') e
          |  USING (ngram)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "curation_boilerplate_frac" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+${N - 1}], ' ') AS ngram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents) w,
+         |    LATERAL (SELECT unnest(generate_series(1, len(ws) - ${N - 1})) AS i) g),
+         |boiler AS (
+         |  SELECT ngram FROM grams GROUP BY ngram
+         |  HAVING count(*) >= $MinDocs),
+         |per_doc AS (
+         |  SELECT g.doc_id, count(*) AS n_grams, count(b.ngram) AS n_boiler
+         |  FROM grams g LEFT JOIN boiler b USING (ngram)
+         |  GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+         |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+         |       ELSE round(coalesce(n_boiler, 0) / n_grams, 4)
+         |  END AS boiler_frac
+         |FROM documents d LEFT JOIN per_doc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "curation_doc_repetition" ->
       """SELECT doc_id,
         |  CAST(len(grams) AS BIGINT) AS n_grams,

@@ -51,5 +51,11 @@ class ComponentsSpec extends SparkSpec {
     val got = Components.connectedComponents(edgeSeq.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
     assert(got == expected)
+    // the pointerDoubling=false path (cheaper per round, more rounds on
+    // chain graphs) must compute the identical clustering
+    val flat = Components.connectedComponents(edgeSeq.toDF("src", "dst"),
+        pointerDoubling = false)
+      .as[(Long, Long)].collect().toMap
+    assert(flat == expected)
   }
 }

@@ -40,6 +40,25 @@ class CurationSpec extends SparkSpec {
       "one two three four five".split(" ").toSet)))
   }
 
+  test("boilerplate fraction: shared-span docs score, unique docs zero") {
+    val boiler = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, boiler),                                   // pure boilerplate
+      (2L, s"$boiler plus some unique trailing words"),
+      (3L, s"prefix words here then $boiler"),
+      (4L, "a wholly original document with no shared span inside it")
+    ).toDF("doc_id", "text")
+    val got = Curation.boilerplateFraction(df, 5, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    // the 4 grams of `boiler` appear in docs 1,2,3 -> boilerplate;
+    // doc 1 is 100% boilerplate, doc 4 has none
+    assert(got(0) == (1L, 1.0))
+    assert(got(1)._2 > 0.0 && got(1)._2 < 1.0)
+    assert(got(2)._2 > 0.0 && got(2)._2 < 1.0)
+    assert(got(3) == (4L, 0.0))
+  }
+
   test("decontamination flags exactly the train docs sharing eval grams") {
     val eval = Seq((100L, "held out benchmark question answer pair text"))
       .toDF("doc_id", "text")
