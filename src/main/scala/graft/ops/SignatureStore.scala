@@ -36,6 +36,34 @@ object SignatureStore {
       .parquet(s"$path/bands")
   }
 
+  /** Build iff a current store isn't on disk — same contract as
+    * [[VectorIndex.ensureIvf]]: a `_graft_meta` fingerprint (corpus
+    * rows + banding params) guards against silently probing a store
+    * built from different data. Lets registered queries amortize the
+    * one corpus signature pass across calls. Returns `path`.
+    */
+  def ensure(corpus: DataFrame, path: String, n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4): String = {
+    val fs = FileSystem.get(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val meta = new Path(s"$path/_graft_meta")
+    val fp = s"rows=${corpus.count()};n=$n;b=$bands;r=$rowsPerBand"
+    val current = fs.exists(new Path(s"$path/bands/_SUCCESS")) &&
+      fs.exists(meta) && {
+        val in = fs.open(meta)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == fp
+        finally in.close()
+      }
+    if (!current) {
+      build(corpus, path, n, bands, rowsPerBand)
+      val out = fs.create(meta, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    path
+  }
+
   /** Append a batch's signatures (call AFTER dedupeIncoming, with the
     * kept docs only, so the store stays duplicate-free). */
   def append(kept: DataFrame, path: String, n: Int = 3,

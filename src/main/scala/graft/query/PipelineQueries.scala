@@ -131,6 +131,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Incremental dedup against the PERSISTED signature store — the
+    // text twin of sim_cosine_ivf_indexed: the corpus (all non-src0
+    // docs) is signature-indexed ONCE (ensure skips rebuilds), and the
+    // arriving batch (src0) probes it via a broadcast equi-join, exact
+    // Jaccard verifying candidates only. Banding recall < 1 ->
+    // rows-only; detection + append + plan shape pinned in
+    // SignatureStoreSpec.
+    "dedup_incoming_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("source") =!= "src0")
+      val path = graft.ops.SignatureStore.ensure(corpus,
+        sys.props("java.io.tmpdir") + "/graft_sigs_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_"))
+      graft.ops.SignatureStore.dedupeIncoming(
+          docs.filter(col("source") === "src0"), corpus, path)
+        .orderBy(col("doc_id"), col("dup_of"))
+    }),
+
     // LSH-bucketed top-k (scale path; probabilistic recall -> rows-only).
     "sim_cosine_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
