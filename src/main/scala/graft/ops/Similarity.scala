@@ -125,6 +125,35 @@ object Similarity {
       .filter(col("sim") >= t)
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127, each
+    * component rounds to [-127, 127]. Cuts the corpus' scan bytes 4×
+    * (the lever that matters at 100 TB, where ANN cost is dominated by
+    * reading embeddings), at ≤ scale/2 per-component error. Pure
+    * array-HOF projection — codegen'd, no UDF.
+    * @return (vec_id, q_scale double, q_emb array<tinyint>) plus any
+    *   other input columns.
+    */
+  def quantize(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("q_scale",
+        aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => greatest(acc, abs(x.cast("double")))) / lit(127.0))
+      .withColumn("q_emb",
+        transform(col("embedding"), x =>
+          when(col("q_scale") === 0.0, lit(0))
+            .otherwise(round(x.cast("double") / col("q_scale")))
+            .cast("byte")))
+      .drop("embedding")
+
+  /** Inverse of [[quantize]]: float embeddings reconstructed from the
+    * int8 codes (within scale/2 per component). */
+  def dequantize(quantized: DataFrame): DataFrame =
+    quantized
+      .withColumn("embedding",
+        transform(col("q_emb"),
+          b => (b.cast("double") * col("q_scale")).cast("float")))
+      .drop("q_emb", "q_scale")
+
   /** Deterministic random hyperplanes (seeded) as literal arrays — the
     * plan embeds them as constants, broadcast for free with the plan. */
   private def hyperplanes(numPlanes: Int, dim: Int,

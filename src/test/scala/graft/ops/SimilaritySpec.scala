@@ -177,6 +177,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below the 0.9 gate")
   }
 
+  test("int8 quantization: bounded roundtrip error, top-k survives") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rt = Similarity.dequantize(Similarity.quantize(emb))
+    // per-component |x - dq(q(x))| <= scale/2 <= max|x|/254
+    val worst = emb.select(col("vec_id"), col("embedding").as("orig"))
+      .join(rt.select(col("vec_id"), col("embedding").as("back")), "vec_id")
+      .select(aggregate(
+        zip_with(col("orig"), col("back"),
+          (a, b) => abs(a.cast("double") - b.cast("double"))),
+        lit(0.0d), (acc, x) => greatest(acc, x)).as("err"),
+        aggregate(col("orig"), lit(0.0d),
+          (acc, x) => greatest(acc, abs(x.cast("double")))).as("mx"))
+      .select(max(col("err") / col("mx"))).head().getDouble(0)
+    assert(worst <= 1.0 / 254 + 1e-9, s"roundtrip error $worst")
+
+    // recall of top-10 over dequantized vectors vs exact floats: the
+    // corpus is near-random (tight rank boundaries at 4-decimal sims),
+    // so demand substantial but not perfect agreement
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qCorpus = rt.select(col("vec_id"), col("embedding"))
+    val qQueries = qCorpus.filter(col("vec_id") < 5)
+    val approx = Similarity.bruteForceTopK(qQueries, qCorpus, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"int8 top-10 recall vs float: $recall")
+    assert(recall >= 0.8, s"quantization destroyed ranking: $recall")
+  }
+
   test("components over LSH pairs == components over exact pairs (design regime)") {
     // The registered dedup_components_lsh feeds Components from LSH
     // candidate pairs. In the regime the operator is built for
