@@ -53,7 +53,46 @@ object CurationQueries {
         .select(col("lang"), col("doc_id"), col("n_tok"),
           col("tok_start"), col("tok_end"),
           col("first_chunk"), col("last_chunk"))
-        .orderBy(col("lang"), col("doc_id")))
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // CAPSTONE: the full pre-training corpus build — boilerplate +
+    // repetition gates, eval-set decontamination (anti-join), then
+    // per-shard packing of the survivors. The distinct (doc, ngram)
+    // table is the shared input of three gates, so it is materialized
+    // ONCE (localCheckpoint) instead of re-running the explode per
+    // gate — the same share-the-scan move a production pipeline makes
+    // (naive composition measured 4x slower at sf0.1).
+    "pipeline_pretraining_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = Curation.docNgrams(docs, N)
+        .join(broadcast(docs.select(col("doc_id"), col("source"))),
+          "doc_id")
+        .localCheckpoint(true)
+      val boiler = grams.groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= MinDocs)
+        .select(col("ngram"), lit(1).as("is_boiler"))
+      val bf = grams
+        .join(broadcast(boiler), Seq("ngram"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg((count(col("is_boiler")) / count(lit(1))).as("boiler_frac"))
+      val contaminated = grams.filter(col("source") =!= "src0")
+        .join(broadcast(grams.filter(col("source") === "src0")
+          .select(col("ngram")).distinct()), Seq("ngram"))
+        .select(col("doc_id")).distinct()
+      val kept = docs.filter(col("source") =!= "src0")
+        .join(bf, "doc_id")
+        .join(Curation.repetitionRatio(docs, 2)
+          .select(col("doc_id"), col("rep_ratio")), "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("boiler_frac") <= 0.5 && col("rep_ratio") <= 0.3)
+        .select(col("doc_id"), col("text"), col("lang"))
+      Curation.packChunks(kept, Budget)
+        .select(col("lang"), col("doc_id"), col("n_tok"),
+          col("tok_start"), col("tok_end"),
+          col("first_chunk"), col("last_chunk"))
+        .orderBy(col("lang"), col("doc_id"))
+    })
   )
 
   // DuckDB n-gram generation: 1-based inclusive list slices over
@@ -117,6 +156,51 @@ object CurationQueries {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_pretraining_corpus" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, source,
+         |    array_to_string(ws[i:i+${N - 1}], ' ') AS ngram
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |        FROM documents) w,
+         |    LATERAL (SELECT unnest(generate_series(1, len(ws) - ${N - 1})) AS i) g),
+         |boiler AS (
+         |  SELECT ngram FROM grams GROUP BY ngram
+         |  HAVING count(*) >= $MinDocs),
+         |bf AS (
+         |  SELECT g.doc_id, count(b.ngram) * 1.0 / count(*) AS boiler_frac
+         |  FROM grams g LEFT JOIN boiler b USING (ngram)
+         |  GROUP BY g.doc_id),
+         |rep AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(bg) = 0 THEN 0.0
+         |         ELSE 1.0 - len(list_distinct(bg)) / len(bg)
+         |    END AS rep_ratio
+         |  FROM (SELECT doc_id, list_transform(generate_series(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i + 1]) AS bg
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |          FROM documents))),
+         |contaminated AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM (SELECT * FROM grams WHERE source <> 'src0') t
+         |  JOIN (SELECT DISTINCT ngram FROM grams WHERE source = 'src0') e
+         |    USING (ngram)),
+         |kept AS (
+         |  SELECT d.lang, d.doc_id, len(string_split(d.text, ' ')) AS n_tok
+         |  FROM documents d
+         |  JOIN bf USING (doc_id) JOIN rep USING (doc_id)
+         |  WHERE d.source <> 'src0'
+         |    AND bf.boiler_frac <= 0.5 AND rep.rep_ratio <= 0.3
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT lang, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(tok_end - n_tok AS BIGINT) AS tok_start,
+         |  CAST(tok_end AS BIGINT) AS tok_end,
+         |  CAST((tok_end - n_tok) // $Budget AS BIGINT) AS first_chunk,
+         |  CAST((tok_end - 1) // $Budget AS BIGINT) AS last_chunk
+         |FROM (SELECT lang, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS tok_end
+         |  FROM kept)
+         |ORDER BY lang, doc_id""".stripMargin,
     "curation_seq_packing" ->
       s"""SELECT lang, doc_id,
          |  CAST(n_tok AS BIGINT) AS n_tok,
