@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+/** ScalaCheck properties for the curation operators: packing always
+  * tiles each shard exactly, and int8 quantization's roundtrip error
+  * never exceeds its per-vector bound — over arbitrary generated
+  * corpora, not just the fixtures.
+  */
+object CurationProps extends Properties("Curation") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("CurationProps")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "pi")
+
+  private val docGen: Gen[String] =
+    Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  property("packChunks tiles every shard: contiguous, complete, exact") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c"), docGen)),
+      Gen.choose(4, 64)) { (docs, budget) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex
+        .map { case ((lang, text), i) => (i.toLong, lang, text) }
+        .toDF("doc_id", "lang", "text")
+      val rows = Curation.packChunks(df, budget)
+        .orderBy("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      rows.groupBy(_._1).forall { case (_, shard) =>
+        val starts = shard.map(_._3)
+        val ends = shard.map(_._4)
+        // begins at zero, each start is the previous end, spans n_tok,
+        // chunk ids are the floor-div of the offsets
+        starts.head == 0L &&
+        starts.drop(1).sameElements(ends.dropRight(1)) &&
+        shard.forall { case (_, n, s, e, f, l) =>
+          e - s == n && f == s / budget && l == (e - 1) / budget
+        }
+      }
+    }
+
+  property("quantize roundtrip error <= max|x|/254 per component") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.choose(-10.0f, 10.0f))
+        .map(_.take(16)))) { vecs =>
+      import spark.implicits._
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val back = Similarity.dequantize(Similarity.quantize(df))
+        .collect().map(r =>
+          r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        val b = back(i.toLong)
+        val bound = v.map(math.abs(_)).max / 254.0 + 1e-6
+        v.zip(b).forall { case (x, y) => math.abs(x - y) <= bound }
+      }
+    }
+}
