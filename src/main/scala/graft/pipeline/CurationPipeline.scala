@@ -67,11 +67,20 @@ object CurationPipeline {
     * @param minTokens   reject docs shorter than this many tokens
     * @param maxRepetition reject docs whose duplicate-bigram fraction
     *   exceeds this (Gopher-style degenerate-text gate)
+    * @param nearDupStore optional [[graft.ops.SignatureStore]] path:
+    *   when set, each micro-batch is ALSO near-dup-deduplicated against
+    *   everything curated so far (MinHash probe of the persisted band
+    *   table, exact Jaccard verify against the curated text) — the
+    *   tier above exact-fingerprint dedup. The first batch seeds the
+    *   store; each batch appends its kept docs' signatures, so the
+    *   store tracks the curated table exactly. Near-dup hits land in
+    *   the reject store labeled `near_dup`.
     * @return (curated query, rejects query) — caller awaits both
     */
   def start(spark: SparkSession, srcDir: String, outDir: String,
       checkpointDir: String, minTokens: Long = 5L,
       maxRepetition: Double = 0.5,
+      nearDupStore: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow())
       : (StreamingQuery, StreamingQuery) = {
     def scored = score(
@@ -89,7 +98,30 @@ object CurationPipeline {
       .option("checkpointLocation", s"$checkpointDir-curated")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col("doc_id"), col("text"), col("lang"),
+        val kept = nearDupStore match {
+          case None => batch
+          case Some(path) =>
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              batch.sparkSession.sparkContext.hadoopConfiguration)
+            val seeded = fs.exists(
+              new org.apache.hadoop.fs.Path(s"$path/bands/_SUCCESS"))
+            if (!seeded) {
+              // first batch seeds the store: everything is novel
+              graft.ops.SignatureStore.build(batch, path)
+              batch
+            } else {
+              val curatedSoFar = batch.sparkSession.read
+                .parquet(s"$outDir/curated")
+                .select(col("doc_id"), col("text"))
+              val (keep, dups) = graft.ops.SignatureStore.ingest(
+                batch, curatedSoFar, path)
+              dups.select(col("doc_id"),
+                  lit("near_dup").as("reject_reason"))
+                .write.mode("append").parquet(s"$outDir/rejects")
+              keep
+            }
+        }
+        kept.select(col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_tokens"),
             round(col("rep_ratio"), 4).as("rep_ratio"))
           .write.mode("append").parquet(s"$outDir/curated")

@@ -14,10 +14,10 @@ class CurationPipelineSpec extends SparkSpec {
     Files.write(Paths.get(srcDir, name), lines.mkString("\n").getBytes)
   }
 
-  private def runOnce(srcDir: String, outDir: String,
-      ckDir: String): Unit = {
-    val (curatedQ, rejectsQ) =
-      CurationPipeline.start(spark, srcDir, outDir, ckDir)
+  private def runOnce(srcDir: String, outDir: String, ckDir: String,
+      nearDupStore: Option[String] = None): Unit = {
+    val (curatedQ, rejectsQ) = CurationPipeline.start(
+      spark, srcDir, outDir, ckDir, nearDupStore = nearDupStore)
     curatedQ.awaitTermination()
     rejectsQ.awaitTermination()
   }
@@ -57,5 +57,34 @@ class CurationPipelineSpec extends SparkSpec {
       .head()
     assert(kept.getAs[Long]("n_tokens") == 10L)
     assert(kept.getAs[Double]("rep_ratio") == 0.0)
+  }
+
+  test("near-dup tier: re-phrased crawl rejected against the store") {
+    val base = tmpDir("curation-nd")
+    val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+    val store = Some(s"$base/sigstore")
+    Files.createDirectories(Paths.get(src))
+
+    val original =
+      "the quick brown fox jumps over the lazy dog while birds sing in trees"
+    writeDocs(src, "b1.json", Seq(
+      (1L, original),
+      (2L, "a completely different first batch document with its own words")))
+    runOnce(src, out, ck, store)
+
+    writeDocs(src, "b2.json", Seq(
+      // NOT an exact copy (fingerprint differs) but a near-dup
+      // (jaccard ~0.93): only the signature store can catch it
+      (3L, original + " today"),
+      (4L, "genuinely novel material arriving in the second batch here")))
+    runOnce(src, out, ck, store)
+
+    val curated = CurationPipeline.curated(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(curated.toSeq == Seq(1L, 2L, 4L),
+      s"curated = ${curated.mkString(",")}")
+    val rejects = CurationPipeline.rejects(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rejects.toSeq == Seq((3L, "near_dup")), rejects.toSeq.toString)
   }
 }
