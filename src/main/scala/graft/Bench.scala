@@ -49,8 +49,14 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // 1-min load average at end of run: totals inflate uniformly ~25-30%
+    // under background host load (see NOTES round 3) — this field lets a
+    // reader tell a noisy run from a regression.
+    val load = String.format(java.util.Locale.ROOT, "%.2f", Double.box(
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"loadavg":$load,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), line + "\n")
     println(line)
