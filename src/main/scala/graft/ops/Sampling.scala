@@ -39,6 +39,35 @@ object Sampling {
       denom: Int): DataFrame =
     df.filter(hashBucket(id, denom) < num)
 
+  /** Dataset mixing: down-sample each domain deterministically so the
+    * kept corpus' weight mix approaches `targets` (shares summing to
+    * 1). The anchor scale T = min over domains of weight_d/target_d —
+    * the largest corpus for which NO domain needs up-sampling (the
+    * standard pre-training mixing recipe: down-weight the rest toward
+    * the scarcest domain). Per-domain totals are one tiny aggregation
+    * (|domains| rows to the driver); each row then passes iff its hash
+    * bucket clears the domain's threshold — reproducible,
+    * repartition-stable, and engine-portable like every sampler here.
+    */
+  def mixtureSample(df: DataFrame, domain: Column, id: Column,
+      weight: Column, targets: Map[String, Double],
+      buckets: Int = 1 << 20): DataFrame = {
+    val totals = df.groupBy(domain.as("__dom"))
+      .agg(sum(weight).as("__w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = targets.collect {
+      case (d, s) if totals.contains(d) => totals(d).toDouble / s
+    }.min
+    val thr = targets.map { case (d, s) =>
+      val w = totals.getOrElse(d, 1L).toDouble
+      d -> math.floor(math.min(1.0, s * t / w) * buckets).toLong
+    }
+    val thrCol = thr.foldLeft(lit(-1L)) { case (acc, (d, v)) =>
+      when(domain === d, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(id, buckets) < thrCol)
+  }
+
   /** At most `n` rows per stratum, chosen by hash order (a
     * deterministic pseudo-random draw), id as tie-break. One shuffle
     * on the strata key; `row_number` keeps only the first n per group.

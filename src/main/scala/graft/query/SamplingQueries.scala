@@ -27,8 +27,24 @@ object SamplingQueries {
       Sampling.stratifiedFixedN(Tables.documents(s, d), col("lang"),
           col("doc_id"), 5)
         .select(col("lang"), col("doc_id"), col("source"))
-        .orderBy(col("lang"), col("doc_id")))
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // Dataset mixing toward target token shares per language (the
+    // pre-training data-mixing recipe): summary of the kept mix.
+    "sample_mixture_lang" -> ((s, d) =>
+      Sampling.mixtureSample(Tables.documents(s, d), col("lang"),
+          col("doc_id"), size(split(col("text"), " ")).cast("long"),
+          MixTargets)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
+        .orderBy(col("lang")))
   )
+
+  /** Target token shares for the mixing demo: upweight the non-English
+    * slices relative to their natural frequency. */
+  private val MixTargets = Map(
+    "en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.1)
 
   private val hash = "(doc_id * 2654435761) % 4294967296"
 
@@ -42,6 +58,22 @@ object SamplingQueries {
       s"""SELECT lang, doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY $hash % 1073741824, doc_id) <= 5
-        |ORDER BY lang, doc_id""".stripMargin
+        |ORDER BY lang, doc_id""".stripMargin,
+    // Same double math as the Scala side (share*t then /w, floor to the
+    // bucket grid) so thresholds agree bit-for-bit across engines.
+    "sample_mixture_lang" ->
+      s"""WITH targets(lang, share) AS (VALUES
+        |  ('en', 0.4), ('zh', 0.2), ('es', 0.15), ('de', 0.15), ('fr', 0.1)),
+        |tok AS (SELECT lang, sum(len(string_split(text, ' '))) AS w
+        |        FROM documents GROUP BY lang),
+        |tmin AS (SELECT min(w / share) AS t FROM tok JOIN targets USING (lang)),
+        |thr AS (SELECT lang,
+        |    CAST(floor(least(1.0, share * t / w) * 1048576) AS BIGINT) AS thr
+        |  FROM tok JOIN targets USING (lang) CROSS JOIN tmin)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tok
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE $hash % 1048576 < thr.thr
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }

@@ -47,4 +47,36 @@ class SamplingSpec extends SparkSpec {
     val outTiny = Sampling.stratifiedFixedN(tiny, col("g"), col("id"), 5)
     assert(outTiny.count() == 3)
   }
+
+  test("mixtureSample approaches target shares; anchor domain kept whole") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val tok = size(split(col("text"), " ")).cast("long")
+    val targets = Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.15,
+      "de" -> 0.15, "fr" -> 0.1)
+    val kept = Sampling.mixtureSample(docs, col("lang"), col("doc_id"),
+      tok, targets)
+    val mix = kept.groupBy("lang").agg(sum(tok).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = mix.values.sum.toDouble
+    // realized shares within a few points of targets (hash granularity
+    // + doc-size quantization), and nothing up-sampled: every domain's
+    // kept weight <= its full weight
+    val full = docs.groupBy("lang").agg(sum(tok).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (d, s) =>
+      val realized = mix.getOrElse(d, 0L) / total
+      assert(math.abs(realized - s) <= 0.06,
+        s"$d realized $realized vs target $s")
+      assert(mix.getOrElse(d, 0L) <= full(d))
+    }
+    // the anchor domain (max weight-to-target ratio deficit) is kept ~whole
+    val anchor = targets.keys.minBy(d => full(d) / targets(d))
+    assert(mix(anchor) == full(anchor), s"anchor $anchor was down-sampled")
+    // deterministic: second run identical
+    val again = Sampling.mixtureSample(docs, col("lang"), col("doc_id"),
+        tok, targets)
+      .groupBy("lang").agg(sum(tok).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == mix)
+  }
 }
