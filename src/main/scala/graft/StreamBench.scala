@@ -178,6 +178,27 @@ object StreamBench {
     println(s"""{"metric":"stream_curation_docs_per_sec",""" +
       s""""value":$curRate,"unit":"docs/sec","docs":$nDocs,""" +
       s""""seconds":$curSec,"kept":$kept,"rejected":$rejected}""")
+
+    // Two-tier variant: same input in 5 micro-batches (4 files each),
+    // plus the near-dup probe of the persisted signature store on every
+    // batch after the first. The 10% planted re-crawls are EXACT
+    // copies, so they still fall to tier 1 (fingerprint state); the
+    // metric prices the probe + verify + signature append per batch.
+    val cur2Sec = timed {
+      val (cq, rq) = graft.pipeline.CurationPipeline.start(
+        spark, csrc, s"$root/curation2_out", s"$root/curation2_ck",
+        nearDupStore = Some(s"$root/curation2_sigs"),
+        maxFilesPerTrigger = Some(4))
+      cq.awaitTermination(); rq.awaitTermination()
+    }
+    val kept2 = graft.pipeline.CurationPipeline
+      .curated(spark, s"$root/curation2_out").count()
+    require(kept2 <= kept,
+      s"near-dup tier must only remove more: $kept2 vs $kept")
+    val cur2Rate = nDocs / cur2Sec
+    println(s"""{"metric":"stream_curation2_docs_per_sec",""" +
+      s""""value":$cur2Rate,"unit":"docs/sec","docs":$nDocs,""" +
+      s""""seconds":$cur2Sec,"kept":$kept2}""")
     spark.stop()
   }
 }

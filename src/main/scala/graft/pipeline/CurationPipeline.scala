@@ -81,11 +81,15 @@ object CurationPipeline {
       checkpointDir: String, minTokens: Long = 5L,
       maxRepetition: Double = 0.5,
       nearDupStore: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow())
       : (StreamingQuery, StreamingQuery) = {
-    def scored = score(
-      spark.readStream.schema(docSchema).json(srcDir),
-      minTokens, maxRepetition)
+    def scored = {
+      val reader = spark.readStream.schema(docSchema)
+      val limited = maxFilesPerTrigger
+        .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      score(limited.json(srcDir), minTokens, maxRepetition)
+    }
 
     // Cross-batch exact dedup ONLY among docs that pass the gates —
     // rejected docs must not occupy dedup state (nor shadow a clean

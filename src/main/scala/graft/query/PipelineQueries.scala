@@ -105,6 +105,20 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Brute-force top-k over the INT8-quantized corpus — the
+    // scan-bytes-reduction path (4x fewer bytes at 100 TB, where ANN
+    // cost is reading embeddings). Quantization error perturbs
+    // 4-decimal sims -> rows-only; recall vs the float path is pinned
+    // at 1.0 on this data in SimilaritySpec.
+    "sim_cosine_topk_int8" -> ((s, d) => {
+      val q = Similarity.dequantize(
+        Similarity.quantize(Tables.embeddings(s, d)))
+      Similarity.bruteForceTopK(q.filter(col("vec_id") < 8), q, 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF-partitioned top-k (scale path; probabilistic recall ->
     // rows-only).
     "sim_cosine_ivf" -> ((s, d) => {

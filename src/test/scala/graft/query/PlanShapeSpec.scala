@@ -11,17 +11,18 @@ import graft.{SparkEntry, SparkSpec}
   *    (exact pair joins kept so the DuckDB oracle and the LSH twins'
   *    recall stay measurable); their scale-safe twins are the
   *    registered production shapes.
-  *  - `sim_cosine_topk`: exact brute-force baseline whose DESIGN is a
-  *    broadcast nested loop — the query side is small and broadcast,
-  *    the corpus side streams once (O(corpus x queries), not
-  *    O(corpus^2)); the sublinear paths are sim_cosine_lsh /
-  *    sim_cosine_ivf / sim_cosine_ivf_indexed.
+  *  - `sim_cosine_topk` (+ its `_int8` quantized twin): exact
+  *    brute-force baseline whose DESIGN is a broadcast nested loop —
+  *    the query side is small and broadcast, the corpus side streams
+  *    once (O(corpus x queries), not O(corpus^2)); the sublinear paths
+  *    are sim_cosine_lsh / sim_cosine_ivf / sim_cosine_ivf_indexed.
   *  - `join_cross_dims`: the cross-join operator itself, over two
   *    tiny dimension tables.
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private val justifiedQuadratic = Set("sim_cosine_topk", "join_cross_dims")
+  private val justifiedQuadratic =
+    Set("sim_cosine_topk", "sim_cosine_topk_int8", "join_cross_dims")
 
   test("no quadratic join in any registered non-oracle query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
