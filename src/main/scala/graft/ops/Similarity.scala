@@ -145,6 +145,37 @@ object Similarity {
             .cast("byte")))
       .drop("embedding")
 
+  /** Materialize the quantized corpus iff not already on disk (same
+    * fingerprint-guarded contract as [[VectorIndex.ensureIvf]] /
+    * SignatureStore.ensure) and return a reader over it — the scan
+    * that actually realizes the 4× byte saving. Returns the persisted
+    * (vec_id, q_scale, q_emb) frame.
+    */
+  def ensureQuantized(corpus: DataFrame, path: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+    val fp = s"rows=${corpus.count()}"
+    val current = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")) &&
+      fs.exists(meta) && {
+        val in = fs.open(meta)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == fp
+        finally in.close()
+      }
+    if (!current) {
+      quantize(corpus).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/codes")
+      val out = fs.create(meta, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    spark.read.parquet(s"$path/codes")
+  }
+
   /** Inverse of [[quantize]]: float embeddings reconstructed from the
     * int8 codes (within scale/2 per component). */
   def dequantize(quantized: DataFrame): DataFrame =

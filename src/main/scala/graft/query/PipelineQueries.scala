@@ -105,14 +105,18 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Brute-force top-k over the INT8-quantized corpus — the
-    // scan-bytes-reduction path (4x fewer bytes at 100 TB, where ANN
-    // cost is reading embeddings). Quantization error perturbs
-    // 4-decimal sims -> rows-only; recall vs the float path is pinned
-    // at 1.0 on this data in SimilaritySpec.
+    // Brute-force top-k over the PERSISTED int8-quantized corpus — the
+    // scan-bytes-reduction path: the corpus is quantized and written
+    // ONCE (ensure-style, like the IVF/signature stores), and the query
+    // scans tinyint codes (4x fewer bytes at 100 TB, where ANN cost is
+    // reading embeddings), dequantizing on the fly inside codegen.
+    // Quantization error perturbs 4-decimal sims -> rows-only; recall
+    // vs the float path is pinned at 1.0 on this data in SimilaritySpec.
     "sim_cosine_topk_int8" -> ((s, d) => {
+      val path = sys.props("java.io.tmpdir") + "/graft_int8_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
       val q = Similarity.dequantize(
-        Similarity.quantize(Tables.embeddings(s, d)))
+        Similarity.ensureQuantized(Tables.embeddings(s, d), path))
       Similarity.bruteForceTopK(q.filter(col("vec_id") < 8), q, 10)
         .select(col("query_id"), col("neighbor_id"), col("sim"),
           col("rank"))
