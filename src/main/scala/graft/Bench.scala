@@ -35,6 +35,12 @@ object Bench {
         sys.props("java.io.tmpdir") + "/graft_sigs_" +
           sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     } catch { case _: Throwable => () }
+    // And the int8 code table behind sim_cosine_topk_int8.
+    try graft.ops.Similarity.ensureQuantized(
+      Tables.embeddings(spark, sfDir),
+      sys.props("java.io.tmpdir") + "/graft_int8_" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
