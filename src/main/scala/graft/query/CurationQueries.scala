@@ -67,6 +67,10 @@ object CurationQueries {
       val grams = Curation.docNgrams(docs, N)
         .join(broadcast(docs.select(col("doc_id"), col("source"))),
           "doc_id")
+        // eager checkpoint, NOT lazy persist: the gate branches include
+        // broadcast subqueries over this frame, which under persist race
+        // to populate the cache and re-run the explode (measured 9-16 s
+        // vs 6 s at sf0.1)
         .localCheckpoint(true)
       val boiler = grams.groupBy(col("ngram"))
         .agg(count(lit(1)).as("n_docs"))
