@@ -63,4 +63,59 @@ object Multimodal {
       it.map(decodeStub)
     }
   }
+
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int,
+      frame: Array[Byte])
+
+  /** Frame sampling: treat the payload as a sequence of
+    * `frameBytes`-sized frames and keep every `stride`-th — the
+    * one-row-to-many-rows plumbing a video pipeline needs (a real
+    * demuxer replaces the `grouped` call; the flatMap boundary, frame
+    * indexing, and output schema stay). Narrow: frames of a payload
+    * never leave their partition.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { rec =>
+      rec.media.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (f, i) => MediaFrame(rec.doc_id, i, f) }
+    }
+  }
+
+  /** Resized payload with its new fixed size. */
+  final case class ResizedMedia(doc_id: Long, format: String,
+      size: Int, payload: Array[Byte])
+
+  /** RESIZE STUB — stands in for an image resampler: average-pools the
+    * byte stream into exactly `target` cells (deterministic; empty
+    * payloads produce empty output). A real implementation replaces
+    * only this function body; the typed map stage around it is the
+    * production shape.
+    */
+  def resizeStub(rec: MediaRecord, target: Int): ResizedMedia = {
+    val n = rec.media.length
+    val out =
+      if (n == 0) Array.emptyByteArray
+      else Array.tabulate(target) { i =>
+        val lo = math.min((i.toLong * n / target).toInt, n - 1)
+        val hi = math.max(lo + 1,
+          math.min((((i + 1).toLong * n) / target).toInt, n))
+        val cell = rec.media.slice(lo, hi)
+        (cell.map(_ & 0xff).sum / cell.length).toByte
+      }
+    ResizedMedia(rec.doc_id, rec.format, out.length, out)
+  }
+
+  /** The resize stage: same per-partition batch contract as
+    * [[extractFeatures]]. */
+  def resize(spark: SparkSession, media: DataFrame,
+      target: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(resizeStub(_, target))
+    }
+  }
 }

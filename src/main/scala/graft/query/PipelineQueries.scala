@@ -256,7 +256,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bytes"), col("format"),
           round(element_at(col("features"), 1), 4).as("byte_mean"),
           round(element_at(col("features"), 2), 4).as("byte_var"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Frame sampling: every 2nd 64-byte frame of each payload — the
+    // frame index/length accounting is oracle-checkable even though the
+    // payload is opaque.
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.mediaTable(Tables.documents(s, d)), 64, 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   private val enStop =
@@ -443,6 +454,16 @@ object PipelineQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(least(64, octet_length(encode(text)) - i * 64) AS BIGINT)
+        |    AS n_bytes
+        |FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1))
+        |    AS i)
+        |WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "text_pii_scrub" ->
       """SELECT doc_id, md5(regexp_replace(regexp_replace(
         |  text || ' contact user' || doc_id || '@mail.example or ' ||

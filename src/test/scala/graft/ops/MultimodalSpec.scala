@@ -29,4 +29,39 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(9L, Array.emptyByteArray, "wav"))
     assert(f.n_bytes == 0 && f.features.toSeq == Seq(0.0, 0.0, 0.0, 0.0))
   }
+
+  test("sampleFrames: stride-1 frames reassemble the payload exactly") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, (0 until 150).map(_.toByte).toArray, "png"),
+      Multimodal.MediaRecord(2L, Array.emptyByteArray, "wav")
+    ).toDF()
+    val all = Multimodal.sampleFrames(spark, media, 64, 1)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    // doc 1: 150 bytes -> frames of 64, 64, 22; doc 2: none
+    assert(all.map(f => (f.doc_id, f.frame_idx, f.frame.length)).toSeq
+      == Seq((1L, 0, 64), (1L, 1, 64), (1L, 2, 22)))
+    assert(all.flatMap(_.frame).toSeq
+      == (0 until 150).map(_.toByte).toSeq)
+    // stride 2 keeps even indices only
+    val strided = Multimodal.sampleFrames(spark, media, 64, 2)
+      .collect().map(_.frame_idx).sorted
+    assert(strided.toSeq == Seq(0, 2))
+  }
+
+  test("resizeStub pools to the target size; empty stays empty") {
+    val rec = Multimodal.MediaRecord(1L,
+      (0 until 100).map(_.toByte).toArray, "png")
+    val r = Multimodal.resizeStub(rec, 10)
+    assert(r.size == 10 && r.payload.length == 10)
+    // cell i averages bytes [10i, 10i+10): mean = 10i + 4 (int division)
+    assert(r.payload.toSeq == (0 until 10).map(i => (10 * i + 4).toByte))
+    val empty = Multimodal.resizeStub(
+      Multimodal.MediaRecord(2L, Array.emptyByteArray, "wav"), 10)
+    assert(empty.size == 0 && empty.payload.isEmpty)
+    // upsize path: more cells than bytes still yields target cells
+    val up = Multimodal.resizeStub(
+      Multimodal.MediaRecord(3L, Array[Byte](1, 2), "png"), 4)
+    assert(up.payload.length == 4)
+  }
 }
