@@ -60,7 +60,12 @@ object Sampling {
     }.min
     val thr = targets.map { case (d, s) =>
       val w = totals.getOrElse(d, 1L).toDouble
-      d -> math.floor(math.min(1.0, s * t / w) * buckets).toLong
+      // +1e-6 before floor: the anchor's rate is 1.0 only up to IEEE
+      // round-trip (s * (w/s) / w can land one ulp under 1), and floor
+      // of 0.999999...*buckets would silently drop one hash bucket.
+      // The oracle SQL applies the identical epsilon.
+      d -> math.floor(
+        math.min(1.0, s * t / w) * buckets + 1e-6).toLong
     }
     val thrCol = thr.foldLeft(lit(-1L)) { case (acc, (d, v)) =>
       when(domain === d, lit(v)).otherwise(acc)

@@ -68,7 +68,8 @@ object SamplingQueries {
         |        FROM documents GROUP BY lang),
         |tmin AS (SELECT min(w / share) AS t FROM tok JOIN targets USING (lang)),
         |thr AS (SELECT lang,
-        |    CAST(floor(least(1.0, share * t / w) * 1048576) AS BIGINT) AS thr
+        |    CAST(floor(least(1.0, share * t / w) * 1048576 + 1e-6) AS BIGINT)
+        |      AS thr
         |  FROM tok JOIN targets USING (lang) CROSS JOIN tmin)
         |SELECT d.lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tok

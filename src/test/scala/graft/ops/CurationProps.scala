@@ -74,4 +74,34 @@ object CurationProps extends Properties("Curation") {
         v.zip(b).forall { case (x, y) => math.abs(x - y) <= bound }
       }
     }
+
+  property("mixtureSample: never up-samples, deterministic, anchor whole") =
+    Prop.forAll(
+      Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.choose(1, 50))),
+      Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8), Gen.choose(1, 8))) {
+      (rows, rawT) =>
+        rows.map(_._1).distinct.size == 3 ==> {
+          import spark.implicits._
+          val df = rows.zipWithIndex
+            .map { case ((dom, w), i) => (i.toLong, dom, w.toLong) }
+            .toDF("id", "dom", "w")
+          val tSum = (rawT._1 + rawT._2 + rawT._3).toDouble
+          val targets = Map("a" -> rawT._1 / tSum, "b" -> rawT._2 / tSum,
+            "c" -> rawT._3 / tSum)
+          def mix() = Sampling.mixtureSample(df, col("dom"), col("id"),
+              col("w"), targets)
+            .groupBy("dom").agg(sum("w").as("w")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val kept = mix()
+          val full = df.groupBy("dom").agg(sum("w").as("w")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val noUpsample = full.forall { case (d, w) =>
+            kept.getOrElse(d, 0L) <= w }
+          val anchor = targets.keys.minBy(d => full(d) / targets(d))
+          (noUpsample :| "kept exceeds full") &&
+          ((kept.getOrElse(anchor, 0L) == full(anchor)) :| "anchor cut") &&
+          ((mix() == kept) :| "nondeterministic")
+        }
+    }
 }
