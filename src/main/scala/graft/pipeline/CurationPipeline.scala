@@ -101,7 +101,7 @@ object CurationPipeline {
       .queryName("curation-pipeline-curated")
       .option("checkpointLocation", s"$checkpointDir-curated")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val kept = nearDupStore match {
           case None => batch
           case Some(path) =>
@@ -119,16 +119,25 @@ object CurationPipeline {
                 .select(col("doc_id"), col("text"))
               val (keep, dups) = graft.ops.SignatureStore.ingest(
                 batch, curatedSoFar, path)
+              // store re-append on a batch retry only duplicates band
+              // rows, which dedupeIncoming's distinct() absorbs — the
+              // result set is retry-stable even though the store is
+              // at-least-once
               dups.select(col("doc_id"),
                   lit("near_dup").as("reject_reason"))
-                .write.mode("append").parquet(s"$outDir/rejects")
+                .write.mode("overwrite")
+                .parquet(s"$outDir/rejects/batch=nd$batchId")
               keep
             }
         }
+        // batchId-keyed overwrite = exactly-once on retry: a replayed
+        // micro-batch rewrites ITS OWN partition instead of appending a
+        // duplicate (same contract as SummingStore/EventSink appends)
         kept.select(col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_tokens"),
             round(col("rep_ratio"), 4).as("rep_ratio"))
-          .write.mode("append").parquet(s"$outDir/curated")
+          .write.mode("overwrite")
+          .parquet(s"$outDir/curated/batch=$batchId")
         ()
       }
       .start()
@@ -139,9 +148,10 @@ object CurationPipeline {
       .queryName("curation-pipeline-rejects")
       .option("checkpointLocation", s"$checkpointDir-rejects")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.select(col("doc_id"), col("reject_reason"))
-          .write.mode("append").parquet(s"$outDir/rejects")
+          .write.mode("overwrite")
+          .parquet(s"$outDir/rejects/batch=g$batchId")
         ()
       }
       .start()
@@ -150,8 +160,8 @@ object CurationPipeline {
   }
 
   def curated(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/curated")
+    spark.read.parquet(s"$outDir/curated").drop("batch")
 
   def rejects(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/rejects")
+    spark.read.parquet(s"$outDir/rejects").drop("batch")
 }

@@ -59,6 +59,27 @@ class CurationPipelineSpec extends SparkSpec {
     assert(kept.getAs[Double]("rep_ratio") == 0.0)
   }
 
+  test("batch replay is exactly-once: rerun with fresh checkpoint, no dupes") {
+    val base = tmpDir("curation-replay")
+    val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+    Files.createDirectories(Paths.get(src))
+    writeDocs(src, "b1.json", Seq(
+      (1L, "first document with a perfectly reasonable number of words"),
+      (2L, "second document also fine and also kept by every gate")))
+    runOnce(src, out, ck)
+    val first = CurationPipeline.curated(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+
+    // simulate a replayed micro-batch: fresh checkpoint, same source ->
+    // the SAME batch id re-executes; batchId-keyed overwrite must
+    // rewrite, not append
+    runOnce(src, out, s"$base/ck2")
+    val second = CurationPipeline.curated(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(second.toSeq == first.toSeq,
+      s"replay duplicated output: ${second.mkString(",")}")
+  }
+
   test("near-dup tier: re-phrased crawl rejected against the store") {
     val base = tmpDir("curation-nd")
     val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
