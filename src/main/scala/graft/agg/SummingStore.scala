@@ -51,6 +51,28 @@ final class SummingStore(path: String, keyCols: Seq[String],
   /** Merged view: the mandatory read-side re-sum. */
   def read(spark: SparkSession): DataFrame = merged(spark)
 
+  /** Totals as of batch `maxBatchId` inclusive — time travel over the
+    * append log, free because partials are batch-keyed (the audit
+    * answer to "what did the dashboard say after epoch N?"). Only valid
+    * while per-batch history exists: [[compact]] folds partials into
+    * one block and deliberately trades this capability for bounded read
+    * amplification (the same trade a ClickHouse merge makes), so the
+    * read refuses loudly after compaction rather than silently
+    * returning folded totals.
+    */
+  def readAsOf(spark: SparkSession, maxBatchId: Long): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(s"$path/batch=compacted")),
+      "as-of read unavailable: compact() has folded per-batch history")
+    val raw = spark.read.option("basePath", path).parquet(s"$path/batch=*")
+    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    raw
+      .filter(col("batch").cast("long") <= maxBatchId)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((keyCols ++ sumCols).map(col): _*)
+  }
+
   /** Background-merge analog: collapse all partials into one block.
     * Optional; [[read]] is correct with or without it. Materializes the
     * merged result to a temp dir before deleting any source partials, so

@@ -51,4 +51,28 @@ class SummingStoreSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch=")).map(_.getName)
     assert(dirs.toSeq == Seq("batch=compacted"))
   }
+
+  test("readAsOf time-travels the append log; compaction closes it") {
+    import spark.implicits._
+    val store = new SummingStore(tmpDir("summing-asof") + "/t",
+      Seq("level"), Seq("total"))
+    store.append(Seq(("click", 3L)).toDF("level", "total"), batchId = 0L)
+    store.append(Seq(("click", 4L), ("open", 1L))
+      .toDF("level", "total"), batchId = 1L)
+
+    def totals(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals(store.readAsOf(spark, 0L)) == Map("click" -> 3L))
+    assert(totals(store.readAsOf(spark, 1L))
+      == Map("click" -> 7L, "open" -> 1L))
+    // as-of at the head equals the live read
+    assert(totals(store.readAsOf(spark, 1L)) == totals(store.read(spark)))
+
+    store.compact(spark)
+    assert(totals(store.read(spark))
+      == Map("click" -> 7L, "open" -> 1L), "compaction preserves totals")
+    intercept[IllegalArgumentException] {
+      store.readAsOf(spark, 0L).collect()
+    }
+  }
 }
