@@ -38,24 +38,32 @@ object CurationPipeline {
     StructField("lang", StringType),
     StructField("source", StringType)))
 
-  /** Gate scoring: token count, duplicate-bigram fraction, content
-    * fingerprint, and the failed-gate label (null = accepted). One
-    * narrow projection — no shuffle before the dedup state store. */
+  /** Gate scoring: token count, duplicate-bigram fraction, predicted
+    * language (content-based, NOT the metadata column — crawls lie),
+    * content fingerprint, and the failed-gate label (null = accepted).
+    * One narrow projection — no shuffle before the dedup state store. */
   private def score(raw: DataFrame, minTokens: Long,
-      maxRepetition: Double): DataFrame = {
+      maxRepetition: Double, allowedLangs: Option[Set[String]]): DataFrame = {
     val ws = split(col("text"), " ")
     val grams = Curation.wordNgrams(ws, 2)
+    val (_, predictedLang) = TextAnalysis.langId(col("text"))
+    val langReject: org.apache.spark.sql.Column = allowedLangs match {
+      case None => lit(false)
+      case Some(ls) => !col("pred_lang").isin(ls.toSeq: _*)
+    }
     raw
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
       .withColumn("rep_ratio",
         when(size(grams) === 0, lit(0.0))
           .otherwise(lit(1.0) -
             size(array_distinct(grams)) / size(grams)))
+      .withColumn("pred_lang", predictedLang)
       .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
       .withColumn("reject_reason",
         when(col("text").isNull, lit("empty"))
           .when(col("n_tokens") < minTokens, lit("too_short"))
-          .when(col("rep_ratio") > maxRepetition, lit("repetitive")))
+          .when(col("rep_ratio") > maxRepetition, lit("repetitive"))
+          .when(langReject, lit("lang")))
   }
 
   /** Start the curation streams over JSON-lines doc files in `srcDir`:
@@ -67,6 +75,9 @@ object CurationPipeline {
     * @param minTokens   reject docs shorter than this many tokens
     * @param maxRepetition reject docs whose duplicate-bigram fraction
     *   exceeds this (Gopher-style degenerate-text gate)
+    * @param allowedLangs optional language allow-list: when set, docs
+    *   whose CONTENT-predicted language (n-gram heuristic) is outside
+    *   the set are rejected with reason `lang`
     * @param nearDupStore optional [[graft.ops.SignatureStore]] path:
     *   when set, each micro-batch is ALSO near-dup-deduplicated against
     *   everything curated so far (MinHash probe of the persisted band
@@ -80,6 +91,7 @@ object CurationPipeline {
   def start(spark: SparkSession, srcDir: String, outDir: String,
       checkpointDir: String, minTokens: Long = 5L,
       maxRepetition: Double = 0.5,
+      allowedLangs: Option[Set[String]] = None,
       nearDupStore: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow())
@@ -88,7 +100,7 @@ object CurationPipeline {
       val reader = spark.readStream.schema(docSchema)
       val limited = maxFilesPerTrigger
         .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      score(limited.json(srcDir), minTokens, maxRepetition)
+      score(limited.json(srcDir), minTokens, maxRepetition, allowedLangs)
     }
 
     // Cross-batch exact dedup ONLY among docs that pass the gates —

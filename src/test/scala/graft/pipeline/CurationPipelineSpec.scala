@@ -59,6 +59,23 @@ class CurationPipelineSpec extends SparkSpec {
     assert(kept.getAs[Double]("rep_ratio") == 0.0)
   }
 
+  test("language gate: content-predicted lang outside allow-list rejected") {
+    val base = tmpDir("curation-lang")
+    val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+    Files.createDirectories(Paths.get(src))
+    writeDocs(src, "b1.json", Seq(
+      (1L, "the cat and the dog ran to the house of the baker"),
+      (2L, "der hund und die katze und das haus ist nicht ein zoo")))
+    val (cq, rq) = CurationPipeline.start(spark, src, out, ck,
+      allowedLangs = Some(Set("en")))
+    cq.awaitTermination(); rq.awaitTermination()
+    assert(CurationPipeline.curated(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(CurationPipeline.rejects(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((2L, "lang")))
+  }
+
   test("batch replay is exactly-once: rerun with fresh checkpoint, no dupes") {
     val base = tmpDir("curation-replay")
     val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
