@@ -50,6 +50,11 @@ object StreamBench {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // Each metric line is printed AND collected into STREAM_BENCH.json,
+    // so streaming throughput is a diffable round-over-round artifact
+    // (it previously lived only in BASELINE.md prose).
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(line: String): Unit = { emitted += line; println(line) }
     // Part 2: MV rollup into the summing store (kafka+clickhouse Part 2)
     val mvSec = timed {
       MaterializedPipeline.start(spark, cfg,
@@ -60,7 +65,7 @@ object StreamBench {
     require(totals == nEvents, s"MV total $totals != $nEvents")
 
     val mvRate = nEvents / mvSec
-    println(s"""{"metric":"stream_mv_events_per_sec","value":$mvRate,""" +
+    emit(s"""{"metric":"stream_mv_events_per_sec","value":$mvRate,""" +
       s""""unit":"events/sec","events":$nEvents,"seconds":$mvSec,""" +
       s""""batches":${nFiles / 2}}""")
 
@@ -93,7 +98,7 @@ object StreamBench {
     val stored = DirectPipeline.emailEvents(spark, wcfg).count()
     require(stored == nEvents, s"direct stored $stored != $nEvents")
     val directRate = nEvents / directSec
-    println(s"""{"metric":"stream_direct_events_per_sec",""" +
+    emit(s"""{"metric":"stream_direct_events_per_sec",""" +
       s""""value":$directRate,"unit":"events/sec","events":$nEvents,""" +
       s""""seconds":$directSec}""")
 
@@ -132,7 +137,7 @@ object StreamBench {
     require(closed > 0 && closed <= nEvents,
       s"implausible closed-session count $closed")
     val sessRate = nEvents / sessSec
-    println(s"""{"metric":"stream_session_events_per_sec",""" +
+    emit(s"""{"metric":"stream_session_events_per_sec",""" +
       s""""value":$sessRate,"unit":"events/sec","events":$nEvents,""" +
       s""""seconds":$sessSec,"closed_sessions":$closed}""")
 
@@ -175,7 +180,7 @@ object StreamBench {
     require(kept + rejected < nDocs && kept > 0 && rejected > 0,
       s"curation implausible: kept=$kept rejected=$rejected of $nDocs")
     val curRate = nDocs / curSec
-    println(s"""{"metric":"stream_curation_docs_per_sec",""" +
+    emit(s"""{"metric":"stream_curation_docs_per_sec",""" +
       s""""value":$curRate,"unit":"docs/sec","docs":$nDocs,""" +
       s""""seconds":$curSec,"kept":$kept,"rejected":$rejected}""")
 
@@ -196,9 +201,12 @@ object StreamBench {
     require(kept2 <= kept,
       s"near-dup tier must only remove more: $kept2 vs $kept")
     val cur2Rate = nDocs / cur2Sec
-    println(s"""{"metric":"stream_curation2_docs_per_sec",""" +
+    emit(s"""{"metric":"stream_curation2_docs_per_sec",""" +
       s""""value":$cur2Rate,"unit":"docs/sec","docs":$nDocs,""" +
       s""""seconds":$cur2Sec,"kept":$kept2}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("STREAM_BENCH.json"),
+      emitted.mkString("[", ",\n ", "]") + "\n")
     spark.stop()
   }
 }

@@ -57,15 +57,19 @@ object DirectPipeline {
         val wire = EventSource.wellFormed(batch)
         EventSink.writeEmailEvents(EventSink.toEmailEvents(wire), cfg)
         // Dead-letter path: corrupt JSON + out-of-domain enum values
-        // (the rows an Enum8 insert would reject). The reference skips
-        // broker errors (kafka+clickhouse.md:139-141) and crashes on
-        // bad payloads; we persist both for replay.
-        val dead = EventSource.corrupt(batch).union(
-          EventSink.invalidEvents(wire)
+        // (the rows an Enum8 insert would reject, kafka+clickhouse.md:97
+        // — the reference ERRORS on an invalid Enum8 insert; we surface
+        // the same rejection as a typed dead-letter row instead of
+        // silently dropping). Each row carries the raw payload plus a
+        // `reason` so replay tooling can triage without re-parsing.
+        val dead = EventSource.corrupt(batch)
+          .withColumn("reason", lit("corrupt_json"))
+          .union(EventSink.invalidEvents(wire)
             .select(to_json(struct(wire.columns.map(col): _*))
-              .as("value")))
+              .as("value"),
+              lit("invalid_enum_event_type").as("reason")))
         if (!dead.isEmpty)
-          dead.write.mode("append").text(cfg.tablePath("dead_letter"))
+          dead.write.mode("append").json(cfg.tablePath("dead_letter"))
       }
       .start()
   }

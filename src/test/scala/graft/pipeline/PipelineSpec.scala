@@ -92,10 +92,14 @@ class PipelineSpec extends SparkSpec {
     assert(events.select("event_date").distinct().head().getInt(0)
       == 20260812)
     // corrupt record AND out-of-domain enum row routed to dead letter
-    // (the reference would crash on the former, error on the latter)
-    val dead = spark.read.text(c.tablePath("dead_letter"))
+    // (the reference would crash on the former, error on the latter —
+    // kafka+clickhouse.md:97), each tagged with a triage reason
+    val dead = spark.read.json(c.tablePath("dead_letter"))
     assert(dead.count() == 2)
-    assert(dead.filter(col("value").contains("badtype")).count() == 1)
+    val badEnum = dead.filter(col("value").contains("badtype")).collect()
+    assert(badEnum.length == 1)
+    assert(badEnum.head.getAs[String]("reason") == "invalid_enum_event_type")
+    assert(dead.filter(col("reason") === "corrupt_json").count() == 1)
   }
 
   test("publish -> consume round trip (producer A1 + topic routing A2)") {
