@@ -4,6 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev scratchpad (overwrite freely): time suspect queries in
   * isolation at sf0.1, two passes each (first = codegen+JIT warm).
+  * Timing action is `.count()` — the SAME action Bench uses, so
+  * numbers here are comparable to BENCH_QUERIES.json medians (count()
+  * lets Catalyst prune projections a sink would keep, but both
+  * harnesses prune identically).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {

@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Unlike Bench, the persisted stores (IVF index / signature band
+    // table / int8 codes / LSH candidates) are NOT pre-built here: the
+    // four store-backed queries build lazily on first call, which is
+    // fine for a correctness dump (results are identical either way;
+    // only that first call's latency includes the build).
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -248,4 +248,38 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
     assert(full.toSeq == brute.toSeq)
   }
+
+  test("ensureLshCandidates: persisted pairs == recomputed; stale on growth") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val path = tmpDir("lshcand") + "/store"
+    // persisted candidate verify == the all-in-one LSH path, exactly
+    val stored = Similarity.verifyCandidates(
+        Similarity.ensureLshCandidates(emb, path), emb, 0.4)
+      .select("vec_a", "vec_b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Similarity.nearDupPairsLsh(emb, 0.4)
+      .select("vec_a", "vec_b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored == direct,
+      "persisted candidate stage must not change the LSH result")
+    // second ensure is a no-op (same fingerprint -> same files)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$path/cand/_SUCCESS"))
+      .getModificationTime
+    Similarity.ensureLshCandidates(emb, path)
+    assert(fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$path/cand/_SUCCESS"))
+      .getModificationTime == t0, "unchanged corpus must not rebuild")
+    // a grown corpus changes the fingerprint -> rebuild, and the new
+    // store answers for the grown corpus
+    import spark.implicits._
+    val grown = emb.select(col("vec_id"), col("embedding")).union(
+      emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val grownCand = Similarity.ensureLshCandidates(grown, path)
+    assert(grownCand.filter(col("vec_b") === 100000L).count() >= 1,
+      "rebuilt store must contain the appended near-dup's candidates")
+  }
 }
