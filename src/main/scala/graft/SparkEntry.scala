@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.agg.DailyRollup
-import graft.query.{CurationQueries, PipelineQueries, ReferenceQueries, ReshapeQueries, SamplingQueries, SqlSurfaceQueries, StarSchemaQueries, TemporalQueries}
+import graft.query.{AnalyticsQueries, CurationQueries, PipelineQueries, ReferenceQueries, ReshapeQueries, SamplingQueries, SqlSurfaceQueries, StarSchemaQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -22,7 +22,8 @@ object SparkEntry {
     ReferenceQueries.queries ++ StarSchemaQueries.queries ++
       PipelineQueries.queries ++ SqlSurfaceQueries.queries ++
       TemporalQueries.queries ++ ReshapeQueries.queries ++
-      SamplingQueries.queries ++ CurationQueries.queries
+      SamplingQueries.queries ++ CurationQueries.queries ++
+      AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     ReferenceQueries.oracles ++ StarSchemaQueries.oracles ++
       PipelineQueries.oracles ++ SqlSurfaceQueries.oracles ++
       TemporalQueries.oracles ++ ReshapeQueries.oracles ++
-      SamplingQueries.oracles ++ CurationQueries.oracles
+      SamplingQueries.oracles ++ CurationQueries.oracles ++
+      AnalyticsQueries.oracles
 }

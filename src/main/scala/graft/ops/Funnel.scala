@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the events stream: ordered-step funnels
+  * and cohort retention — the windowFunnel/retention product-analytics
+  * surface a user of the reference pipeline (kafka+clickhouse.md:
+  * 453-470 positions `events` for exactly this) reaches for next,
+  * re-expressed as shuffle-minimal relational plans.
+  */
+object Funnel {
+
+  /** Earliest-anchor ordered funnel: per user, how many funnel steps
+    * completed IN ORDER, where the chain anchors at the user's earliest
+    * step-1 event, each later step is strictly after the previous
+    * step's event, and every step lands within `windowUs` of the
+    * anchor. Greedy semantics: the earliest qualifying event is taken
+    * at every step (a later anchor that would complete more steps is
+    * not considered) — deterministic, and matched exactly by the
+    * oracle SQL.
+    *
+    * Plan shape (the 100 TB consideration): one min-aggregate of the
+    * step-filtered events per step, each joined and re-grouped on the
+    * SAME user key — every stage reuses the hash-partitioning on
+    * `user`, so an n-step funnel costs n filtered-shuffle passes,
+    * never a pairwise self-join and never a per-user collect_list.
+    */
+  def userLevels(events: DataFrame, user: Column, tsUs: Column,
+      steps: Seq[Column], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val cols = user.as("u") +: tsUs.as("ts_us") +:
+      steps.zipWithIndex.map { case (p, i) => p.as(s"p$i") }
+    val base = events.select(cols: _*)
+    val first = base.filter(col("p0")).groupBy("u")
+      .agg(min("ts_us").as("t"))
+      .withColumn("anchor", col("t"))
+    val reached = steps.indices.tail.scanLeft(first) { (prev, i) =>
+      base.filter(col(s"p$i"))
+        .join(prev.select(col("u"), col("t").as("t_prev"), col("anchor")),
+          "u")
+        .filter(col("ts_us") > col("t_prev") &&
+          col("ts_us") <= col("anchor") + lit(windowUs))
+        // anchor is constant per user within the group; min() keeps the
+        // aggregate deterministic (first() is not)
+        .groupBy("u").agg(min("ts_us").as("t"), min("anchor").as("anchor"))
+    }
+    val levels = reached.zipWithIndex
+      .map { case (df, i) => df.select(col("u"), lit(i + 1).as("lvl")) }
+      .reduce(_ unionByName _)
+      .groupBy("u").agg(max("lvl").as("lvl"))
+    events.select(user.as("u")).distinct()
+      .join(levels, Seq("u"), "left")
+      .select(col("u").as("user_id"),
+        coalesce(col("lvl"), lit(0)).as("funnel_level"))
+  }
+
+  /** Cohort retention: users grouped by first-seen day; for each
+    * cohort day, how many distinct users are active again EXACTLY
+    * `offsets` days later. Output: (c_day, n_users, d<o1>, d<o2>, …).
+    *
+    * Two aggregations and one equi-join, all keyed on the user column:
+    * the per-user cohort map is one row per user and re-shuffles on the
+    * same key, so on a cluster this is two passes over the deduped
+    * (user, day) activity set — no per-day self-joins.
+    */
+  def retention(events: DataFrame, user: Column, ts: Column,
+      offsets: Seq[Int]): DataFrame = {
+    val act = events.select(user.as("u"), to_date(ts).as("day")).distinct()
+    val cohort = act.groupBy("u").agg(min("day").as("c_day"))
+    val offs = act.join(cohort, "u")
+      .select(col("u"), col("c_day"),
+        datediff(col("day"), col("c_day")).as("off"))
+    val aggs = countDistinct(col("u")).as("n_users") +:
+      offsets.map(o =>
+        countDistinct(when(col("off") === o, col("u"))).as(s"d$o"))
+    offs.groupBy("c_day").agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -96,6 +96,36 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Corpus-unigram log-likelihood quality score — the LM-perplexity
+    * filter of a pretraining pipeline (CCNet-style), with the corpus
+    * itself as the language model: per document, the mean
+    * ln-probability of its words under the corpus unigram
+    * distribution (avg ln c(w) − ln N, algebraically identical to
+    * avg ln(c(w)/N) but numerically cheaper). Outlier docs score low.
+    *
+    * Plan shape: word counts are one map-side-combined aggregate; the
+    * per-doc pass equi-joins words to counts on the word key; the
+    * corpus total rides along as a broadcast 1-row frame — no driver
+    * collect, and nothing quadratic. Words use the same [^a-z]+ split
+    * as vocab building (ReshapeQueries.vocab_topk) so the two share
+    * scan shape.
+    */
+  def unigramLogLik(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = docs
+      .select(id.as("doc_id"),
+        explode(split(lower(text), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+    val counts = words.groupBy("word").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("n"))
+    words.join(counts, "word")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_words"),
+        (avg(log(col("c"))) - log(col("n"))).as("ll"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("ll"), 3).as("avg_loglik"))
+  }
+
   /** PII masking: emails then phone-like digit runs replaced with
     * placeholder tags — the scrub pass a training corpus goes through
     * before anything else sees it. Patterns are deliberately in the

@@ -1,0 +1,169 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Funnel, TextAnalysis}
+
+/** Product/behavioral analytics + corpus-LM surface: the windowFunnel /
+  * retention / argMax / histogram idioms a user of the reference's
+  * ClickHouse-backed events table runs daily (kafka+clickhouse.md:
+  * 453-470 is exactly this rollup family), plus correlated scalar
+  * subqueries and a corpus-unigram LM quality gate. Each oracle-paired
+  * against a plain-SQL DuckDB formulation of identical semantics.
+  */
+object AnalyticsQueries {
+
+  private val dayUs = 24L * 3600L * 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered 3-step funnel view→click→purchase, 24 h window from the
+    // earliest view (ClickHouse windowFunnel analog; Funnel.userLevels
+    // documents the earliest-anchor greedy semantics both engines pin).
+    "funnel_steps" -> ((s, d) =>
+      Funnel.userLevels(Tables.events(s, d), col("user_id"),
+          unix_micros(col("ts")),
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"), windowUs = dayUs)
+        .groupBy(col("funnel_level"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("funnel_level"))),
+
+    // Day-N cohort retention (ClickHouse retention analog): users
+    // bucketed by first-seen day; exact-day returns at +1/+7/+14.
+    "retention_cohort" -> ((s, d) =>
+      Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"),
+          Seq(1, 7, 14))
+        .select(date_format(col("c_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("n_users"), col("d1"), col("d7"), col("d14"))
+        .orderBy(col("cohort_day"))),
+
+    // argMax/argMin (the ClickHouse signature aggregate): per event
+    // type, the user with the highest/lowest total value. max/min over
+    // a (total, user_id) struct — lexicographic, so ties resolve on
+    // user_id deterministically in both engines; no window needed.
+    "agg_argmax" -> ((s, d) => {
+      val tot = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value")).as("total"))
+      tot.groupBy(col("event_type"))
+        .agg(max(struct(col("total"), col("user_id"))).as("mx"),
+          min(struct(col("total"), col("user_id"))).as("mn"))
+        .select(col("event_type"),
+          col("mx.user_id").as("top_user"),
+          round(col("mx.total"), 2).as("top_total"),
+          col("mn.user_id").as("bottom_user"),
+          round(col("mn.total"), 2).as("bottom_total"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Fixed-width price histogram (ClickHouse histogram analog, with
+    // deterministic bins instead of its adaptive ones): one map-side-
+    // combined aggregate over a 2-column scan; min/max per bin are
+    // exact (no float-sum order sensitivity).
+    "agg_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n_items"),
+          round(min(col("l_extendedprice")), 2).as("lo_price"),
+          round(max(col("l_extendedprice")), 2).as("hi_price"))
+        .orderBy(col("bin"))),
+
+    // Correlated scalar subqueries (two per row — count + sum), the
+    // "above this customer's average" shape. Phrased as price*count >
+    // sum in exact decimals so neither engine divides doubles at the
+    // comparison boundary. Catalyst decorrelates both subqueries into
+    // one aggregate + join on o_custkey — no per-row re-scan.
+    "subquery_scalar_correlated" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+              |FROM orders_v o
+              |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              |    (SELECT count(*) FROM orders_v o2
+              |     WHERE o2.o_custkey = o.o_custkey)
+              |  > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+              |     FROM orders_v o3 WHERE o3.o_custkey = o.o_custkey)
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Corpus-unigram LM score per document (CCNet-style quality gate).
+    "text_unigram_loglik" -> ((s, d) =>
+      TextAnalysis.unigramLogLik(Tables.documents(s, d), col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "funnel_steps" ->
+      s"""WITH t AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |u AS (SELECT DISTINCT user_id FROM t),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM t
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT t.user_id, min(ts_us) AS t2 FROM t
+        |    JOIN s1 USING(user_id)
+        |  WHERE event_type = 'click' AND ts_us > t1
+        |    AND ts_us <= t1 + $dayUs GROUP BY 1),
+        |s3 AS (SELECT t.user_id, min(ts_us) AS t3 FROM t
+        |    JOIN s2 USING(user_id) JOIN s1 USING(user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > t2
+        |    AND ts_us <= t1 + $dayUs GROUP BY 1)
+        |SELECT funnel_level, count(*) AS n_users FROM (
+        |  SELECT u.user_id,
+        |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level
+        |  FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
+        |    LEFT JOIN s3 USING(user_id))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "retention_cohort" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |a AS (SELECT DISTINCT user_id, day FROM t),
+        |c AS (SELECT user_id, min(day) AS c_day FROM a GROUP BY 1)
+        |SELECT strftime(c_day, '%Y-%m-%d') AS cohort_day,
+        |  count(DISTINCT a.user_id) AS n_users,
+        |  count(DISTINCT CASE WHEN day = c_day + 1 THEN a.user_id END)
+        |    AS d1,
+        |  count(DISTINCT CASE WHEN day = c_day + 7 THEN a.user_id END)
+        |    AS d7,
+        |  count(DISTINCT CASE WHEN day = c_day + 14 THEN a.user_id END)
+        |    AS d14
+        |FROM a JOIN c USING(user_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_argmax" ->
+      """WITH tot AS (SELECT event_type, user_id, sum(value) AS total
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |    max({'total': total, 'user_id': user_id}) AS mx,
+        |    min({'total': total, 'user_id': user_id}) AS mn
+        |  FROM tot GROUP BY 1)
+        |SELECT event_type, mx.user_id AS top_user,
+        |  round(mx.total, 2) AS top_total,
+        |  mn.user_id AS bottom_user, round(mn.total, 2) AS bottom_total
+        |FROM m ORDER BY 1""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+        |  count(*) AS n_items, round(min(l_extendedprice), 2) AS lo_price,
+        |  round(max(l_extendedprice), 2) AS hi_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "subquery_scalar_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |    (SELECT count(*) FROM orders o2
+        |     WHERE o2.o_custkey = o.o_custkey)
+        |  > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |     FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "text_unigram_loglik" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+        |    '[^a-z]+')) AS word FROM documents),
+        |wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |c AS (SELECT word, count(*) AS c FROM wf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM wf)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(avg(ln(c)) - ln(n), 3) AS avg_loglik
+        |FROM wf JOIN c USING(word) CROSS JOIN n
+        |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the funnel/retention semantics the oracle SQL encodes:
+  * earliest-anchor greedy chains, strict ordering, window from the
+  * anchor, exact-day retention offsets.
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000L // one hour in micros
+  private val steps = Seq(col("t") === "view", col("t") === "click",
+    col("t") === "purchase")
+
+  private def levels(rows: (Long, String, Long)*): Map[Long, Int] = {
+    val ev = rows.toSeq.toDF("u", "t", "us")
+    Funnel.userLevels(ev, col("u"), col("us"), steps, windowUs = 24 * H)
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("complete chain in window reaches level 3") {
+    assert(levels((1L, "view", 0L), (1L, "click", H), (1L, "purchase", 2 * H))
+      === Map(1L -> 3))
+  }
+
+  test("step outside the anchor window does not count") {
+    // click lands 25h after the anchoring view
+    assert(levels((1L, "view", 0L), (1L, "click", 25 * H)) === Map(1L -> 1))
+    // click in window, purchase at 30h out of it -> level 2
+    assert(levels((2L, "view", 0L), (2L, "click", H),
+      (2L, "purchase", 30 * H)) === Map(2L -> 2))
+  }
+
+  test("order is strict: earlier steps can't reuse later-step events") {
+    // click/purchase BEFORE the first view -> only level 1
+    assert(levels((1L, "click", 0L), (1L, "purchase", H),
+      (1L, "view", 2 * H)) === Map(1L -> 1))
+    // same-timestamp click does not satisfy strictly-after
+    assert(levels((2L, "view", 0L), (2L, "click", 0L)) === Map(2L -> 1))
+  }
+
+  test("no step-1 event means level 0; greedy anchor is the earliest view") {
+    assert(levels((1L, "purchase", 0L)) === Map(1L -> 0))
+    // anchor = view@0 (not view@22h): purchase@25h is outside ITS window
+    // even though a 22h anchor would admit it — greedy semantics
+    assert(levels((2L, "view", 0L), (2L, "click", 23 * H),
+      (2L, "view", 22 * H), (2L, "purchase", 25 * H)) === Map(2L -> 2))
+  }
+
+  test("retention counts exact-day returns per cohort") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 09:00:00"),
+      (1L, "2024-01-08 12:00:00"),
+      (2L, "2024-01-01 23:59:59"),
+      (3L, "2024-01-02 00:00:00"), (3L, "2024-01-09 08:00:00"))
+      .toDF("u", "s").select(col("u"), col("s").cast("timestamp").as("ts"))
+    val out = Funnel.retention(ev, col("u"), col("ts"), Seq(1, 7))
+      .select(date_format(col("c_day"), "yyyy-MM-dd"), col("n_users"),
+        col("d1"), col("d7"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    // cohort Jan 1: users 1,2; user 1 returns on day+1 and day+7
+    assert(out("2024-01-01") === ((2L, 1L, 1L)))
+    // cohort Jan 2: user 3 returns on day+7 only
+    assert(out("2024-01-02") === ((1L, 0L, 1L)))
+  }
+
+  test("unigram log-likelihood matches hand computation") {
+    // corpus: "a a b" + "b" -> c(a)=2, c(b)=2, N=4
+    // doc 0: avg(ln 2) - ln 4 = -ln 2; doc 1: ln 2 - ln 4 = -ln 2
+    val docs = Seq((0L, "a a b"), (1L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogLik(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, ll) => k -> ((n, ll)) }.toMap
+    val expected = BigDecimal(-math.log(2)).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) === ((3L, expected)))
+    assert(out(1L) === ((1L, expected)))
+  }
+}

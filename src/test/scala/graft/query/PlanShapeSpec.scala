@@ -18,11 +18,15 @@ import graft.{SparkEntry, SparkSpec}
   *    are sim_cosine_lsh / sim_cosine_ivf / sim_cosine_ivf_indexed.
   *  - `join_cross_dims`: the cross-join operator itself, over two
   *    tiny dimension tables.
+  *  - `text_unigram_loglik`: broadcasts a ONE-ROW aggregate (the
+  *    corpus word total) onto every row — O(n x 1), the standard
+  *    scalar-attach shape, not a pair join.
   */
 class PlanShapeSpec extends SparkSpec {
 
   private val justifiedQuadratic =
-    Set("sim_cosine_topk", "sim_cosine_topk_int8", "join_cross_dims")
+    Set("sim_cosine_topk", "sim_cosine_topk_int8", "join_cross_dims",
+      "text_unigram_loglik")
 
   test("no quadratic join in any registered non-oracle query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
