@@ -92,7 +92,21 @@ object AnalyticsQueries {
     "text_unigram_loglik" -> ((s, d) =>
       TextAnalysis.unigramLogLik(Tables.documents(s, d), col("doc_id"),
           col("text"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Hopping (sliding) window rollup — 1 h windows every 30 min, so
+    // each event lands in exactly 2 windows (the batch twin of the
+    // streaming WindowedRollup pipeline; epoch-aligned like Spark's
+    // window()). One explode-by-2 then a map-side-combined aggregate.
+    "hopping_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("total"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("ws_us"),
+          col("event_type"), col("total"), col("sum_value"))
+        .orderBy(col("ws_us"), col("event_type")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,6 +169,18 @@ object AnalyticsQueries {
         |  > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
         |     FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "hopping_rollup" ->
+      """WITH t AS (SELECT event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |k AS (SELECT 0 AS k UNION ALL SELECT 1),
+        |w AS (SELECT event_type, value,
+        |    ((ts_us // 1800000000) - k) * 1800000000 AS ws_us
+        |  FROM t CROSS JOIN k
+        |  WHERE ts_us < ((ts_us // 1800000000) - k) * 1800000000
+        |    + 3600000000)
+        |SELECT ws_us, event_type, count(*) AS total,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_unigram_loglik" ->
       """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
         |    '[^a-z]+')) AS word FROM documents),

@@ -104,6 +104,33 @@ object Maintenance {
     }
   }
 
+  /** TTL expiry for a hive-partitioned table (ClickHouse `TTL ...
+    * DELETE` analog, kafka+clickhouse.md's MergeTree day-parts are the
+    * layout this assumes): DROP whole partition directories whose
+    * partition VALUE the predicate marks expired. Never rewrites or
+    * scans data — at 100 TB retention is a metadata operation on
+    * day-parts, one directory delete per expired day, exactly like
+    * ClickHouse dropping aged parts. Returns the dropped values.
+    *
+    * The predicate sees the raw partition-value string (e.g.
+    * "2024-01-05" for `day=2024-01-05`); callers compare against their
+    * cutoff lexicographically (ISO dates / yyyymmdd keys sort
+    * correctly as strings).
+    */
+  def expireTtl(spark: SparkSession, path: String, partitionCol: String,
+      isExpired: String => Boolean): Seq[String] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(path)
+    if (!fs.exists(base)) return Nil
+    val prefix = s"$partitionCol="
+    fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => st.getPath)
+      .filter(p => isExpired(p.getName.stripPrefix(prefix)))
+      .map { p => fs.delete(p, true); p.getName.stripPrefix(prefix) }
+      .sorted
+  }
+
   /** Parquet file count under a partitioned table (diagnostic). */
   def dataFileCount(spark: SparkSession, path: String): Int = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -139,4 +139,23 @@ class ScaleSpec extends SparkSpec {
       .collect().toSet
     assert(reread == got)
   }
+
+  test("expireTtl drops whole expired day-parts, never touches live ones") {
+    val path = tmpDir("ttl") + "/t"
+    Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-10", 3L),
+      ("2024-01-11", 4L)).toDF("day", "v")
+      .write.partitionBy("day").parquet(path)
+    val filesBefore = Maintenance.dataFileCount(spark, path)
+    val dropped = Maintenance.expireTtl(spark, path, "day",
+      _ < "2024-01-10") // lexicographic cutoff on ISO dates
+    assert(dropped == Seq("2024-01-01", "2024-01-02"))
+    val left = spark.read.parquet(path).select("day", "v")
+      .as[(String, Long)].collect().toSet
+    assert(left == Set(("2024-01-10", 3L), ("2024-01-11", 4L)))
+    // survivors' files untouched (drop is a directory delete, not a
+    // rewrite), and a second pass is a no-op
+    assert(Maintenance.dataFileCount(spark, path) < filesBefore)
+    assert(Maintenance.expireTtl(spark, path, "day",
+      _ < "2024-01-10").isEmpty)
+  }
 }
