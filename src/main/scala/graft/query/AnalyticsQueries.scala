@@ -94,6 +94,35 @@ object AnalyticsQueries {
           col("text"))
         .orderBy(col("doc_id"))),
 
+    // Event-sequence pattern match (ClickHouse sequenceMatch/
+    // sequenceCount analog): each user's events collapse to a 1-char-
+    // per-event code string in (ts, event_id) order, then plain regex
+    // answers "did view→click→purchase happen ADJACENTLY" and "how
+    // many click→purchase pairs". One shuffle on user_id; per-user
+    // sequences are bounded (events-per-user), and the regex runs
+    // codegen'd per group — no joins at all.
+    "sequence_match_users" -> ((s, d) => {
+      val code = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e")
+      val seqs = Tables.events(s, d)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), code.as("code")).as("ev"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(sort_array(collect_list(col("ev"))),
+          x => x.getField("code")), "").as("seq"))
+      seqs.select(col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          regexp_like(col("seq"), lit("vcp")).cast("int").as("m_strict"),
+          ((length(col("seq")) -
+            length(regexp_replace(col("seq"), "cp", ""))) / 2)
+            .cast("long").as("n_cp"))
+        .orderBy(col("user_id"))
+    }),
+
     // Hopping (sliding) window rollup — 1 h windows every 30 min, so
     // each event lands in exactly 2 windows (the batch twin of the
     // streaming WindowedRollup pipeline; epoch-aligned like Spark's
@@ -169,6 +198,20 @@ object AnalyticsQueries {
         |  > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
         |     FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "sequence_match_users" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |      ELSE 'e' END AS code FROM events),
+        |seqs AS (SELECT user_id,
+        |    string_agg(code, '' ORDER BY ts_us, event_id) AS seq
+        |  FROM t GROUP BY 1)
+        |SELECT user_id, len(seq) AS seq_len,
+        |  CAST(regexp_matches(seq, 'vcp') AS INT) AS m_strict,
+        |  CAST((len(seq) - len(replace(seq, 'cp', ''))) / 2 AS BIGINT)
+        |    AS n_cp
+        |FROM seqs ORDER BY user_id""".stripMargin,
     "hopping_rollup" ->
       """WITH t AS (SELECT event_type, value,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

@@ -97,6 +97,30 @@ object SqlSurfaceQueries {
           lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
         .orderBy(col("p_partkey"))),
 
+    // F-row extensions: array scalar functions (the ClickHouse
+    // arrayMap/arrayFilter/arraySum family) as codegen'd higher-order
+    // functions over per-order quantity lists. The collected arrays are
+    // per-ORDER (bounded ~7 elements), the fold order is pinned by
+    // sort_array on (linenumber, quantity) — (orderkey, linenumber) is
+    // NOT unique in the synthetic data — so both engines sum the same
+    // doubles in the same order.
+    "scalar_array_hofs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 2000)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"),
+          col("l_quantity")))).as("sl"))
+        .select(col("l_orderkey"),
+          transform(col("sl"), x => x.getField("l_quantity"))
+            .as("qtys"))
+        .select(col("l_orderkey"),
+          size(col("qtys")).cast("long").as("n_items"),
+          round(aggregate(transform(col("qtys"), q => q * 2),
+            lit(0.0), (acc, x) => acc + x), 1).as("double_qty_sum"),
+          size(filter(col("qtys"), q => q > 25)).cast("long")
+            .as("n_large"))
+        .orderBy(col("l_orderkey"))),
+
     // F-row extensions: date-part extraction rollup.
     "scalar_date_parts" -> ((s, d) =>
       Tables.orders(s, d)
@@ -321,6 +345,15 @@ object SqlSurfaceQueries {
         | length(p_name) AS name_len,
         | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_array_hofs" ->
+      """WITH a AS (SELECT l_orderkey,
+        |    list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+        |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1)
+        |SELECT l_orderkey, len(qtys) AS n_items,
+        |  round(list_sum(list_transform(qtys, q -> q * 2)), 1)
+        |    AS double_qty_sum,
+        |  len(list_filter(qtys, q -> q > 25)) AS n_large
+        |FROM a ORDER BY l_orderkey""".stripMargin,
     "scalar_date_parts" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS y,
         | CAST(quarter(o_orderdate) AS INT) AS q,
