@@ -141,6 +141,47 @@ object StreamBench {
       s""""value":$sessRate,"unit":"events/sec","events":$nEvents,""" +
       s""""seconds":$sessSec,"closed_sessions":$closed}""")
 
+    // Streaming funnel: per-user keyed funnel state over its own topic
+    // — 5000 users cycle delivered -> open -> click in event-time
+    // order (one step per 5000-event round), so attempts complete and
+    // re-anchor continuously; prices the keyed-state fold + in-stream
+    // emissions + timeout bookkeeping.
+    val fcfg = PipelineConfig(topicsRoot = s"$root/topics",
+      topics = Map("event_tracking" -> "funnel.topic"),
+      warehouseRoot = s"$root/wh_funnel")
+    val fdir = Paths.get(fcfg.topicDir("event_tracking"))
+    Files.createDirectories(fdir)
+    val fsteps = Array("delivered", "open", "click")
+    id = 0
+    (0 until nFiles).foreach { f =>
+      val sb = new StringBuilder(perFile * 160)
+      (0 until perFile).foreach { _ =>
+        val sec0 = id / 5 // 0.2 s of event time per event
+        val day = 10 + sec0 / 86400
+        val sec = sec0 % 86400
+        val t = f"2026-08-$day%02dT${sec / 3600}%02d:" +
+          f"${(sec / 60) % 60}%02d:${sec % 60}%02d"
+        sb.append(s"""{"campaign_id": "c1", "workspace_id": "w",""")
+          .append(s""" "email": "u${id % 5000}@x",""")
+          .append(s""" "event_type": "${fsteps((id / 5000) % 3)}",""")
+          .append(s""" "event_time": "$t", "metadata": {}}""")
+          .append('\n')
+        id += 1
+      }
+      Files.writeString(fdir.resolve(f"part-$f%04d.json"), sb.toString)
+    }
+    val funSec = timed {
+      graft.pipeline.FunnelPipeline.start(spark, fcfg,
+        maxFilesPerTrigger = 2).awaitTermination()
+    }
+    val funCompleted = graft.pipeline.FunnelPipeline
+      .results(spark, fcfg).filter("completed").count()
+    require(funCompleted > 0, "no funnel completions emitted")
+    val funRate = nEvents / funSec
+    emit(s"""{"metric":"stream_funnel_events_per_sec",""" +
+      s""""value":$funRate,"unit":"events/sec","events":$nEvents,""" +
+      s""""seconds":$funSec,"completed":$funCompleted}""")
+
     // Streaming curation: docs through the gate + fingerprint-dedup
     // pipeline — 10% exact re-crawls (dropped by state), 5% degenerate
     // (rejected), ~45-word docs.
