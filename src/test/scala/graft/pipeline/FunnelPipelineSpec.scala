@@ -81,6 +81,45 @@ class FunnelPipelineSpec extends SparkSpec {
     assert(FunnelPipeline.results(spark, c).count() == before)
   }
 
+  test("first-attempt levels match the batch Funnel operator on random input") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val c = cfg()
+    // 40 users x 6 events with seeded-random types/times in a 2 h span;
+    // 1 h funnel window so levels spread. The far-future sentinel
+    // advances the watermark past every deadline so ALL attempts close.
+    val rnd = new scala.util.Random(7)
+    val types = Vector("delivered", "open", "click", "bounce")
+    val evs = for { u <- 0 until 40; _ <- 0 until 6 } yield {
+      val t = rnd.nextInt(7200)
+      (f"u$u%02d", types(rnd.nextInt(types.size)),
+        f"2026-01-01T${10 + t / 3600}%02d:${(t / 60) % 60}%02d:${t % 60}%02d")
+    }
+    writeTopicFile(c, "b0.json",
+      evs.map { case (u, ty, t) => wire(u, ty, t) } :+
+        wire("zz", "delivered", "2026-02-01T00:00:00"))
+    run(c)
+    // streaming: level of each user's FIRST attempt (min anchor);
+    // users that never anchored have no row -> level 0
+    val streamed = collected(c).filter(_._1 != "zz")
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.minBy(_._2)._3
+      }
+    // batch operator over the same tuples (ms timestamps, 1 h window)
+    val batchDf = evs.toSeq.toDF("u", "typ", "t")
+      .select(col("u"), col("typ"),
+        (org.apache.spark.sql.functions.unix_micros(
+          col("t").cast("timestamp")) / 1000).cast("long").as("ms"))
+    val batch = graft.ops.Funnel.userLevels(batchDf, col("u"), col("ms"),
+        Seq(col("typ") === lit("delivered"), col("typ") === lit("open"),
+          col("typ") === lit("click")), windowUs = 3600L * 1000L)
+      .as[(String, Int)].collect().toMap
+    batch.foreach { case (u, lvl) =>
+      assert(streamed.getOrElse(u, 0) == lvl,
+        s"user $u: streaming ${streamed.getOrElse(u, 0)} != batch $lvl")
+    }
+  }
+
   test("strict order within the window: out-of-order batch still exact") {
     val c = cfg()
     // intra-batch disorder: click arrives first in the file but
