@@ -1,6 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -135,7 +136,58 @@ object AnalyticsQueries {
           round(sum(col("value")), 2).as("sum_value"))
         .select(unix_micros(col("w.start")).as("ws_us"),
           col("event_type"), col("total"), col("sum_value"))
-        .orderBy(col("ws_us"), col("event_type")))
+        .orderBy(col("ws_us"), col("event_type"))),
+
+    // Time-series gap filling (ClickHouse ORDER BY ... WITH FILL /
+    // INTERPOLATE analog): per-type hourly rollup densified to a
+    // complete hour spine, missing hours filled with 0 and the last
+    // seen hourly sum carried forward. The spine is generated per type
+    // from its own [min, max] (sequence + explode — no cross join, no
+    // driver materialization); the join back is a plain equi-join and
+    // the carry-forward is one window over the same partitioning.
+    "timeseries_fill_hours" -> ((s, d) => {
+      val h = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      val spine = h.groupBy(col("event_type"))
+        .agg(min("hour_us").as("lo"), max("hour_us").as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(3600000000L)))
+            .as("hour_us"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("hour_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(h, Seq("event_type", "hour_us"), "left")
+        .select(col("event_type"), col("hour_us"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("v"), ignoreNulls = true).over(w).as("carried_v"))
+        .orderBy(col("event_type"), col("hour_us"))
+    }),
+
+    // Robust outlier gate (median/MAD, the statistical sibling of the
+    // heuristic quality filters): docs whose length deviates from
+    // their language's median by >1.5 MAD. Exact medians here (tiny
+    // group count; swap percentile -> percentile_approx for the
+    // 100 TB path, same plan shape). All joins are on the 5-row lang
+    // key, broadcast automatically; comparisons stay exact because
+    // integer-vs-half-integer arithmetic is exact in doubles.
+    "quality_outliers_mad" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val med = docs.groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.5)).as("m"))
+      val dev = docs.join(med, "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          abs(col("n_chars") - col("m")).as("dv"))
+      val mad = dev.groupBy(col("lang"))
+        .agg(percentile(col("dv"), lit(0.5)).as("mad"))
+      dev.join(mad, "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("dv") > lit(1.5) * col("mad")).cast("int")
+            .as("is_outlier"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,6 +276,33 @@ object AnalyticsQueries {
         |SELECT ws_us, event_type, count(*) AS total,
         |  round(sum(value), 2) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "quality_outliers_mad" ->
+      """WITH med AS (SELECT lang, median(n_chars) AS m
+        |  FROM documents GROUP BY 1),
+        |dev AS (SELECT d.doc_id, d.lang, d.n_chars,
+        |    abs(d.n_chars - m) AS dv
+        |  FROM documents d JOIN med USING(lang)),
+        |mad AS (SELECT lang, median(dv) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.doc_id, dev.lang, dev.n_chars,
+        |  CAST(dev.dv > 1.5 * mad.mad AS INT) AS is_outlier
+        |FROM dev JOIN mad USING(lang) ORDER BY dev.doc_id""".stripMargin,
+    "timeseries_fill_hours" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS hour_us,
+        |    count(*) AS n, round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hour_us) AS lo, max(hour_us) AS hi
+        |  FROM h GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+        |  FROM b)
+        |SELECT s.event_type, s.hour_us, coalesce(n, 0) AS n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |    ORDER BY s.hour_us ROWS UNBOUNDED PRECEDING) AS carried_v
+        |FROM spine s LEFT JOIN h
+        |  ON s.event_type = h.event_type AND s.hour_us = h.hour_us
+        |ORDER BY s.event_type, s.hour_us""".stripMargin,
     "text_unigram_loglik" ->
       """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
         |    '[^a-z]+')) AS word FROM documents),
