@@ -64,7 +64,13 @@ object CurationQueries {
     // (naive composition measured 4x slower at sf0.1).
     "pipeline_pretraining_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val grams = Curation.docNgrams(docs, N)
+      // The gram STRING never reaches the output — every consumer
+      // counts or joins on it — so grams are hashed at generation
+      // (docNgramHashes): the distinct, the checkpointed table, and
+      // all three gate joins shuffle 8-byte keys, not ~30-byte
+      // strings. Collision risk and the measured effect are on the
+      // operator's scaladoc.
+      val grams = Curation.docNgramHashes(docs, N)
         .join(broadcast(docs.select(col("doc_id"), col("source"))),
           "doc_id")
         // eager checkpoint, NOT lazy persist: the gate branches include
