@@ -55,7 +55,22 @@ object ReshapeQueries {
         .filter(col("token") =!= "")
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
-        .limit(100))
+        .limit(100)),
+
+    // Bounded-state heavy hitters (ClickHouse topK analog; see
+    // ops/TopK): same answer as vocab_topk but via a SpaceSaving
+    // summary aggregate — per-task capacity-bounded state, only
+    // summaries shuffle, no distinct-key shuffle at all. Oracle-paired
+    // because capacity (4096) exceeds this corpus's vocabulary, which
+    // makes the summary provably exact (err_max = 0 on every row);
+    // TopKSpec pins the genuinely-approximate small-capacity regime.
+    "vocab_topk_approx" -> ((s, d) =>
+      graft.ops.TopK.topK(
+        Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), "[^a-z]+"))
+            .as("token"))
+          .filter(col("token") =!= ""),
+        col("token"), k = 100))
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,6 +99,13 @@ object ReshapeQueries {
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
         |    AS token FROM documents)
         |WHERE token <> ''
-        |GROUP BY 1 ORDER BY n DESC, token LIMIT 100""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "vocab_topk_approx" ->
+      """SELECT token AS term, count(*) AS cnt_est,
+        |  CAST(0 AS BIGINT) AS err_max FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+        |    AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY 1 ORDER BY cnt_est DESC, term LIMIT 100""".stripMargin
   )
 }

@@ -275,6 +275,57 @@ object SqlSurfaceQueries {
         .select(col("r_name"), col("n_name"))
         .orderBy(col("r_name"), col("n_name"))),
 
+    // Bloom-filter runtime pre-filter ahead of an exact semi join (see
+    // ops/BloomPrune — the explicit twin of AQE's runtime filter): the
+    // fact scan probes a broadcast bloom of the selective order-key
+    // set inside codegen, so only might-match rows reach the join's
+    // shuffle. Exact despite the approximate filter (false positives
+    // die in the semi join; false negatives impossible) — oracle = a
+    // plain EXISTS.
+    "join_bloom_prune" -> ((s, d) =>
+      graft.ops.BloomPrune.semiJoin(Tables.lineitem(s, d),
+          col("l_orderkey"),
+          Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(dec2(col("l_extendedprice"))), 2).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // Conditional-aggregate combinators (the ClickHouse -If family:
+    // countIf / sumIf / avgIf, kafka+clickhouse.md:240-243's rollup
+    // idiom generalized): one pass over events, every branch map-side
+    // combined — the at-scale replacement for N filtered subqueries
+    // (one scan instead of N). Null-empty branches are coalesced so
+    // both engines agree when a day has no matching rows.
+    "agg_conditional_if" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          count_if(col("event_type") === "click").as("n_clicks"),
+          count_if(col("event_type") === "purchase").as("n_purchases"),
+          round(coalesce(sum(when(col("event_type") === "purchase",
+            col("value"))), lit(0.0)), 2).as("purchase_value"),
+          round(coalesce(avg(when(col("event_type") === "view",
+            col("value"))), lit(-1.0)), 2).as("avg_view_value"))
+        .orderBy(col("day"))),
+
+    // Multi-quantile in one aggregate (ClickHouse quantiles(...)(x)):
+    // a single percentile pass computing the whole array — one sort-
+    // based aggregate instead of three, same linear interpolation as
+    // DuckDB's quantile_cont (already pinned by agg_exact_median).
+    "agg_quantiles_multi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("qs"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 2).as("p50"),
+          round(element_at(col("qs"), 2), 2).as("p90"),
+          round(element_at(col("qs"), 3), 2).as("p99"))
+        .orderBy(col("l_returnflag"))),
+
     // Per-source corpus profile: the data-quality summary a pipeline
     // computes before training (volumes, language spread, emptiness,
     // char-length stats) — one pass, all aggregates map-side combined.
@@ -294,6 +345,31 @@ object SqlSurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+        |   AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_totalprice > 400000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_conditional_if" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS n_events,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |  round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'),
+        |    0.0), 2) AS purchase_value,
+        |  round(coalesce(avg(value) FILTER (WHERE event_type = 'view'),
+        |    -1.0), 2) AS avg_view_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_quantiles_multi" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, round(qs[1], 2) AS p50,
+        |  round(qs[2], 2) AS p90, round(qs[3], 2) AS p99
+        |FROM q ORDER BY l_returnflag""".stripMargin,
     "pred_in_like_range" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -131,6 +131,78 @@ object Maintenance {
       .sorted
   }
 
+  /** Row-level delete on a hive-partitioned parquet table — the
+    * ClickHouse mutation analog (`ALTER TABLE ... DELETE WHERE`), and
+    * the GDPR-erasure primitive a training-data store must have.
+    * Copy-on-write per partition with the same temp-dir swap as
+    * [[compactPartitioned]]; partitions are touched only when
+    *
+    *  - `partitionPrune` admits their partition value (pass a real
+    *    pruner whenever the predicate correlates with the partition
+    *    key — then this is day-part-local work, not a table rewrite),
+    *    and
+    *  - they actually contain matching rows (checked with one
+    *    column-pruned scan per candidate partition — a no-match
+    *    partition costs a predicate scan but ZERO write
+    *    amplification).
+    *
+    * This mirrors ClickHouse's own mutation cost model: parts whose
+    * min/max exclude the predicate are skipped, the rest are
+    * rewritten. Returns the partition values actually rewritten.
+    */
+  def deleteWhere(spark: SparkSession, path: String, partitionCol: String,
+      cond: Column,
+      partitionPrune: String => Boolean = _ => true): Seq[String] = {
+    mutatePartitions(spark, path, partitionCol, cond, partitionPrune,
+      df => df.filter(!coalesce(cond, lit(false))))
+  }
+
+  /** Row-level update (`ALTER TABLE ... UPDATE col = expr WHERE`):
+    * every column in `set` becomes `when(cond, expr)` on matching
+    * rows and stays untouched otherwise. Same pruning + copy-on-write
+    * discipline as [[deleteWhere]]. The partition column itself must
+    * not be updated (a partition-moving update is a delete + insert,
+    * as in ClickHouse). Returns the partition values rewritten.
+    */
+  def updateWhere(spark: SparkSession, path: String, partitionCol: String,
+      cond: Column, set: Map[String, Column],
+      partitionPrune: String => Boolean = _ => true): Seq[String] = {
+    require(!set.contains(partitionCol),
+      s"cannot update partition column $partitionCol in place")
+    mutatePartitions(spark, path, partitionCol, cond, partitionPrune,
+      df => set.foldLeft(df) { case (d, (name, expr)) =>
+        d.withColumn(name, when(cond, expr).otherwise(col(name)))
+      })
+  }
+
+  private def mutatePartitions(spark: SparkSession, path: String,
+      partitionCol: String, cond: Column,
+      partitionPrune: String => Boolean,
+      rewrite: DataFrame => DataFrame): Seq[String] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(path)
+    if (!fs.exists(base)) return Nil
+    val prefix = s"$partitionCol="
+    fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val dir = st.getPath
+        if (!partitionPrune(dir.getName.stripPrefix(prefix))) None
+        else {
+          val df = spark.read.parquet(dir.toString)
+          if (df.filter(cond).isEmpty) None
+          else {
+            val tmp = new Path(dir.getParent, s"_mutate_${dir.getName}")
+            rewrite(df).write.mode(SaveMode.Overwrite)
+              .parquet(tmp.toString)
+            swapInPlace(fs, tmp, dir)
+            Some(dir.getName.stripPrefix(prefix))
+          }
+        }
+      }
+  }
+
   /** Parquet file count under a partitioned table (diagnostic). */
   def dataFileCount(spark: SparkSession, path: String): Int = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)

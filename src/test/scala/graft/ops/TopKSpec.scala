@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Pins TopK.topK (SpaceSaving heavy hitters): exact when capacity
+  * covers the vocabulary, and in the genuinely-approximate regime the
+  * SpaceSaving guarantees — overestimate bounded by err_max, true
+  * count never above the estimate, heavy items never evicted. */
+class TopKSpec extends SparkSpec {
+
+  private def words = Tables.documents(spark, sf0001)
+    .select(explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+    .filter(col("token") =!= "")
+
+  test("capacity >= vocabulary => identical to exact groupBy count") {
+    val approx = TopK.topK(words, col("token"), k = 100, capacity = 4096)
+    val exact = words.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(100)
+    val a = approx.select("term", "cnt_est").collect().map(r =>
+      (r.getString(0), r.getLong(1)))
+    val e = exact.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSeq === e.toSeq)
+    assert(approx.filter(col("err_max") =!= 0).isEmpty,
+      "no eviction may occur below capacity, so every row certifies exact")
+  }
+
+  test("small capacity on a skewed stream: bounds hold, heavies survive") {
+    import spark.implicits._
+    // Zipf-ish planted stream: item i appears ceil(2000 / i) times.
+    val stream = (1 to 50).flatMap(i =>
+      Seq.fill(math.ceil(2000.0 / i).toInt)(f"item$i%02d"))
+    // Deterministic multi-partition layout (approximation must engage
+    // in both reduce-eviction and summary-merge paths).
+    val df = spark.sparkContext.parallelize(stream, 8).toDF("token")
+    val truth = stream.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong
+    }
+    val got = TopK.topK(df, col("token"), k = 10, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 10)
+    got.foreach { case (term, est, err) =>
+      val t = truth(term)
+      assert(est >= t, s"$term: SpaceSaving never underestimates")
+      assert(est - err <= t, s"$term: overestimate must be within err_max")
+    }
+    // Presence: the dominant item (true count 2000, ~2x the runner-up
+    // and far above any light item's worst-case inflation of
+    // true + sum-of-merge-floors ~= 1100) must survive any merge
+    // order. Lighter heavies CAN legitimately reorder vs inflated
+    // light items, so only the safely-dominant one is asserted.
+    val kept = got.map(_._1).toSet
+    assert(kept.contains("item01"),
+      s"the dominant item must survive eviction and merges, got $kept")
+  }
+}
