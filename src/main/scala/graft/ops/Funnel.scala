@@ -28,6 +28,30 @@ object Funnel {
     */
   def userLevels(events: DataFrame, user: Column, tsUs: Column,
       steps: Seq[Column], windowUs: Long): DataFrame = {
+    // The reached sets are nested (a user at step i passed step i-1),
+    // so the level is simply the count of non-null step times.
+    val lvl = steps.indices
+      .map(i => when(col(s"t${i + 1}_us").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val times = stepTimes(events, user, tsUs, steps, windowUs)
+      .select(col("user_id").as("u"), lvl.as("lvl"))
+    events.select(user.as("u")).distinct()
+      .join(times, Seq("u"), "left")
+      .select(col("u").as("user_id"),
+        coalesce(col("lvl"), lit(0)).as("funnel_level"))
+  }
+
+  /** Per-user greedy-chain step timestamps — the time-to-convert view
+    * of [[userLevels]] (same earliest-anchor greedy semantics, same
+    * per-step plan shape): one row per user who completed step 1, with
+    * `t1_us .. tN_us` the microsecond timestamp of each completed step
+    * (null once the chain stopped). `tK_us - t(K-1)_us` is the user's
+    * step-K conversion latency; downstream aggregates of those
+    * integer-valued differences are FP-exact (micros within a day
+    * window sum far below 2^53).
+    */
+  def stepTimes(events: DataFrame, user: Column, tsUs: Column,
+      steps: Seq[Column], windowUs: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val cols = user.as("u") +: tsUs.as("ts_us") +:
       steps.zipWithIndex.map { case (p, i) => p.as(s"p$i") }
@@ -45,14 +69,13 @@ object Funnel {
         // aggregate deterministic (first() is not)
         .groupBy("u").agg(min("ts_us").as("t"), min("anchor").as("anchor"))
     }
-    val levels = reached.zipWithIndex
-      .map { case (df, i) => df.select(col("u"), lit(i + 1).as("lvl")) }
-      .reduce(_ unionByName _)
-      .groupBy("u").agg(max("lvl").as("lvl"))
-    events.select(user.as("u")).distinct()
-      .join(levels, Seq("u"), "left")
-      .select(col("u").as("user_id"),
-        coalesce(col("lvl"), lit(0)).as("funnel_level"))
+    reached.zipWithIndex
+      .map { case (df, i) => df.select(col("u"), col("t").as(s"t${i + 1}_us")) }
+      // left joins on the same user key: each frame is a subset of the
+      // previous, so the chain preserves step-1 users and nulls out
+      // unreached steps — and every join reuses the `u` partitioning.
+      .reduceLeft((a, b) => a.join(b, Seq("u"), "left"))
+      .withColumnRenamed("u", "user_id")
   }
 
   /** Cohort retention: users grouped by first-seen day; for each

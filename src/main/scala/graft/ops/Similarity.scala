@@ -325,12 +325,11 @@ object Similarity {
     cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
   }
 
-  /** @param refineIters Lloyd iterations applied to the strided seed
-    *   centroids (0 = seeds as-is). Each iteration is one narrow
-    *   assignment pass + one tiny shuffle. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      numCells: Int = 16, nProbe: Int = 4,
-      refineIters: Int = 0): DataFrame = {
+  /** Strided-seed centroids, optionally Lloyd-refined — the shared
+    * clustering front-end of [[ivfTopK]] and [[semanticDedup]]. Tiny
+    * driver-side collects only (numCells rows + per-iter cell means). */
+  private[ops] def centroids(corpus: DataFrame, numCells: Int,
+      refineIters: Int): Array[Array[Double]] = {
     val dim = embDim(corpus)
     val seeds: Array[Array[Double]] = {
       val n = corpus.count()
@@ -340,8 +339,27 @@ object Similarity {
         .orderBy(col("vec_id")).limit(numCells)
         .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     }
-    val cents = (0 until refineIters).foldLeft(seeds)((c, _) =>
+    (0 until refineIters).foldLeft(seeds)((c, _) =>
       lloydStep(corpus, c, dim))
+  }
+
+  /** Nearest-centroid cell id for an embedding row (argmax affinity via
+    * a materialized score array — see the note in [[ivfTopK]]). */
+  private def cellOf(cents: Array[Array[Double]]): Column = {
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val scoreArr = array(cents.indices.map(i =>
+      vec_dot(col("embedding"),
+        array(cents(i).toIndexedSeq.map(lit): _*)) / lit(norms(i))): _*)
+    (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+  }
+
+  /** @param refineIters Lloyd iterations applied to the strided seed
+    *   centroids (0 = seeds as-is). Each iteration is one narrow
+    *   assignment pass + one tiny shuffle. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCells: Int = 16, nProbe: Int = 4,
+      refineIters: Int = 0): DataFrame = {
+    val cents = centroids(corpus, numCells, refineIters)
     val centNorms = cents.map(c =>
       math.sqrt(c.map(x => x * x).sum))
     def centCol(i: Int): Column =
@@ -420,5 +438,49 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the corpus by nearest
+    * centroid, run exact pairwise cosine WITHIN each cell only, and
+    * drop the higher-id member of every pair with sim >= `t`.
+    *
+    * The scale contract: the pair space is Σ|cell|² instead of
+    * |corpus|² — with balanced cells that is |corpus|²/numCells, and
+    * numCells grows with the corpus (the paper used 50 k cells for
+    * LAION). The within-cell join is an equi-join on `cell`, so each
+    * cell's quadratic work is shuffle-local to one partition group; no
+    * all-pairs plan exists at any size. Near-dups in DIFFERENT cells
+    * are missed by construction — the same recall trade the paper
+    * accepts (near-identical embeddings land in the same cell except
+    * at cell boundaries).
+    *
+    * Returns the KEPT rows as (vec_id, cell), lowest id per duplicate
+    * pair surviving — deterministic for a fixed centroid set
+    * (refineIters = 0 makes it fully so: strided seeds are literals).
+    */
+  def semanticDedup(vectors: DataFrame, t: Double, numCells: Int = 16,
+      refineIters: Int = 0): DataFrame =
+    semanticDedup(vectors, t, centroids(vectors, numCells, refineIters))
+
+  /** [[semanticDedup]] against a caller-supplied centroid set — the
+    * production entry point: at scale the centroids come from a
+    * trained/persisted clustering (e.g. the IVF index build), not an
+    * ad-hoc strided sample. */
+  def semanticDedup(vectors: DataFrame, t: Double,
+      cents: Array[Array[Double]]): DataFrame = {
+    val assigned = vectors.select(col("vec_id"), col("embedding"),
+      vec_norm(col("embedding")).as("norm"), cellOf(cents).as("cell"))
+    def side(s: String) = assigned.select(col("cell"),
+      col("vec_id").as(s"vec_$s"), col("embedding").as(s"emb_$s"),
+      col("norm").as(s"norm_$s"))
+    val drops = side("a").join(side("b"), "cell")
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(vec_dot(col("emb_a"), col("emb_b"))
+        / (col("norm_a") * col("norm_b")), 4) >= t)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
   }
 }

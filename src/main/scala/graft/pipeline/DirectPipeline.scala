@@ -26,17 +26,30 @@ object DirectPipeline {
     *   streaming exactly-once-per-event dedup (state-store backed
     *   `dropDuplicates`, so re-produced events are dropped across
     *   micro-batches, not just within one). Empty = no dedup (the
-    *   reference's at-least-once behavior). State is unbounded without
-    *   a watermark — at production scale pair with `withWatermark` on
-    *   event_time and accept bounded-lateness dedup (H4 tradeoff), or
-    *   periodically expire state out of band. Corrupt records fall
+    *   reference's at-least-once behavior). Corrupt records fall
     *   back to the raw line as identity so they never collapse with
     *   real events.
+    * @param dedupWithin when set (e.g. "1 hour") the dedup state is
+    *   BOUNDED: `dropDuplicatesWithinWatermark` over an event_time
+    *   watermark of this delay, so a key's state expires once the
+    *   watermark passes it — the production configuration (unbounded
+    *   dedup state is a slow OOM at 100 TB; this is the H4
+    *   bounded-lateness tradeoff made explicit). A duplicate arriving
+    *   within the delay is dropped exactly like the unbounded path;
+    *   any WELL-FORMED event later than the watermark — duplicate or
+    *   genuinely new — is dropped as late data (standard stateful-op
+    *   watermark semantics; PipelineSpec pins this, so the trade is
+    *   explicit, not a surprise). Corrupt records BYPASS the
+    *   watermarked operator entirely (a self-union of the source):
+    *   they carry no usable event time, and routing them through the
+    *   watermark would silently destroy the dead-letter trail.
+    *   Ignored when `dedupKeys` is empty.
     */
   def start(spark: SparkSession, cfg: PipelineConfig,
       topicKey: String = "event_tracking",
       trigger: Trigger = Trigger.AvailableNow(),
-      dedupKeys: Seq[String] = Nil): StreamingQuery = {
+      dedupKeys: Seq[String] = Nil,
+      dedupWithin: Option[String] = None): StreamingQuery = {
     val decoded = EventSource.decode(
       EventSource.streamRaw(spark, cfg, topicKey), Schemas.wireEvent)
     val deduped =
@@ -47,7 +60,22 @@ object DirectPipeline {
           case (df, (k, i)) => df.withColumn(s"_dk$i",
             coalesce(col(s"parsed.$k").cast("string"), col("value")))
         }
-        withKeys.dropDuplicates(keyCols).drop(keyCols: _*)
+        dedupWithin match {
+          case None =>
+            withKeys.dropDuplicates(keyCols).drop(keyCols: _*)
+          case Some(delay) =>
+            withKeys.filter(!col("is_corrupt"))
+              // unparseable-but-non-null event_time coalesces to epoch
+              // 0: such rows cannot be stored anyway (event_time is
+              // NOT NULL in the sink) and age out as late data
+              .withColumn("_ev_ts",
+                coalesce(to_timestamp(col("parsed.event_time")),
+                  to_timestamp(lit("1970-01-01 00:00:00"))))
+              .withWatermark("_ev_ts", delay)
+              .dropDuplicatesWithinWatermark(keyCols)
+              .drop("_ev_ts").drop(keyCols: _*)
+              .unionByName(decoded.filter(col("is_corrupt")))
+        }
       }
     deduped.writeStream
       .queryName("clickhouse-writer") // group.id, kafka+clickhouse.md:129

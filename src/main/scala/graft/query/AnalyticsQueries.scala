@@ -31,6 +31,28 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("funnel_level"))),
 
+    // Time-to-convert over the same greedy funnel chain: per-step
+    // completion counts plus mean / median conversion latency between
+    // consecutive steps. Aggregates run on integer microsecond diffs
+    // (FP-exact below 2^53) and divide to seconds only at the end, so
+    // both engines round identical values.
+    "funnel_step_durations" -> ((s, d) => {
+      val st = Funnel.stepTimes(Tables.events(s, d), col("user_id"),
+        unix_micros(col("ts")),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), windowUs = dayUs)
+      st.agg(
+        count(col("t1_us")).as("n_step1"),
+        count(col("t2_us")).as("n_step2"),
+        count(col("t3_us")).as("n_step3"),
+        round(avg(col("t2_us") - col("t1_us")) / 1000000.0, 3)
+          .as("avg_s_view_click"),
+        round(avg(col("t3_us") - col("t2_us")) / 1000000.0, 3)
+          .as("avg_s_click_purchase"),
+        round(percentile(col("t2_us") - col("t1_us"), lit(0.5))
+          / 1000000.0, 3).as("p50_s_view_click"))
+    }),
+
     // Day-N cohort retention (ClickHouse retention analog): users
     // bucketed by first-seen day; exact-day returns at +1/+7/+14.
     "retention_cohort" -> ((s, d) =>
@@ -212,6 +234,27 @@ object AnalyticsQueries {
         |  FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
         |    LEFT JOIN s3 USING(user_id))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "funnel_step_durations" ->
+      s"""WITH t AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM t
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT t.user_id, min(ts_us) AS t2 FROM t
+        |    JOIN s1 USING(user_id)
+        |  WHERE event_type = 'click' AND ts_us > t1
+        |    AND ts_us <= t1 + $dayUs GROUP BY 1),
+        |s3 AS (SELECT t.user_id, min(ts_us) AS t3 FROM t
+        |    JOIN s2 USING(user_id) JOIN s1 USING(user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > t2
+        |    AND ts_us <= t1 + $dayUs GROUP BY 1)
+        |SELECT count(t1) AS n_step1, count(t2) AS n_step2,
+        |  count(t3) AS n_step3,
+        |  round(avg(t2 - t1) / 1000000.0, 3) AS avg_s_view_click,
+        |  round(avg(t3 - t2) / 1000000.0, 3) AS avg_s_click_purchase,
+        |  round(quantile_cont(t2 - t1, 0.5) / 1000000.0, 3)
+        |    AS p50_s_view_click
+        |FROM s1 LEFT JOIN s2 USING(user_id)
+        |  LEFT JOIN s3 USING(user_id)""".stripMargin,
     "retention_cohort" ->
       """WITH t AS (SELECT user_id,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

@@ -173,6 +173,18 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SemDeDup-style semantic dedup (cluster -> within-cell exact
+    // pairwise -> drop higher id; see Similarity.semanticDedup): the
+    // pair space is cell-local (|corpus|²/numCells with balanced
+    // cells), never all-pairs. Cross-cell near-dups are missed by
+    // construction (the paper's recall trade) -> rows-only;
+    // within-cell completeness + no-false-drop vs the exact pair set
+    // are pinned in SimilaritySpec.
+    "dedup_semantic_cells" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), cosineT,
+          numCells = 16)
+        .orderBy(col("vec_id"))),
+
     // ANN over the PERSISTED IVF index — the flagship 100 TB layout:
     // centroid table + cell-PARTITIONED corpus built ONCE (lazily on
     // first call, `ensureIvf` skips the build when the index is on

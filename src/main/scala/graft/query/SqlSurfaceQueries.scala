@@ -311,20 +311,28 @@ object SqlSurfaceQueries {
             col("value"))), lit(-1.0)), 2).as("avg_view_value"))
         .orderBy(col("day"))),
 
-    // Multi-quantile in one aggregate (ClickHouse quantiles(...)(x)):
-    // a single percentile pass computing the whole array — one sort-
-    // based aggregate instead of three, same linear interpolation as
-    // DuckDB's quantile_cont (already pinned by agg_exact_median).
-    "agg_quantiles_multi" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(percentile(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99))).as("qs"))
-        .select(col("l_returnflag"),
-          round(element_at(col("qs"), 1), 2).as("p50"),
-          round(element_at(col("qs"), 2), 2).as("p90"),
-          round(element_at(col("qs"), 3), 2).as("p99"))
-        .orderBy(col("l_returnflag"))),
+    // Multi-quantile in one pass (ClickHouse quantilesExact analog):
+    // nearest-rank quantiles — the value at rank ceil(p*n) — NOT
+    // interpolated. Deliberate: linearly-interpolated percentiles
+    // disagree across engines in the last ulp ((a+b)/2 here vs
+    // a+(b-a)*f there), and sf0.001 landed one exactly on a .xx5
+    // rounding boundary. Nearest-rank outputs are actual data values,
+    // and ceil(p*n) is ONE IEEE multiply both engines compute
+    // bit-identically — no FP seam at any scale. Interpolated
+    // percentiles stay pinned by agg_exact_median (off-boundary).
+    "agg_quantiles_multi" -> ((s, d) => {
+      val part = Window.partitionBy(col("l_returnflag"))
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn",
+          row_number().over(part.orderBy(col("l_extendedprice"))))
+        .withColumn("n", count(lit(1)).over(part))
+      def q(p: Double) = max(when(col("rn") === ceil(col("n") * p),
+        col("l_extendedprice")))
+      ranked.groupBy(col("l_returnflag"))
+        .agg(q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Per-source corpus profile: the data-quality summary a pipeline
     // computes before training (volumes, language spread, emptiness,
@@ -364,12 +372,19 @@ object SqlSurfaceQueries {
         |    -1.0), 2) AS avg_view_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_quantiles_multi" ->
-      """WITH q AS (SELECT l_returnflag,
-        |    quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS qs
-        |  FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, round(qs[1], 2) AS p50,
-        |  round(qs[2], 2) AS p90, round(qs[3], 2) AS p99
-        |FROM q ORDER BY l_returnflag""".stripMargin,
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END)
+        |    AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN l_extendedprice END)
+        |    AS p90,
+        |  max(CASE WHEN rn = ceil(n * 0.99) THEN l_extendedprice END)
+        |    AS p99
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "pred_in_like_range" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

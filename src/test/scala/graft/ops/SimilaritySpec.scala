@@ -156,6 +156,71 @@ class SimilaritySpec extends SparkSpec {
     (base ++ dups).toDF("vec_id", "embedding")
   }
 
+  test("semanticDedup: no false drops; planted dups die in-cell") {
+    // Design regime (see plantedCorpus): planted pairs at cos ~0.97,
+    // random pairs ~0 — the exact near-dup pair set IS the planted set.
+    val df = plantedCorpus(dim = 64, nBase = 150)
+    val n = df.count()
+    val kept = Similarity.semanticDedup(df, t = 0.9, numCells = 8)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    // Partition property: kept ⊆ corpus, drops = corpus \ kept.
+    assert(keptIds.subsetOf(
+      df.select("vec_id").as[Long].collect().toSet))
+    // No false drops: anything dropped must be the higher id of an
+    // EXACT pair >= t (within-cell pairwise is exact cosine, so a
+    // dropped id always has a real near-dup witness).
+    val exactDrops = Similarity.nearDupPairs(df, 0.9)
+      .select("vec_b").as[Long].collect().toSet
+    val drops = df.select("vec_id").as[Long].collect().toSet -- keptIds
+    assert(drops.subsetOf(exactDrops),
+      s"false drops: ${drops -- exactDrops}")
+    assert(keptIds.size + drops.size === n)
+    // On a RANDOM corpus argmax margins are tiny, so base/dup cell
+    // splits are expected — recall here is informational only; the
+    // recall gate runs in the clustered design regime below.
+    val planted = df.filter(col("vec_id") >= 10000L).count()
+    info(s"random-corpus recall: ${drops.size}/$planted dups dropped")
+  }
+
+  test("semanticDedup recall gate: clustered regime drops every planted dup") {
+    // SemDeDup's premise is cluster-structured embeddings (real
+    // corpora): with centroids near the true clusters, a base vector
+    // and its 0.03-perturbed dup see the same large-margin argmax, so
+    // every planted dup must land in its base's cell and be dropped.
+    // Centroids are passed explicitly — the production entry point
+    // (persisted clustering), and deterministic here.
+    import spark.implicits._
+    val dim = 32
+    val rnd = new scala.util.Random(13)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(
+      unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val base = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, unit(c.map(x => x + (0.15 * rnd.nextGaussian()).toFloat)))
+    }
+    val dups = base.filter(_._1 % 4 == 0).map { case (id, v) =>
+      (10000L + id,
+        unit(v.map(x => x + (0.03 * rnd.nextGaussian()).toFloat)))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, t = 0.9,
+      centers.map(_.map(_.toDouble)))
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    val dropped = df.select("vec_id").as[Long].collect().toSet -- keptIds
+    // every dropped id is a true near-dup witness's higher id
+    val exactDrops = Similarity.nearDupPairs(df, 0.9)
+      .select("vec_b").as[Long].collect().toSet
+    assert(dropped.subsetOf(exactDrops))
+    // and every planted dup is dropped (cluster margins >> perturbation)
+    val plantedIds = dups.map(_._1).toSet
+    assert(plantedIds.subsetOf(dropped),
+      s"missed in-cluster dups: ${plantedIds -- dropped}")
+  }
+
   test("nearDupPairsLsh recall >= 0.9 in its design regime (cos >= 0.9)") {
     // The registered embedding_neardup_lsh runs at the demo threshold
     // 0.4 where NO hashing scheme separates pairs (collision prob per

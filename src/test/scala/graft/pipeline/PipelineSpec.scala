@@ -152,6 +152,46 @@ class PipelineSpec extends SparkSpec {
       "cross-batch duplicate must be dropped by the state store")
   }
 
+  test("watermarked dedup: bounded state, late rows dropped, corrupt bypasses") {
+    val c = cfg()
+    def wire(ct: String, time: String) =
+      s"""{"campaign_id": "$ct", "workspace_id": "w", "email": "u@x.com",
+         | "event_type": "open", "event_time": "$time", "metadata": null}"""
+        .stripMargin.replaceAll("\n", "")
+    val keys = Seq("campaign_id", "event_time", "email")
+    // batch 0: c1@10:00 and c2@12:30; delay 1 h -> after the batch the
+    // watermark is 11:30, so c1's dedup state (expiry 11:00) is
+    // evictable while c2's (expiry 13:30) is live.
+    writeTopicFile(c, "event_tracking", "b0.json",
+      Seq(wire("c1", "2026-08-12T10:00:00"),
+        wire("c1", "2026-08-12T10:00:00"), // in-batch dup
+        wire("c2", "2026-08-12T12:30:00")))
+    DirectPipeline.start(spark, c, dedupKeys = keys,
+      dedupWithin = Some("1 hour")).awaitTermination()
+    assert(DirectPipeline.emailEvents(spark, c).count() == 2)
+    // batch 1: c2 retry arrives within the delay -> dropped by state;
+    // c1 retry is older than the watermark -> dropped as LATE data
+    // (the explicit bounded-state trade: expired keys are not
+    // re-deduplicated, late events are not re-admitted); c3 is new and
+    // in-window -> kept. A corrupt line must still dead-letter — it
+    // bypasses the watermarked operator.
+    writeTopicFile(c, "event_tracking", "b1.json",
+      Seq(wire("c2", "2026-08-12T12:30:00"),
+        wire("c1", "2026-08-12T10:00:00"),
+        wire("c3", "2026-08-12T13:00:00"),
+        """{"not json"""))
+    DirectPipeline.start(spark, c, dedupKeys = keys,
+      dedupWithin = Some("1 hour")).awaitTermination()
+    val byCamp = DirectPipeline.emailEvents(spark, c)
+      .groupBy("campaign_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCamp === Map("c1" -> 1L, "c2" -> 1L, "c3" -> 1L),
+      s"bounded-state dedup outcome wrong: $byCamp")
+    val dead = spark.read.json(c.tablePath("dead_letter"))
+    assert(dead.filter(col("reason") === "corrupt_json").count() === 1,
+      "corrupt rows must bypass the watermark and still dead-letter")
+  }
+
   test("enum name->code map matches the reference Enum8 exactly") {
     assert(Schemas.eventTypeCodes == Map("delivered" -> 1, "open" -> 2,
       "click" -> 3, "bounce" -> 4, "unsubscribe" -> 5))
