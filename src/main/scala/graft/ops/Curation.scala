@@ -159,4 +159,32 @@ object Curation {
       .withColumn("first_chunk", expr(s"tok_start DIV $budget"))
       .withColumn("last_chunk", expr(s"(tok_end - 1) DIV $budget"))
   }
+
+  /** Sliding-window document chunking with overlap — the
+    * retrieval/embedding prep step (RAG indexing, long-doc embedding)
+    * that complements [[packChunks]]' training-window packing: each
+    * document yields substrings of `size` chars every `stride` chars,
+    * so consecutive chunks overlap by `size - stride`. Pure
+    * `sequence`+`explode` projection per row — fan-out is
+    * len/stride, no shuffle at all (the at-scale shape: chunking
+    * pipelines are embarrassingly parallel maps). Null/empty texts
+    * yield no chunks, matching SQL `unnest(generate_series)` over a
+    * null range. Output carries md5(chunk) rather than the chunk text
+    * so downstream equality checks (and the oracle hash) stay narrow.
+    */
+  def chunkOverlap(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride,
+      "need stride > 0 and size >= stride for full coverage")
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("text").substr(col("start") + 1, lit(size)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+  }
 }

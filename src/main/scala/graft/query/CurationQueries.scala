@@ -55,6 +55,15 @@ object CurationQueries {
           col("first_chunk"), col("last_chunk"))
         .orderBy(col("lang"), col("doc_id"))),
 
+    // Sliding-window chunking with overlap (RAG/embedding prep, the
+    // retrieval-side sibling of seq_packing): 200-char chunks every
+    // 150 chars, pure explode projection per doc — no shuffle. Chunks
+    // travel as (len, md5) so the compare stays narrow.
+    "curation_chunk_overlap" -> ((s, d) =>
+      Curation.chunkOverlap(Tables.documents(s, d), size = 200,
+          stride = 150)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // CAPSTONE: the full pre-training corpus build — boilerplate +
     // repetition gates, eval-set decontamination (anti-join), then
     // per-shard packing of the survivors. The distinct (doc, ngram)
@@ -115,6 +124,15 @@ object CurationQueries {
        |  LATERAL (SELECT unnest(generate_series(1, len(ws) - ${N - 1})) AS i) g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "curation_chunk_overlap" ->
+      """SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
+        |  CAST(len(substr(text, s + 1, 200)) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, s + 1, 200)) AS chunk_md5
+        |FROM (SELECT doc_id, text,
+        |    unnest(generate_series(0, greatest(len(text) - 1, 0), 150))
+        |      AS s
+        |  FROM documents)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "curation_boilerplate" ->
       s"""SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs FROM (
          |  $docNgramsSql)

@@ -113,4 +113,27 @@ class CurationSpec extends SparkSpec {
       assert(rows.map(_._3).sum == rows.map(_._5).max)
     }
   }
+
+  test("chunkOverlap: stride coverage, overlap, md5 of exact substrings") {
+    // len 500 @ size 200 / stride 150 -> starts 0,150,300,450 with
+    // lengths 200,200,200,50; consecutive chunks overlap by 50.
+    val text = (0 until 500).map(i => ('a' + (i % 26)).toChar).mkString
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val got = Curation.chunkOverlap(df, size = 200, stride = 150)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.map(x => (x._1, x._2)).toSeq ===
+      Seq((0L, 200L), (1L, 200L), (2L, 200L), (3L, 50L)))
+    got.foreach { case (cid, _, h) =>
+      val sub = text.substring((cid * 150).toInt,
+        math.min(cid * 150 + 200, 500).toInt)
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(sub.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(h === want, s"chunk $cid hash mismatch")
+    }
+    // full coverage: chunk starts tile [0, len) with stride <= size
+    val ends = got.map(x => x._1 * 150 + x._2)
+    assert(ends.max === 500L)
+  }
 }
