@@ -334,6 +334,21 @@ object SqlSurfaceQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Dictionary lookup (ClickHouse dictGet analog; see ops/Dict): the
+    // 25-row nation table is compiled into a literal in-plan map, so
+    // enriching supplier rows is a scalar projection — NO join
+    // operator, no exchange of any kind (DictSpec asserts the
+    // join-free plan). Unknown keys fall back via dictGetOrDefault.
+    "dict_get_nation" -> ((s, d) => {
+      val nations = graft.ops.Dict.fromTable(Tables.nation(s, d),
+        "n_nationkey", "n_name")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"),
+          graft.ops.Dict.getOrDefault(nations, col("s_nationkey"),
+            lit("UNKNOWN")).as("nation"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Per-source corpus profile: the data-quality summary a pipeline
     // computes before training (volumes, language spread, emptiness,
     // char-length stats) — one pass, all aggregates map-side combined.
@@ -385,6 +400,11 @@ object SqlSurfaceQueries {
         |  max(CASE WHEN rn = ceil(n * 0.99) THEN l_extendedprice END)
         |    AS p99
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dict_get_nation" ->
+      """SELECT s_suppkey, s_name,
+        |  coalesce(n_name, 'UNKNOWN') AS nation
+        |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
     "pred_in_like_range" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
