@@ -327,8 +327,27 @@ object Similarity {
 
   /** Strided-seed centroids, optionally Lloyd-refined — the shared
     * clustering front-end of [[ivfTopK]] and [[semanticDedup]]. Tiny
-    * driver-side collects only (numCells rows + per-iter cell means). */
+    * driver-side collects only (numCells rows + per-iter cell means),
+    * but still `1 + refineIters` Spark jobs — so MEMOIZED per file
+    * source like [[embDim]] (same key discipline: file scans only;
+    * in-memory frames are never cached because LocalRelation
+    * canonicalizes without its data). Repeated IVF / semantic-dedup
+    * calls over one corpus snapshot then pay the clustering once. */
+  private val centCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+
   private[ops] def centroids(corpus: DataFrame, numCells: Int,
+      refineIters: Int): Array[Array[Double]] = {
+    dimCacheKey(corpus) match {
+      case Some(k) =>
+        centCache.computeIfAbsent(
+          s"$k|cells=$numCells|iters=$refineIters",
+          _ => computeCentroids(corpus, numCells, refineIters))
+      case None => computeCentroids(corpus, numCells, refineIters)
+    }
+  }
+
+  private def computeCentroids(corpus: DataFrame, numCells: Int,
       refineIters: Int): Array[Array[Double]] = {
     val dim = embDim(corpus)
     val seeds: Array[Array[Double]] = {

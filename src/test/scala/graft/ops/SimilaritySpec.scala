@@ -221,6 +221,21 @@ class SimilaritySpec extends SparkSpec {
       s"missed in-cluster dups: ${plantedIds -- dropped}")
   }
 
+  test("centroids memoize per file source; in-memory corpora never cached") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val a = Similarity.centroids(emb, numCells = 8, refineIters = 0)
+    val b = Similarity.centroids(
+      graft.Tables.embeddings(spark, sf0001), numCells = 8,
+      refineIters = 0)
+    assert(a eq b, "same file corpus + params must hit the cache")
+    val c = Similarity.centroids(emb, numCells = 4, refineIters = 0)
+    assert(!(a eq c), "different params must not collide")
+    val local = plantedCorpus(dim = 16, nBase = 60, s = 0.05)
+    val l1 = Similarity.centroids(local, 4, 0)
+    val l2 = Similarity.centroids(local, 4, 0)
+    assert(!(l1 eq l2), "in-memory frames must never be cached")
+  }
+
   test("nearDupPairsLsh recall >= 0.9 in its design regime (cos >= 0.9)") {
     // The registered embedding_neardup_lsh runs at the demo threshold
     // 0.4 where NO hashing scheme separates pairs (collision prob per
