@@ -1,0 +1,81 @@
+package graft.agg
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sign-collapsing append store — the CollapsingMergeTree analog, the
+  * last MergeTree engine family without a counterpart here (Summing =
+  * [[SummingStore]], Replacing = `scale.Maintenance.latestByKey`,
+  * Aggregating = [[SketchStore]]).
+  *
+  * The ClickHouse pattern: a mutable entity is tracked in an
+  * append-only stream by writing, on every change, a `-1`-signed copy
+  * of the previous state row and a `+1`-signed copy of the new one;
+  * matching ± pairs cancel at background merge, and any read must be
+  * sign-weighted to be correct regardless of merge progress. The same
+  * split here:
+  *
+  *   - [[read]] — the mandatory sign-weighted view: per key,
+  *     `sum(sign)` as the live-row indicator and `sum(col * sign)`
+  *     for every value column, keys with net sign <= 0 dropped
+  *     (deleted entities). Correct with ANY interleaving of appends
+  *     and compactions, exactly like the reference engine's
+  *     `sum(sign)`-style queries.
+  *   - [[compact]] — the background-merge analog: physically cancels
+  *     matched pairs by folding to the net rows. Optional; bounds
+  *     read amplification only.
+  *
+  * Scale note: store size is bounded by (#changes), not raw event
+  * volume, and the read is one map-side-combined aggregate on the
+  * key — the same single-shuffle shape as [[SummingStore.read]].
+  */
+final class CollapsingStore(path: String, keyCols: Seq[String],
+    valCols: Seq[String], signCol: String = "sign") {
+
+  /** Append one block of signed rows; `batchId` keys the write so a
+    * replayed micro-batch overwrites itself (exactly-once, same
+    * contract as [[SummingStore.append]]). */
+  def append(signed: DataFrame, batchId: Long): Unit =
+    signed.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+
+  def append(signed: DataFrame): Unit =
+    signed.write.mode(SaveMode.Append).parquet(s"$path/batch=0")
+
+  private def netted(spark: SparkSession): DataFrame = {
+    val raw = spark.read.option("basePath", path).parquet(s"$path/batch=*")
+    val aggs = sum(col(signCol)).as(signCol) +:
+      valCols.map(c => sum(col(c) * col(signCol)).as(c))
+    raw.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sign-weighted merged view: keys whose net sign is <= 0 (fully
+    * cancelled / deleted) are dropped; surviving rows carry net
+    * values. The net sign is kept as a column — a consumer asserting
+    * exactly-one-live-row-per-key checks `sign === 1`. */
+  def read(spark: SparkSession): DataFrame =
+    netted(spark)
+      .filter(col(signCol) > 0)
+      .select((keyCols ++ Seq(signCol) ++ valCols).map(col): _*)
+
+  /** Physically collapse cancelled pairs (background-merge analog):
+    * fold every batch into the net rows, DROPPING fully-cancelled
+    * keys. [[read]] is correct before, during (its glob ignores the
+    * temp dir), and after. */
+  def compact(spark: SparkSession): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp")
+    netted(spark).filter(col(signCol) =!= 0)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(base)) {
+      fs.listStatus(base).foreach { st =>
+        if (st.getPath.getName.startsWith("batch="))
+          fs.delete(st.getPath, true)
+      }
+    }
+    val dst = new org.apache.hadoop.fs.Path(s"$path/batch=compacted")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
+      "collapsed rows remain in the temp dir")
+  }
+}
