@@ -78,6 +78,64 @@ object Funnel {
       .withColumnRenamed("u", "user_id")
   }
 
+  /** The same earliest-anchor greedy funnel as [[userLevels]], but as
+    * an IN-PLAN FOLD — ClickHouse's windowFunnel is literally this
+    * shape: per user, the time-sorted event list is folded once
+    * through a (level, anchor, t_prev, dead) state machine. One
+    * shuffle on the user key, no joins at all; per-user state is
+    * bounded by events-per-user (the same boundedness argument as
+    * `sequence_match_users`' code strings). The fold runs inside the
+    * `aggregate` higher-order function — codegen'd, no UDF.
+    *
+    * `strictOrder = true` adds windowFunnel's 'strict_order' mode: once
+    * the chain has started, an event that matches ANY funnel condition
+    * but does not advance the chain kills it (non-matching events are
+    * ignored, as in ClickHouse). Default mode is pinned equivalent to
+    * [[userLevels]] (FunnelProps folds both over random streams).
+    */
+  def userLevelsFold(events: DataFrame, user: Column, tsUs: Column,
+      steps: Seq[Column], windowUs: Long,
+      strictOrder: Boolean = false): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val n = steps.length
+    val matchArr = array(steps: _*)
+    val anyMatch = steps.reduce(_ || _)
+    val evs = events
+      .select(user.as("u"),
+        struct(tsUs.as("ts"), coalesce(anyMatch, lit(false)).as("any"),
+          matchArr.as("ms")).as("ev"))
+      .groupBy("u")
+      .agg(array_sort(collect_list(col("ev"))).as("evs"))
+    def state(lvl: Column, anchor: Column, tprev: Column,
+        dead: Column) = struct(lvl.as("lvl"), anchor.as("anchor"),
+      tprev.as("tprev"), dead.as("dead"))
+    val init = state(lit(0), lit(0L), lit(0L), lit(false))
+    val folded = aggregate(col("evs"), init, (st, e) => {
+      val lvl = st.getField("lvl")
+      val anchor = st.getField("anchor")
+      val tprev = st.getField("tprev")
+      val dead = st.getField("dead")
+      val ts = e.getField("ts")
+      // element_at is 1-based; lvl is the 0-based index of the NEXT
+      // step. coalesce: a null predicate result never advances.
+      val matchesNext = lvl < n &&
+        coalesce(element_at(e.getField("ms"), lvl + 1), lit(false))
+      val inWindow = lvl === 0 ||
+        (ts > tprev && ts <= anchor + lit(windowUs))
+      val advance = !dead && matchesNext && inWindow
+      val interrupt =
+        if (strictOrder)
+          !dead && lvl > 0 && e.getField("any") && !advance
+        else lit(false)
+      when(advance,
+        state(lvl + 1, when(lvl === 0, ts).otherwise(anchor), ts, dead))
+        .when(interrupt, state(lvl, anchor, tprev, lit(true)))
+        .otherwise(st)
+    })
+    evs.select(col("u").as("user_id"),
+      folded.getField("lvl").as("funnel_level"))
+  }
+
   /** Cohort retention: users grouped by first-seen day; for each
     * cohort day, how many distinct users are active again EXACTLY
     * `offsets` days later. Output: (c_day, n_users, d<o1>, d<o2>, …).

@@ -31,6 +31,34 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("funnel_level"))),
 
+    // The SAME funnel as an in-plan fold (ClickHouse windowFunnel's
+    // actual shape — see Funnel.userLevelsFold): no joins, one shuffle
+    // on user, the chain folded through a codegen'd HOF. Shares
+    // funnel_steps' oracle because default-mode semantics are
+    // identical (also property-pinned against userLevels).
+    "funnel_steps_fold" -> ((s, d) =>
+      Funnel.userLevelsFold(Tables.events(s, d), col("user_id"),
+          unix_micros(col("ts")),
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"), windowUs = dayUs)
+        .groupBy(col("funnel_level"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("funnel_level"))),
+
+    // windowFunnel('strict_order') mode: a chain in progress dies on
+    // any funnel-condition event that does not advance it. No SQL
+    // twin (sequential semantics) -> rows-only; mode behavior pinned
+    // in FunnelSpec.
+    "funnel_steps_strict" -> ((s, d) =>
+      Funnel.userLevelsFold(Tables.events(s, d), col("user_id"),
+          unix_micros(col("ts")),
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"), windowUs = dayUs,
+          strictOrder = true)
+        .groupBy(col("funnel_level"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("funnel_level"))),
+
     // Time-to-convert over the same greedy funnel chain: per-step
     // completion counts plus mean / median conversion latency between
     // consecutive steps. Aggregates run on integer microsecond diffs
@@ -212,9 +240,11 @@ object AnalyticsQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "funnel_steps" ->
-      s"""WITH t AS (SELECT user_id, event_type,
+  // funnel_steps_fold shares this oracle: the fold implementation is
+  // semantically identical to the join-based one in default mode
+  // (property-pinned in FunnelProps).
+  private val funnelStepsOracle =
+    s"""WITH t AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
         |u AS (SELECT DISTINCT user_id FROM t),
         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM t
@@ -233,7 +263,11 @@ object AnalyticsQueries {
         |      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level
         |  FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
         |    LEFT JOIN s3 USING(user_id))
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "funnel_steps" -> funnelStepsOracle,
+    "funnel_steps_fold" -> funnelStepsOracle,
     "funnel_step_durations" ->
       s"""WITH t AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

@@ -80,6 +80,20 @@ object FunnelProps extends Properties("Funnel") {
       evs.isEmpty || sparkLevels(evs, w) == refLevels(evs, w)
     }
 
+  private def sparkLevelsFold(evs: List[(Long, Long, String)],
+      window: Long): Map[Long, Int] = {
+    import spark.implicits._
+    val df = evs.toDF("u", "ts", "ty")
+    Funnel.userLevelsFold(df, col("u"), col("ts"),
+        steps.map(st => col("ty") === lit(st)), windowUs = window)
+      .as[(Long, Int)].collect().toMap
+  }
+
+  property("userLevelsFold (default mode) == userLevels == reference") =
+    Prop.forAll(eventsGen, Gen.choose(50L, 600L)) { (evs, w) =>
+      evs.isEmpty || sparkLevelsFold(evs, w) == refLevels(evs, w)
+    }
+
   property("wider window never lowers a level") =
     Prop.forAll(eventsGen, Gen.choose(50L, 400L)) { (evs, w) =>
       val narrow = refLevels(evs, w)

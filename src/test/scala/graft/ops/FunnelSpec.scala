@@ -68,6 +68,32 @@ class FunnelSpec extends SparkSpec {
     assert(out("2024-01-02") === ((1L, 0L, 1L)))
   }
 
+  test("userLevelsFold strict_order: non-advancing funnel events kill the chain") {
+    def lv(strict: Boolean)(rows: (Long, String, Long)*): Map[Long, Int] = {
+      val ev = rows.toSeq.toDF("u", "t", "us")
+      Funnel.userLevelsFold(ev, col("u"), col("us"), steps,
+          windowUs = 24 * H, strictOrder = strict)
+        .as[(Long, Int)].collect().toMap
+    }
+    // clean chain: strict == default == 3
+    assert(lv(strict = true)((1L, "view", 0L), (1L, "click", H),
+      (1L, "purchase", 2 * H))(1L) === 3)
+    // out-of-order purchase between view and click: strict kills at 1,
+    // default skips it and completes
+    val rows2 = Seq((2L, "view", 0L), (2L, "purchase", H),
+      (2L, "click", 2 * H), (2L, "purchase", 3 * H))
+    assert(lv(strict = true)(rows2: _*)(2L) === 1)
+    assert(lv(strict = false)(rows2: _*)(2L) === 3)
+    // non-funnel noise between steps is ignored even in strict mode
+    assert(lv(strict = true)((3L, "view", 0L), (3L, "signup", H),
+      (3L, "click", 2 * H))(3L) === 2)
+    // a REPEAT of an already-passed condition also interrupts
+    val rows4 = Seq((4L, "view", 0L), (4L, "view", H),
+      (4L, "click", 2 * H))
+    assert(lv(strict = true)(rows4: _*)(4L) === 1)
+    assert(lv(strict = false)(rows4: _*)(4L) === 2)
+  }
+
   test("stepTimes: greedy chain timestamps, nulls once the chain stops") {
     val ev = Seq(
       // user 1: view@0, click@+1h, purchase@+2h -> full chain
