@@ -70,7 +70,18 @@ object ReshapeQueries {
           .select(explode(split(lower(col("text")), "[^a-z]+"))
             .as("token"))
           .filter(col("token") =!= ""),
-        col("token"), k = 100))
+        col("token"), k = 100)),
+
+    // Weighted heavy hitters (ClickHouse topKWeighted analog): top-50
+    // parts by revenue via the bounded-state summary, weights in
+    // exact integer cents. Oracle-paired because sf0.01 has 2000
+    // distinct parts < capacity 4096 => provably exact; at bench sf
+    // (20 k parts) the approximation engages, which is the point.
+    "topk_weighted_parts" -> ((s, d) =>
+      graft.ops.TopK.topKWeighted(Tables.lineitem(s, d),
+        col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        k = 50))
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,6 +117,13 @@ object ReshapeQueries {
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
         |    AS token FROM documents)
         |WHERE token <> ''
-        |GROUP BY 1 ORDER BY cnt_est DESC, term LIMIT 100""".stripMargin
+        |GROUP BY 1 ORDER BY cnt_est DESC, term LIMIT 100""".stripMargin,
+    "topk_weighted_parts" ->
+      """SELECT CAST(l_partkey AS VARCHAR) AS term,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cnt_est,
+        |  CAST(0 AS BIGINT) AS err_max
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY cnt_est DESC, term LIMIT 50""".stripMargin
   )
 }

@@ -26,6 +26,39 @@ class TopKSpec extends SparkSpec {
       "no eviction may occur below capacity, so every row certifies exact")
   }
 
+  test("topKWeighted: exact weight sums below capacity, bounds when evicting") {
+    import spark.implicits._
+    // weighted truth: item i carries total weight 1000 * (51 - i)
+    val rows = (1 to 50).flatMap(i =>
+      Seq.fill(10)((f"p$i%02d", (51 - i) * 100L)))
+    val df = spark.sparkContext.parallelize(rows, 4).toDF("item", "w")
+    val exact = TopK.topKWeighted(df, col("item"), col("w"), k = 50,
+        capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact.length === 50)
+    exact.foreach { case (t, est, err) =>
+      val i = t.drop(1).toInt
+      assert(est === (51 - i) * 1000L && err === 0L,
+        s"$t: expected exact weight sum, got ($est, $err)")
+    }
+    // Trim-heavy regime (capacity 16 ≪ 50 distinct): merging trimmed
+    // summaries compounds the absent-item floors, so upper-bound
+    // ESTIMATES of mid items can legitimately leapfrog heavies — only
+    // the bounds are merge-order-robust here (the scaladoc's
+    // capacity ≫ k guidance exists exactly because of this regime).
+    val truth = rows.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sum
+    }
+    val approx = TopK.topKWeighted(df, col("item"), col("w"), k = 10,
+        capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(approx.nonEmpty)
+    approx.foreach { case (t, est, err) =>
+      assert(est >= truth(t) && est - err <= truth(t),
+        s"$t: weighted SpaceSaving bounds violated")
+    }
+  }
+
   test("small capacity on a skewed stream: bounds hold, heavies survive") {
     import spark.implicits._
     // Zipf-ish planted stream: item i appears ceil(2000 / i) times.
