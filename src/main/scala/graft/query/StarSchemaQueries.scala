@@ -63,6 +63,56 @@ object StarSchemaQueries {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // TPC-H Q6 shape: the canonical highly-selective scan-and-sum —
+    // every predicate pushes to the parquet scan, the aggregate is one
+    // map-side-combined decimal sum (discount factors multiplied in
+    // exact decimals per the money rules above).
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(dec(col("l_extendedprice")) *
+          dec(col("l_discount"), "decimal(6,4)")), 2).cast("double")
+          .as("revenue"))),
+
+    // TPC-H Q4 shape (adapted: this schema has no commit/receipt
+    // dates, so "late" = a line shipped more than 90 days after the
+    // order date): EXISTS against the fact table, counted per
+    // priority. The semi join carries the non-equi lateness predicate.
+    "q4_priority_checking" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 90 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q14 shape: promotion revenue share — broadcast part dim,
+    // conditional decimal sums, one final double division (both
+    // operands are exact decimal sums cast to double, so the division
+    // and rounding are bit-identical across engines).
+    "q14_promo_effect" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-07-01")))
+      li.join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", revenue)
+              .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+            sum(revenue).cast("double"), 4).as("promo_pct"),
+          round(sum(revenue), 2).cast("double").as("total_revenue"))
+    }),
+
     // TPC-H Q3 shape: dim-filtered 3-way join + top-k by aggregate.
     // customer is broadcast (dim); orders<->lineitem shuffle on orderkey.
     "q3_shipping_priority" -> ((s, d) => {
@@ -210,6 +260,37 @@ object StarSchemaQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q4_priority_checking" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o.o_orderkey
+        |      AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(6,4)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 4)
+        |  AS promo_pct,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)
+        |  AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
