@@ -34,9 +34,16 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
 
   /** Append one block of signed rows; `batchId` keys the write so a
     * replayed micro-batch overwrites itself (exactly-once, same
-    * contract as [[SummingStore.append]]). */
-  def append(signed: DataFrame, batchId: Long): Unit =
+    * contract as [[SummingStore.append]]). Batch ids at or below the
+    * [[compact]] watermark are refused — those rows are already folded
+    * into `batch=compacted`, and re-appending them would double-count. */
+  def append(signed: DataFrame, batchId: Long): Unit = {
+    require(batchId > StoreCompaction.compactedThrough(
+        signed.sparkSession, path),
+      s"batch $batchId was already folded by compact(); replaying it " +
+        "would double-count")
     signed.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+  }
 
   def append(signed: DataFrame): Unit =
     signed.write.mode(SaveMode.Append).parquet(s"$path/batch=0")
@@ -59,23 +66,26 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
 
   /** Physically collapse cancelled pairs (background-merge analog):
     * fold every batch into the net rows, DROPPING fully-cancelled
-    * keys. [[read]] is correct before, during (its glob ignores the
-    * temp dir), and after. */
+    * keys. [[read]] is correct before and after a compact; it is NOT
+    * safe concurrently with one (the delete-then-rename window is not
+    * atomic — a racing reader sees partial or no data), so run
+    * compaction only with no reader or replay in flight. Replays of
+    * already-folded batches are refused by [[append]]'s watermark
+    * check rather than double-counted. */
   def compact(spark: SparkSession): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp")
-    netted(spark).filter(col(signCol) =!= 0)
+    // cast the folded block back to the RAW batch schema (sums widen
+    // int sign/value columns to long) so post-compact appends — which
+    // write original-width rows — still union cleanly at read time
+    val rawSchema = spark.read.option("basePath", path)
+      .parquet(s"$path/batch=*").schema
+    val folded = netted(spark).filter(col(signCol) =!= 0)
+    folded
+      .select(folded.columns.map(c =>
+        col(c).cast(rawSchema(c).dataType).as(c)): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val base = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(base)) {
-      fs.listStatus(base).foreach { st =>
-        if (st.getPath.getName.startsWith("batch="))
-          fs.delete(st.getPath, true)
-      }
-    }
-    val dst = new org.apache.hadoop.fs.Path(s"$path/batch=compacted")
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
-      "collapsed rows remain in the temp dir")
+    StoreCompaction.foldBatches(fs, path, tmp)
   }
 }

@@ -31,9 +31,19 @@ final class SummingStore(path: String, keyCols: Seq[String],
     * idempotent under streaming restarts (exactly-once per epoch): each
     * micro-batch writes to its own `batch=<id>` subdir and a replayed
     * batch simply overwrites the same subdir with identical content.
+    * Refuses batch ids at or below the compaction watermark: those
+    * rows are already folded into `batch=compacted`, so re-appending
+    * them would double-count — the one replay [[compact]] cannot make
+    * idempotent. New (higher-id) batches keep appending normally after
+    * a compact.
     */
-  def append(partials: DataFrame, batchId: Long): Unit =
+  def append(partials: DataFrame, batchId: Long): Unit = {
+    val spark = partials.sparkSession
+    require(batchId > StoreCompaction.compactedThrough(spark, path),
+      s"batch $batchId was already folded by compact(); replaying it " +
+        "would double-count")
     partials.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+  }
 
   /** Append without batch identity (batch-mode callers). */
   def append(partials: DataFrame): Unit =
@@ -82,16 +92,16 @@ final class SummingStore(path: String, keyCols: Seq[String],
   def compact(spark: SparkSession): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/_compact_tmp")
-    merged(spark).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val base = new Path(path)
-    if (fs.exists(base)) {
-      fs.listStatus(base).foreach { st =>
-        if (st.getPath.getName.startsWith("batch="))
-          fs.delete(st.getPath, true)
-      }
-    }
-    val dst = new Path(s"$path/batch=compacted")
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
-      "compacted partials remain in the temp dir")
+    // cast the folded block back to the RAW batch schema (sum widens
+    // int columns to long) so post-compact appends — which write
+    // original-width rows — still union cleanly at read time
+    val rawSchema = spark.read.option("basePath", path)
+      .parquet(s"$path/batch=*").schema
+    val folded = merged(spark)
+    folded
+      .select(folded.columns.map(c =>
+        col(c).cast(rawSchema(c).dataType).as(c)): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    StoreCompaction.foldBatches(fs, path, tmp)
   }
 }

@@ -51,6 +51,21 @@ class CollapsingStoreSpec extends SparkSpec {
     assert(s.read(spark).select("qty").as[Long].head() === 1L)
   }
 
+  test("replay of a compacted-away batch is refused; new batches append") {
+    val dir = tmpDir("graft-collapse-guard") + "/s"
+    val s = store(dir)
+    val b = Seq((1L, 1, 1L, 5.0)).toDF("id", "sign", "qty", "total")
+    s.append(b, 0L)
+    s.append(Seq((2L, 1, 2L, 8.0)).toDF("id", "sign", "qty", "total"), 1L)
+    s.compact(spark)
+    // replaying batch 1 after its rows were folded into batch=compacted
+    // would double-count entity 2 — the watermark guard must refuse it
+    intercept[IllegalArgumentException](s.append(b, 1L))
+    // a genuinely NEW batch (id above the watermark) still appends
+    s.append(Seq((3L, 1, 3L, 9.0)).toDF("id", "sign", "qty", "total"), 2L)
+    assert(s.read(spark).count() === 3)
+  }
+
   test("unbalanced multi-insert nets correctly (sum-weighted values)") {
     val dir = tmpDir("graft-collapse-net") + "/s"
     val s = store(dir)
