@@ -168,14 +168,18 @@ object Curation {
     * `sequence`+`explode` projection per row — fan-out is
     * len/stride, no shuffle at all (the at-scale shape: chunking
     * pipelines are embarrassingly parallel maps). Null/empty texts
-    * yield no chunks, matching SQL `unnest(generate_series)` over a
-    * null range. Output carries md5(chunk) rather than the chunk text
-    * so downstream equality checks (and the oracle hash) stay narrow.
+    * yield no chunks — filtered explicitly before the explode, because
+    * Spark's `greatest` SKIPS nulls, so an unfiltered null text would
+    * otherwise emit one row with a null md5 (and an empty text one
+    * empty chunk). Output carries md5(chunk) rather than the chunk
+    * text so downstream equality checks (and the oracle hash) stay
+    * narrow.
     */
   def chunkOverlap(docs: DataFrame, size: Int, stride: Int): DataFrame = {
     require(stride > 0 && size >= stride,
       "need stride > 0 and size >= stride for full coverage")
     docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
           greatest(length(col("text")) - 1, lit(0)),

@@ -136,4 +136,14 @@ class CurationSpec extends SparkSpec {
     val ends = got.map(x => x._1 * 150 + x._2)
     assert(ends.max === 500L)
   }
+
+  test("chunkOverlap: null and empty texts yield no chunks") {
+    val df = Seq((1L, Option("abc")), (2L, Option("")), (3L, None))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkOverlap(df, size = 200, stride = 150)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(1L),
+      "only the non-empty doc may emit chunks — null text must not " +
+        "produce a null-md5 row, empty text must not produce an empty chunk")
+  }
 }
