@@ -2,8 +2,10 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst predicate `bloom_might_contain(key)` over a
@@ -26,6 +28,17 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 case class BloomMightContainLong(child: Expression,
     filter: Broadcast[BloomFilter]) extends UnaryExpression with Predicate {
+
+  // BIGINT only, enforced at analysis: the interpreted path casts to
+  // Long while generated code would silently widen an int — requiring
+  // LongType keeps both execution modes identical (callers cast
+  // narrower integrals explicitly, which is also what the insert-side
+  // `putLong` hashing assumes).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires a BIGINT key, got " +
+        child.dataType.catalogString)
 
   override def nullSafeEval(v: Any): Any =
     filter.value.mightContainLong(v.asInstanceOf[Long])

@@ -44,7 +44,10 @@ object BloomPrune {
     val n = math.max(keys.count(), 1L)
     val bf = keys.stat.bloomFilter(KeyCol, n, fpp)
     val bcast = fact.sparkSession.sparkContext.broadcast(bf)
-    fact.filter(BloomFunctions.bloom_might_contain(factKey, bcast))
+    // explicit cast: the probe expression requires BIGINT (narrower
+    // integrals would hash differently than the putLong insert side)
+    fact.filter(BloomFunctions.bloom_might_contain(factKey.cast("long"),
+        bcast))
       .join(keys, factKey === col(KeyCol), "left_semi")
   }
 }

@@ -45,6 +45,24 @@ class BloomPruneSpec extends SparkSpec {
     assert(plan.contains("bloom_might_contain"))
   }
 
+  test("non-BIGINT probe key is rejected at analysis, not at runtime") {
+    import spark.implicits._
+    val bf = Seq(1L).toDF("k").stat.bloomFilter("k", 1L, 0.01)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val intKeyed = Seq(1, 2).toDF("ik")
+    // an INT key hashes differently than the putLong insert side; the
+    // expression must fail analysis instead of diverging between the
+    // interpreted (ClassCastException) and codegen (silent widen) paths
+    intercept[org.apache.spark.sql.AnalysisException] {
+      intKeyed.filter(graft.functions.BloomFunctions
+        .bloom_might_contain(col("ik"), bcast)).collect()
+    }
+    // semiJoin handles the cast itself, so int-keyed facts still work
+    val got = BloomPrune.semiJoin(intKeyed, col("ik"),
+      Seq(1L).toDF("dk"), "dk").as[Int].collect()
+    assert(got.toSeq === Seq(1))
+  }
+
   test("null fact keys are dropped, matching EXISTS semantics") {
     import spark.implicits._
     val fact = Seq(Some(1L), None, Some(2L), Some(99L)).toDF("k")
