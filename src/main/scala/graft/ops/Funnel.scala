@@ -88,10 +88,12 @@ object Funnel {
     * `aggregate` higher-order function — codegen'd, no UDF.
     *
     * `strictOrder = true` adds windowFunnel's 'strict_order' mode: once
-    * the chain has started, an event that matches ANY funnel condition
-    * but does not advance the chain kills it (non-matching events are
-    * ignored, as in ClickHouse). Default mode is pinned equivalent to
-    * [[userLevels]] (FunnelProps folds both over random streams).
+    * the chain has started, ANY event that does not advance it kills
+    * it — including events matching no funnel condition at all
+    * (ClickHouse's own A→B→D→C example stops at level 2 because D
+    * intervenes, and plain noise events interrupt the same way).
+    * Default mode is pinned equivalent to [[userLevels]] (FunnelProps
+    * folds both over random streams).
     */
   def userLevelsFold(events: DataFrame, user: Column, tsUs: Column,
       steps: Seq[Column], windowUs: Long,
@@ -100,6 +102,10 @@ object Funnel {
     val n = steps.length
     val matchArr = array(steps: _*)
     val anyMatch = steps.reduce(_ || _)
+    // 'any' no longer drives interruption (strict_order kills on any
+    // non-advancing event) but stays in the struct: array_sort orders
+    // struct fields lexicographically, so it is part of the
+    // deterministic tie-break among same-timestamp events.
     val evs = events
       .select(user.as("u"),
         struct(tsUs.as("ts"), coalesce(anyMatch, lit(false)).as("any"),
@@ -123,9 +129,10 @@ object Funnel {
       val inWindow = lvl === 0 ||
         (ts > tprev && ts <= anchor + lit(windowUs))
       val advance = !dead && matchesNext && inWindow
+      // strict_order: any non-advancing event after the chain starts
+      // interrupts — matching a funnel condition or not
       val interrupt =
-        if (strictOrder)
-          !dead && lvl > 0 && e.getField("any") && !advance
+        if (strictOrder) !dead && lvl > 0 && !advance
         else lit(false)
       when(advance,
         state(lvl + 1, when(lvl === 0, ts).otherwise(anchor), ts, dead))

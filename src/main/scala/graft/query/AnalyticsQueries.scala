@@ -46,9 +46,8 @@ object AnalyticsQueries {
         .orderBy(col("funnel_level"))),
 
     // windowFunnel('strict_order') mode: a chain in progress dies on
-    // any funnel-condition event that does not advance it. No SQL
-    // twin (sequential semantics) -> rows-only; mode behavior pinned
-    // in FunnelSpec.
+    // ANY event that does not advance it (funnel-related or not), as
+    // in ClickHouse. Mode behavior pinned in FunnelSpec.
     "funnel_steps_strict" -> ((s, d) =>
       Funnel.userLevelsFold(Tables.events(s, d), col("user_id"),
           unix_micros(col("ts")),
@@ -268,6 +267,46 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "funnel_steps" -> funnelStepsOracle,
     "funnel_steps_fold" -> funnelStepsOracle,
+    // strict_order is sequential, but its OUTCOME is a function of only
+    // the first step-1 event and the two events immediately after it in
+    // the per-user sort (any other shape interrupts the chain) — so it
+    // IS SQL-expressible: window-number the events, locate the anchor,
+    // pivot out positions a/a+1/a+2, and score the level from that trio.
+    // The ORDER BY replicates the fold's full tie-break (ts, matches-any,
+    // per-step match vector) for same-timestamp determinism.
+    "funnel_steps_strict" ->
+      s"""WITH ord AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_type = 'view' AS is_v, event_type = 'click' AS is_c,
+        |    event_type = 'purchase' AS is_p,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+        |        (event_type IN ('view','click','purchase')),
+        |        [event_type='view', event_type='click',
+        |         event_type='purchase']) AS rn
+        |  FROM events),
+        |anch AS (SELECT user_id, min(rn) AS a FROM ord
+        |  WHERE is_v GROUP BY 1),
+        |trio AS (
+        |  SELECT ord.user_id,
+        |    max(CASE WHEN rn = a THEN us END) AS t1,
+        |    max(CASE WHEN rn = a + 1 THEN us END) AS u2,
+        |    bool_or(CASE WHEN rn = a + 1 THEN is_c END) AS c2,
+        |    max(CASE WHEN rn = a + 2 THEN us END) AS u3,
+        |    bool_or(CASE WHEN rn = a + 2 THEN is_p END) AS p3
+        |  FROM ord JOIN anch USING (user_id)
+        |  GROUP BY 1),
+        |lvl AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t1 IS NULL THEN 0
+        |         WHEN c2 AND u2 > t1 AND u2 <= t1 + $dayUs
+        |              AND p3 AND u3 > u2 AND u3 <= t1 + $dayUs THEN 3
+        |         WHEN c2 AND u2 > t1 AND u2 <= t1 + $dayUs THEN 2
+        |         ELSE 1 END AS funnel_level
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN trio USING (user_id))
+        |SELECT funnel_level, count(*) AS n_users FROM lvl
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "funnel_step_durations" ->
       s"""WITH t AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

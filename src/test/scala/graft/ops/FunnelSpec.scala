@@ -68,7 +68,7 @@ class FunnelSpec extends SparkSpec {
     assert(out("2024-01-02") === ((1L, 0L, 1L)))
   }
 
-  test("userLevelsFold strict_order: non-advancing funnel events kill the chain") {
+  test("userLevelsFold strict_order: any non-advancing event kills the chain") {
     def lv(strict: Boolean)(rows: (Long, String, Long)*): Map[Long, Int] = {
       val ev = rows.toSeq.toDF("u", "t", "us")
       Funnel.userLevelsFold(ev, col("u"), col("us"), steps,
@@ -84,8 +84,12 @@ class FunnelSpec extends SparkSpec {
       (2L, "click", 2 * H), (2L, "purchase", 3 * H))
     assert(lv(strict = true)(rows2: _*)(2L) === 1)
     assert(lv(strict = false)(rows2: _*)(2L) === 3)
-    // non-funnel noise between steps is ignored even in strict mode
+    // non-funnel noise between steps ALSO interrupts (ClickHouse
+    // strict_order: no other events allowed between chain steps) —
+    // default mode ignores it
     assert(lv(strict = true)((3L, "view", 0L), (3L, "signup", H),
+      (3L, "click", 2 * H))(3L) === 1)
+    assert(lv(strict = false)((3L, "view", 0L), (3L, "signup", H),
       (3L, "click", 2 * H))(3L) === 2)
     // a REPEAT of an already-passed condition also interrupts
     val rows4 = Seq((4L, "view", 0L), (4L, "view", H),
