@@ -256,7 +256,101 @@ object StarSchemaQueries {
       Tables.part(s, d)
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .orderBy(col("p_retailprice").desc, col("p_partkey"))
-        .limit(10))
+        .limit(10)),
+
+    // TPC-H Q13 shape: customer order-count DISTRIBUTION — left outer
+    // join with a join-side (not where-side) filter, count per
+    // customer, then re-group on the count itself. Adapted filter: the
+    // schema has no o_comment, so the excluded class is a priority
+    // band. The custkey shuffle carries the big join; the second
+    // aggregate runs on at most (max orders per customer) rows.
+    "q13_custdist" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.customer(s, d)
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape: agg-over-agg via a revenue "view" — per-supplier
+    // quarter revenue, then the suppliers achieving the MAX of that
+    // aggregate. The equality is evaluated on the EXACT decimal sums
+    // (never on rounded doubles), so both engines pick the same
+    // winners; the 1-row max is broadcast, not a second shuffle.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue).as("rev_dec"))
+      val maxRev = rev.agg(max(col("rev_dec")).as("max_rev"))
+      rev.join(broadcast(maxRev), col("rev_dec") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev_dec"), 2).cast("double").as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — semi join on a GROUPED
+    // threshold (per-order quantity sum > 200). The quantity aggregate
+    // is computed once and joined back (one orderkey shuffle reused by
+    // the orders join), rather than TPC-H's textual IN-subquery +
+    // re-aggregation, which would scan lineitem twice.
+    "q18_large_orders" -> ((s, d) => {
+      val bigOrders = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+        .filter(col("qty_dec") > 200)
+      bigOrders
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
+          col("o_totalprice"),
+          round(col("qty_dec"), 2).cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q21 shape: the multi-EXISTS anti pattern — suppliers who
+    // were the ONLY late supplier on a finalized multi-supplier order
+    // ("kept the order waiting"). Late = shipped >90 days after the
+    // order date (same adaptation as q4: the schema has no
+    // commit/receipt dates). One late-line set feeds both the EXISTS
+    // (some other supplier on the order) semi join and the NOT EXISTS
+    // (another late supplier) anti join; every join is keyed on
+    // orderkey, supplier is broadcast.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val late = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val others = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val otherLate = late
+        .select(col("ok").as("ok3"), col("sk").as("sk3")).distinct()
+      late
+        .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+          "left_semi")
+        .join(otherLate,
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+          "left_anti")
+        .join(broadcast(Tables.supplier(s, d)),
+          col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -391,6 +485,57 @@ object StarSchemaQueries {
         |ORDER BY 1, 2""".stripMargin,
     "topk_limit" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
-        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(6,4)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(rev_dec, 2) AS DOUBLE) AS total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+        |  FROM lineitem GROUP BY 1 HAVING qty_dec > 200)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice,
+        |  CAST(round(qty_dec, 2) AS DOUBLE) AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
 }
