@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.CentroidFunctions.{centroid_cell, centroid_top_cells}
 import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -301,7 +302,10 @@ object Similarity {
     * scored pair space is ~|corpus| x nProbe/numCells per query.
     * Centroids are a deterministic strided sample of the corpus
     * (k-means refinement would drop in without changing the dataflow);
-    * they ship to executors as literal plan constants — K x dim doubles.
+    * they ship to executors as a BROADCAST value probed by the native
+    * [[graft.functions.CentroidTopCells]] expression — the plan stays
+    * one node regardless of numCells (50 k production cells would be
+    * tens of millions of literals if embedded in the plan).
     */
   /** One Lloyd (k-means) sweep: assign every vector to its best cell,
     * recompute each cell's mean vector distributedly (64 avg-aggs over
@@ -309,15 +313,11 @@ object Similarity {
     * old centroid for any emptied cell. */
   private def lloydStep(corpus: DataFrame,
       cents: Array[Array[Double]], dim: Int): Array[Array[Double]] = {
-    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    val scoreArr = array(cents.indices.map(i =>
-      vec_dot(col("embedding"),
-        array(cents(i).toIndexedSeq.map(lit): _*)) / lit(norms(i))): _*)
-    val cell =
-      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     val dimAggs = (0 until dim).map(j =>
       avg(element_at(col("embedding"), j + 1)).as(s"d$j"))
-    val means = corpus.withColumn("cell", cell)
+    val means = corpus
+      .withColumn("cell", centroid_cell(col("embedding"), bc))
       .groupBy(col("cell")).agg(dimAggs.head, dimAggs.tail: _*)
       .collect()
       .map(r => r.getInt(0) ->
@@ -362,16 +362,6 @@ object Similarity {
       lloydStep(corpus, c, dim))
   }
 
-  /** Nearest-centroid cell id for an embedding row (argmax affinity via
-    * a materialized score array — see the note in [[ivfTopK]]). */
-  private def cellOf(cents: Array[Array[Double]]): Column = {
-    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    val scoreArr = array(cents.indices.map(i =>
-      vec_dot(col("embedding"),
-        array(cents(i).toIndexedSeq.map(lit): _*)) / lit(norms(i))): _*)
-    (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
-  }
-
   /** @param refineIters Lloyd iterations applied to the strided seed
     *   centroids (0 = seeds as-is). Each iteration is one narrow
     *   assignment pass + one tiny shuffle. */
@@ -379,34 +369,19 @@ object Similarity {
       numCells: Int = 16, nProbe: Int = 4,
       refineIters: Int = 0): DataFrame = {
     val cents = centroids(corpus, numCells, refineIters)
-    val centNorms = cents.map(c =>
-      math.sqrt(c.map(x => x * x).sum))
-    def centCol(i: Int): Column =
-      array(cents(i).toIndexedSeq.map(lit): _*)
-    // per-cell affinity: dot(v, c_i)/|c_i| (row norm constant per row,
-    // irrelevant to the argmax)
-    def score(i: Int): Column =
-      vec_dot(col("embedding"), centCol(i)) / lit(centNorms(i))
-    // argmax via a materialized score array — NOT a when/otherwise fold,
-    // which duplicates the running best into both branches and blows
-    // the expression tree up to 2^numCells nodes (hangs the analyzer)
-    val scoreArr = array(cents.indices.map(score): _*)
-    val bestCell =
-      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     val c = corpus
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"),
         vec_norm(col("embedding")).as("c_norm"),
-        bestCell.as("cell"))
+        centroid_cell(col("embedding"), bc).as("cell"))
     // query side: rank all cells, probe the top nProbe
-    val scored = array(cents.indices.map(i =>
-      struct((-score(i)).as("neg"), lit(i).as("cell"))): _*)
     val q = queries
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"),
         vec_norm(col("embedding")).as("q_norm"),
-        explode(transform(slice(array_sort(scored), 1, nProbe),
-          s => s.getField("cell"))).as("cell"))
+        explode(centroid_top_cells(col("embedding"), bc, nProbe))
+          .as("cell"))
     val ranked = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -470,14 +445,20 @@ object Similarity {
     * numCells grows with the corpus (the paper used 50 k cells for
     * LAION). The within-cell join is an equi-join on `cell`, so each
     * cell's quadratic work is shuffle-local to one partition group; no
-    * all-pairs plan exists at any size. Near-dups in DIFFERENT cells
-    * are missed by construction — the same recall trade the paper
-    * accepts (near-identical embeddings land in the same cell except
-    * at cell boundaries).
+    * all-pairs plan exists at any size.
     *
-    * Returns the KEPT rows as (vec_id, cell), lowest id per duplicate
-    * pair surviving — deterministic for a fixed centroid set
-    * (refineIters = 0 makes it fully so: strided seeds are literals).
+    * Cell-BOUNDARY recall: pairing runs over each vector's top-2
+    * nearest cells (SemDeDup's own second-nearest-cell mitigation), so
+    * a near-identical pair split across a cell boundary is still
+    * compared whenever either member's second cell is the other's
+    * first — at ~4x the within-cell pair work (each cell's member list
+    * roughly doubles). Pairs whose cells are disjoint even at depth 2
+    * remain missed, the residual trade the paper accepts.
+    *
+    * Returns the KEPT rows as (vec_id, cell) with `cell` the PRIMARY
+    * (nearest) cell, lowest id per duplicate pair surviving —
+    * deterministic for a fixed centroid set (refineIters = 0 makes it
+    * fully so: strided seeds are literals).
     */
   def semanticDedup(vectors: DataFrame, t: Double, numCells: Int = 16,
       refineIters: Int = 0): DataFrame =
@@ -489,9 +470,14 @@ object Similarity {
     * ad-hoc strided sample. */
   def semanticDedup(vectors: DataFrame, t: Double,
       cents: Array[Array[Double]]): DataFrame = {
+    val bc = vectors.sparkSession.sparkContext.broadcast(cents)
     val assigned = vectors.select(col("vec_id"), col("embedding"),
-      vec_norm(col("embedding")).as("norm"), cellOf(cents).as("cell"))
-    def side(s: String) = assigned.select(col("cell"),
+      vec_norm(col("embedding")).as("norm"),
+      centroid_top_cells(col("embedding"), bc, 2).as("cells"))
+    // pairing frame: one row per (vector, cell) for its top-2 cells;
+    // a pair meeting in BOTH cells is collapsed by the drops distinct
+    def side(s: String) = assigned.select(
+      explode(col("cells")).as("cell"),
       col("vec_id").as(s"vec_$s"), col("embedding").as(s"emb_$s"),
       col("norm").as(s"norm_$s"))
     val drops = side("a").join(side("b"), "cell")
@@ -499,7 +485,8 @@ object Similarity {
       .filter(round(vec_dot(col("emb_a"), col("emb_b"))
         / (col("norm_a") * col("norm_b")), 4) >= t)
       .select(col("vec_b").as("vec_id")).distinct()
-    assigned.join(drops, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("cell"))
+    assigned
+      .select(col("vec_id"), element_at(col("cells"), 1).as("cell"))
+      .join(drops, Seq("vec_id"), "left_anti")
   }
 }

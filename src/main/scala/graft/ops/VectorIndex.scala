@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.CentroidFunctions.{centroid_cell, centroid_top_cells}
 import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 
 /** Persisted IVF index: build once, query many — the missing half of
@@ -25,18 +26,17 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 object VectorIndex {
 
   /** One Lloyd sweep over normalized affinities (same dataflow as
-    * Similarity.lloydStep, against this module's seed set). */
+    * Similarity.lloydStep, against this module's seed set). Cell
+    * assignment probes the broadcast centroid matrix via the native
+    * [[graft.functions.CentroidTopCells]] expression — plan size stays
+    * constant in numCells (see that expression's scaladoc). */
   private def lloydStep(corpus: DataFrame, cents: Array[Array[Double]],
       dim: Int): Array[Array[Double]] = {
-    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    val scoreArr = array(cents.indices.map(i =>
-      vec_dot(col("embedding"),
-        array(cents(i).toIndexedSeq.map(lit): _*)) / lit(norms(i))): _*)
-    val cell =
-      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     val dimAggs = (0 until dim).map(j =>
       avg(element_at(col("embedding"), j + 1)).as(s"d$j"))
-    val means = corpus.withColumn("cell", cell)
+    val means = corpus
+      .withColumn("cell", centroid_cell(col("embedding"), bc))
       .groupBy(col("cell")).agg(dimAggs.head, dimAggs.tail: _*)
       .collect()
       .map(r => r.getInt(0) ->
@@ -104,13 +104,9 @@ object VectorIndex {
       .toDF("cell", "centroid", "norm")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    val scoreArr = array(cents.indices.map(i =>
-      vec_dot(col("embedding"),
-        array(cents(i).toIndexedSeq.map(lit): _*)) / lit(centNorms(i))): _*)
-    val cell =
-      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    val bc = spark.sparkContext.broadcast(cents)
     corpus
-      .withColumn("cell", cell)
+      .withColumn("cell", centroid_cell(col("embedding"), bc))
       .withColumn("c_norm", vec_norm(col("embedding")))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
@@ -133,12 +129,13 @@ object VectorIndex {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    val scoreArr = array(cents.map(c =>
-      vec_dot(col("embedding"),
-        array(c._2.toIndexedSeq.map(lit): _*)) / lit(c._3)).toIndexedSeq: _*)
+    val bc = spark.sparkContext.broadcast(cents.map(_._2))
+    // the expression returns an INDEX into the broadcast matrix;
+    // map it back to the persisted cell id (defensive: ids are
+    // contiguous today, but the index never assumes it)
     val cell = element_at(
       array(cents.map(c => lit(c._1)).toIndexedSeq: _*),
-      array_position(scoreArr, array_max(scoreArr)).cast("int"))
+      centroid_cell(col("embedding"), bc) + 1)
     newVecs
       .withColumn("cell", cell)
       .withColumn("c_norm", vec_norm(col("embedding")))
@@ -165,17 +162,17 @@ object VectorIndex {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray,
         r.getDouble(2)))
-    def score(c: (Int, Array[Double], Double)) =
-      vec_dot(col("embedding"),
-        array(c._2.toIndexedSeq.map(lit): _*)) / lit(c._3)
-    val probes = array(cents.map(c =>
-      struct((-score(c)).as("neg"), lit(c._1).as("cell"))).toIndexedSeq: _*)
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents.map(_._2))
+    val idOf = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
     val q = queries
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"),
         vec_norm(col("embedding")).as("q_norm"),
-        explode(transform(slice(array_sort(probes), 1, nProbe),
-          s => s.getField("cell"))).as("cell"))
+        explode(centroid_top_cells(col("embedding"), bc, nProbe))
+          .as("cidx"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        element_at(idOf, col("cidx") + 1).as("cell"))
     // the probed cell set, resolved small on the driver so the scan
     // filter is a literal IN over the partition column
     val probedCells = q.select(col("cell")).distinct()

@@ -221,6 +221,68 @@ class SimilaritySpec extends SparkSpec {
       s"missed in-cluster dups: ${plantedIds -- dropped}")
   }
 
+  test("semanticDedup boundary pairs: second-nearest-cell probing catches " +
+      "dups split across a cell border") {
+    // Two well-separated cluster centroids and a near-dup pair planted
+    // ON the midline, nudged so each member's NEAREST centroid differs
+    // — single-cell assignment can never compare them, top-2 probing
+    // must (each member's second cell is the other's first).
+    import spark.implicits._
+    val dim = 8
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val cA = Array.fill(dim)(0f).updated(0, 1f)
+    val cB = Array.fill(dim)(0f).updated(1, 1f)
+    // midline direction (1,1,0,..)/sqrt2; lean each member to one side
+    def lean(eps: Float) = unit(Array.tabulate(dim)(i =>
+      if (i == 0) 1f + eps else if (i == 1) 1f - eps else 0f))
+    val pair = Seq((100L, lean(0.02f)), (101L, lean(-0.02f)))
+    // filler members so both cells are non-trivial
+    val rnd = new scala.util.Random(3)
+    val filler = (0L until 40L).map { i =>
+      val c = if (i % 2 == 0) cA else cB
+      (i, unit(c.map(x => x + (0.05 * rnd.nextGaussian()).toFloat)))
+    }
+    val df = (filler ++ pair).toDF("vec_id", "embedding")
+    val cents = Array(cA.map(_.toDouble), cB.map(_.toDouble))
+    // the pair really does straddle the border: nearest cells differ
+    val cells = df.filter(col("vec_id") >= 100L)
+      .select(col("vec_id"),
+        graft.functions.CentroidFunctions.centroid_cell(
+          col("embedding"),
+          spark.sparkContext.broadcast(cents)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(100L) != cells(101L),
+      s"fixture broken: pair landed in one cell ($cells)")
+    // cos(pair) ~ 1 - eps^2 >> 0.9 — top-2 probing must drop 101
+    val kept = Similarity.semanticDedup(df, t = 0.9, cents)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(100L) && !kept.contains(101L),
+      "cross-border near-dup must be caught by second-nearest-cell probing")
+  }
+
+  test("IVF plan size is independent of numCells (centroids ride a " +
+      "broadcast, not the plan)") {
+    // The pre-round-6 formulation embedded numCells x dim literal
+    // doubles in the plan — at SemDeDup production scale (50 k cells,
+    // 768 dims) that is tens of millions of literals in every task
+    // binary. With the broadcast-backed expression the optimized plan
+    // must stay the same size no matter how many centroids exist.
+    val df = plantedCorpus(dim = 16, nBase = 600, s = 0.05)
+    val q = df.filter(col("vec_id") < 2)
+    def planLen(cells: Int): Int =
+      Similarity.ivfTopK(q, df, 5, numCells = cells, nProbe = 2)
+        .queryExecution.optimizedPlan.toString.length
+    val small = planLen(8)
+    val large = planLen(512)
+    info(s"optimized plan chars: numCells=8 -> $small, 512 -> $large")
+    assert(large < small * 2,
+      s"plan grew with numCells ($small -> $large): centroids are " +
+        "leaking into the plan as literals")
+  }
+
   test("centroids memoize per file source; in-memory corpora never cached") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val a = Similarity.centroids(emb, numCells = 8, refineIters = 0)
