@@ -44,6 +44,48 @@ object EventSource {
       topicKey: String): DataFrame =
     spark.read.text(cfg.topicDir(topicKey)).toDF("value")
 
+  /** The `format("kafka")` reader options the file-topic stand-in maps
+    * to — the one-line-swap claim as COMPILED code rather than prose.
+    * Against a real broker, [[streamRaw]]'s body becomes:
+    *
+    * {{{
+    * spark.readStream.format("kafka")
+    *   .options(kafkaReaderOptions(cfg, topicKey))
+    *   .load()                        // key/value binary + metadata
+    *   .select(col("value").cast("string"))  // UTF-8 decode, md:143
+    * }}}
+    *
+    * and everything downstream ([[decode]], dead-lettering, the sinks)
+    * is unchanged — the value column is the same JSON line either way.
+    * Offsets/partitions need no analog here: the Kafka source tracks
+    * per-partition offsets in the SAME checkpoint directory the file
+    * source already uses (`cfg.checkpointDir` — the consumer-group
+    * store, kafka+clickhouse.md:129), and topic partitions surface as
+    * Spark input partitions automatically.
+    *
+    * `maxOffsetsPerTrigger` bounds a micro-batch in RECORDS, the broker
+    * twin of the file source's `maxFilesPerTrigger` (both stand in for
+    * the reference's `kafka_max_block_size`).
+    */
+  def kafkaReaderOptions(cfg: PipelineConfig, topicKey: String,
+      maxOffsetsPerTrigger: Long = 10000L): Map[String, String] = {
+    val topic = cfg.topics.getOrElse(topicKey,
+      throw new IllegalArgumentException(s"unknown topic key: $topicKey"))
+    Map(
+      // cfg.topicsRoot doubles as the broker list in a real deployment
+      // (kafka+clickhouse.md:13)
+      "kafka.bootstrap.servers" -> cfg.topicsRoot,
+      "subscribe" -> topic,
+      "startingOffsets" -> cfg.startingOffsets,
+      "kafka.group.id" -> cfg.groupId,
+      "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
+      // the reference's consumer treats a failed poll as skip-and-log
+      // (kafka+clickhouse.md:137-141); data loss on missing offsets is
+      // surfaced, not silently skipped
+      "failOnDataLoss" -> "true"
+    )
+  }
+
   /** JSONEachRow decode (kafka+clickhouse.md:194): one JSON object per
     * line -> typed columns + the original value retained for
     * dead-lettering. PERMISSIVE from_json yields an all-null struct for

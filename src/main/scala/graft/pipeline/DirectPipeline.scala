@@ -82,22 +82,40 @@ object DirectPipeline {
       .option("checkpointLocation", cfg.checkpointDir("clickhouse-writer"))
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val wire = EventSource.wellFormed(batch)
-        EventSink.writeEmailEvents(EventSink.toEmailEvents(wire), cfg)
-        // Dead-letter path: corrupt JSON + out-of-domain enum values
-        // (the rows an Enum8 insert would reject, kafka+clickhouse.md:97
-        // — the reference ERRORS on an invalid Enum8 insert; we surface
-        // the same rejection as a typed dead-letter row instead of
-        // silently dropping). Each row carries the raw payload plus a
-        // `reason` so replay tooling can triage without re-parsing.
-        val dead = EventSource.corrupt(batch)
-          .withColumn("reason", lit("corrupt_json"))
-          .union(EventSink.invalidEvents(wire)
-            .select(to_json(struct(wire.columns.map(col): _*))
-              .as("value"),
-              lit("invalid_enum_event_type").as("reason")))
-        if (!dead.isEmpty)
+        // One micro-batch, bounded: persist it so the well-formed
+        // write, the corrupt scan, and the invalid-enum scan all read
+        // the SAME materialized batch instead of re-deriving the
+        // source (previously up to 4 recomputes per batch, including
+        // a full isEmpty probe job — an empty dead-letter append is
+        // harmless and costs less than the probe did).
+        batch.persist()
+        try {
+          val wire = EventSource.wellFormed(batch)
+          EventSink.writeEmailEvents(EventSink.toEmailEvents(wire), cfg)
+          // Dead-letter path: corrupt JSON + out-of-domain enum values
+          // (the rows an Enum8 insert would reject, kafka+clickhouse.md:97
+          // — the reference ERRORS on an invalid Enum8 insert; we surface
+          // the same rejection as a typed dead-letter row instead of
+          // silently dropping). Each row carries the raw payload plus a
+          // `reason` so replay tooling can triage without re-parsing.
+          //
+          // Delivery contract — DELIBERATELY at-least-once: both appends
+          // duplicate on a batch retry, mirroring the reference's Part-1
+          // consumer (poll -> insert -> commit, kafka+clickhouse.md:
+          // 135-153, which re-inserts on a crash between insert and
+          // commit). Exactly-once upgrades exist on both flanks and are
+          // opt-in: `dedupKeys` dedups replayed EVENTS in-stream, and the
+          // MV path's SummingStore keys its writes by batchId (the
+          // batch=<id> overwrite pattern would drop in here the same way
+          // if a deployment needs idempotent raw appends).
+          val dead = EventSource.corrupt(batch)
+            .withColumn("reason", lit("corrupt_json"))
+            .union(EventSink.invalidEvents(wire)
+              .select(to_json(struct(wire.columns.map(col): _*))
+                .as("value"),
+                lit("invalid_enum_event_type").as("reason")))
           dead.write.mode("append").json(cfg.tablePath("dead_letter"))
+        } finally batch.unpersist()
       }
       .start()
   }

@@ -201,4 +201,24 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
     assert(codes.toSeq == Seq(2, -1))
   }
+
+  test("kafka swap point: reader options assemble from PipelineConfig") {
+    // the one-line-swap claim (SURVEY.md §7.4) as compiled code: the
+    // format("kafka") option map derives entirely from the SAME config
+    // object the file-topic stand-in runs on
+    val c = PipelineConfig(topicsRoot = "broker1:9092,broker2:9092",
+      warehouseRoot = tmpDir("warehouse"))
+    val opts = graft.ingest.EventSource.kafkaReaderOptions(
+      c, "event_tracking")
+    assert(opts("kafka.bootstrap.servers") === "broker1:9092,broker2:9092")
+    assert(opts("subscribe") === "campaign.event_tracking")
+    assert(opts("startingOffsets") === "earliest",
+      "auto.offset.reset analog, kafka+clickhouse.md:130")
+    assert(opts("kafka.group.id") === "clickhouse-writer")
+    assert(opts("failOnDataLoss") === "true")
+    assert(opts("maxOffsetsPerTrigger").toLong > 0)
+    intercept[IllegalArgumentException] {
+      graft.ingest.EventSource.kafkaReaderOptions(c, "nonexistent_topic")
+    }
+  }
 }
