@@ -55,20 +55,30 @@ object Bench {
     // is now evidence, not noise. Min/max are kept in the artifact file
     // so a reader can see each query's spread.
     val passes = 3
+    def loadNow: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    // Each timed sample also snapshots the 1-min loadavg at pass end:
+    // a single noisy pass (background host load spiking one sample)
+    // is then visible per query in the artifact, instead of being
+    // smeared into one end-of-run number.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val samples = (0 until passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> (samples(passes / 2), samples.head, samples.last)
+        ((System.nanoTime() - t0) / 1e9, loadNow)
+      }
+      val times = samples.map(_._1).sorted
+      name -> (times(passes / 2), times.head, times.last,
+        samples.map(_._2))
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Compact per-query map (3-decimal secs keeps the stdout line well
     // under capture-truncation limits) + the same map as its own
     // artifact file so per-query timings survive any line truncation.
-    def jsonMap(pick: ((Double, Double, Double)) => Double): String =
+    def jsonMap(pick: ((Double, Double, Double, Seq[Double])) => Double)
+        : String =
       results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(pick(v)) }
         .mkString("{", ",", "}")
@@ -76,16 +86,23 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // 1-min load average at end of run: totals inflate uniformly ~25-30%
     // under background host load (see NOTES round 3) — this field lets a
-    // reader tell a noisy run from a regression.
-    val load = String.format(java.util.Locale.ROOT, "%.2f", Double.box(
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage))
+    // reader tell a noisy run from a regression; the per-pass snapshots
+    // in queries_load localize WHICH pass was noisy.
+    val load = String.format(java.util.Locale.ROOT, "%.2f",
+      Double.box(loadNow))
+    val loadMaps = results.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":[" + v._4.map(l => String.format(
+          java.util.Locale.ROOT, "%.2f", Double.box(l)))
+          .mkString(",") + "]"
+      }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
     // Artifact file carries the per-query spread (min/max over the 3
-    // passes) alongside the medians the stdout line publishes.
+    // passes, chronological per-pass loadavg) alongside the medians the
+    // stdout line publishes.
     val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_._2)},"queries_max":${jsonMap(_._3)},"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_._2)},"queries_max":${jsonMap(_._3)},"queries_load":$loadMaps,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), fileLine + "\n")
     println(line)
