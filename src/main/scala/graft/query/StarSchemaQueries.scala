@@ -319,6 +319,137 @@ object StarSchemaQueries {
         .limit(100)
     }),
 
+    // TPC-H Q7 shape: bidirectional nation-pair trade volume by year —
+    // the two-aliased-dimension join (the SAME nation table joined once
+    // through the supplier and once through the customer). Both nation
+    // copies broadcast; the one shuffle is lineitem<->orders.
+    "q7_nation_volume" -> ((s, d) => {
+      val nations = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate")
+          .between(to_timestamp(lit("1995-01-01")),
+            to_timestamp(lit("1996-12-31"))))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation").isin(nations: _*) &&
+          col("cust_nation").isin(nations: _*) &&
+          col("supp_nation") =!= col("cust_nation"))
+        // cast: Spark year() is INT, DuckDB's BIGINT — dtype-only FAIL
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(moneySum(revenue).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape: national market share — a conditional share of a
+    // revenue sum over a 7-table star join (nation joined twice), the
+    // numerator/denominator both exact decimal sums divided once in
+    // double (same determinism discipline as q14).
+    "q8_market_share" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"),
+          col("n_regionkey").as("c_rk"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate")
+            .between(to_timestamp(lit("1995-01-01")),
+              to_timestamp(lit("1996-12-31")))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(asia), col("c_rk") === col("r_regionkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_1", revenue)
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+            sum(revenue).cast("double"), 4).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q17 shape: correlated per-group scalar aggregate — lines
+    // far below their part's average order quantity. The per-part
+    // average is computed once and joined back (the decorrelated plan
+    // Catalyst would also produce); computed as exact-sum/count so both
+    // engines derive the identical double threshold.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val branded = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#3")),
+          col("l_partkey") === col("p_partkey"))
+      val avgQty = branded.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      branded.join(avgQty, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(
+          round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 2)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive predicate bundles spanning BOTH join
+    // sides (brand x size x quantity) — the OR cannot push below the
+    // join, but each bundle's part-side half prunes the broadcast dim.
+    "q19_bundle_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(moneySum(revenue).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q22 shape: anti join + global scalar threshold — rich
+    // (above positive-average balance) customers with no recent orders,
+    // per nation. The schema has no c_phone, so nations stand in for
+    // the phone country codes; "dormant" = no order since 1999. The
+    // threshold is an exact decimal sum / count, broadcast as one row.
+    "q22_dormant_customers" -> ((s, d) => {
+      val thr = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") /
+          count(lit(1))).as("thr"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          moneySum(dec(col("c_acctbal"))).as("totacctbal"))
+        .orderBy(col("n_name"))
+    }),
+
     // TPC-H Q21 shape: the multi-EXISTS anti pattern — suppliers who
     // were the ONLY late supplier on a finalized multi-supplier order
     // ("kept the order waiting"). Late = shipped >90 days after the
@@ -521,6 +652,83 @@ object StarSchemaQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+        |  AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+        |    AND TIMESTAMP '1996-12-31'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(6,4)))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 4)
+        |    AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+        |    AND TIMESTAMP '1996-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk, sum(l_quantity) / count(*) AS avg_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#3' GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q19_bundle_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH thr AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    / count(*) AS t
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey, thr
+        |WHERE c_acctbal > t
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_waiting_supplier" ->
       """SELECT s_name, count(*) AS numwait
         |FROM lineitem l1

@@ -21,12 +21,15 @@ import graft.{SparkEntry, SparkSpec}
   *  - `text_unigram_loglik`: broadcasts a ONE-ROW aggregate (the
   *    corpus word total) onto every row — O(n x 1), the standard
   *    scalar-attach shape, not a pair join.
+  *  - `q22_dormant_customers`: same scalar-attach shape — the global
+  *    balance threshold is a ONE-ROW broadcast aggregate joined onto
+  *    the customer scan (TPC-H q22's scalar subquery, decorrelated).
   */
 class PlanShapeSpec extends SparkSpec {
 
   private val justifiedQuadratic =
     Set("sim_cosine_topk", "sim_cosine_topk_int8", "join_cross_dims",
-      "text_unigram_loglik")
+      "text_unigram_loglik", "q22_dormant_customers")
 
   test("no quadratic join in any registered non-oracle query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
