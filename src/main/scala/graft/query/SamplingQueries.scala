@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Sampling
+import graft.ops.{DetSample, Sampling}
 
 /** Deterministic sampling surface over the documents corpus — the
   * split/sample/stratify operators a training-data pipeline runs before
@@ -38,7 +38,22 @@ object SamplingQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // Deterministic-sample quantiles (ClickHouse quantileDeterministic
+    // analog; see ops/DetSample): per-priority order-value quantiles
+    // from a bottom-k-by-hash sample — bounded state per task, no RNG,
+    // merge-order-invariant. Oracle-paired because k (8192) covers
+    // every priority group at verify scale, making the sample the full
+    // multiset and the nearest-rank quantiles exact; at bench sf the
+    // bounded-state approximation engages (same exact-below-capacity
+    // pattern as vocab_topk_approx).
+    "agg_quantile_deterministic" -> ((s, d) =>
+      DetSample.approxQuantiles(Tables.orders(s, d),
+          keys = Seq("o_orderpriority"), value = col("o_totalprice"),
+          determinator = Seq(col("o_orderkey")),
+          probs = Seq(0.5, 0.9, 0.99), k = 8192)
+        .orderBy(col("o_orderpriority")))
   )
 
   /** Target token shares for the mixing demo: upweight the non-English
@@ -75,6 +90,21 @@ object SamplingQueries {
         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tok
         |FROM documents d JOIN thr USING (lang)
         |WHERE $hash % 1048576 < thr.thr
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // Exact twin of the k-covers-the-group regime: nearest-rank
+    // quantiles over the FULL group (the sample IS the group at verify
+    // scale); same ceil(p*n) rank arithmetic as agg_quantiles_multi.
+    "agg_quantile_deterministic" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_sampled,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN o_totalprice END) AS p90,
+        |  max(CASE WHEN rn = ceil(n * 0.99) THEN o_totalprice END)
+        |    AS p99
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
