@@ -173,6 +173,63 @@ object AnalyticsQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ClickHouse sequenceCount('(?1)(?2)') analog with GAPS: count
+    // NON-OVERLAPPING click→purchase chains per user, where any other
+    // events may intervene. The greedy left-to-right chain scan is
+    // exactly leftmost non-overlapping matching of 'c[^p]*p' (first c,
+    // first p after it, resume past that p) — one codegen'd regexp
+    // over the per-user sequence string, no joins. m_gapped is the
+    // gap-allowing 3-step sequenceMatch('(?1).*(?2).*(?3)') twin of
+    // sequence_match_users' adjacent-only m_strict.
+    "sequence_count_chains" -> ((s, d) => {
+      val code = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e")
+      Tables.events(s, d)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), code.as("code")).as("ev"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(sort_array(collect_list(col("ev"))),
+          x => x.getField("code")), "").as("seq"))
+        .select(col("user_id"),
+          regexp_count(col("seq"), lit("c[^p]*p")).cast("long")
+            .as("n_chains"),
+          regexp_like(col("seq"), lit("v.*c.*p")).cast("int")
+            .as("m_gapped"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ClickHouse sumMap analog: per event type, a key→sum MAP built
+    // in-plan (map_from_entries over the sorted per-key sums), with
+    // the outputs derived FROM the map — entry count, total via an
+    // aggregate HOF over map_values, and the deterministic argmax
+    // entry (max sum, ties to the smallest key, picked by sorting
+    // entries on (-sum, key)). Keys come out of the props JSON. The
+    // per-key sums are rounded BEFORE the map so both engines
+    // tie-break the argmax on identical values.
+    "agg_sum_map" -> ((s, d) => {
+      val perKey = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      perKey.groupBy(col("event_type"))
+        .agg(
+          map_from_entries(sort_array(collect_list(
+            struct(col("k"), col("v"))))).as("m"),
+          element_at(sort_array(collect_list(
+            struct((-col("v")).as("nv"), col("k")))), 1).as("top"))
+        .select(col("event_type"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
+          col("top").getField("k").as("top_k"),
+          (-col("top").getField("nv")).as("top_sum"),
+          round(aggregate(map_values(col("m")), lit(0.0),
+            (acc, x) => acc + x), 2).as("total_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // Hopping (sliding) window rollup — 1 h windows every 30 min, so
     // each event lands in exactly 2 windows (the batch twin of the
     // streaming WindowedRollup pipeline; epoch-aligned like Spark's
@@ -380,6 +437,34 @@ object AnalyticsQueries {
         |  CAST((len(seq) - len(replace(seq, 'cp', ''))) / 2 AS BIGINT)
         |    AS n_cp
         |FROM seqs ORDER BY user_id""".stripMargin,
+    "sequence_count_chains" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |      ELSE 'e' END AS code FROM events),
+        |seqs AS (SELECT user_id,
+        |    string_agg(code, '' ORDER BY ts_us, event_id) AS seq
+        |  FROM t GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(len(regexp_extract_all(seq, 'c[^p]*p')) AS BIGINT)
+        |    AS n_chains,
+        |  CAST(regexp_matches(seq, 'v.*c.*p') AS INT) AS m_gapped
+        |FROM seqs ORDER BY user_id""".stripMargin,
+    "agg_sum_map" ->
+      """WITH pk AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |    round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, k, v, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY v DESC, k) AS rn
+        |  FROM pk)
+        |SELECT p.event_type, CAST(count(*) AS BIGINT) AS n_keys,
+        |  max(CASE WHEN rn = 1 THEN k END) AS top_k,
+        |  max(CASE WHEN rn = 1 THEN v END) AS top_sum,
+        |  round(sum(v), 2) AS total_sum
+        |FROM rk p GROUP BY 1 ORDER BY 1""".stripMargin,
     "hopping_rollup" ->
       """WITH t AS (SELECT event_type, value,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

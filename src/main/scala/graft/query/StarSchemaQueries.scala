@@ -481,6 +481,165 @@ object StarSchemaQueries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
+    }),
+
+    // TPC-H Q2 shape: correlated scalar-MIN subquery — the cheapest
+    // offer per part, decorrelated as min-agg + join back on
+    // (partkey, cost), exactly the plan Catalyst's subquery rewrite
+    // would produce. "Supply" is the lineitem offer stream (this schema
+    // has no partsupp); cost is the RAW stored price, so the equality
+    // join-back compares bit-identical doubles — no arithmetic, no
+    // rounding seam. All dims broadcast; the one shuffle is the
+    // per-part min.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val supply = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("l_partkey"), col("l_extendedprice").as("cost"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+      val minCost = supply.groupBy(col("l_partkey").as("pk"))
+        .agg(min(col("cost")).as("min_cost"))
+      supply
+        .join(minCost,
+          col("l_partkey") === col("pk") && col("cost") === col("min_cost"))
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_size").between(1, 15) &&
+            col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost"))
+        .distinct()
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape: product-line profit by nation and year — the
+    // widest star join grouped on two derived keys, with a SUBSTRING
+    // part filter (LIKE '%red%') that cannot push to a dictionary
+    // equality. Profit = revenue - supply cost; with no partsupp,
+    // supply cost is stood in by 10% of retail value — kept as exact
+    // decimal factors so the per-row subtraction is order-independent.
+    "q9_product_profit" -> ((s, d) => {
+      val cost = dec(col("p_retailprice")) * dec(col("l_quantity")) *
+        lit("0.10").cast("decimal(4,2)")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").like("%red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(moneySum(revenue - cost).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape: HAVING against a GLOBAL scalar aggregate over
+    // the same grouped view — per-part supply value (suppliers of one
+    // nation) kept only where it exceeds a fraction of the total. The
+    // total is a second aggregate over the per-part aggregate (tiny),
+    // broadcast as one row; the threshold compare runs in double with
+    // IDENTICAL IEEE steps on both engines (exact decimal sums cast
+    // once, then one multiply).
+    "q11_important_parts" -> ((s, d) => {
+      val byPart = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(revenue).as("value_dec"))
+      val thr = byPart
+        .agg((sum(col("value_dec")).cast("double") * lit(0.001)).as("thr"))
+      byPart.join(broadcast(thr))
+        .filter(col("value_dec").cast("double") > col("thr"))
+        .select(col("l_partkey"),
+          round(col("value_dec"), 2).cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12 shape: late-line priority classification — a fact-fact
+    // join carrying a non-equi lateness predicate (no commit/receipt
+    // dates in this schema: late = shipped >60 days after order date),
+    // then CONDITIONAL COUNTS split by priority class per line status.
+    "q12_late_priority" -> ((s, d) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part spec with a
+    // NOT-IN exclusion subquery (suppliers "with complaints" — stood in
+    // by negative account balance). The exclusion set is tiny and
+    // broadcast as an anti join; count(DISTINCT) runs per
+    // (brand, type, size) after the broadcast dim join.
+    "q16_supplier_spec_count" -> ((s, d) => {
+      val complaints = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_sk"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complaints),
+          col("l_suppkey") === col("bad_sk"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape: nested grouped-threshold SEMI join — suppliers
+    // (of one nation) who shipped an outsized share of a 'red%' part's
+    // 1997 volume. Two aggregations at different grain over one
+    // filtered scan (per supplier-part, per part), joined on partkey;
+    // the qualifying-supplier set is bounded by |supplier| and
+    // broadcast into the final semi join.
+    "q20_excess_supplier" -> ((s, d) => {
+      val red97 = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").like("red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+      val perSuppPart = red97
+        .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).as("qty97"))
+      val perPart = red97.groupBy(col("l_partkey").as("pk2"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") * lit(0.3))
+          .as("thr"))
+      val excess = perSuppPart
+        .join(perPart, col("pk") === col("pk2"))
+        .filter(col("qty97").cast("double") > col("thr"))
+        .select(col("sk")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(excess), col("s_suppkey") === col("sk"),
+          "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
     })
   )
 
@@ -744,6 +903,94 @@ object StarSchemaQueries {
         |      AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_extendedprice AS cost, s_name, s_acctbal,
+        |    n_name
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |mc AS (SELECT l_partkey AS pk, min(cost) AS min_cost
+        |  FROM supply GROUP BY 1)
+        |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  cost
+        |FROM supply
+        |JOIN mc ON l_partkey = pk AND cost = min_cost
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size BETWEEN 1 AND 15 AND p_type = 'STANDARD'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(6,4))) -
+        |    CAST(p_retailprice AS DECIMAL(12,2)) *
+        |      CAST(l_quantity AS DECIMAL(12,2)) *
+        |      CAST('0.10' AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q11_important_parts" ->
+      """WITH bp AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(6,4)))) AS value_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1'
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS value
+        |FROM bp
+        |WHERE CAST(value_dec AS DOUBLE) >
+        |  (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM bp)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_supplier_spec_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_supplier" ->
+      """WITH red AS (
+        |  SELECT l_suppkey, l_partkey, l_quantity
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |sp AS (SELECT l_suppkey AS sk, l_partkey AS pk,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty97
+        |  FROM red GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS pk2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.3
+        |      AS thr
+        |  FROM red GROUP BY 1)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT sk FROM sp JOIN pt ON pk = pk2
+        |    WHERE CAST(qty97 AS DOUBLE) > thr)
+        |ORDER BY s_name""".stripMargin
   )
 }

@@ -24,12 +24,16 @@ import graft.{SparkEntry, SparkSpec}
   *  - `q22_dormant_customers`: same scalar-attach shape — the global
   *    balance threshold is a ONE-ROW broadcast aggregate joined onto
   *    the customer scan (TPC-H q22's scalar subquery, decorrelated).
+  *  - `q11_important_parts`: same scalar-attach shape — the global
+  *    value total (TPC-H q11's HAVING scalar subquery) is a ONE-ROW
+  *    broadcast aggregate joined onto the per-part aggregate.
   */
 class PlanShapeSpec extends SparkSpec {
 
   private val justifiedQuadratic =
     Set("sim_cosine_topk", "sim_cosine_topk_int8", "join_cross_dims",
-      "text_unigram_loglik", "q22_dormant_customers")
+      "text_unigram_loglik", "q22_dormant_customers",
+      "q11_important_parts")
 
   test("no quadratic join in any registered non-oracle query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
