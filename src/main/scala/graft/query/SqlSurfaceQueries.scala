@@ -334,6 +334,20 @@ object SqlSurfaceQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Bounded-state distinct counting (ClickHouse uniqUpTo analog; see
+    // ops/UniqUpTo): per order, the exact supplier count when <= 3 and
+    // 4 ("more than 3") once it isn't. Groups straddle the threshold
+    // at every sf (sf0.01: 1137/2216/3033 orders at 1/2/3 suppliers,
+    // 8357 saturated), so both regimes are exercised; per-task state
+    // caps at 4 longs per order vs countDistinct's distinct-value-
+    // proportional Expand+shuffle.
+    "agg_uniq_upto" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(graft.ops.UniqUpTo.uniqUpTo(col("l_suppkey"), 3)
+          .as("supp_upto3"))
+        .orderBy(col("l_orderkey"))),
+
     // Dictionary lookup (ClickHouse dictGet analog; see ops/Dict): the
     // 25-row nation table is compiled into a literal in-plan map, so
     // enriching supplier rows is a scalar projection — NO join
@@ -400,6 +414,12 @@ object SqlSurfaceQueries {
         |  max(CASE WHEN rn = ceil(n * 0.99) THEN l_extendedprice END)
         |    AS p99
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact twin: least(count(distinct), n+1) — the saturation point
+    // is the only information uniqUpTo discards.
+    "agg_uniq_upto" ->
+      """SELECT l_orderkey,
+        |  least(count(DISTINCT l_suppkey), 4) AS supp_upto3
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "dict_get_nation" ->
       """SELECT s_suppkey, s_name,
         |  coalesce(n_name, 'UNKNOWN') AS nation

@@ -1,6 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,6 +79,26 @@ object TemporalQueries {
           "p_retailprice", bands, "lo", "hi", bucketWidth = 10.0)
         .select(col("p_partkey"), col("band"), col("p_retailprice"))
         .orderBy(col("p_partkey"), col("band"))
+    }),
+
+    // ClickHouse deltaSum analog: per user, the sum of POSITIVE value
+    // deltas in event-time order — monotonic-counter accumulation that
+    // ignores resets (negative deltas). One window over the same
+    // (user, time, id) ordering the rest of the temporal surface uses,
+    // then a conditional sum; deltas subtract RAW stored doubles, so
+    // both engines compute bit-identical differences.
+    "agg_delta_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("dv", col("value") - lag(col("value"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(coalesce(round(sum(when(col("dv") > 0, col("dv"))), 2),
+            lit(0.0)).as("delta_sum"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -139,6 +160,18 @@ object TemporalQueries {
         |SELECT p_partkey, band, p_retailprice
         |FROM part JOIN bands
         |  ON p_retailprice >= lo AND p_retailprice < hi
-        |ORDER BY p_partkey, band""".stripMargin
+        |ORDER BY p_partkey, band""".stripMargin,
+    "agg_delta_sum" ->
+      """WITH t AS (SELECT user_id, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |d AS (SELECT user_id,
+        |    value - lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS dv
+        |  FROM t)
+        |SELECT user_id,
+        |  coalesce(round(sum(CASE WHEN dv > 0 THEN dv END), 2), 0.0)
+        |    AS delta_sum,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
