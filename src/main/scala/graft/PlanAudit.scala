@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * sf0.001 — exchange count, partial-agg presence, join kinds, and
   * whole-stage-codegen spans (the `*(n)` markers). Complements
   * PlanShapeSpec (which asserts no quadratic joins): this prints the
-  * numbers a plan review reads. Optional arg = substring filter.
+  * numbers a plan review reads. Optional arg = substring filter;
+  * optional second arg `full` additionally prints the final physical
+  * plan text (PLANS.md source material).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -33,6 +35,7 @@ object PlanAudit {
             s" smj=${"SortMergeJoin".r.findAllIn(plan).size}" +
             s" bnlj=${"BroadcastNestedLoop".r.findAllIn(plan).size}" +
             s" codegenSpans=${"\\*\\(\\d+\\)".r.findAllIn(plan).toSeq.distinct.size}")
+          if (args.lift(1).contains("full")) println(plan)
         } catch { case e: Throwable =>
           println(s"AUDIT $name ERROR ${e.getMessage.take(80)}")
         }

@@ -99,6 +99,23 @@ object TemporalQueries {
             lit(0.0)).as("delta_sum"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // Peak concurrent active sessions + union-covered active time per
+    // day (ClickHouse maxIntersections / intervalLengthSum analogs;
+    // see ops/Intervals). "Active" = session span plus the 30-min gap
+    // timeout (a user counts until the session would expire); a day is
+    // the integer epoch-day of the session start — pure integer
+    // arithmetic on both engines, no timezone seam.
+    "interval_concurrency" -> ((s, d) => {
+      val sess = Sessionize.sessions(Tables.events(s, d), col("user_id"),
+          col("ts"), col("event_id"), gapSec = 1800L)
+        .select(col("start_us"),
+          (col("end_us") + lit(1800L * 1000000L)).as("active_end_us"))
+        .withColumn("day_num", expr("start_us DIV 86400000000"))
+      graft.ops.Intervals.sweep(sess, Seq("day_num"), col("start_us"),
+          col("active_end_us"))
+        .orderBy(col("day_num"))
     })
   )
 
@@ -172,6 +189,36 @@ object TemporalQueries {
         |  coalesce(round(sum(CASE WHEN dv > 0 THEN dv END), 2), 0.0)
         |    AS delta_sum,
         |  CAST(count(*) AS BIGINT) AS n_events
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "interval_concurrency" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM t WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS session_id FROM f),
+        |sess AS (SELECT min(ts_us) AS start_us,
+        |    max(ts_us) + 1800000000 AS aend
+        |  FROM s GROUP BY user_id, session_id),
+        |iv AS (SELECT start_us // 86400000000 AS day_num, start_us,
+        |    aend FROM sess WHERE start_us < aend),
+        |b AS (SELECT day_num, start_us AS ts, 1 AS delta FROM iv
+        |  UNION ALL SELECT day_num, aend, -1 FROM iv),
+        |r AS (SELECT day_num, ts, delta,
+        |    sum(delta) OVER (PARTITION BY day_num ORDER BY ts, delta
+        |      ROWS UNBOUNDED PRECEDING) AS open_after,
+        |    coalesce(lead(ts) OVER (PARTITION BY day_num
+        |      ORDER BY ts, delta) - ts, 0) AS seg_us
+        |  FROM b)
+        |SELECT day_num, CAST(max(open_after) AS BIGINT) AS peak_open,
+        |  CAST(sum(CASE WHEN open_after > 0 THEN seg_us ELSE 0 END)
+        |    AS BIGINT) AS covered_us
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
