@@ -230,6 +230,46 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ClickHouse entropy + simpleLinearRegression analogs: per event
+    // type, the Shannon entropy (bits) of the props-key distribution
+    // and the least-squares (slope, intercept) of value on key. Both
+    // derive from EXPLICIT sums: the entropy terms are computed from
+    // identical integer counts on both engines (only the summation
+    // order differs — absorbed by the agg_stats_funcs 4-decimal
+    // convention), and the regression is the closed form over five
+    // plain sums rather than an engine-specific regr_* function.
+    "agg_entropy_linreg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+      val perKey = ev.groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("c"))
+      val ent = perKey
+        .withColumn("n",
+          sum(col("c")).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(round(-sum((col("c") / col("n")) *
+          log2(col("c") / col("n"))), 4).as("entropy_bits"))
+      val reg = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("k").cast("double")).as("sx"),
+          sum(col("value")).as("sy"),
+          sum(col("k") * col("value")).as("sxy"),
+          sum(col("k").cast("double") * col("k")).as("sxx"))
+        .withColumn("slope_raw",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("event_type").as("et"),
+          round(col("slope_raw"), 4).as("slope"),
+          round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 4)
+            .as("intercept"))
+      ent.join(reg, col("event_type") === col("et"))
+        .select(col("event_type"), col("entropy_bits"), col("slope"),
+          col("intercept"))
+        .orderBy(col("event_type"))
+    }),
+
     // Hopping (sliding) window rollup — 1 h windows every 30 min, so
     // each event lands in exactly 2 windows (the batch twin of the
     // streaming WindowedRollup pipeline; epoch-aligned like Spark's
@@ -465,6 +505,31 @@ object AnalyticsQueries {
         |  max(CASE WHEN rn = 1 THEN v END) AS top_sum,
         |  round(sum(v), 2) AS total_sum
         |FROM rk p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_entropy_linreg" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k, value
+        |  FROM events),
+        |pk AS (SELECT event_type, k, count(*) AS c FROM ev
+        |  GROUP BY 1, 2),
+        |ent AS (SELECT event_type,
+        |    round(-sum((CAST(c AS DOUBLE) / n) *
+        |      log2(CAST(c AS DOUBLE) / n)), 4) AS entropy_bits
+        |  FROM (SELECT event_type, c, CAST(sum(c) OVER (
+        |      PARTITION BY event_type) AS DOUBLE) AS n FROM pk)
+        |  GROUP BY 1),
+        |sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CAST(k AS DOUBLE)) AS sx, sum(value) AS sy,
+        |    sum(k * value) AS sxy,
+        |    sum(CAST(k AS DOUBLE) * k) AS sxx
+        |  FROM ev GROUP BY 1),
+        |reg AS (SELECT event_type, sy, sx, n,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+        |  FROM sums)
+        |SELECT e.event_type, entropy_bits,
+        |  round(slope_raw, 4) AS slope,
+        |  round((sy - slope_raw * sx) / n, 4) AS intercept
+        |FROM ent e JOIN reg r ON e.event_type = r.event_type
+        |ORDER BY 1""".stripMargin,
     "hopping_rollup" ->
       """WITH t AS (SELECT event_type, value,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
