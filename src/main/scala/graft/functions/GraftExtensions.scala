@@ -12,16 +12,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sq
   * or call [[GraftExtensions.register]] on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.vecDotDescriptor)
-    ext.injectFunction(GraftExtensions.vecNormDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
   private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
     require(args.length == n,
       s"$name expects $n arguments, got ${args.length}")
+
+  /** Constant-int argument of an aggregate's SQL form (k, capacity,
+    * threshold): must be a foldable literal at analysis time. */
+  private def constInt(name: String, arg: Expression): Int = {
+    require(arg.foldable,
+      s"$name expects a literal integer, got ${arg.sql}")
+    arg.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal integer, got $other")
+    }
+  }
 
   private[functions] val vecDotDescriptor =
     (new FunctionIdentifier("vec_dot"),
@@ -39,10 +50,51 @@ object GraftExtensions {
         Sqrt(VectorDot(args.head, args.head))
       })
 
+  /** The bounded-state aggregates as SQL functions — the analyzer
+    * wraps a returned AggregateFunction in its AggregateExpression, so
+    * `SELECT uniq_up_to(x, 5) FROM t GROUP BY g` works like any
+    * built-in. Size arguments must be literals (they shape the
+    * aggregation buffer, which exists before any row is seen). */
+  private[functions] val uniqUpToDescriptor =
+    (new FunctionIdentifier("uniq_up_to"),
+      new ExpressionInfo(
+        classOf[graft.ops.UniqUpTo.UniqUpToAgg].getName, "uniq_up_to"),
+      (args: Seq[Expression]) => {
+        arity("uniq_up_to", 2, args)
+        graft.ops.UniqUpTo.UniqUpToAgg(args.head,
+          constInt("uniq_up_to", args(1)))
+      })
+
+  private[functions] val detSampleDescriptor =
+    (new FunctionIdentifier("deterministic_sample"),
+      new ExpressionInfo(
+        classOf[graft.ops.DetSample.DeterministicSample].getName,
+        "deterministic_sample"),
+      (args: Seq[Expression]) => {
+        arity("deterministic_sample", 3, args)
+        graft.ops.DetSample.DeterministicSample(args.head, args(1),
+          constInt("deterministic_sample", args(2)))
+      })
+
+  private[functions] val topKWeightedDescriptor =
+    (new FunctionIdentifier("space_saving_topk"),
+      new ExpressionInfo(
+        classOf[graft.ops.TopK.SpaceSavingTopK].getName,
+        "space_saving_topk"),
+      (args: Seq[Expression]) => {
+        arity("space_saving_topk", 3, args)
+        graft.ops.TopK.SpaceSavingTopK(args.head, args(1),
+          constInt("space_saving_topk", args(2)))
+      })
+
+  private[functions] val descriptors = Seq(vecDotDescriptor,
+    vecNormDescriptor, uniqUpToDescriptor, detSampleDescriptor,
+    topKWeightedDescriptor)
+
   /** Register on an already-built session (tests, driver-owned
     * sessions where spark.sql.extensions can't be set). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(vecDotDescriptor, vecNormDescriptor).foreach {
+    descriptors.foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry
           .registerFunction(ident, info, builder)
