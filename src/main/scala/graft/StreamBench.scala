@@ -245,6 +245,39 @@ object StreamBench {
     emit(s"""{"metric":"stream_curation2_docs_per_sec",""" +
       s""""value":$cur2Rate,"unit":"docs/sec","docs":$nDocs,""" +
       s""""seconds":$cur2Sec,"kept":$kept2}""")
+
+    // Streaming heavy hitters: Zipf-ish term stream through the
+    // sharded SpaceSaving state (TopKPipeline), then one snapshot
+    // merge. Terms drawn from a 10k vocabulary with rank-skew so the
+    // bench exercises both tracked-item increments and evictions.
+    val tsrc = s"$root/topk_src"
+    Files.createDirectories(Paths.get(tsrc))
+    val nTerms = nEvents / 2
+    val termVocab = 10000
+    var seed = 0x9e3779b9L
+    val tsb = new StringBuilder(nTerms * 24)
+    (0 until nTerms).foreach { _ =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val u = ((seed >>> 33).toDouble / (1L << 31).toDouble)
+      // rank ~ u^3 * vocab concentrates mass on low ranks (skew)
+      val rank = (u * u * u * termVocab).toInt
+      tsb.append(s"""{"term":"t$rank","w":1}""").append('\n')
+    }
+    Files.write(Paths.get(tsrc, "terms.json"),
+      tsb.toString.getBytes)
+    val topkSec = timed {
+      graft.pipeline.TopKPipeline.start(spark, tsrc,
+        s"$root/topk_store", s"$root/topk_ck",
+        capacity = 2048, shards = 8).awaitTermination()
+    }
+    val top = graft.pipeline.TopKPipeline.snapshot(spark,
+      s"$root/topk_store", k = 20, capacity = 2048).collect()
+    require(top.length == 20 && top.head.getLong(1) > 0,
+      "topk snapshot implausible")
+    val topkRate = nTerms / topkSec
+    emit(s"""{"metric":"stream_topk_terms_per_sec",""" +
+      s""""value":$topkRate,"unit":"terms/sec","terms":$nTerms,""" +
+      s""""seconds":$topkSec}""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("STREAM_BENCH.json"),
       emitted.mkString("[", ",\n ", "]") + "\n")

@@ -219,41 +219,12 @@ object TopK {
       })
     }
 
-    /** One compact binary write per partial: floor, n, then
-      * length-prefixed UTF-8 key bytes + two longs per entry. */
-    override def serialize(buf: SpaceSavingBuffer): Array[Byte] = {
-      val bytes = new ByteArrayOutputStream()
-      val out = new DataOutputStream(bytes)
-      out.writeLong(buf.floor)
-      out.writeInt(buf.entries.size)
-      val it = buf.entries.entrySet.iterator
-      while (it.hasNext) {
-        val kv = it.next()
-        val kb = kv.getKey.getBytes
-        out.writeInt(kb.length)
-        out.write(kb)
-        out.writeLong(kv.getValue.count)
-        out.writeLong(kv.getValue.err)
-      }
-      out.flush()
-      bytes.toByteArray
-    }
+    /** One compact binary write per partial (see [[TopK.toBytes]]). */
+    override def serialize(buf: SpaceSavingBuffer): Array[Byte] =
+      toBytes(buf)
 
-    override def deserialize(storage: Array[Byte]): SpaceSavingBuffer = {
-      val in = new DataInputStream(new ByteArrayInputStream(storage))
-      val buf = new SpaceSavingBuffer(capacity)
-      buf.floor = in.readLong()
-      val n = in.readInt()
-      var i = 0
-      while (i < n) {
-        val kb = new Array[Byte](in.readInt())
-        in.readFully(kb)
-        buf.entries.put(UTF8String.fromBytes(kb),
-          new Entry(in.readLong(), in.readLong()))
-        i += 1
-      }
-      buf
-    }
+    override def deserialize(storage: Array[Byte]): SpaceSavingBuffer =
+      fromBytes(storage, capacity)
 
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("term", StringType, nullable = false),
@@ -313,4 +284,42 @@ object TopK {
   def topKWeighted(items: DataFrame, itemCol: Column, weightCol: Column,
       k: Int, capacity: Int = 4096): DataFrame =
     summarize(items, itemCol, weightCol, k, capacity)
+
+  /** Compact binary form of a summary: floor, n, then length-prefixed
+    * UTF-8 key bytes + two longs per entry. Shared by the aggregate's
+    * partial serializer and the streaming pipeline's keyed state /
+    * summary store ([[graft.pipeline.TopKPipeline]]). */
+  def toBytes(buf: SpaceSavingBuffer): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeLong(buf.floor)
+    out.writeInt(buf.entries.size)
+    val it = buf.entries.entrySet.iterator
+    while (it.hasNext) {
+      val kv = it.next()
+      val kb = kv.getKey.getBytes
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(kv.getValue.count)
+      out.writeLong(kv.getValue.err)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  def fromBytes(storage: Array[Byte], capacity: Int): SpaceSavingBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(storage))
+    val buf = new SpaceSavingBuffer(capacity)
+    buf.floor = in.readLong()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.entries.put(UTF8String.fromBytes(kb),
+        new Entry(in.readLong(), in.readLong()))
+      i += 1
+    }
+    buf
+  }
 }
