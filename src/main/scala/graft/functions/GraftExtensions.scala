@@ -28,7 +28,10 @@ object GraftExtensions {
       s"$name expects a literal integer, got ${arg.sql}")
     arg.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        require(l == l.toInt.toLong,
+          s"$name literal out of int range: $l")
+        l.toInt
       case other => throw new IllegalArgumentException(
         s"$name expects a literal integer, got $other")
     }

@@ -189,11 +189,13 @@ object DetSample {
   /** Nearest-rank quantiles from a sample column produced by
     * [[sampleAgg]]: value at rank `ceil(p * n)` of the value-sorted
     * sample. Exact (and engine-portable) whenever the sample is the
-    * whole group. */
+    * whole group. An EMPTY sample (a group whose values were all
+    * null) yields a null quantile — guarded explicitly so ANSI mode
+    * doesn't throw on the out-of-range element_at. */
   def quantileOf(sample: Column, p: Double): Column = {
     val sorted = array_sort(sample)
-    element_at(sorted,
-      greatest(lit(1), ceil(size(sample) * p)).cast("int"))
+    when(size(sample) > 0, element_at(sorted,
+      greatest(lit(1), ceil(size(sample) * p)).cast("int")))
   }
 
   /** Per-group deterministic-sample quantiles in one bounded-state

@@ -92,25 +92,34 @@ object TopKPipeline {
       .start()
   }
 
-  /** Current top-k snapshot from the summary store: merge the
-    * <= shards summaries, rank by (cnt_est desc, term). */
+  /** Current top-k snapshot from the summary store: union the
+    * <= shards summaries, rank by (cnt_est desc, term).
+    *
+    * The union is a plain CONCATENATION, not SpaceSavingBuffer.mergeIn:
+    * mergeIn implements the overlapping-streams merge, where a key
+    * absent from one side may have been evicted there and so picks up
+    * that side's floor in both count and err. Shards hold DISJOINT
+    * term sets (a term's every occurrence hashes to the same shard),
+    * so a term absent from another shard truly has count 0 there —
+    * cross-shard floor accounting would inflate every estimate by the
+    * sum of all other shards' floors in the evicting regime. Each
+    * entry's (cnt_est, err_max) is its own shard's bound, unchanged. */
   def snapshot(spark: SparkSession, storeDir: String, k: Int,
       capacity: Int = 4096): DataFrame = {
     import spark.implicits._
-    val merged = new TopK.SpaceSavingBuffer(capacity)
     // size contract: <= shards rows of <= capacity entries each
-    spark.read.parquet(storeDir).select("summary").collect()
-      .foreach(r => merged.mergeIn(
-        TopK.fromBytes(r.getAs[Array[Byte]](0), capacity)))
-    val rows = {
-      val it = merged.entries.entrySet.iterator
-      val out = Seq.newBuilder[(String, Long, Long)]
-      while (it.hasNext) {
-        val kv = it.next()
-        out += ((kv.getKey.toString, kv.getValue.count, kv.getValue.err))
-      }
-      out.result()
-    }
+    val rows = spark.read.parquet(storeDir).select("summary").collect()
+      .iterator.flatMap { r =>
+        val buf = TopK.fromBytes(r.getAs[Array[Byte]](0), capacity)
+        val it = buf.entries.entrySet.iterator
+        val out = Seq.newBuilder[(String, Long, Long)]
+        while (it.hasNext) {
+          val kv = it.next()
+          out += ((kv.getKey.toString, kv.getValue.count,
+            kv.getValue.err))
+        }
+        out.result()
+      }.toSeq
     rows.toDF("term", "cnt_est", "err_max")
       .orderBy(col("cnt_est").desc, col("term"))
       .limit(k)

@@ -211,10 +211,14 @@ object AnalyticsQueries {
     // per-key sums are rounded BEFORE the map so both engines
     // tie-break the argmax on identical values.
     "agg_sum_map" -> ((s, d) => {
+      // null keys (props without "$.k") are excluded BEFORE the map —
+      // map_from_entries throws on a null key; oracle mirrors the
+      // filter so both engines count the same key set
       val perKey = Tables.events(s, d)
         .groupBy(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .agg(round(sum(col("value")), 2).as("v"))
+        .filter(col("k").isNotNull)
       perKey.groupBy(col("event_type"))
         .agg(
           map_from_entries(sort_array(collect_list(
@@ -499,7 +503,7 @@ object AnalyticsQueries {
         |  FROM events GROUP BY 1, 2),
         |rk AS (SELECT event_type, k, v, row_number() OVER (
         |    PARTITION BY event_type ORDER BY v DESC, k) AS rn
-        |  FROM pk)
+        |  FROM pk WHERE k IS NOT NULL)
         |SELECT p.event_type, CAST(count(*) AS BIGINT) AS n_keys,
         |  max(CASE WHEN rn = 1 THEN k END) AS top_k,
         |  max(CASE WHEN rn = 1 THEN v END) AS top_sum,

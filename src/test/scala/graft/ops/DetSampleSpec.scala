@@ -11,6 +11,19 @@ import graft.{SparkSpec, Tables}
 class DetSampleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("all-null group: empty sample, null quantiles (no ANSI throw)") {
+    val df = Seq(("g1", Some(1.0), 1L), ("g1", Some(3.0), 2L),
+      ("g2", None, 3L), ("g2", None, 4L))
+      .toDF("g", "v", "id")
+    val got = DetSample.approxQuantiles(df, keys = Seq("g"),
+        value = col("v"), determinator = Seq(col("id")),
+        probs = Seq(0.5), k = 10)
+      .orderBy(col("g")).collect()
+    // nearest-rank p50 of {1.0, 3.0} is rank ceil(2*0.5)=1 -> 1.0
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 1.0)
+    assert(got(1).getLong(1) == 0L && got(1).isNullAt(2))
+  }
+
   test("k >= group: sample is the full multiset, quantiles exact") {
     val orders = Tables.orders(spark, sf0001)
     val got = DetSample.approxQuantiles(orders,

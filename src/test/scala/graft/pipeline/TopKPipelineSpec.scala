@@ -61,6 +61,37 @@ class TopKPipelineSpec extends SparkSpec {
     assert(got == Map("x" -> 2L, "y" -> 1L), s"got $got")
   }
 
+  test("evicting regime: another shard's floor never inflates a term") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    // compute the pipeline's own shard assignment, then CONSTRUCT the
+    // input: 'heavy' alone in its shard (never evicts, exact), 120
+    // distinct singletons all in a DIFFERENT shard (capacity 4 ->
+    // evictions, floor > 0). The old mergeIn-based snapshot added the
+    // evicting shard's floor to heavy's count and err.
+    val shardOf: String => Int = { t =>
+      spark.range(1).select(pmod(xxhash64(lit(t)), lit(4)).cast("int"))
+        .head().getInt(0)
+    }
+    val heavy = "heavy"
+    val hs = shardOf(heavy)
+    val singles = Iterator.from(0).map(i => s"u$i")
+      .filter(t => shardOf(t) != hs).take(120).toSeq
+
+    val base = tmpDir("topkpipe4")
+    val (src, store, ck) = (s"$base/src", s"$base/store", s"$base/ck")
+    writeTerms(src, "b1.json",
+      Seq.fill(20)((heavy, 1L)) ++ singles.map(t => (t, 1L)))
+    val q = TopKPipeline.start(spark, src, store, ck,
+      capacity = 4, shards = 4)
+    q.awaitTermination()
+
+    val h = TopKPipeline.snapshot(spark, store, k = 1, capacity = 4)
+      .collect().head
+    assert(h.getString(0) == heavy)
+    assert(h.getLong(1) == 20L && h.getLong(2) == 0L,
+      s"heavy inflated: cnt=${h.getLong(1)} err=${h.getLong(2)}")
+  }
+
   test("top-k cut is deterministic under count ties") {
     val base = tmpDir("topkpipe3")
     val (src, store, ck) = (s"$base/src", s"$base/store", s"$base/ck")
