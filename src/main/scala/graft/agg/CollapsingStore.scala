@@ -76,15 +76,22 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp")
+    if (!StoreCompaction.hasBatchDirs(fs, path)) {
+      // empty store, or a prior fold died between the deletes and the
+      // rename (folded rows still in tmp) — recover, don't throw on
+      // the batch=* schema probe below
+      StoreCompaction.recoverOrNoop(fs, path, tmp)
+      return
+    }
     // cast the folded block back to the RAW batch schema (sums widen
     // int sign/value columns to long) so post-compact appends — which
-    // write original-width rows — still union cleanly at read time
+    // write original-width rows — still union cleanly at read time;
+    // the helper raises on any net value the narrower type cannot
+    // hold instead of silently wrapping it
     val rawSchema = spark.read.option("basePath", path)
       .parquet(s"$path/batch=*").schema
-    val folded = netted(spark).filter(col(signCol) =!= 0)
-    folded
-      .select(folded.columns.map(c =>
-        col(c).cast(rawSchema(c).dataType).as(c)): _*)
+    StoreCompaction
+      .castToRawSchema(netted(spark).filter(col(signCol) =!= 0), rawSchema)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     StoreCompaction.foldBatches(fs, path, tmp)
   }

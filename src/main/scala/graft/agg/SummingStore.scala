@@ -92,15 +92,21 @@ final class SummingStore(path: String, keyCols: Seq[String],
   def compact(spark: SparkSession): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/_compact_tmp")
+    if (!StoreCompaction.hasBatchDirs(fs, path)) {
+      // empty store, or a prior fold died between the deletes and the
+      // rename (folded rows still in tmp) — recover, don't throw on
+      // the batch=* schema probe below
+      StoreCompaction.recoverOrNoop(fs, path, tmp)
+      return
+    }
     // cast the folded block back to the RAW batch schema (sum widens
     // int columns to long) so post-compact appends — which write
-    // original-width rows — still union cleanly at read time
+    // original-width rows — still union cleanly at read time; the
+    // helper raises on any total the narrower type cannot hold
+    // instead of silently wrapping it
     val rawSchema = spark.read.option("basePath", path)
       .parquet(s"$path/batch=*").schema
-    val folded = merged(spark)
-    folded
-      .select(folded.columns.map(c =>
-        col(c).cast(rawSchema(c).dataType).as(c)): _*)
+    StoreCompaction.castToRawSchema(merged(spark), rawSchema)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     StoreCompaction.foldBatches(fs, path, tmp)
   }

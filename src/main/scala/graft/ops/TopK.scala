@@ -91,6 +91,13 @@ object TopK {
       * (already-tracked item) is a single probe + field increment with
       * zero allocation. */
     def add(item: UTF8String, w: Long): Unit = {
+      // SpaceSaving's floor/err_max soundness assumes monotone counts;
+      // a negative weight would silently invalidate every bound the
+      // scaladoc promises, so refuse it (the SQL surface exposes add
+      // to arbitrary callers — documentation alone is not a guard)
+      require(w >= 0,
+        s"space_saving_topk: negative weight $w would invalidate the " +
+          "SpaceSaving floor/error bounds")
       val e = entries.get(item)
       if (e != null) e.count += w
       else {

@@ -75,4 +75,70 @@ class SummingStoreSpec extends SparkSpec {
       store.readAsOf(spark, 0L).collect()
     }
   }
+
+  test("compact refuses an int-overflowing fold instead of wrapping") {
+    val path = tmpDir("sumstore-overflow")
+    val s = new SummingStore(path, Seq("level"), Seq("total"))
+    // int-typed sum column; the folded long total exceeds Int.MaxValue,
+    // so the downcast back to the raw schema would wrap negative under
+    // the default non-ANSI cast — the guard must raise instead
+    s.append(Seq(("click", Int.MaxValue)).toDF("level", "total"),
+      batchId = 0)
+    s.append(Seq(("click", 7)).toDF("level", "total"), batchId = 1)
+    val e = intercept[Exception] { s.compact(spark) }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: causes(t.getCause)
+    assert(causes(e).exists(_.contains("does not fit")), causes(e))
+    // the failed fold must not have corrupted the store
+    assert(s.read(spark).collect().map(_.getLong(1)).toSeq
+      == Seq(Int.MaxValue.toLong + 7L))
+  }
+
+  test("compact is a safe no-op on an empty store") {
+    val path = tmpDir("sumstore-empty")
+    new java.io.File(path).mkdirs()
+    store(path).compact(spark) // must not throw on the schema probe
+    assert(!new java.io.File(s"$path/batch=compacted").exists())
+  }
+
+  test("compact finishes a fold that crashed before the rename") {
+    val path = tmpDir("sumstore-crash")
+    val s = store(path)
+    s.append(partials(("2026-01-01", "info", 2L)), batchId = 0)
+    s.append(partials(("2026-01-01", "info", 3L)), batchId = 1)
+    // simulate the documented crash state: folded block materialized
+    // to tmp, batch dirs deleted, rename never happened. With the
+    // marker-first ordering the watermark is already correct.
+    s.read(spark).write.parquet(s"$path/_compact_tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(path, "_compacted_through"), "1")
+    new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("batch="))
+      .foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
+    s.compact(spark) // recovery: rename tmp -> batch=compacted
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(5L))
+    intercept[IllegalArgumentException] {
+      s.append(partials(("2026-01-01", "info", 9L)), batchId = 1)
+    } // watermark survived the crash — folded replay still refused
+  }
+
+  test("marker-first crash state stays safe: replay refused, read intact") {
+    // the state a compact leaves if it crashes right after the marker
+    // write (the ordering foldBatches promises): batch dirs untouched,
+    // watermark advanced. A replay must already be refused (refusing a
+    // not-yet-folded replay is safe; accepting a folded one is not),
+    // and reads still see the un-deleted dirs.
+    val path = tmpDir("sumstore-marker")
+    val s = store(path)
+    s.append(partials(("2026-01-01", "info", 2L)), batchId = 1)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(path, "_compacted_through"), "1")
+    intercept[IllegalArgumentException] {
+      s.append(partials(("2026-01-01", "info", 9L)), batchId = 1)
+    }
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(2L))
+    // and a re-run compact completes the fold from this state
+    s.compact(spark)
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(2L))
+  }
 }

@@ -87,4 +87,23 @@ class TopKSpec extends SparkSpec {
     assert(kept.contains("item01"),
       s"the dominant item must survive eviction and merges, got $kept")
   }
+
+  test("negative weights are refused, not silently absorbed") {
+    import spark.implicits._
+    // a negative weight would invalidate the floor/err_max soundness
+    // guarantees — both the direct buffer and the SQL aggregate
+    // surface must reject it rather than corrupt the summary
+    val b = new TopK.SpaceSavingBuffer(4)
+    intercept[IllegalArgumentException] {
+      b.add(org.apache.spark.unsafe.types.UTF8String.fromString("x"), -1L)
+    }
+    graft.functions.GraftExtensions.register(spark)
+    val df = Seq(("a", 5L), ("b", -3L)).toDF("item", "w")
+    val e = intercept[Exception] {
+      df.selectExpr("space_saving_topk(item, w, 8)").collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: causes(t.getCause)
+    assert(causes(e).exists(_.contains("negative weight")), causes(e))
+  }
 }
