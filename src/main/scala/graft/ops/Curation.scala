@@ -145,13 +145,22 @@ object Curation {
     * never a global sort).
     */
   def packChunks(docs: DataFrame, budget: Int, shardCol: String = "lang",
-      orderCol: String = "doc_id"): DataFrame = {
+      orderCol: String = "doc_id"): DataFrame =
+    packTokenCounts(
+      docs.select(col(shardCol), col(orderCol),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      budget, shardCol, orderCol)
+
+  /** [[packChunks]] over a frame that already carries `n_tok` — for
+    * pipelines that computed the token count in an earlier shared
+    * scan and should not re-split the text column here. */
+  def packTokenCounts(counted: DataFrame, budget: Int,
+      shardCol: String = "lang", orderCol: String = "doc_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs
-      .select(col(shardCol), col(orderCol),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    counted
+      .select(col(shardCol), col(orderCol), col("n_tok"))
       .withColumn("tok_end", sum(col("n_tok")).over(w))
       .select(col(shardCol), col(orderCol), col("n_tok"),
         (col("tok_end") - col("n_tok")).as("tok_start"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.Curation
+import graft.scale.Staging
 
 /** Training-data curation surface: boilerplate n-gram detection,
   * eval-set decontamination, and sequence packing — each oracle-paired
@@ -65,48 +66,80 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("chunk_id"))),
 
     // CAPSTONE: the full pre-training corpus build — boilerplate +
-    // repetition gates, eval-set decontamination (anti-join), then
-    // per-shard packing of the survivors. The distinct (doc, ngram)
-    // table is the shared input of three gates, so it is materialized
-    // ONCE (localCheckpoint) instead of re-running the explode per
-    // gate — the same share-the-scan move a production pipeline makes
-    // (naive composition measured 4x slower at sf0.1).
+    // repetition gates, eval-set decontamination, then per-shard
+    // packing of the survivors. The distinct (doc, ngram) table is
+    // the shared input of the gates, so it is materialized ONCE
+    // (Staging.materialize: eager localCheckpoint locally, a
+    // parquet stage on a cluster — see scale/Staging.scala) instead
+    // of re-running the explode per gate — the same share-the-scan
+    // move a production pipeline makes (naive composition measured
+    // 4x slower at sf0.1).
     "pipeline_pretraining_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // ONE metadata scan computes every per-doc scalar the pipeline
+      // needs downstream of the gram gates — token count (packing)
+      // and bigram repetition (quality gate) — so the text column is
+      // read and split exactly twice in the whole pipeline: here and
+      // in the gram explode below (the unfused plan scanned it three
+      // times: grams, repetitionRatio, packChunks).
+      val docMeta = Staging.materialize(
+        docs.select(col("doc_id"), col("lang"), col("source"),
+            split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            size(col("ws")).cast("long").as("n_tok"),
+            Curation.wordNgrams(col("ws"), 2).as("bg"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_tok"),
+            // same arithmetic as Curation.repetitionRatio (long/long
+            // divide, round 4) so the oracle SQL stays bit-identical
+            when(size(col("bg")) === 0, lit(0.0))
+              .otherwise(round(lit(1.0) -
+                size(array_distinct(col("bg"))).cast("long") /
+                  size(col("bg")).cast("long"), 4))
+              .as("rep_ratio")),
+        "capstone-docmeta")
       // The gram STRING never reaches the output — every consumer
       // counts or joins on it — so grams are hashed at generation
-      // (docNgramHashes): the distinct, the checkpointed table, and
-      // all three gate joins shuffle 8-byte keys, not ~30-byte
-      // strings. Collision risk and the measured effect are on the
-      // operator's scaladoc.
-      val grams = Curation.docNgramHashes(docs, N)
-        .join(broadcast(docs.select(col("doc_id"), col("source"))),
-          "doc_id")
-        // eager checkpoint, NOT lazy persist: the gate branches include
-        // broadcast subqueries over this frame, which under persist race
-        // to populate the cache and re-run the explode (measured 9-16 s
-        // vs 6 s at sf0.1)
-        .localCheckpoint(true)
-      val boiler = grams.groupBy(col("ngram"))
-        .agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") >= MinDocs)
-        .select(col("ngram"), lit(1).as("is_boiler"))
-      val bf = grams
-        .join(broadcast(boiler), Seq("ngram"), "left_outer")
+      // (docNgramHashes): the distinct, the staged table, and all
+      // gate joins shuffle 8-byte keys, not ~30-byte strings.
+      // Collision risk and the measured effect are on the operator's
+      // scaladoc.
+      val grams = Staging.materialize(
+        Curation.docNgramHashes(docs, N)
+          .join(broadcast(docMeta.select(col("doc_id"), col("source"))),
+            "doc_id"),
+        "capstone-grams")
+      // Boilerplate and decontamination flag lists FUSED into ONE
+      // aggregation over the gram table (n_docs count + any-in-eval
+      // in the same groupBy), then both gates applied in ONE
+      // left-join + groupBy(doc_id) pass — the unfused plan scanned
+      // the staged grams once per gate. The flag list's cardinality
+      // grows with the corpus (boilerplate grams are corpus-
+      // frequency-defined), so its broadcast is SIZE-GUARDED with a
+      // shuffle-join fallback (VERDICT r6 "What's wrong" #2); staged
+      // so the guard's count() and the broadcast share one
+      // materialization.
+      val gramFlags = Staging.materialize(
+        grams.groupBy(col("ngram"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(when(col("source") === "src0", 1)).as("eval_hit"))
+          .filter(col("n_docs") >= MinDocs || col("eval_hit") === 1)
+          .select(col("ngram"),
+            when(col("n_docs") >= MinDocs, 1).as("is_boiler"),
+            when(col("eval_hit") === 1, 1).as("is_eval")),
+        "capstone-flags")
+      val gates = grams
+        .join(Staging.guardedBroadcast(gramFlags), Seq("ngram"),
+          "left_outer")
         .groupBy(col("doc_id"))
-        .agg((count(col("is_boiler")) / count(lit(1))).as("boiler_frac"))
-      val contaminated = grams.filter(col("source") =!= "src0")
-        .join(broadcast(grams.filter(col("source") === "src0")
-          .select(col("ngram")).distinct()), Seq("ngram"))
-        .select(col("doc_id")).distinct()
-      val kept = docs.filter(col("source") =!= "src0")
-        .join(bf, "doc_id")
-        .join(Curation.repetitionRatio(docs, 2)
-          .select(col("doc_id"), col("rep_ratio")), "doc_id")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(col("boiler_frac") <= 0.5 && col("rep_ratio") <= 0.3)
-        .select(col("doc_id"), col("text"), col("lang"))
-      Curation.packChunks(kept, Budget)
+        .agg((count(col("is_boiler")) / count(lit(1))).as("boiler_frac"),
+          count(col("is_eval")).as("n_eval_shared"))
+      val kept = docMeta.filter(col("source") =!= "src0")
+        .join(gates, "doc_id")
+        .filter(col("boiler_frac") <= 0.5 && col("rep_ratio") <= 0.3 &&
+          col("n_eval_shared") === 0)
+        .select(col("lang"), col("doc_id"), col("n_tok"))
+      Curation.packTokenCounts(kept, Budget)
         .select(col("lang"), col("doc_id"), col("n_tok"),
           col("tok_start"), col("tok_end"),
           col("first_chunk"), col("last_chunk"))

@@ -1,0 +1,63 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Scale-safety primitives for composed pipelines: shared-scan
+  * materialization and size-guarded broadcasts.
+  *
+  * Both exist because a plan that is fine at test scale can be the
+  * wrong plan at corpus scale: an eager `localCheckpoint` pins blocks
+  * to specific executors (an executor loss makes them unrecoverable —
+  * the lineage was truncated, so the job dies), and an unconditional
+  * `broadcast()` of a frame whose cardinality grows with the corpus
+  * (a boilerplate n-gram list, a dedup signature set) eventually
+  * exceeds the broadcast limits and OOMs the driver.
+  */
+object Staging {
+
+  /** "local" (default): eager localCheckpoint — fastest on one
+    * machine, blocks pinned to executor storage. "parquet": write the
+    * frame to [[DirConf]] and read it back — any executor can re-read
+    * any partition, so the stage survives executor loss; the right
+    * mode on a real cluster (point [[DirConf]] at job-scratch storage
+    * with a TTL). */
+  val ModeConf = "spark.graft.stage.mode"
+
+  /** Root directory for parquet stages (parquet mode only). */
+  val DirConf = "spark.graft.stage.dir"
+
+  /** Max row count [[guardedBroadcast]] will still broadcast. */
+  val BroadcastRowsConf = "spark.graft.broadcast.maxRows"
+  val BroadcastRowsDefault: Long = 4000000L
+
+  /** Materialize `df` once so several downstream branches share one
+    * computation instead of re-running it (broadcast subqueries under
+    * a lazy `persist` race to populate the cache and re-run the
+    * producer; an eager stage does not). Mode per [[ModeConf]]. */
+  def materialize(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(ModeConf, "local") match {
+      case "parquet" =>
+        val root = spark.conf.get(DirConf,
+          sys.props("java.io.tmpdir") + "/graft-stage")
+        val path = s"$root/$name-${java.util.UUID.randomUUID()}"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case _ => df.localCheckpoint(true)
+    }
+  }
+
+  /** Broadcast `side` only while its row count is at or under
+    * [[BroadcastRowsConf]]; past that, return it unhinted so the
+    * planner falls back to a shuffle join (always available for the
+    * equi-joins this guards). Same failure mode [[graft.ops.Dict]]
+    * guards against, with a fallback instead of a hard error. The
+    * extra `count()` is one cheap aggregate — callers pass frames
+    * that are already staged or derived from a staged table. */
+  def guardedBroadcast(side: DataFrame): DataFrame = {
+    val maxRows = side.sparkSession.conf
+      .get(BroadcastRowsConf, BroadcastRowsDefault.toString).toLong
+    if (side.count() <= maxRows) broadcast(side) else side
+  }
+}
