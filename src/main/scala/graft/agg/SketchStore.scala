@@ -77,3 +77,79 @@ final class SketchStore(path: String, keyCols: Seq[String],
       "compacted states remain in the temp dir")
   }
 }
+
+/** Append-only store of mergeable QUANTILE states — the second
+  * AggregatingMergeTree family member next to [[SketchStore]]'s HLL
+  * states (ClickHouse `quantileState(...)` rollups): per-(key, batch)
+  * Greenwald-Khanna summaries (see [[QuantileState]]) that union
+  * across batches and roll up to coarser keys with the rank-error
+  * bound intact — order statistics re-aggregated from O(1/eps)
+  * states, never by averaging per-batch quantiles (which is simply
+  * wrong) and never by rescanning raw data.
+  *
+  * Same discipline as [[SketchStore]]: batch-keyed idempotent
+  * appends, mandatory read-side merge, optional compaction that only
+  * bounds read amplification.
+  */
+final class QuantileStore(path: String, keyCols: Seq[String],
+    relativeError: Double = 0.001) {
+
+  /** Partial states for one block: one quantile state of `valueCol`
+    * per key. Call inside `foreachBatch` with the batch's rows. */
+  def partials(block: DataFrame, valueCol: Column): DataFrame =
+    block.groupBy(keyCols.map(col): _*)
+      .agg(QuantileState.stateAgg(valueCol, relativeError).as("qstate"))
+
+  /** Idempotent append (exactly-once per epoch, same discipline as
+    * [[SummingStore.append]]). */
+  def append(states: DataFrame, batchId: Long): Unit =
+    states.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/batch=$batchId")
+
+  private def raw(spark: SparkSession): DataFrame =
+    spark.read.option("basePath", path).parquet(s"$path/batch=*")
+
+  /** Column name for probability `p`: p50, p99, p99_9. */
+  private def probName(p: Double): String =
+    "p" + BigDecimal(p * 100).underlying.stripTrailingZeros
+      .toPlainString.replace(".", "_").replace("-", "m")
+
+  /** Merged quantiles per stored key. */
+  def read(spark: SparkSession, probs: Seq[Double]): DataFrame =
+    readGrouped(spark, keyCols, probs)
+
+  /** Re-aggregate to a coarser grouping WITHOUT rescanning raw data:
+    * states union under the sketch merge, then finalize each
+    * requested quantile. */
+  def readGrouped(spark: SparkSession, groupCols: Seq[String],
+      probs: Seq[Double]): DataFrame = {
+    val merged = raw(spark)
+      .groupBy(groupCols.map(col): _*)
+      .agg(QuantileState.mergeAgg(col("qstate")).as("qstate"))
+    merged.select(groupCols.map(col) ++
+      probs.map(p =>
+        QuantileState.value(col("qstate"), p).as(probName(p))): _*)
+  }
+
+  /** Background-merge analog: collapse per-batch states into one
+    * unioned state per key. [[read]] is correct without it. */
+  def compact(spark: SparkSession): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/_compact_tmp")
+    raw(spark)
+      .groupBy(keyCols.map(col): _*)
+      .agg(QuantileState.mergeAgg(col("qstate")).as("qstate"))
+      .select((keyCols :+ "qstate").map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val base = new Path(path)
+    if (fs.exists(base)) {
+      fs.listStatus(base).foreach { st =>
+        if (st.getPath.getName.startsWith("batch="))
+          fs.delete(st.getPath, true)
+      }
+    }
+    val dst = new Path(s"$path/batch=compacted")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
+      "compacted states remain in the temp dir")
+  }
+}

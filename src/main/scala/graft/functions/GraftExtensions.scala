@@ -79,6 +79,54 @@ object GraftExtensions {
           constInt("deterministic_sample", args(2)))
       })
 
+  /** Constant-double argument (relative error, quantile probability):
+    * must be a foldable literal at analysis time. */
+  private def constDouble(name: String, arg: Expression): Double = {
+    require(arg.foldable,
+      s"$name expects a literal double, got ${arg.sql}")
+    arg.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal double, got $other")
+    }
+  }
+
+  private[functions] val quantileStateDescriptor =
+    (new FunctionIdentifier("quantile_state"),
+      new ExpressionInfo(
+        classOf[graft.agg.QuantileState.QuantileStateAgg].getName,
+        "quantile_state"),
+      (args: Seq[Expression]) => {
+        arity("quantile_state", 2, args)
+        graft.agg.QuantileState.QuantileStateAgg(args.head,
+          constDouble("quantile_state", args(1)))
+      })
+
+  private[functions] val quantileStateMergeDescriptor =
+    (new FunctionIdentifier("quantile_state_merge"),
+      new ExpressionInfo(
+        classOf[graft.agg.QuantileState.QuantileStateMergeAgg].getName,
+        "quantile_state_merge"),
+      (args: Seq[Expression]) => {
+        arity("quantile_state_merge", 1, args)
+        graft.agg.QuantileState.QuantileStateMergeAgg(args.head)
+      })
+
+  private[functions] val quantileStateValueDescriptor =
+    (new FunctionIdentifier("quantile_state_value"),
+      new ExpressionInfo(
+        classOf[graft.agg.QuantileState.QuantileStateValue].getName,
+        "quantile_state_value"),
+      (args: Seq[Expression]) => {
+        arity("quantile_state_value", 2, args)
+        graft.agg.QuantileState.QuantileStateValue(args.head,
+          constDouble("quantile_state_value", args(1)))
+      })
+
   private[functions] val topKWeightedDescriptor =
     (new FunctionIdentifier("space_saving_topk"),
       new ExpressionInfo(
@@ -92,7 +140,8 @@ object GraftExtensions {
 
   private[functions] val descriptors = Seq(vecDotDescriptor,
     vecNormDescriptor, uniqUpToDescriptor, detSampleDescriptor,
-    topKWeightedDescriptor)
+    topKWeightedDescriptor, quantileStateDescriptor,
+    quantileStateMergeDescriptor, quantileStateValueDescriptor)
 
   /** Register on an already-built session (tests, driver-owned
     * sessions where spark.sql.extensions can't be set). */

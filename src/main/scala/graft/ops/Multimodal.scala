@@ -32,11 +32,32 @@ object Multimodal {
     docs.select(col("doc_id"), col("text").cast("binary").as("media"),
       (when(col("doc_id") % 2 === 0, "png").otherwise("wav")).as("format"))
 
+  /** Type-checked codec contract: a decoder consumes one PARTITION's
+    * records as an iterator — so per-partition init (native handle,
+    * model load, arena allocation) happens once in the implementation's
+    * prologue, not once per record — and emits fixed-shape features. A
+    * real codec binding implements this trait and drops into
+    * [[extractFeatures]] compile-checked; nothing else in the pipeline
+    * (schema, typed Dataset boundary, partitioning) changes.
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(records: Iterator[MediaRecord]): Iterator[MediaFeatures]
+  }
+
+  /** The container-honest stand-in codec (no image/audio libs here):
+    * batch-iterates [[decodeStub]]. */
+  object StubDecoder extends MediaDecoder {
+    override def decodeBatch(
+        records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      // a real codec's per-partition init goes here, before the map
+      records.map(decodeStub)
+  }
+
   /** STUB DECODER — stands in for an image/audio codec (none in this
     * container). Deterministic features from the raw bytes: byte-mean,
-    * byte-variance, first/last byte. A real implementation replaces
-    * only this function body (same batch-iterator signature a native
-    * decoder binding would use).
+    * byte-variance, first/last byte. A real implementation supplies a
+    * [[MediaDecoder]] instead (batch-iterator signature, same as a
+    * native decoder binding would use).
     */
   def decodeStub(rec: MediaRecord): MediaFeatures = {
     val bytes = rec.media
@@ -55,13 +76,10 @@ object Multimodal {
     * per-batch init cost) needs — per-partition setup happens once per
     * iterator, not once per record.
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame)
-      : Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
-      // per-partition decoder init would go here (native handle, model)
-      it.map(decodeStub)
-    }
+    media.as[MediaRecord].mapPartitions(decoder.decodeBatch _)
   }
 
   /** One sampled frame of a media payload. */

@@ -122,7 +122,12 @@ object VectorIndex {
     * IVF system's retrain). The `_graft_meta` fingerprint is refreshed
     * so [[ensureIvf]] sees the grown corpus as current.
     */
-  def appendIvf(newVecs: DataFrame, path: String): Unit = {
+  /** Assign arriving vectors to their nearest EXISTING centroid:
+    * returns `newVecs` + (cell, c_norm), ready to land in the index's
+    * cell-partitioned layout. Shared by the batch [[appendIvf]] and
+    * the streaming ingest path
+    * ([[graft.pipeline.VectorIngestPipeline]]). */
+  def assignCells(newVecs: DataFrame, path: String): DataFrame = {
     val spark = newVecs.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("centroid"), col("norm"))
@@ -139,21 +144,43 @@ object VectorIndex {
     newVecs
       .withColumn("cell", cell)
       .withColumn("c_norm", vec_norm(col("embedding")))
+  }
+
+  def appendIvf(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    assignCells(newVecs, path)
       .write.mode(SaveMode.Append)
       .partitionBy("cell")
       .parquet(s"$path/cells")
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val total = spark.read.parquet(s"$path/cells").count()
+    val nCells = spark.read.parquet(s"$path/centroids").count()
     val out = fs.create(new Path(s"$path/_graft_meta"), true)
-    try out.write(s"rows=$total;cells=${cents.length}"
+    try out.write(s"rows=$total;cells=$nCells"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** All streamed delta batches under `<path>/cells_delta/batch=*`
+    * (written by [[graft.pipeline.VectorIngestPipeline]]), or None if
+    * no delta has landed. The batch and cell partition columns are
+    * both discoverable; readers prune on cell exactly as on the base
+    * layout. */
+  def deltaBatches(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(s"$path/cells_delta")
+    val hasBatches = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
+    if (!hasBatches) None
+    else Some(spark.read.option("basePath", root.toString)
+      .parquet(s"$root/batch=*"))
   }
 
   /** Query the persisted index: rank cells per query vector on the
     * driver (centroids are tiny), then probe ONLY the union of the
     * top-nProbe cells — a `cell IN (...)` filter on the partition
     * column, so the scan is partition-pruned to the probed fraction.
+    * Streamed deltas are probed alongside the base cells.
     */
   def queryIvf(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 4): DataFrame = {
@@ -177,8 +204,21 @@ object VectorIndex {
     // filter is a literal IN over the partition column
     val probedCells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cellsScan = spark.read.parquet(s"$path/cells")
+    val scanCols = Seq("vec_id", "embedding", "c_norm", "cell").map(col)
+    // streamed arrivals (VectorIngestPipeline) live as batchId-keyed
+    // delta partitions beside the base cells; cell is a partition
+    // column inside each batch dir, so the same IN-filter prunes both
+    // sides — the filter is applied per side BEFORE the union to keep
+    // the pruning visible in each scan
+    val base = spark.read.parquet(s"$path/cells")
+      .select(scanCols: _*)
       .filter(col("cell").isin(probedCells: _*))
+    val cellsScan = deltaBatches(spark, path) match {
+      case None => base
+      case Some(delta) => base.unionByName(
+        delta.select(scanCols: _*)
+          .filter(col("cell").isin(probedCells: _*)))
+    }
     val ranked = cellsScan
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.VectorIndex
+
+/** Streaming vector ingestion into a persisted IVF index
+  * ([[graft.ops.VectorIndex]]): arriving embedding micro-batches are
+  * assigned to the EXISTING centroids (recentering happens on the
+  * periodic rebuild cadence, not per batch — the standard IVF
+  * arrangement) and land as batchId-keyed delta partitions:
+  *
+  *   `<index>/cells_delta/batch=<id>/cell=<c>/...`
+  *
+  *  - Exactly-once: a replayed micro-batch OVERWRITES its own batch
+  *    dir (the SummingStore / CurationPipeline discipline) — no
+  *    marker files, no at-least-once window.
+  *  - Probe-compatible: `cell` stays a partition column inside each
+  *    batch dir, so an nProbe query prunes delta files exactly like
+  *    base files; [[VectorIndex.queryIvf]] unions the delta
+  *    automatically.
+  *  - Bounded small-file growth: [[compactDeltas]] folds accumulated
+  *    batch dirs into the base cells on a maintenance cadence (the
+  *    same role a MergeTree part merge plays).
+  */
+object VectorIngestPipeline {
+
+  /** Arriving-vector schema for the JSON file source. */
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  def deltaDir(indexPath: String): String = s"$indexPath/cells_delta"
+
+  /** One micro-batch: assign to existing centroids, land in the
+    * batch's own delta dir (idempotent under replay). */
+  def ingestBatch(batch: DataFrame, indexPath: String,
+      batchId: Long): Unit =
+    VectorIndex.assignCells(batch, indexPath)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"${deltaDir(indexPath)}/batch=$batchId")
+
+  /** Start the ingest stream over a JSON drop directory. The index
+    * (centroids + base cells) must already exist — stream arrivals
+    * extend a built index, they never seed one. */
+  def start(spark: SparkSession, srcDir: String, indexPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(vecSchema).json(srcDir)
+      .writeStream
+      .queryName("vector-ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, indexPath, batchId)
+      }
+      .start()
+
+  /** Fold accumulated delta batches into the base cell layout and
+    * refresh the index fingerprint. Maintenance op: run with no
+    * ingest replay or reader in flight (same contract as the
+    * append-store compactions). */
+  def compactDeltas(spark: SparkSession, indexPath: String): Unit =
+    VectorIndex.deltaBatches(spark, indexPath).foreach { delta =>
+      delta.select(col("vec_id"), col("embedding"), col("c_norm"),
+          col("cell"))
+        .write.mode(SaveMode.Append)
+        .partitionBy("cell")
+        .parquet(s"$indexPath/cells")
+      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(deltaDir(indexPath)), true)
+      val total = spark.read.parquet(s"$indexPath/cells").count()
+      val nCells = spark.read.parquet(s"$indexPath/centroids").count()
+      val out = fs.create(new Path(s"$indexPath/_graft_meta"), true)
+      try out.write(s"rows=$total;cells=$nCells"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+}

@@ -189,6 +189,33 @@ object SqlSurfaceQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Mergeable QUANTILE states (the quantileState twin of the HLL
+    // rollup above, completing the AggregatingMergeTree family — see
+    // agg.QuantileState/QuantileStore): per-(returnflag, linestatus)
+    // GK summaries of l_extendedprice, unioned per returnflag and
+    // finalized — order statistics re-aggregated from O(1/eps) states,
+    // never by combining per-group quantiles (which has no correct
+    // combination rule). Rows-only (state layout is engine-specific);
+    // rank-error accuracy and merge lawfulness pinned by
+    // QuantileStoreSpec.
+    "agg_quantile_state_rollup" -> ((s, d) => {
+      val states = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(graft.agg.QuantileState.stateAgg(
+          col("l_extendedprice"), 0.001).as("qstate"))
+      states.groupBy(col("l_returnflag"))
+        .agg(graft.agg.QuantileState.mergeAgg(col("qstate"))
+          .as("qstate"))
+        .select(col("l_returnflag"),
+          round(graft.agg.QuantileState.value(col("qstate"), 0.5), 2)
+            .as("p50_price"),
+          round(graft.agg.QuantileState.value(col("qstate"), 0.9), 2)
+            .as("p90_price"),
+          round(graft.agg.QuantileState.value(col("qstate"), 0.99), 2)
+            .as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact order statistics (the non-approx counterpart of
     // agg_approx_sketches): median + interpolated percentile.
     "agg_exact_median" -> ((s, d) =>

@@ -64,4 +64,28 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(3L, Array[Byte](1, 2), "png"), 4)
     assert(up.payload.length == 4)
   }
+
+  test("a custom MediaDecoder drops into extractFeatures unchanged") {
+    import spark.implicits._
+    // the compile-checked codec contract: swapping the decoder touches
+    // nothing else — schema, typed boundary, partitioning all hold
+    object ConstDecoder extends Multimodal.MediaDecoder {
+      override def decodeBatch(records: Iterator[Multimodal.MediaRecord])
+          : Iterator[Multimodal.MediaFeatures] =
+        records.map(r => Multimodal.MediaFeatures(
+          r.doc_id, r.media.length, r.format, Array(42.0)))
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Array[Byte](1, 2, 3), "png"),
+      Multimodal.MediaRecord(2L, Array[Byte](9), "wav")).toDF()
+    val got = Multimodal.extractFeatures(spark, media, ConstDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(got.map(f => (f.doc_id, f.n_bytes, f.features.toSeq)).toSeq
+      == Seq((1L, 3, Seq(42.0)), (2L, 1, Seq(42.0))))
+    // and the default decoder is still the stub
+    val stub = Multimodal.extractFeatures(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(stub.map(_.doc_id).toSeq == Seq(1L, 2L) &&
+      stub.head.features.length == 4)
+  }
 }

@@ -49,4 +49,65 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"quadratic join in registered plans: ${offenders.mkString(", ")}")
   }
+
+  // ---- positive pins for the flagship TPC-H plans: the shapes the
+  // engine was TUNED to (pushed filters reach the scan, dim stars stay
+  // broadcast with no sort-merge shuffle, q21's repeated orders scan is
+  // exchange-reused). A Spark upgrade that silently de-optimizes any of
+  // these turns a pin red instead of a bench row slow. Counts are
+  // asserted as bounds on today's measured plan (PlanAudit values).
+
+  /** AQE-final physical plan text (execute first so AQE finalizes). */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      .split("== Initial Plan ==").head
+  }
+
+  private def count(plan: String, re: String): Int =
+    re.r.findAllIn(plan).size
+
+  test("q1: no joins, shipdate pushed to the scan, map-side partials") {
+    val plan = finalPlan("q1_pricing_summary")
+    assert(count(plan, "Join") == 0, plan)
+    assert(plan.contains("LessThanOrEqual(l_shipdate"),
+      "shipdate filter must reach PushedFilters")
+    assert(plan.contains("partial_"), "aggregation must be two-phase")
+    assert(!plan.contains("l_comment"),
+      "column pruning must drop unused lineitem columns")
+  }
+
+  test("q5: the dim star stays broadcast — no sort-merge shuffle") {
+    val plan = finalPlan("q5_regional_revenue")
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+    assert(count(plan, "BroadcastHashJoin") >= 4, plan)
+    assert(count(plan, "Exchange (hash|range|Single)") <= 2,
+      "one partial-agg shuffle (+ result sort) is the budget")
+  }
+
+  test("q9: the dim star stays broadcast — no sort-merge shuffle") {
+    val plan = finalPlan("q9_product_profit")
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+    assert(count(plan, "BroadcastHashJoin") >= 4, plan)
+    assert(count(plan, "Exchange (hash|range|Single)") <= 2, plan)
+  }
+
+  test("q18: semi-join shape with broadcast sides, single shuffle") {
+    val plan = finalPlan("q18_large_orders")
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+    assert(count(plan, "BroadcastHashJoin") >= 2, plan)
+    assert(plan.contains("partial_"), "aggregation must be two-phase")
+    assert(count(plan, "Exchange (hash|range|Single)") <= 2, plan)
+  }
+
+  test("q21: the repeated orders broadcast is exchange-reused") {
+    val plan = finalPlan("q21_waiting_supplier")
+    assert(plan.contains("ReusedExchange"),
+      "the orders scan feeding both the semi and anti passes must be " +
+        "planned once and reused")
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+    assert(count(plan, "BroadcastNestedLoop") == 0, plan)
+  }
 }
