@@ -9,17 +9,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * vectorized reader rejects; read nanos as long and truncate to
-    * microseconds (integer DIV — a double division would lose precision
-    * on epoch-nanos magnitudes). DuckDB's oracle side truncates ns->us
-    * identically on CAST(ts AS TIMESTAMP).
+  /** `events.parquet`'s `ts` physical type has varied across driver data
+    * generations: parquet TIMESTAMP(NANOS) (which the vectorized reader
+    * rejects — read nanos as long and integer-DIV to micros; a double
+    * division would lose precision at epoch-nanos magnitudes) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (reads as TIMESTAMP_NTZ —
+    * cast to the session TimestampType; sessions pin UTC so the cast is
+    * value-preserving). Normalize both to TimestampType micros, matching
+    * DuckDB's oracle-side CAST(ts AS TIMESTAMP).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
