@@ -58,6 +58,37 @@ object Dedup {
       .filter(col("jaccard") >= t)
   }
 
+  /** Exact edit-distance near-dup pairs (doc_a < doc_b,
+    * 1 - lev/maxlen >= t). The verification metric the shingle families
+    * can't express: character-level edits (typo-class changes inside
+    * tokens) that word-shingle Jaccard either misses or over-penalizes.
+    * Levenshtein is integer-exact, so the score has a single FP divide
+    * and is engine-portable; the length prefilter is provably lossless
+    * (lev(a,b) >= |len(a)-len(b)|, so sim >= t implies the length gap
+    * is at most (1-t) x the longer doc — widened by one character
+    * because (1-t)*len itself is an FP product that can round BELOW the
+    * exact bound and prune an exactly-at-threshold pair; the slack only
+    * over-keeps, and survivors are re-filtered on the exact rounded
+    * score). Quadratic in its input like
+    * [[jaccardPairs]] — at scale feed it LSH candidates
+    * ([[minHashCandidates]]) instead of a corpus; the id-capped slice
+    * is the test-oracle anchor.
+    */
+  def editSimilarPairs(docs: DataFrame, t: Double): DataFrame = {
+    val sized = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("n_ch"))
+    sized.as("a").join(sized.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_ch") - col("b.n_ch")) <=
+            (lit(1.0) - t) * greatest(col("a.n_ch"), col("b.n_ch"))
+              + lit(1.0))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(lit(1.0) -
+          levenshtein(col("a.text"), col("b.text")).cast("double")
+            / greatest(col("a.n_ch"), col("b.n_ch")), 4).as("edit_sim"))
+      .filter(col("edit_sim") >= t)
+  }
+
   /** MinHash signatures: numHashes independent permutations simulated by
     * rehashing a single base shingle hash with the permutation index —
     * each shingle string is hashed ONCE (xxhash64 over the string), then

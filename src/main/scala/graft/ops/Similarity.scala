@@ -106,6 +106,23 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Mean-pooled class centroids: one row per (label, dim) with the
+    * average component value, double math. One posexplode map stage +
+    * one groupBy whose shuffle carries only (sum, count) partials per
+    * (label, dim) group — map-side combine bounds the exchange at
+    * |labels| x dim rows per task regardless of corpus size, so the
+    * pass scales to 100 TB as a single narrow aggregation. Output is
+    * the class-prototype table used for nearest-class-mean
+    * classification or supervised IVF seeding.
+    */
+  def labelCentroids(vectors: DataFrame,
+      labelCol: String = "label"): DataFrame =
+    vectors
+      .select(col(labelCol),
+        posexplode(col("embedding")).as(Seq("dim", "component")))
+      .groupBy(col(labelCol), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("component").cast("double")), 4).as("centroid"))
+
   /** All pairs (a < b) with cosine >= t — embedding-space near-dup
     * detection. Exact (quadratic); the LSH variant below is the scale
     * path.

@@ -36,6 +36,27 @@ object TextAnalysis {
     * (DuckDB len() is BIGINT). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Hashing-trick bag-of-words features: (doc_id, bucket, n) sparse
+    * counts with bucket = hash(token) mod numBuckets — the fixed-width,
+    * vocabulary-free featurization a 100 TB corpus needs (no vocab
+    * table to build, broadcast, or keep consistent across shards; the
+    * feature space is closed under new data by construction). One
+    * explode + one groupBy; map-side combine bounds the shuffle at
+    * |docs| x numBuckets rows. The bucket hash is md5-derived (top 15
+    * hex digits as a long) because md5 is the one hash this engine and
+    * the DuckDB oracle share bit-for-bit; a production swap to
+    * xxhash64(token) % k changes one line and only relabels buckets.
+    */
+  def hashingFeatures(docs: DataFrame, numBuckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long") % numBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Stopword hit count against a fixed profile — array HOF, no UDF. */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
     val set = array(stopwords.map(lit): _*)

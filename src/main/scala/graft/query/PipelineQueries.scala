@@ -57,6 +57,26 @@ object PipelineQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Character-level near-dup verification: edit-distance similarity
+    // over an id-capped slice (quadratic ground-truth anchor, like
+    // dedup_components_oracle; at scale the input is LSH candidates).
+    "dedup_edit_sim_oracle" -> ((s, d) =>
+      Dedup.editSimilarPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 300), t = 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Hashing-trick bag-of-words: sparse (doc, bucket, count) features,
+    // vocabulary-free (the 100 TB featurization — no vocab table).
+    "text_hashing_features" -> ((s, d) =>
+      TextAnalysis.hashingFeatures(Tables.documents(s, d), 64)
+        .orderBy(col("doc_id"), col("bucket"))),
+
+    // Mean-pooled class centroids over the embedding corpus: one row
+    // per (label, dim) — class prototypes / supervised IVF seeds.
+    "emb_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d))
+        .orderBy(col("label"), col("dim"))),
+
     // SimHash near-dup candidates (Hamming <= 7 via pigeonhole bands).
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHashPairs(Tables.documents(s, d))
@@ -329,6 +349,33 @@ object PipelineQueries {
       .map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "dedup_edit_sim_oracle" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+        |   / greatest(len(a.text), len(b.text)), 4) AS edit_sim
+        |FROM documents a JOIN documents b
+        | ON a.doc_id < b.doc_id
+        | AND abs(len(a.text) - len(b.text))
+        |   <= 0.1 * greatest(len(a.text), len(b.text)) + 1
+        |WHERE a.doc_id < 300 AND b.doc_id < 300
+        | AND round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+        |   / greatest(len(a.text), len(b.text)), 4) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "text_hashing_features" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+        | count(*) AS n
+        |FROM (SELECT doc_id,
+        |   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        | FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    "emb_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        | round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+        |FROM embeddings,
+        | LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |  AS text_hash,

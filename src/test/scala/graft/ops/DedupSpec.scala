@@ -54,4 +54,61 @@ class DedupSpec extends SparkSpec {
     assert(sim.subsetOf(exact),
       s"simhash false positives: ${(sim -- exact).take(5)}")
   }
+
+  test("editSimilarPairs: hand cases, boundary pair, lossless prefilter") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // base, 43 ch
+      (2L, "the quick brown fax jumps over the lazy dog"), // 1 edit
+      (3L, "a completely different document body here ok"), // far
+      // exactly at t=0.9: 40 chars vs 36-char prefix -> lev=4,
+      // sim = 1 - 4/40 = 0.9 — must be kept (>= is inclusive)
+      (4L, "0123456789012345678901234567890123456789"),
+      (5L, "012345678901234567890123456789012345")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editSimilarPairs(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (4L, 5L)))
+    // prefilter losslessness on real data: every pair the unfiltered
+    // (cross) formulation keeps survives the length prefilter
+    val real = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 100)
+    val filtered = Dedup.editSimilarPairs(real, 0.85)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = real.as("a").join(real.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        round(lit(1.0) - levenshtein($"a.text", $"b.text").cast("double")
+          / greatest(length($"a.text"), length($"b.text")), 4).as("s"))
+      .filter($"s" >= 0.85)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == naive)
+  }
+
+  test("editSimilarPairs composes with LSH candidates at scale") {
+    // the 100 TB shape: LSH candidate pairs -> edit verification only
+    // on candidates. Every verified pair must also be found by the
+    // exhaustive formulation (no false positives from the composition).
+    val real = Tables.documents(spark, sf0001)
+    val cand = Dedup.minHashCandidates(real, 3)
+    val docsKv = real.select(col("doc_id"), col("text"))
+    val verified = cand
+      .join(docsKv.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("text", "text_a"), "doc_a")
+      .join(docsKv.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("text", "text_b"), "doc_b")
+      .filter(round(lit(1.0) -
+        levenshtein(col("text_a"), col("text_b")).cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))), 4)
+        >= 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = Dedup.editSimilarPairs(real, 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty, "planted near-dups should verify")
+    assert(verified.subsetOf(exhaustive))
+  }
 }

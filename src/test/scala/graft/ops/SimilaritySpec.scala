@@ -424,4 +424,21 @@ class SimilaritySpec extends SparkSpec {
     assert(grownCand.filter(col("vec_b") === 100000L).count() >= 1,
       "rebuilt store must contain the appended near-dup's candidates")
   }
+
+  test("labelCentroids equals the exact per-component mean") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)),
+      (1, Array(-2.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(vecs).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((0, 0L) -> 2.0, (0, 1L) -> 4.0,
+      (1, 0L) -> -2.0, (1, 1L) -> 0.0))
+    // shape on real data: |labels| x dim rows, dim complete per label
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.labelCentroids(emb)
+    val labels = emb.select("label").distinct().count()
+    assert(cents.count() == labels * 64)
+  }
 }

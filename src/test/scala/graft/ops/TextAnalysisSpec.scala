@@ -65,4 +65,25 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(out == cases.map(_._2))
   }
+
+  test("hashingFeatures: counts conserve tokens, buckets bounded, " +
+      "same token -> same bucket") {
+    val docs = Seq((1L, "spark spark table row"), (2L, "spark table"))
+      .toDF("doc_id", "text")
+    val feats = TextAnalysis.hashingFeatures(docs, 64).collect()
+    assert(feats.forall { r =>
+      val b = r.getLong(1); b >= 0 && b < 64
+    })
+    // per-doc feature counts sum to the doc's token count
+    val sums = feats.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(sums == Map(1L -> 4L, 2L -> 2L))
+    // "spark" lands in one bucket: doc 1 has a count-2 bucket shared
+    // with doc 2's "spark" bucket
+    val d1 = feats.filter(r => r.getLong(0) == 1L && r.getLong(2) == 2L)
+    assert(d1.length == 1)
+    val sparkBucket = d1.head.getLong(1)
+    assert(feats.exists(r => r.getLong(0) == 2L &&
+      r.getLong(1) == sparkBucket))
+  }
 }
