@@ -102,6 +102,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "Exchange (hash|range|Single)") <= 2, plan)
   }
 
+  test("q8: seven-table star stays broadcast, date+type filters pushed") {
+    val plan = finalPlan("q8_market_share")
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+    assert(count(plan, "BroadcastHashJoin") >= 6, plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "orders date range must reach PushedFilters")
+    assert(plan.contains("EqualTo(p_type,PROMO"),
+      "part type filter must reach PushedFilters")
+    assert(count(plan, "BroadcastNestedLoop") == 0, plan)
+  }
+
+  test("q10: returnflag pushed, top-20 via TakeOrdered (no global sort)") {
+    val plan = finalPlan("q10_returned_items")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter must reach PushedFilters")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "LIMIT over ORDER BY must fuse into a per-partition top-k + " +
+        "driver merge, not a global sort")
+    assert(plan.contains("partial_"), "aggregation must be two-phase")
+    assert(count(plan, "BroadcastNestedLoop") == 0, plan)
+  }
+
   test("q21: the repeated orders broadcast is exchange-reused") {
     val plan = finalPlan("q21_waiting_supplier")
     assert(plan.contains("ReusedExchange"),
