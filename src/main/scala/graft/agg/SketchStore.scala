@@ -153,3 +153,73 @@ final class QuantileStore(path: String, keyCols: Seq[String],
       "compacted states remain in the temp dir")
   }
 }
+
+/** Append-only store of mergeable COUNT-MIN states — the
+  * point-frequency member of the AggregatingMergeTree family, next to
+  * [[SketchStore]] (HLL / distinct) and [[QuantileStore]] (GK /
+  * quantiles). Per-(key, batch) CMS sketches of a value column that
+  * union EXACTLY across batches (linear sketch — counters add, no
+  * bound loosening; see [[CountMinState]]) and roll up to coarser
+  * keys, answering "how often did value v occur under group g" from
+  * O(depth x width) state per key without rescanning raw data and
+  * without materializing the full value-frequency table (which at
+  * 100 TB is itself too large to store per grouping).
+  *
+  * Same discipline as the siblings: batch-keyed idempotent appends,
+  * mandatory read-side merge, optional compaction that only bounds
+  * read amplification.
+  */
+final class CountMinStore(path: String, keyCols: Seq[String],
+    depth: Int = 4, width: Int = 1024) {
+
+  /** Partial states for one block: one CMS of `valueCol` per key.
+    * Call inside `foreachBatch` with the batch's rows. */
+  def partials(block: DataFrame, valueCol: Column): DataFrame =
+    block.groupBy(keyCols.map(col): _*)
+      .agg(CountMinState.stateAgg(valueCol, depth, width).as("cms"))
+
+  /** Idempotent append (exactly-once per epoch, same discipline as
+    * [[SummingStore.append]]). */
+  def append(states: DataFrame, batchId: Long): Unit =
+    states.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/batch=$batchId")
+
+  private def raw(spark: SparkSession): DataFrame =
+    spark.read.option("basePath", path).parquet(s"$path/batch=*")
+
+  /** Merged state per stored key. */
+  def read(spark: SparkSession): DataFrame = readGrouped(spark, keyCols)
+
+  /** Re-aggregate to a coarser grouping WITHOUT rescanning raw data:
+    * states add elementwise under the sketch merge. The result keeps
+    * the state column — probe it with [[CountMinState.value]] against
+    * any key set. */
+  def readGrouped(spark: SparkSession,
+      groupCols: Seq[String]): DataFrame =
+    raw(spark)
+      .groupBy(groupCols.map(col): _*)
+      .agg(CountMinState.mergeAgg(col("cms")).as("cms"))
+      .select((groupCols :+ "cms").map(col): _*)
+
+  /** Background-merge analog: collapse per-batch states into one
+    * unioned state per key. [[read]] is correct without it. */
+  def compact(spark: SparkSession): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/_compact_tmp")
+    raw(spark)
+      .groupBy(keyCols.map(col): _*)
+      .agg(CountMinState.mergeAgg(col("cms")).as("cms"))
+      .select((keyCols :+ "cms").map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val base = new Path(path)
+    if (fs.exists(base)) {
+      fs.listStatus(base).foreach { st =>
+        if (st.getPath.getName.startsWith("batch="))
+          fs.delete(st.getPath, true)
+      }
+    }
+    val dst = new Path(s"$path/batch=compacted")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
+      "compacted states remain in the temp dir")
+  }
+}

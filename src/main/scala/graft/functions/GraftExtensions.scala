@@ -138,10 +138,49 @@ object GraftExtensions {
           constInt("space_saving_topk", args(2)))
       })
 
+  /** CMS surfaces hash the key themselves (engine xxhash64, seed 42 —
+    * see [[graft.agg.CountMinState]]), so SQL callers pass raw values
+    * and build/probe can never disagree on the hash. */
+  private[functions] val cmsStateDescriptor =
+    (new FunctionIdentifier("cms_state"),
+      new ExpressionInfo(
+        classOf[graft.agg.CountMinState.CmsStateAgg].getName,
+        "cms_state"),
+      (args: Seq[Expression]) => {
+        arity("cms_state", 3, args)
+        graft.agg.CountMinState.CmsStateAgg(
+          graft.agg.CountMinState.hashedExpr(args.head),
+          constInt("cms_state", args(1)),
+          constInt("cms_state", args(2)))
+      })
+
+  private[functions] val cmsStateMergeDescriptor =
+    (new FunctionIdentifier("cms_state_merge"),
+      new ExpressionInfo(
+        classOf[graft.agg.CountMinState.CmsStateMergeAgg].getName,
+        "cms_state_merge"),
+      (args: Seq[Expression]) => {
+        arity("cms_state_merge", 1, args)
+        graft.agg.CountMinState.CmsStateMergeAgg(args.head)
+      })
+
+  private[functions] val cmsStateQueryDescriptor =
+    (new FunctionIdentifier("cms_state_query"),
+      new ExpressionInfo(
+        classOf[graft.agg.CountMinState.CmsStateQuery].getName,
+        "cms_state_query"),
+      (args: Seq[Expression]) => {
+        arity("cms_state_query", 2, args)
+        graft.agg.CountMinState.CmsStateQuery(args.head,
+          graft.agg.CountMinState.hashedExpr(args(1)))
+      })
+
   private[functions] val descriptors = Seq(vecDotDescriptor,
     vecNormDescriptor, uniqUpToDescriptor, detSampleDescriptor,
     topKWeightedDescriptor, quantileStateDescriptor,
-    quantileStateMergeDescriptor, quantileStateValueDescriptor)
+    quantileStateMergeDescriptor, quantileStateValueDescriptor,
+    cmsStateDescriptor, cmsStateMergeDescriptor,
+    cmsStateQueryDescriptor)
 
   /** Register on an already-built session (tests, driver-owned
     * sessions where spark.sql.extensions can't be set). */

@@ -216,6 +216,29 @@ object SqlSurfaceQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Mergeable FREQUENCY states (Count-Min), same shape as the
+    // quantile rollup above: states built per fine key, rolled up to
+    // the coarse key by the sketch's own (elementwise-exact) merge,
+    // then probed for fixed part keys. Deterministic (fixed hash) but
+    // the state layout is engine-specific -> rows-only; accuracy,
+    // merge exactness, and store replay are pinned by CountMinSpec /
+    // CountMinStoreSpec.
+    "agg_cms_state_rollup" -> ((s, d) => {
+      val states = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(graft.agg.CountMinState.stateAgg(
+          col("l_partkey"), 4, 2048).as("cms"))
+      val merged = states.groupBy(col("l_returnflag"))
+        .agg(graft.agg.CountMinState.mergeAgg(col("cms")).as("cms"))
+      val probes = (1L to 5L).map(lit)
+      merged.select(col("l_returnflag") +:
+          probes.zipWithIndex.map { case (p, i) =>
+            graft.agg.CountMinState.value(col("cms"), p)
+              .as(s"freq_part_${i + 1}")
+          }: _*)
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact order statistics (the non-approx counterpart of
     // agg_approx_sketches): median + interpolated percentile.
     "agg_exact_median" -> ((s, d) =>
