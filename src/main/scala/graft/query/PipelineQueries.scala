@@ -258,7 +258,17 @@ object PipelineQueries {
       val quality = TextAnalysis.qualityMetrics(docs)
         .filter(col("n_tokens") >= 20 && col("stopword_ratio") <= 0.5)
       val (_, predicted) = TextAnalysis.langId(col("text"))
-      val inLang = quality.withColumn("predicted", predicted)
+      // Stage the gated frame ONCE (same share-the-scan move as the
+      // pretraining capstone): the dedup pass branches its input into
+      // signature, verify, and anti-join legs, and without the stage
+      // each leg re-runs the quality + langId projections (regex
+      // tokenization — measured 2.36 -> 2.0 s median at sf0.1; the
+      // remaining floor is the LSH dedup pass itself).
+      val inLang = graft.scale.Staging.materialize(
+        quality.withColumn("predicted", predicted)
+          .select(col("doc_id"), col("text"), col("predicted"),
+            col("n_tokens"), col("stopword_ratio")),
+        "curation-quality")
       val deduped = Dedup.dropNearDuplicates(
         inLang.select(col("doc_id"), col("text")), 3, jaccardT)
       inLang.join(deduped.select("doc_id"), Seq("doc_id"), "left_semi")
