@@ -73,6 +73,28 @@ object Sampling {
     df.filter(hashBucket(id, buckets) < thrCol)
   }
 
+  /** Temperature-scaled mixing at T = 2 (exponent 1/2, the standard
+    * multilingual rebalancing recipe): target shares proportional to
+    * sqrt of each domain's natural weight, so scarce domains keep
+    * relatively more and dominant domains are tempered. Passes
+    * UNNORMALIZED q_d = sqrt(w_d) to [[mixtureSample]] — its threshold
+    * arithmetic is scale-invariant in the targets (q*T/w is unchanged
+    * when q scales by c and the anchor T by 1/c), and skipping the
+    * Σsqrt normalization removes the one sum whose addition order
+    * could differ between engines; what remains (sqrt, divide, min)
+    * is IEEE-correctly-rounded and order-independent, so the oracle
+    * matches bit-for-bit. The keep-rate works out to
+    * min_j(sqrt(w_j)) / sqrt(w_d), anchored at the scarcest domain.
+    */
+  def temperatureSampleHalf(df: DataFrame, domain: Column, id: Column,
+      weight: Column, buckets: Int = 1 << 20): DataFrame = {
+    val targets = df.groupBy(domain.as("__dom"))
+      .agg(sum(weight).as("__w")).collect()
+      .map(r => r.getString(0) -> math.sqrt(r.getLong(1).toDouble))
+      .toMap
+    mixtureSample(df, domain, id, weight, targets, buckets)
+  }
+
   /** At most `n` rows per stratum, chosen by hash order (a
     * deterministic pseudo-random draw), id as tie-break. One shuffle
     * on the strata key; `row_number` keeps only the first n per group.

@@ -48,6 +48,22 @@ object SamplingQueries {
         .orderBy(col("lang"))
     }),
 
+    // Temperature-scaled mixing (T=2): shares ∝ sqrt(natural weight) —
+    // the multilingual rebalancing recipe, self-configured from corpus
+    // stats instead of hand-set targets. Same staged-tokens discipline
+    // as sample_mixture_lang.
+    "sample_temperature_lang" -> ((s, d) => {
+      val toks = Staging.materialize(
+        Tables.documents(s, d).select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "mixture-toks")
+      Sampling.temperatureSampleHalf(toks, col("lang"), col("doc_id"),
+          col("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic-sample quantiles (ClickHouse quantileDeterministic
     // analog; see ops/DetSample): per-priority order-value quantiles
     // from a bottom-k-by-hash sample — bounded state per task, no RNG,
@@ -94,6 +110,25 @@ object SamplingQueries {
         |    CAST(floor(least(1.0, share * t / w) * 1048576 + 1e-6) AS BIGINT)
         |      AS thr
         |  FROM tok JOIN targets USING (lang) CROSS JOIN tmin)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tok
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE $hash % 1048576 < thr.thr
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // Mirrors Sampling.temperatureSampleHalf exactly: t = min over
+    // domains of w/sqrt(w) (the SAME expression the Scala side
+    // evaluates, not the algebraically-equal sqrt(w)), rate =
+    // sqrt(w) * t / w left-associated, floor to the bucket grid with
+    // the shared 1e-6 epsilon.
+    "sample_temperature_lang" ->
+      s"""WITH tok AS (SELECT lang,
+        |    sum(len(string_split(text, ' '))) AS w
+        |  FROM documents GROUP BY lang),
+        |tmin AS (SELECT min(w / sqrt(w)) AS t FROM tok),
+        |thr AS (SELECT lang,
+        |    CAST(floor(least(1.0, sqrt(w) * t / w) * 1048576 + 1e-6)
+        |      AS BIGINT) AS thr
+        |  FROM tok CROSS JOIN tmin)
         |SELECT d.lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tok
         |FROM documents d JOIN thr USING (lang)
