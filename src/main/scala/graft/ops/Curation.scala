@@ -123,6 +123,54 @@ object Curation {
     * explode, no shuffle): at 100 TB this is a narrow codegen'd map
     * over the scan.
     */
+  /** Cross-document verbatim repeated spans (the substring-dedup
+    * signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every w-token window whose exact text
+    * occurs in >= minDocs distinct docs, merged per doc into maximal
+    * [span_start, span_end) token intervals — the spans a substring
+    * dedup pass would cut. Where [[boilerplateNgrams]] counts SHORT
+    * grams corpus-wide, this flags LONG verbatim runs and returns
+    * their positions.
+    *
+    * Plan shape: one windows pass (explode + md5 — only hex hashes
+    * shuffle, never window text), distinct-doc counts with map-side
+    * combine, a semi join back, then the standard island merge
+    * (running max + cumulative sum over ONE per-doc window ordering —
+    * no interval self-join). Everything after the hash is integer and
+    * window arithmetic, so the result is engine-portable.
+    */
+  def repeatedSpans(docs: DataFrame, w: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Staged: the windows table feeds BOTH the flag aggregation and
+    // the position join-back — unstaged, the explode + md5 pass runs
+    // twice (measured 3.0 -> 1.6 s at sf0.1).
+    val windows = graft.scale.Staging.materialize(docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode_outer(wordNgrams(col("ws"), w)).as(Seq("pos", "gram")))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("gram")).as("h")), "repeated-spans-windows")
+    val flagged = windows.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    windows.join(flagged.select(col("h")), Seq("h"), "left_semi")
+      .withColumn("end", col("pos") + w)
+      .withColumn("max_end", max(col("end")).over(prevEnd))
+      .withColumn("new_island",
+        when(col("max_end").isNull || col("pos") > col("max_end"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        max(col("end")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   def repetitionRatio(docs: DataFrame, n: Int = 2): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), wordNgrams(col("ws"), n).as("grams"))

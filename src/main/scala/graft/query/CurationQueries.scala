@@ -42,6 +42,13 @@ object CurationQueries {
       Curation.boilerplateFraction(Tables.documents(s, d), N, MinDocs)
         .orderBy(col("doc_id"))),
 
+    // Substring-dedup signal (Lee et al. 2022): 10-token windows
+    // verbatim-shared across >= 2 docs, merged into maximal per-doc
+    // token spans — what a substring-dedup pass would cut.
+    "curation_repeated_spans" -> ((s, d) =>
+      Curation.repeatedSpans(Tables.documents(s, d), w = 10, minDocs = 2)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // Gopher-style repetition signal: duplicate-bigram fraction per doc.
     "curation_doc_repetition" -> ((s, d) =>
       Curation.repetitionRatio(Tables.documents(s, d), 2)
@@ -204,6 +211,39 @@ object CurationQueries {
          |  END AS boiler_frac
          |FROM documents d LEFT JOIN per_doc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // Same window/flag/island arithmetic as Curation.repeatedSpans:
+    // 1-based list slices mirror the 0-based posexplode (pos = i-1);
+    // islands merge when pos <= running max end (strict > starts one).
+    "curation_repeated_spans" ->
+      """WITH win AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(array_to_string(ws[i:i+9], ' ')) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) w,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ws) - 9)) AS i) g),
+        |flagged AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+        |  GROUP BY h HAVING count(*) >= 2),
+        |hits AS (
+        |  SELECT doc_id, pos, pos + 10 AS e FROM win
+        |  WHERE h IN (SELECT h FROM flagged)),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS ni
+        |  FROM hits),
+        |grp AS (
+        |  SELECT doc_id, pos, e,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end
+        |FROM grp GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "curation_doc_repetition" ->
       """SELECT doc_id,
         |  CAST(len(grams) AS BIGINT) AS n_grams,

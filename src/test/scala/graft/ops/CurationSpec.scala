@@ -146,4 +146,27 @@ class CurationSpec extends SparkSpec {
       "only the non-empty doc may emit chunks — null text must not " +
         "produce a null-md5 row, empty text must not produce an empty chunk")
   }
+
+  test("repeatedSpans: shared 12-token run merges into one maximal span") {
+    // doc 1 carries the run at token positions 5..16, doc 2 at 0..11;
+    // all other tokens are unique so no accidental windows collide.
+    val run = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val d1 = ((0 until 5).map(i => s"a$i") :+ run) ++
+      (0 until 3).map(i => s"b$i")
+    val d2 = run +: (0 until 8).map(i => s"c$i")
+    val docs = Seq(
+      (1L, d1.mkString(" ")), (2L, d2.mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Curation.repeatedSpans(docs, w = 10, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 12-token run -> three 10-token windows -> ONE merged span of 12
+    assert(got == Set((1L, 5L, 17L), (2L, 0L, 12L)))
+
+    // a doc repeating the run INTERNALLY only is not flagged at
+    // minDocs=2 cross-doc counting (distinct-doc count stays 1)
+    val intra = Seq((9L, (run + " " + run))).toDF("doc_id", "text")
+    assert(Curation.repeatedSpans(intra, w = 10, minDocs = 2)
+      .collect().isEmpty)
+  }
 }
