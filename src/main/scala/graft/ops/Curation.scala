@@ -171,6 +171,39 @@ object Curation {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** Apply the substring-dedup cut: drop every token inside a
+    * [[repeatedSpans]] interval and return the surviving document
+    * (as token count + md5 of the re-joined text — the narrow
+    * engine-portable form; production would keep the string). Fully
+    * removed docs yield a NULL fingerprint (distinct from the md5 of
+    * the empty string, and the natural "nothing left — drop the doc"
+    * signal). Span application is an indexed-filter HOF over the
+    * token array with the doc's spans as a bound array — per-doc
+    * work is tokens x spans with no explode and no extra shuffle
+    * beyond the span aggregation itself.
+    */
+  def removeRepeatedSpans(docs: DataFrame, w: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, w, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    val emptySpans = array().cast(
+      "array<struct<span_start:bigint,span_end:bigint>>")
+    docs.join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        coalesce(col("spans"), emptySpans).as("spans"))
+      .select(col("doc_id"),
+        filter(col("ws"), (tok, i) =>
+          !exists(col("spans"), s =>
+            i.cast("long") >= s("span_start") &&
+              i.cast("long") < s("span_end"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_tok_kept"),
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(md5(concat_ws(" ", col("kept")))).as("clean_md5"))
+  }
+
   def repetitionRatio(docs: DataFrame, n: Int = 2): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), wordNgrams(col("ws"), n).as("grams"))

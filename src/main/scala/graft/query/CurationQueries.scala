@@ -49,6 +49,13 @@ object CurationQueries {
       Curation.repeatedSpans(Tables.documents(s, d), w = 10, minDocs = 2)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // The cut that consumes the spans above: tokens inside flagged
+    // spans removed, survivors fingerprinted (NULL = doc fully cut).
+    "curation_cut_spans" -> ((s, d) =>
+      Curation.removeRepeatedSpans(Tables.documents(s, d), w = 10,
+          minDocs = 2)
+        .orderBy(col("doc_id"))),
+
     // Gopher-style repetition signal: duplicate-bigram fraction per doc.
     "curation_doc_repetition" -> ((s, d) =>
       Curation.repetitionRatio(Tables.documents(s, d), 2)
@@ -244,6 +251,53 @@ object CurationQueries {
         |  CAST(max(e) AS BIGINT) AS span_end
         |FROM grp GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    // Reuses the span CTE chain, then anti-joins tokens against span
+    // containment and re-joins survivors in position order. string_agg
+    // over zero rows is NULL — matching the engine's explicit NULL for
+    // fully-cut docs.
+    "curation_cut_spans" ->
+      """WITH win AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(array_to_string(ws[i:i+9], ' ')) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) w,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ws) - 9)) AS i) g),
+        |flagged AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+        |  GROUP BY h HAVING count(*) >= 2),
+        |hits AS (
+        |  SELECT doc_id, pos, pos + 10 AS e FROM win
+        |  WHERE h IN (SELECT h FROM flagged)),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS ni
+        |  FROM hits),
+        |grp AS (
+        |  SELECT doc_id, pos, e,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+        |  FROM grp GROUP BY doc_id, island),
+        |tok AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) w,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = t.doc_id
+        |      AND t.pos >= s.span_start AND t.pos < s.span_end))
+        |SELECT d.doc_id, CAST(count(k.pos) AS BIGINT) AS n_tok_kept,
+        |  md5(string_agg(k.tok, ' ' ORDER BY k.pos)) AS clean_md5
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "curation_doc_repetition" ->
       """SELECT doc_id,
         |  CAST(len(grams) AS BIGINT) AS n_grams,

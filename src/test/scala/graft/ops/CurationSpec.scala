@@ -168,5 +168,26 @@ class CurationSpec extends SparkSpec {
     val intra = Seq((9L, (run + " " + run))).toDF("doc_id", "text")
     assert(Curation.repeatedSpans(intra, w = 10, minDocs = 2)
       .collect().isEmpty)
+
+    // the cut: exactly the span tokens are removed, survivors keep
+    // their relative order; a fully-covered doc fingerprints NULL
+    val cut = Curation.removeRepeatedSpans(docs, w = 10, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .toMap
+    val d1Clean = ((0 until 5).map(i => s"a$i") ++
+      (0 until 3).map(i => s"b$i")).mkString(" ")
+    val d2Clean = (0 until 8).map(i => s"c$i").mkString(" ")
+    assert(cut(1L)._1 == 8L &&
+      cut(1L)._2 == java.security.MessageDigest.getInstance("MD5")
+        .digest(d1Clean.getBytes).map("%02x".format(_)).mkString)
+    assert(cut(2L)._1 == 8L &&
+      cut(2L)._2 == java.security.MessageDigest.getInstance("MD5")
+        .digest(d2Clean.getBytes).map("%02x".format(_)).mkString)
+    // two exact-duplicate docs: every window shared -> fully cut
+    val dups = Seq((7L, run), (8L, run)).toDF("doc_id", "text")
+    val cutDups = Curation.removeRepeatedSpans(dups, 10, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSet
+    assert(cutDups == Set((7L, 0L, true), (8L, 0L, true)))
   }
 }
