@@ -45,11 +45,23 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
     signed.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
   }
 
-  def append(signed: DataFrame): Unit =
-    signed.write.mode(SaveMode.Append).parquet(s"$path/batch=0")
+  /** Append without batch identity (batch-mode callers) — lands just
+    * above the compaction watermark so the rows stay visible under
+    * the generation manifest. */
+  def append(signed: DataFrame): Unit = {
+    val next = StoreCompaction.compactedThrough(
+      signed.sparkSession, path) + 1
+    signed.write.mode(SaveMode.Append).parquet(s"$path/batch=$next")
+  }
 
   private def netted(spark: SparkSession): DataFrame = {
-    val raw = spark.read.option("basePath", path).parquet(s"$path/batch=*")
+    // manifest-filtered listing, not a raw batch=* glob — the retired
+    // generation stays on disk one fold post-compact (reader grace)
+    // and a glob would double-count it against its folded block
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val raw = spark.read.option("basePath", path)
+      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
     val aggs = sum(col(signCol)).as(signCol) +:
       valCols.map(c => sum(col(c) * col(signCol)).as(c))
     raw.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -66,20 +78,20 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
 
   /** Physically collapse cancelled pairs (background-merge analog):
     * fold every batch into the net rows, DROPPING fully-cancelled
-    * keys. [[read]] is correct before and after a compact; it is NOT
-    * safe concurrently with one (the delete-then-rename window is not
-    * atomic — a racing reader sees partial or no data), so run
-    * compaction only with no reader or replay in flight. Replays of
-    * already-folded batches are refused by [[append]]'s watermark
-    * check rather than double-counted. */
+    * keys. [[read]] is correct before, after, AND concurrently with a
+    * compact — the fold publishes atomically via the generation
+    * manifest and retires absorbed dirs one fold later (see
+    * [[StoreCompaction]]'s protocol), so a racing reader always sees
+    * one complete view. Replays of already-folded batches are refused
+    * by [[append]]'s watermark check rather than double-counted. */
   def compact(spark: SparkSession): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp")
     if (!StoreCompaction.hasBatchDirs(fs, path)) {
-      // empty store, or a prior fold died between the deletes and the
-      // rename (folded rows still in tmp) — recover, don't throw on
-      // the batch=* schema probe below
+      // empty store, or a legacy-scheme crash left folded rows in the
+      // temp dir with no visible batch dirs — publish them, don't
+      // throw on the schema probe below
       StoreCompaction.recoverOrNoop(fs, path, tmp)
       return
     }
@@ -89,7 +101,7 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
     // the helper raises on any net value the narrower type cannot
     // hold instead of silently wrapping it
     val rawSchema = spark.read.option("basePath", path)
-      .parquet(s"$path/batch=*").schema
+      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*).schema
     StoreCompaction
       .castToRawSchema(netted(spark).filter(col(signCol) =!= 0), rawSchema)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)

@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -65,6 +65,12 @@ object CountMinState {
     }
 
     def query(keyHash: Long): Long = {
+      // depth-0 = the never-updated merge sentinel (cms_state_merge
+      // over an all-NULL or empty state group); an empty sketch has
+      // seen nothing, so every frequency bound is 0 — without the
+      // guard the min-loop never runs and the Long.MaxValue seed
+      // leaks out as the answer
+      if (depth == 0) return 0L
       var est = Long.MaxValue
       var i = 0
       while (i < depth) {
@@ -268,11 +274,51 @@ object CountMinState {
     override def prettyName: String = "cms_state_query"
   }
 
+  /** Widens integral keys to LONG after resolution (the type is not
+    * known at construction — `col("x")` arrives unresolved), so the
+    * engine-wide key hash sees ONE canonical type per numeric value:
+    * XxHash64 hashes INT and LONG inputs differently, and without the
+    * widening a sketch built over an INT column probed with a LONG
+    * literal (the natural `lit(7L)`) silently returned near-zero
+    * garbage frequencies. Non-integral types pass through untouched.
+    */
+  private[agg] case class IntegralToLong(child: Expression)
+      extends UnaryExpression {
+
+    private def widens: Boolean = child.dataType match {
+      case ByteType | ShortType | IntegerType => true
+      case _ => false
+    }
+
+    override def dataType: DataType =
+      if (widens) LongType else child.dataType
+
+    override def nullSafeEval(v: Any): Any =
+      if (!widens) v
+      else v match {
+        case b: java.lang.Byte => b.longValue()
+        case s: java.lang.Short => s.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      if (widens) defineCodeGen(ctx, ev, c => s"(long) $c")
+      else defineCodeGen(ctx, ev, c => c)
+
+    override protected def withNewChildInternal(
+        newChild: Expression): IntegralToLong = copy(child = newChild)
+
+    override def prettyName: String = "integral_to_long"
+  }
+
   /** The engine-wide key hash (xxhash64, seed 42 — identical to
-    * `functions.xxhash64`): applied to BOTH build and probe keys by
-    * every surface, so callers never hash by hand. */
+    * `functions.xxhash64` over a LONG-canonicalized key): applied to
+    * BOTH build and probe keys by every surface, so callers never hash
+    * by hand and build/probe agree regardless of declared integer
+    * width. */
   private def hashed(key: Expression): Expression =
-    XxHash64(Seq(key), 42L)
+    XxHash64(Seq(IntegralToLong(key)), 42L)
 
   private[graft] def hashedExpr(key: Expression): Expression = hashed(key)
 

@@ -30,13 +30,22 @@ final class SketchStore(path: String, keyCols: Seq[String],
       .agg(hll_sketch_agg(valueCol, lit(lgConfigK)).as("state"))
 
   /** Idempotent append (exactly-once per epoch, same discipline as
-    * [[SummingStore.append]]). */
-  def append(states: DataFrame, batchId: Long): Unit =
+    * [[SummingStore.append]], including the refusal of batch ids the
+    * compaction watermark has already absorbed). */
+  def append(states: DataFrame, batchId: Long): Unit = {
+    require(batchId > StoreCompaction.compactedThrough(
+        states.sparkSession, path),
+      s"batch $batchId was already folded by compact(); replaying it " +
+        "would double-count")
     states.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/batch=$batchId")
+  }
 
-  private def raw(spark: SparkSession): DataFrame =
-    spark.read.option("basePath", path).parquet(s"$path/batch=*")
+  private def raw(spark: SparkSession): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    spark.read.option("basePath", path)
+      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
+  }
 
   /** Merged estimate per stored key: union states across batches, then
     * finalize. The mandatory read-side merge of the Aggregating
@@ -56,25 +65,19 @@ final class SketchStore(path: String, keyCols: Seq[String],
       .select((groupCols :+ "distinct_estimate").map(col): _*)
 
   /** Background-merge analog: collapse per-batch states into one block
-    * of unioned states per key. [[read]] is correct without it. */
+    * of unioned states per key. [[read]] is correct without it, and
+    * correct RACING it — the fold publishes atomically via
+    * [[StoreCompaction]]'s generation manifest. */
   def compact(spark: SparkSession): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/_compact_tmp")
+    if (!StoreCompaction.hasBatchDirs(fs, path)) return
     raw(spark)
       .groupBy(keyCols.map(col): _*)
       .agg(hll_union_agg(col("state"), lit(false)).as("state"))
       .select((keyCols :+ "state").map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val base = new Path(path)
-    if (fs.exists(base)) {
-      fs.listStatus(base).foreach { st =>
-        if (st.getPath.getName.startsWith("batch="))
-          fs.delete(st.getPath, true)
-      }
-    }
-    val dst = new Path(s"$path/batch=compacted")
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
-      "compacted states remain in the temp dir")
+    StoreCompaction.foldBatches(fs, path, tmp)
   }
 }
 
@@ -101,13 +104,21 @@ final class QuantileStore(path: String, keyCols: Seq[String],
       .agg(QuantileState.stateAgg(valueCol, relativeError).as("qstate"))
 
   /** Idempotent append (exactly-once per epoch, same discipline as
-    * [[SummingStore.append]]). */
-  def append(states: DataFrame, batchId: Long): Unit =
+    * [[SummingStore.append]], including the watermark refusal). */
+  def append(states: DataFrame, batchId: Long): Unit = {
+    require(batchId > StoreCompaction.compactedThrough(
+        states.sparkSession, path),
+      s"batch $batchId was already folded by compact(); replaying it " +
+        "would double-count")
     states.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/batch=$batchId")
+  }
 
-  private def raw(spark: SparkSession): DataFrame =
-    spark.read.option("basePath", path).parquet(s"$path/batch=*")
+  private def raw(spark: SparkSession): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    spark.read.option("basePath", path)
+      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
+  }
 
   /** Column name for probability `p`: p50, p99, p99_9. */
   private def probName(p: Double): String =
@@ -132,25 +143,18 @@ final class QuantileStore(path: String, keyCols: Seq[String],
   }
 
   /** Background-merge analog: collapse per-batch states into one
-    * unioned state per key. [[read]] is correct without it. */
+    * unioned state per key. [[read]] is correct without it, and
+    * correct RACING it (reader-safe fold via [[StoreCompaction]]). */
   def compact(spark: SparkSession): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/_compact_tmp")
+    if (!StoreCompaction.hasBatchDirs(fs, path)) return
     raw(spark)
       .groupBy(keyCols.map(col): _*)
       .agg(QuantileState.mergeAgg(col("qstate")).as("qstate"))
       .select((keyCols :+ "qstate").map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val base = new Path(path)
-    if (fs.exists(base)) {
-      fs.listStatus(base).foreach { st =>
-        if (st.getPath.getName.startsWith("batch="))
-          fs.delete(st.getPath, true)
-      }
-    }
-    val dst = new Path(s"$path/batch=compacted")
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
-      "compacted states remain in the temp dir")
+    StoreCompaction.foldBatches(fs, path, tmp)
   }
 }
 
@@ -179,13 +183,21 @@ final class CountMinStore(path: String, keyCols: Seq[String],
       .agg(CountMinState.stateAgg(valueCol, depth, width).as("cms"))
 
   /** Idempotent append (exactly-once per epoch, same discipline as
-    * [[SummingStore.append]]). */
-  def append(states: DataFrame, batchId: Long): Unit =
+    * [[SummingStore.append]], including the watermark refusal). */
+  def append(states: DataFrame, batchId: Long): Unit = {
+    require(batchId > StoreCompaction.compactedThrough(
+        states.sparkSession, path),
+      s"batch $batchId was already folded by compact(); replaying it " +
+        "would double-count")
     states.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/batch=$batchId")
+  }
 
-  private def raw(spark: SparkSession): DataFrame =
-    spark.read.option("basePath", path).parquet(s"$path/batch=*")
+  private def raw(spark: SparkSession): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    spark.read.option("basePath", path)
+      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
+  }
 
   /** Merged state per stored key. */
   def read(spark: SparkSession): DataFrame = readGrouped(spark, keyCols)
@@ -202,24 +214,17 @@ final class CountMinStore(path: String, keyCols: Seq[String],
       .select((groupCols :+ "cms").map(col): _*)
 
   /** Background-merge analog: collapse per-batch states into one
-    * unioned state per key. [[read]] is correct without it. */
+    * unioned state per key. [[read]] is correct without it, and
+    * correct RACING it (reader-safe fold via [[StoreCompaction]]). */
   def compact(spark: SparkSession): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/_compact_tmp")
+    if (!StoreCompaction.hasBatchDirs(fs, path)) return
     raw(spark)
       .groupBy(keyCols.map(col): _*)
       .agg(CountMinState.mergeAgg(col("cms")).as("cms"))
       .select((keyCols :+ "cms").map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val base = new Path(path)
-    if (fs.exists(base)) {
-      fs.listStatus(base).foreach { st =>
-        if (st.getPath.getName.startsWith("batch="))
-          fs.delete(st.getPath, true)
-      }
-    }
-    val dst = new Path(s"$path/batch=compacted")
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
-      "compacted states remain in the temp dir")
+    StoreCompaction.foldBatches(fs, path, tmp)
   }
 }

@@ -7,21 +7,48 @@ import org.apache.spark.sql.types.StructType
 
 /** Shared compaction mechanics for the append-log stores
   * ([[SummingStore]], [[CollapsingStore]]): fold per-batch dirs into
-  * one `batch=compacted` block and persist the highest numeric batch
-  * id that fold absorbed, so a streaming replay of an already-folded
-  * batch can be REFUSED instead of silently double-counting (the one
-  * replay batch-keyed overwrites cannot make idempotent — the rows no
-  * longer live in their own `batch=<id>` dir).
+  * one generation-named `batch=compacted-<g>` block, atomically
+  * publish the new generation via a manifest, and only then retire
+  * superseded dirs — so a concurrent reader ALWAYS sees one complete,
+  * consistent view, matching ClickHouse's background merges
+  * (kafka+clickhouse.md:396-401), which never expose readers to
+  * partial state.
+  *
+  * Reader-safety protocol (the MVCC-with-grace layout Delta-style
+  * logs use, reduced to one generation pointer):
+  *
+  *   1. The folded block lands under `batch=compacted-<g+1>` — a name
+  *      the CURRENT manifest (generation g) does not admit, so it is
+  *      invisible to every reader.
+  *   2. The replay watermark (`_compacted_through`) advances. A crash
+  *      here can only make `append` REFUSE a replay of a
+  *      not-yet-published batch (safe; the batch-keyed overwrite was
+  *      idempotent anyway), never accept a double-count.
+  *   3. The manifest is atomically REPLACED (write-temp + rename):
+  *      readers flip from {compacted-g, numeric > through_g} to
+  *      {compacted-(g+1), numeric > through_(g+1)} in one step —
+  *      both views are complete; no interleaving sees partial data.
+  *   4. Dirs superseded by the PREVIOUS publish are deleted. Dirs
+  *      superseded just now stay on disk (invisible via the manifest)
+  *      until the NEXT fold — the grace window for readers that
+  *      resolved their file listing before step 3. Disk holds at most
+  *      two generations; reads never scan the retired one.
   *
   * The watermark lives in a `_compacted_through` marker file beside
-  * the batch dirs; readers' `batch=*` globs never see it. New batches
-  * with ids ABOVE the watermark append normally, so periodic
-  * compaction composes with an ongoing stream.
+  * the batch dirs; the manifest in `_manifest`. Readers' dir listings
+  * go through [[visibleBatchDirs]], which filters by the manifest (no
+  * manifest = never compacted under this scheme = every dir visible,
+  * including a legacy `batch=compacted` block). New batches with ids
+  * above the watermark append normally, so periodic compaction
+  * composes with an ongoing stream.
   */
 private[agg] object StoreCompaction {
 
   private def marker(storePath: String) =
     new Path(s"$storePath/_compacted_through")
+
+  private def manifestPath(storePath: String) =
+    new Path(s"$storePath/_manifest")
 
   private def readThrough(fs: FileSystem, storePath: String): Long = {
     val m = marker(storePath)
@@ -41,11 +68,45 @@ private[agg] object StoreCompaction {
     finally out.close()
   }
 
-  /** Highest batch id folded into `batch=compacted` so far, or -1 if
+  /** Highest batch id folded into a compacted block so far, or -1 if
     * never compacted (every real batch id is >= 0). */
   def compactedThrough(spark: SparkSession, storePath: String): Long =
     readThrough(
       FileSystem.get(spark.sparkContext.hadoopConfiguration), storePath)
+
+  /** The published view: generation number + the batch-id watermark at
+    * its publish time. Absent until the first manifest-scheme fold. */
+  private[agg] final case class Manifest(gen: Long, through: Long)
+
+  private[agg] def readManifest(fs: FileSystem,
+      storePath: String): Option[Manifest] = {
+    val m = manifestPath(storePath)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val Array(g, t) = txt.split(' ')
+      Some(Manifest(g.toLong, t.toLong))
+    }
+  }
+
+  /** Atomic publish: write to a temp name, rename over `_manifest`.
+    * POSIX rename replaces atomically; on HDFS the FileContext rename
+    * with OVERWRITE has the same contract. Readers therefore see
+    * either the old manifest or the new one, never a torn write. */
+  private def publishManifest(fs: FileSystem, storePath: String,
+      m: Manifest): Unit = {
+    val tmp = new Path(s"$storePath/_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"${m.gen} ${m.through}".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, manifestPath(storePath),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 
   private def listBatchDirs(fs: FileSystem,
       storePath: String): Array[FileStatus] = {
@@ -54,52 +115,91 @@ private[agg] object StoreCompaction {
     else fs.listStatus(base).filter(_.getPath.getName.startsWith("batch="))
   }
 
-  /** True iff at least one `batch=` dir exists — the precondition for
-    * a schema probe / fold. False on an empty store and on the
-    * crash-recovery state where a prior fold deleted the batch dirs
-    * but died before renaming the temp dir in. */
-  def hasBatchDirs(fs: FileSystem, storePath: String): Boolean =
-    listBatchDirs(fs, storePath).nonEmpty
+  private def numericId(dirName: String): Option[Long] =
+    dirName.stripPrefix("batch=").toLongOption
 
-  /** Recover the documented crash states a store can be left in when
-    * no `batch=` dir exists: a prior fold that materialized `tmp` and
-    * deleted the source dirs but died before the rename is FINISHED
-    * (the watermark was already advanced before any delete, so only
-    * the rename remains); an entirely empty store is a no-op. */
-  def recoverOrNoop(fs: FileSystem, storePath: String, tmp: Path): Unit =
-    if (fs.exists(tmp)) renameIn(fs, storePath, tmp)
-
-  private def renameIn(fs: FileSystem, storePath: String,
-      tmp: Path): Unit = {
-    val dst = new Path(s"$storePath/batch=compacted")
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
-      "folded rows remain in the temp dir")
+  /** Is `dirName` part of the view `manifest` admits? No manifest =
+    * pre-scheme store: everything is visible (legacy behavior,
+    * including an old un-suffixed `batch=compacted`). */
+  private def isVisible(dirName: String,
+      manifest: Option[Manifest]): Boolean = manifest match {
+    case None => true
+    case Some(Manifest(g, t)) =>
+      dirName == s"batch=compacted-$g" || numericId(dirName).exists(_ > t)
   }
 
-  /** Replace every `batch=` dir with the pre-materialized folded block
-    * at `tmp` (renamed to `batch=compacted`) and advance the
-    * watermark to the highest numeric batch id just absorbed. NOT
-    * atomic for concurrent readers: between the deletes and the
-    * rename a reader sees partial or no data — run compaction only
-    * with no reader or replay in flight.
-    *
-    * The watermark is advanced BEFORE any batch dir is touched: a
-    * crash after the marker write can only make [[SummingStore.append]]
-    * REFUSE a replay of a not-yet-folded batch (safe — the batch-keyed
-    * overwrite was idempotent anyway), never ACCEPT a replay of an
-    * already-folded one (double count), which a marker-last ordering
-    * would allow.
-    */
-  def foldBatches(fs: FileSystem, storePath: String, tmp: Path): Unit = {
-    val dirs = listBatchDirs(fs, storePath)
-    var maxId = -1L
-    dirs.foreach { st =>
-      val id = st.getPath.getName.stripPrefix("batch=")
-      if (id != "compacted") maxId = math.max(maxId, id.toLong)
+  /** The dirs a reader may scan: manifest-filtered listing. This is
+    * the ONLY way store reads should list batch dirs — the raw
+    * `batch=*` glob would double-count a retired-but-not-yet-deleted
+    * generation against the block that absorbed it. */
+  def visibleBatchDirs(fs: FileSystem, storePath: String): Seq[String] = {
+    val m = readManifest(fs, storePath)
+    listBatchDirs(fs, storePath).map(_.getPath.getName)
+      .filter(isVisible(_, m)).toSeq.sorted
+      .map(n => s"$storePath/$n")
+  }
+
+  /** True iff the store has at least one VISIBLE batch dir — the
+    * precondition for a schema probe / fold. */
+  def hasBatchDirs(fs: FileSystem, storePath: String): Boolean =
+    visibleBatchDirs(fs, storePath).nonEmpty
+
+  /** Pre-manifest crash shapes have no recovery to do anymore (the
+    * fold never deletes before publishing); an orphaned temp dir from
+    * a legacy-scheme crash is simply absorbed: if the store has no
+    * visible dirs and a temp block exists, publish it as generation 0.
+    * An entirely empty store is a no-op. */
+  def recoverOrNoop(fs: FileSystem, storePath: String, tmp: Path): Unit =
+    if (fs.exists(tmp)) {
+      val gen = readManifest(fs, storePath).map(_.gen + 1).getOrElse(0L)
+      val dst = new Path(s"$storePath/batch=compacted-$gen")
+      require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
+        "folded rows remain in the temp dir")
+      publishManifest(fs, storePath,
+        Manifest(gen, readThrough(fs, storePath)))
     }
-    writeThrough(fs, storePath, math.max(readThrough(fs, storePath), maxId))
-    dirs.foreach(st => fs.delete(st.getPath, true))
-    renameIn(fs, storePath, tmp)
+
+  /** Publish the pre-materialized folded block at `tmp` as the next
+    * generation and retire the dirs it absorbed — reader-safe per the
+    * protocol above: land invisible, advance the replay watermark,
+    * atomically flip the manifest, and defer deleting the
+    * just-superseded dirs to the NEXT fold (grace for in-flight
+    * readers). The fold input must be the [[visibleBatchDirs]] view —
+    * the caller materialized `tmp` from it before calling in. */
+  def foldBatches(fs: FileSystem, storePath: String, tmp: Path): Unit = {
+    val cur = readManifest(fs, storePath)
+    val dirs = listBatchDirs(fs, storePath)
+    val staleBefore = dirs.map(_.getPath.getName)
+      .filterNot(isVisible(_, cur)).toSet
+
+    var maxId = readThrough(fs, storePath)
+    dirs.foreach { st =>
+      numericId(st.getPath.getName).foreach(id =>
+        if (isVisible(st.getPath.getName, cur))
+          maxId = math.max(maxId, id))
+    }
+
+    // 1. land the folded block under its generation name — invisible
+    //    until the manifest flips (a crashed prior attempt at this
+    //    same generation is itself invisible: clear it first)
+    val newGen = cur.map(_.gen + 1).getOrElse(0L)
+    val dst = new Path(s"$storePath/batch=compacted-$newGen")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
+      "folded rows remain in the temp dir")
+
+    // 2. replay watermark BEFORE publish: a crash here only REFUSES a
+    //    replay (safe), never double-counts
+    writeThrough(fs, storePath, maxId)
+
+    // 3. ATOMIC PUBLISH: complete-view -> complete-view flip
+    publishManifest(fs, storePath, Manifest(newGen, maxId))
+
+    // 4. deferred retirement: delete only what was ALREADY invisible
+    //    before this publish — dirs superseded just now survive one
+    //    more fold as the in-flight readers' grace window
+    dirs.filter(st => staleBefore(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Cast `folded` back to the raw batch schema so post-compact

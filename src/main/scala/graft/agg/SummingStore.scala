@@ -45,12 +45,23 @@ final class SummingStore(path: String, keyCols: Seq[String],
     partials.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
   }
 
-  /** Append without batch identity (batch-mode callers). */
-  def append(partials: DataFrame): Unit =
-    partials.write.mode(SaveMode.Append).parquet(s"$path/batch=0")
+  /** Append without batch identity (batch-mode callers). Lands just
+    * above the compaction watermark — a fixed `batch=0` would fall
+    * below it (invisible) once a fold has absorbed id 0. */
+  def append(partials: DataFrame): Unit = {
+    val next =
+      StoreCompaction.compactedThrough(partials.sparkSession, path) + 1
+    partials.write.mode(SaveMode.Append).parquet(s"$path/batch=$next")
+  }
 
   private def merged(spark: SparkSession): DataFrame = {
-    val raw = spark.read.option("basePath", path).parquet(s"$path/batch=*")
+    // manifest-filtered listing, not a raw batch=* glob: after a
+    // compact the just-retired generation stays on disk one fold as
+    // the in-flight readers' grace window, and a glob would count its
+    // rows AND the block that absorbed them
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val raw = spark.read.option("basePath", path)
+      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
     val aggs = sumCols.map(c => sum(col(c)).as(c))
     raw
       .groupBy(keyCols.map(col): _*)
@@ -72,9 +83,11 @@ final class SummingStore(path: String, keyCols: Seq[String],
     */
   def readAsOf(spark: SparkSession, maxBatchId: Long): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new Path(s"$path/batch=compacted")),
+    require(StoreCompaction.compactedThrough(spark, path) < 0 &&
+      !fs.exists(new Path(s"$path/batch=compacted")),
       "as-of read unavailable: compact() has folded per-batch history")
-    val raw = spark.read.option("basePath", path).parquet(s"$path/batch=*")
+    val raw = spark.read.option("basePath", path)
+      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
     val aggs = sumCols.map(c => sum(col(c)).as(c))
     raw
       .filter(col("batch").cast("long") <= maxBatchId)
@@ -84,18 +97,21 @@ final class SummingStore(path: String, keyCols: Seq[String],
   }
 
   /** Background-merge analog: collapse all partials into one block.
-    * Optional; [[read]] is correct with or without it. Materializes the
-    * merged result to a temp dir before deleting any source partials, so
-    * a crash mid-compaction never loses data (the temp dir is ignored by
-    * [[read]]'s `batch=*` glob).
+    * Optional; [[read]] is correct with or without it — INCLUDING a
+    * read racing this compact: the folded block lands under a
+    * not-yet-published generation name, the manifest flips atomically,
+    * and the dirs it absorbed survive one more fold as the in-flight
+    * readers' grace window (see [[StoreCompaction]]'s protocol). A
+    * reader therefore always observes one complete view, the same
+    * guarantee ClickHouse readers get across a background merge.
     */
   def compact(spark: SparkSession): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/_compact_tmp")
     if (!StoreCompaction.hasBatchDirs(fs, path)) {
-      // empty store, or a prior fold died between the deletes and the
-      // rename (folded rows still in tmp) — recover, don't throw on
-      // the batch=* schema probe below
+      // empty store, or a legacy-scheme crash left folded rows in the
+      // temp dir with no visible batch dirs — publish them, don't
+      // throw on the schema probe below
       StoreCompaction.recoverOrNoop(fs, path, tmp)
       return
     }
@@ -105,7 +121,7 @@ final class SummingStore(path: String, keyCols: Seq[String],
     // helper raises on any total the narrower type cannot hold
     // instead of silently wrapping it
     val rawSchema = spark.read.option("basePath", path)
-      .parquet(s"$path/batch=*").schema
+      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*).schema
     StoreCompaction.castToRawSchema(merged(spark), rawSchema)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     StoreCompaction.foldBatches(fs, path, tmp)

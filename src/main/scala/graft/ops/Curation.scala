@@ -54,12 +54,23 @@ object Curation {
     * is fixed-cost bound and the timing is unchanged — measured
     * 5.9 vs 5.8 s median). A collision (P ~ pairs/2^64) merges two
     * grams and can nudge a doc-count by one — fine for gates,
-    * not for gram listings. */
-  def docNgramHashes(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(wordNgrams(col("ws"), n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("ngram"))
+    * not for gram listings.
+    *
+    * `carry` columns ride along through the explode and the distinct
+    * (they must be functionally dependent on doc_id — per-doc metadata
+    * like `source` — or the distinct would multiply rows): carrying a
+    * gate column here costs nothing, while joining it back afterwards
+    * costs one join — and if that join broadcasts per-DOC metadata it
+    * is an unguarded corpus-proportional broadcast, the 100 TB
+    * driver-OOM class this parameter exists to remove. */
+  def docNgramHashes(docs: DataFrame, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    docs.select(keep :+ split(col("text"), " ").as("ws"): _*)
+      .select(keep :+ explode(wordNgrams(col("ws"), n)).as("g"): _*)
+      .select(keep :+ xxhash64(col("g")).as("ngram"): _*)
       .distinct()
+  }
 
   /** Boilerplate n-grams: word n-grams appearing in at least `minDocs`
     * DISTINCT documents (headers, footers, license blocks, templated
@@ -190,8 +201,15 @@ object Curation {
         .as("spans"))
     val emptySpans = array().cast(
       "array<struct<span_start:bigint,span_end:bigint>>")
+    // split(NULL) is NULL, and NULL would propagate through filter()
+    // into size() = -1 / concat_ws's null-swallowing md5('') — the
+    // coalesce pins a NULL text to the empty token array so it takes
+    // the same (0, NULL) path as a fully-cut doc, matching the
+    // oracle's LEFT JOIN semantics ("nothing left — drop the doc").
     docs.join(spans, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+      .select(col("doc_id"),
+        coalesce(split(col("text"), " "), array().cast("array<string>"))
+          .as("ws"),
         coalesce(col("spans"), emptySpans).as("spans"))
       .select(col("doc_id"),
         filter(col("ws"), (tok, i) =>

@@ -64,12 +64,15 @@ object Dedup {
     * tokens) that word-shingle Jaccard either misses or over-penalizes.
     * Levenshtein is integer-exact, so the score has a single FP divide
     * and is engine-portable; the length prefilter is provably lossless
-    * (lev(a,b) >= |len(a)-len(b)|, so sim >= t implies the length gap
-    * is at most (1-t) x the longer doc — widened by one character
-    * because (1-t)*len itself is an FP product that can round BELOW the
-    * exact bound and prune an exactly-at-threshold pair; the slack only
-    * over-keeps, and survivors are re-filtered on the exact rounded
-    * score). Quadratic in its input like
+    * against the ROUNDED keep rule (lev(a,b) >= |len(a)-len(b)|, and
+    * the kept set is round(sim,4) >= t, which admits lev up to
+    * (1-t+5e-5) x the longer doc — the 5e-5 term is the half-ulp the
+    * rounding forgives, and for long docs it exceeds any constant
+    * widening, so both the prefilter and the DP band budget for it
+    * explicitly; one extra character absorbs the FP product rounding
+    * BELOW the exact bound. The slack only over-keeps, and survivors
+    * are re-filtered on the exact rounded score). Quadratic in its
+    * input like
     * [[jaccardPairs]] — at scale feed it LSH candidates
     * ([[minHashCandidates]]) instead of a corpus; the id-capped slice
     * is the test-oracle anchor.
@@ -84,22 +87,26 @@ object Dedup {
     val sized = docs.select(col("doc_id"), col("text"),
         length(col("text")).as("n_ch"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    // Banded DP: any pair whose distance exceeds (1-t) x the longest
-    // doc in the corpus fails sim >= t regardless of its own lengths,
-    // so the threshold variant (O(threshold x len) per pair, returns
-    // -1 past the band) computes the same kept set ~len/threshold
-    // cheaper (3.0 -> 1.1 s at the sf0.1 anchor). The corpus max is a
-    // 1-row driver read, same bounded-collect contract as ops/Dict.
+    // Banded DP: any pair whose distance exceeds the ROUNDED keep
+    // rule's budget — (1 - t + 5e-5) x the longest doc, the 5e-5 being
+    // the half-ulp round(...,4) forgives — fails round(sim,4) >= t
+    // regardless of its own lengths, so the threshold variant
+    // (O(threshold x len) per pair, returns -1 past the band) computes
+    // the same kept set ~len/threshold cheaper (3.0 -> 1.1 s at the
+    // sf0.1 anchor). A bare (1-t) band pruned exactly-at-threshold
+    // pairs once 5e-5 x len outgrew the old constant +2 (docs beyond
+    // ~40 k chars). The corpus max is a 1-row driver read, same
+    // bounded-collect contract as ops/Dict.
     val maxLen = docs.select(max(length(col("text")))).head() match {
       case r if r.isNullAt(0) => 0
       case r => r.getInt(0)
     }
-    val band = (math.floor((1.0 - t) * maxLen) + 2).toInt
+    val band = (math.floor((1.0 - t + 5e-5) * maxLen) + 2).toInt
     sized.as("a").join(sized.as("b"),
         col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_ch") - col("b.n_ch")) <=
-            (lit(1.0) - t) * greatest(col("a.n_ch"), col("b.n_ch"))
-              + lit(1.0))
+            (lit(1.0) - t + lit(5e-5)) *
+              greatest(col("a.n_ch"), col("b.n_ch")) + lit(1.0))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         levenshtein(col("a.text"), col("b.text"), band).as("lev"),
         greatest(col("a.n_ch"), col("b.n_ch")).as("max_ch"))

@@ -51,10 +51,26 @@ object Sampling {
     */
   def mixtureSample(df: DataFrame, domain: Column, id: Column,
       weight: Column, targets: Map[String, Double],
-      buckets: Int = 1 << 20): DataFrame = {
-    val totals = df.groupBy(domain.as("__dom"))
+      buckets: Int = 1 << 20): DataFrame =
+    mixtureSample(df, domain, id, targets,
+      domainTotals(df, domain, weight), buckets)
+
+  /** One tiny aggregation: per-domain natural weights, |domains| rows
+    * to the driver — shared by [[mixtureSample]] and
+    * [[temperatureSampleHalf]] so a caller that derives its targets
+    * FROM the totals (temperature mixing does) aggregates once, not
+    * once for the targets and again inside the sampler. */
+  def domainTotals(df: DataFrame, domain: Column,
+      weight: Column): Map[String, Long] =
+    df.groupBy(domain.as("__dom"))
       .agg(sum(weight).as("__w")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** [[mixtureSample]] against precomputed [[domainTotals]] — the
+    * no-extra-job overload. */
+  def mixtureSample(df: DataFrame, domain: Column, id: Column,
+      targets: Map[String, Double], totals: Map[String, Long],
+      buckets: Int): DataFrame = {
     val t = targets.collect {
       case (d, s) if totals.contains(d) => totals(d).toDouble / s
     }.min
@@ -88,11 +104,14 @@ object Sampling {
     */
   def temperatureSampleHalf(df: DataFrame, domain: Column, id: Column,
       weight: Column, buckets: Int = 1 << 20): DataFrame = {
-    val targets = df.groupBy(domain.as("__dom"))
-      .agg(sum(weight).as("__w")).collect()
-      .map(r => r.getString(0) -> math.sqrt(r.getLong(1).toDouble))
-      .toMap
-    mixtureSample(df, domain, id, weight, targets, buckets)
+    // ONE totals job: the targets are a pure function of the totals
+    // (sqrt), so the same driver-side map feeds both — the round-7
+    // shape collected the identical aggregation twice (once for the
+    // targets, once inside mixtureSample), doubling the query's jobs
+    // for strictly less work than a sqrt.
+    val totals = domainTotals(df, domain, weight)
+    val targets = totals.map { case (d, w) => d -> math.sqrt(w.toDouble) }
+    mixtureSample(df, domain, id, targets, totals, buckets)
   }
 
   /** At most `n` rows per stratum, chosen by hash order (a

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CentroidFunctions.{centroid_cell, centroid_top_cells}
+import graft.functions.LshFunctions.lsh_signatures
 import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -159,16 +160,11 @@ object Similarity {
     * consumer of the same corpus (pair listing, components, cleaning). */
   def lshCandidates(vectors: DataFrame, tables: Int = 8,
       planesPerTable: Int = 8): DataFrame = {
-    val dim = embDim(vectors)
-    val bucketStructs = array((0 until tables).map { tb =>
-      struct(lit(tb).as("table"),
-        lshSignature(col("embedding"), planesPerTable, dim,
-          seed = 42L + tb).as("sig"))
-    }: _*)
+    val bc = broadcastPlanes(vectors, tables, planesPerTable)
     val ex = vectors
-      .select(col("vec_id"), explode(bucketStructs).as("bk"))
-      .select(col("vec_id"), col("bk.table").as("table"),
-        col("bk.sig").as("sig"))
+      .select(col("vec_id"),
+        posexplode(lsh_signatures(col("embedding"), bc))
+          .as(Seq("table", "sig")))
     ex.as("a").join(ex.as("b"),
         col("a.table") === col("b.table") &&
           col("a.sig") === col("b.sig") &&
@@ -293,24 +289,26 @@ object Similarity {
           b => (b.cast("double") * col("q_scale")).cast("float")))
       .drop("q_emb", "q_scale")
 
-  /** Deterministic random hyperplanes (seeded) as literal arrays — the
-    * plan embeds them as constants, broadcast for free with the plan. */
-  private def hyperplanes(numPlanes: Int, dim: Int,
-      seed: Long): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
-
-  /** Sign-bit LSH signature: bit i = sign(v . plane_i), packed to long.
-    * `dim` must match the embedding column's length — DataFrame-level
-    * callers derive it via [[embDim]]. */
-  def lshSignature(emb: Column, numPlanes: Int, dim: Int,
-      seed: Long = 42L): Column = {
-    val planes = hyperplanes(numPlanes, dim, seed)
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.toIndexedSeq.map(lit): _*)
-      when(vec_dot(emb, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+  /** Deterministic random hyperplanes (seeded): table t draws
+    * `planesPerTable` x `dim` gaussians from Random(42 + t) — the
+    * identical stream the round-7 plan-literal formulation used, so
+    * signatures are bit-for-bit unchanged. Shipped to executors as ONE
+    * broadcast probed by the native [[graft.functions.LshSignatures]]
+    * expression: the literal form embedded tables x planes x dim
+    * doubles in the plan on BOTH join sides — the same plan-bloat
+    * disease the IVF centroids had before [[graft.functions.CentroidTopCells]],
+    * and the prime suspect in round 7's codegen-cache-sensitive 4-5x
+    * bench swings on the LSH queries. */
+  private def broadcastPlanes(df: DataFrame, tables: Int,
+      planesPerTable: Int): org.apache.spark.broadcast.Broadcast[
+      Array[Array[Array[Double]]]] = {
+    val dim = embDim(df)
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(tables) { t =>
+        val rnd = new scala.util.Random(42L + t)
+        Array.fill(planesPerTable)(Array.fill(dim)(rnd.nextGaussian()))
+      }
+    df.sparkSession.sparkContext.broadcast(planes)
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
@@ -420,25 +418,21 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       tables: Int = 4, planesPerTable: Int = 8): DataFrame = {
-    val dim = embDim(corpus)
-    val bucketStructs = array((0 until tables).map { t =>
-      struct(lit(t).as("table"),
-        lshSignature(col("embedding"), planesPerTable, dim,
-          seed = 42L + t).as("sig"))
-    }: _*)
+    val bc = broadcastPlanes(corpus, tables, planesPerTable)
     val c = corpus
       .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"), explode(bucketStructs).as("bk"))
-      .select(col("neighbor_id"), col("c_emb"),
-        col("bk.table").as("table"), col("bk.sig").as("sig"))
+        col("embedding").as("c_emb"),
+        posexplode(lsh_signatures(col("embedding"), bc))
+          .as(Seq("table", "sig")))
     // query side: own bucket + each hamming-1 neighbor, per table
     val q = queries
       .select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"), explode(bucketStructs).as("bk"))
-      .select(col("query_id"), col("q_emb"),
-        col("bk.table").as("table"),
-        explode(array((col("bk.sig") +: (0 until planesPerTable).map(i =>
-          col("bk.sig").bitwiseXOR(lit(1L << i)))): _*)).as("sig"))
+        col("embedding").as("q_emb"),
+        posexplode(lsh_signatures(col("embedding"), bc))
+          .as(Seq("table", "sig0")))
+      .select(col("query_id"), col("q_emb"), col("table"),
+        explode(array((col("sig0") +: (0 until planesPerTable).map(i =>
+          col("sig0").bitwiseXOR(lit(1L << i)))): _*)).as("sig"))
       .distinct()
     val scored = c.join(broadcast(q), Seq("table", "sig"))
       .filter(col("neighbor_id") =!= col("query_id"))

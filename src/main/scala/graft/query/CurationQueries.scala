@@ -117,11 +117,14 @@ object CurationQueries {
       // (docNgramHashes): the distinct, the staged table, and all
       // gate joins shuffle 8-byte keys, not ~30-byte strings.
       // Collision risk and the measured effect are on the operator's
-      // scaladoc.
+      // scaladoc. `source` is CARRIED through the explode (it rides
+      // the rows the scan already produces) rather than joined back
+      // from docMeta — the round-7 join broadcast one row per
+      // DOCUMENT, a corpus-proportional broadcast that OOMs the
+      // driver at 100 TB (the exact growing-broadcast class the
+      // gram-flag list below is guarded against).
       val grams = Staging.materialize(
-        Curation.docNgramHashes(docs, N)
-          .join(broadcast(docMeta.select(col("doc_id"), col("source"))),
-            "doc_id"),
+        Curation.docNgramHashes(docs, N, carry = Seq("source")),
         "capstone-grams")
       // Boilerplate and decontamination flag lists FUSED into ONE
       // aggregation over the gram table (n_docs count + any-in-eval

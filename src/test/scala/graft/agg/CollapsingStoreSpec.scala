@@ -38,7 +38,7 @@ class CollapsingStoreSpec extends SparkSpec {
     s.compact(spark)
     check() // identical after physical collapse
     // compaction physically dropped the cancelled rows
-    assert(spark.read.parquet(s"$dir/batch=compacted").count() === 1)
+    assert(spark.read.parquet(s"$dir/batch=compacted-0").count() === 1)
   }
 
   test("replayed batch overwrites itself: read unchanged") {

@@ -104,6 +104,40 @@ class CountMinStoreSpec extends SparkSpec {
     assert(perEvt() == Map("click" -> 4L, "view" -> 0L))
   }
 
+  test("empty merge sentinel queries as 0, not Long.MaxValue") {
+    // cms_state_merge over an all-NULL state group (the left-join-
+    // produced NULL column case) evaluates the depth-0 sentinel; a
+    // query against it must say "never seen" = 0 — the unguarded
+    // min-loop seed leaked 9223372036854775807
+    graft.functions.GraftExtensions.register(spark)
+    val got = Seq[Option[Array[Byte]]](None, None).toDF("s")
+      .agg(CountMinState.mergeAgg(col("s")).as("s"))
+      .select(CountMinState.value(col("s"), lit(7L)))
+      .head().getLong(0)
+    assert(got == 0L, s"empty-state query returned $got")
+    val sqlGot = spark.sql(
+      "SELECT cms_state_query(cms_state_merge(CAST(NULL AS BINARY)), 7L)")
+      .head().getLong(0)
+    assert(sqlGot == 0L, s"SQL empty-state query returned $sqlGot")
+  }
+
+  test("integral key widths hash identically: INT build, LONG probe") {
+    // XxHash64 hashes INT and LONG differently — the surface widens
+    // integral keys to LONG before hashing, so a sketch built over an
+    // INT column probed with the natural lit(7L) (or vice versa) sees
+    // the same counters instead of near-zero garbage
+    val ints = (1 to 100).map(k => k % 10).toDF("k") // k is INT
+    val longs = (1 to 100).map(k => (k % 10).toLong).toDF("k")
+    def freq(df: org.apache.spark.sql.DataFrame,
+        probe: org.apache.spark.sql.Column): Long =
+      df.agg(CountMinState.stateAgg(col("k"), 4, 1024).as("s"))
+        .select(CountMinState.value(col("s"), probe)).head().getLong(0)
+    assert(freq(ints, lit(7L)) == 10L, "INT build / LONG probe")
+    assert(freq(ints, lit(7)) == 10L, "INT build / INT probe")
+    assert(freq(longs, lit(7)) == 10L, "LONG build / INT probe")
+    assert(freq(longs, lit(7L)) == 10L, "LONG build / LONG probe")
+  }
+
   test("SQL surface: cms_state family registered and == Column API") {
     graft.functions.GraftExtensions.register(spark)
     val df = (1L to 1000L).map(k => k % 41).toDF("k")

@@ -46,10 +46,43 @@ class SummingStoreSpec extends SparkSpec {
     s.compact(spark)
     val after = s.read(spark).collect().map(r => r.getLong(2)).toSeq
     assert(before == Seq(5L) && after == Seq(5L))
-    // after compaction a single batch dir remains
+    // the published view is ONE compacted block; the absorbed dirs
+    // stay on disk one more fold as the in-flight readers' grace
+    // window, invisible to reads
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(StoreCompaction.visibleBatchDirs(fs, path)
+      .map(_.split('/').last) == Seq("batch=compacted-0"))
+    // a second fold retires them: disk holds at most two generations
+    s.compact(spark)
     val dirs = new java.io.File(path).listFiles()
       .filter(_.getName.startsWith("batch=")).map(_.getName)
-    assert(dirs.toSeq == Seq("batch=compacted"))
+    assert(dirs.toSet == Set("batch=compacted-0", "batch=compacted-1"),
+      s"absorbed numeric dirs must be retired by the next fold: " +
+        dirs.toSeq.sorted)
+    assert(s.read(spark).collect().map(r => r.getLong(2)).toSeq == Seq(5L))
+  }
+
+  test("read racing a compact sees one complete view (reader-safe fold)") {
+    val path = tmpDir("sumstore-race")
+    val s = store(path)
+    (0 until 4).foreach(i =>
+      s.append(partials(("2026-01-01", "info", 1L)), batchId = i.toLong))
+    // a reader whose file listing resolved BEFORE the fold: the fold
+    // must not delete the dirs it scans (deferred retirement)
+    val preFold = s.read(spark)
+    s.compact(spark)
+    assert(preFold.collect().map(_.getLong(2)).toSeq == Seq(4L),
+      "pre-fold reader must still see its complete view after compact")
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(4L))
+    // a reader created between folds keeps working across the NEXT
+    // fold too (its generation is the one under grace)
+    s.append(partials(("2026-01-01", "info", 1L)), batchId = 10L)
+    val midGen = s.read(spark)
+    s.compact(spark)
+    assert(midGen.collect().map(_.getLong(2)).toSeq == Seq(5L),
+      "between-folds reader must survive the following compact")
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(5L))
   }
 
   test("readAsOf time-travels the append log; compaction closes it") {
@@ -98,7 +131,9 @@ class SummingStoreSpec extends SparkSpec {
     val path = tmpDir("sumstore-empty")
     new java.io.File(path).mkdirs()
     store(path).compact(spark) // must not throw on the schema probe
-    assert(!new java.io.File(s"$path/batch=compacted").exists())
+    assert(new java.io.File(path).listFiles()
+      .forall(!_.getName.startsWith("batch=")),
+      "no-op compact must not create any batch dir")
   }
 
   test("compact finishes a fold that crashed before the rename") {

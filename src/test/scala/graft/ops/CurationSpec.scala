@@ -190,4 +190,20 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSet
     assert(cutDups == Set((7L, 0L, true), (8L, 0L, true)))
   }
+
+  test("removeRepeatedSpans: NULL text takes the (0, NULL) path") {
+    // split(NULL) is NULL; unguarded it propagated through filter()
+    // into n_tok_kept = -1 (size-of-null) and clean_md5 = md5('')
+    // (concat_ws null-swallowing) — the oracle's LEFT JOIN yields
+    // (0, NULL), i.e. "nothing left — drop the doc", same as a fully
+    // cut doc. Current corpora carry no NULL text, so this pins the
+    // latent seam.
+    val docs = Seq((1L, Option("plain short doc")), (2L, None))
+      .toDF("doc_id", "text")
+    val got = Curation.removeRepeatedSpans(docs, w = 10, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSet
+    assert(got == Set((1L, 3L, false), (2L, 0L, true)),
+      s"NULL text must yield (0, NULL): $got")
+  }
 }

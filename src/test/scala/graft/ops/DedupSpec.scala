@@ -87,6 +87,27 @@ class DedupSpec extends SparkSpec {
     assert(filtered == naive)
   }
 
+  test("editSimilarPairs: rounding slack scales with doc length") {
+    import spark.implicits._
+    // round(sim,4) >= t admits lev up to (1-t+5e-5) x maxLen; past
+    // ~40k chars that half-ulp exceeds any constant band widening, so
+    // both the prefilter and the DP band must budget 5e-5 x maxLen
+    // explicitly. 80k chars, t=0.999: admissible lev = 84
+    // (sim = 1 - 84/80000 = 0.99895 -> rounds to 0.9990 >= t), but
+    // the old floor((1-t)L)+2 = 82 band pruned the pair.
+    val base = "a" * 80000
+    val edited = {
+      val b = base.toCharArray
+      (0 until 84).foreach(i => b(i * 900) = 'b') // lev = 84 substitutions
+      new String(b)
+    }
+    val pairs = Dedup.editSimilarPairs(
+      Seq((1L, base), (2L, edited)).toDF("doc_id", "text"), 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0.999)),
+      s"exactly-at-rounded-threshold long pair must survive: ${pairs.toSeq}")
+  }
+
   test("editSimilarPairs composes with LSH candidates at scale") {
     // the 100 TB shape: LSH candidate pairs -> edit verification only
     // on candidates. Every verified pair must also be found by the
