@@ -36,9 +36,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    load(s, d, "embeddings")
+  /** `documents` / `embeddings` go through the same drift-proofing as
+    * [[events]]: the driver regenerates the warehouse each round and
+    * physical types have drifted before (events ts, round 7). Each
+    * column is cast to the canonical engine type ONLY if the read
+    * layout differs (`sameType` ignores nullability), so the common
+    * case stays a bare pruned scan; a future int32 doc_id or
+    * list<double> embedding then lands here instead of breaking every
+    * downstream getLong/array<float> consumer. Layouts are pinned by
+    * written-fixture tests in TablesSpec. */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    normalize(load(s, d, "documents"),
+      Seq("doc_id" -> LongType, "n_chars" -> LongType))
+  }
+
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
+    normalize(load(s, d, "embeddings"),
+      Seq("vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+        "label" -> IntegerType))
+  }
+
+  private def normalize(df: DataFrame,
+      canon: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame =
+    canon.foldLeft(df) { case (cur, (name, t)) =>
+      // catalogString compare = nullability-insensitive type equality
+      // (DataType.sameType is private[sql])
+      if (cur.schema(name).dataType.catalogString == t.catalogString) cur
+      else cur.withColumn(name,
+        org.apache.spark.sql.functions.col(name).cast(t))
+    }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

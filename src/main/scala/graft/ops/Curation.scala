@@ -121,9 +121,16 @@ object Curation {
     */
   def contaminatedDocs(train: DataFrame, eval: DataFrame,
       n: Int = 5): DataFrame = {
-    val evalGrams = docNgrams(eval, n).select(col("ngram")).distinct()
+    // Staged (the guard's count() and the join share one
+    // materialization of the explode) and SIZE-GUARDED rather than
+    // unconditionally hinted: eval suites are tiny by design, but the
+    // guard keeps a caller who feeds a large eval corpus on a working
+    // shuffle join instead of a driver OOM.
+    val evalGrams = graft.scale.Staging.materialize(
+      docNgrams(eval, n).select(col("ngram")).distinct(),
+      "decontam-evalgrams")
     docNgrams(train, n)
-      .join(broadcast(evalGrams), Seq("ngram"))
+      .join(graft.scale.Staging.guardedBroadcast(evalGrams), Seq("ngram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
   }
 

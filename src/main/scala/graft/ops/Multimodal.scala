@@ -71,6 +71,78 @@ object Multimodal {
         if (n == 0) 0.0 else (bytes.last & 0xff).toDouble))
   }
 
+  /** A REAL pure-JVM codec instance proving the [[MediaDecoder]]
+    * contract with actual bytes: a WAV (RIFF / PCM) parser — chunk
+    * walk over the RIFF container, `fmt ` header decode (PCM only),
+    * sample decode for 8-bit unsigned / 16-bit signed little-endian —
+    * with no dependencies beyond `java.nio`. Emits the same
+    * fixed-shape [[MediaFeatures]] as the stub, with
+    * `features = [sampleRate, channels, frames, rms]` (rms over
+    * [-1, 1]-normalized samples). Malformed payloads fail loudly —
+    * the production choice is route-to-dead-letter, and the throw is
+    * the hook a wrapper catches to do that (same discipline as
+    * EventSource's decode-error path).
+    */
+  object WavDecoder extends MediaDecoder {
+    override def decodeBatch(
+        records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      records.map(decodeWav)
+
+    private[ops] def decodeWav(rec: MediaRecord): MediaFeatures = {
+      val bytes = rec.media
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String = new String(bytes, off, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"doc ${rec.doc_id}: not a RIFF/WAVE payload")
+      var off = 12
+      var sampleRate = 0
+      var channels = 0
+      var bits = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= bytes.length) {
+        val id = tag(off)
+        val size = b.getInt(off + 4)
+        id match {
+          case "fmt " =>
+            val fmtCode = b.getShort(off + 8) & 0xffff
+            require(fmtCode == 1,
+              s"doc ${rec.doc_id}: only PCM WAV supported, " +
+                s"got format code $fmtCode")
+            channels = b.getShort(off + 10) & 0xffff
+            sampleRate = b.getInt(off + 12)
+            bits = b.getShort(off + 22) & 0xffff
+          case "data" =>
+            dataOff = off + 8
+            dataLen = size
+          case _ => () // LIST/INFO/etc. chunks skip silently
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      require(sampleRate > 0 && channels > 0 && dataOff >= 0 &&
+          (bits == 8 || bits == 16),
+        s"doc ${rec.doc_id}: missing/unsupported fmt or data chunk " +
+          s"(rate=$sampleRate ch=$channels bits=$bits)")
+      val perSample = bits / 8
+      val n = math.min(dataLen, bytes.length - dataOff) / perSample
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val s =
+          if (bits == 16) b.getShort(dataOff + i * 2).toDouble / 32768.0
+          else ((bytes(dataOff + i) & 0xff) - 128).toDouble / 128.0
+        acc += s * s
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(acc / n)
+      MediaFeatures(rec.doc_id, bytes.length, rec.format,
+        Array(sampleRate.toDouble, channels.toDouble,
+          (n / channels).toDouble, rms))
+    }
+  }
+
   /** The decode stage: typed boundary + per-partition batch iteration,
     * exactly the shape a vectorized decoder (or native lib with
     * per-batch init cost) needs — per-partition setup happens once per

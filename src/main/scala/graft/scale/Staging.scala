@@ -31,6 +31,12 @@ object Staging {
   val BroadcastRowsConf = "spark.graft.broadcast.maxRows"
   val BroadcastRowsDefault: Long = 4000000L
 
+  /** Subquery alias marking a broadcast as size-guarded — the
+    * mechanical no-growing-broadcast gate (PlanShapeSpec) skips hints
+    * whose side carries it, because the guard's shuffle fallback is
+    * exactly what that gate exists to demand. */
+  val GuardedAlias = "__graft_guarded_broadcast"
+
   /** Materialize `df` once so several downstream branches share one
     * computation instead of re-running it (broadcast subqueries under
     * a lazy `persist` race to populate the cache and re-run the
@@ -58,6 +64,7 @@ object Staging {
   def guardedBroadcast(side: DataFrame): DataFrame = {
     val maxRows = side.sparkSession.conf
       .get(BroadcastRowsConf, BroadcastRowsDefault.toString).toLong
-    if (side.count() <= maxRows) broadcast(side) else side
+    if (side.count() <= maxRows) broadcast(side.as(GuardedAlias))
+    else side
   }
 }

@@ -68,6 +68,59 @@ class TablesSpec extends SparkSpec {
     assert(t == TimestampType && us == micros)
   }
 
+  // ---- documents / embeddings drift pins: the loaders normalize any
+  // plausible integer-width / float-width drift of the driver's
+  // generation script to the canonical engine schema, so a regen that
+  // narrows doc_id to int32 or widens embeddings to float64 breaks
+  // NOTHING downstream (and a genuinely new layout breaks exactly one
+  // focused test here).
+
+  test("documents loader normalizes int32 ids to the canonical schema") {
+    val dir = tmpDir("docs-drift")
+    val schema = StructType(Seq(
+      StructField("doc_id", IntegerType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", IntegerType)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(7, "hello world", "en", "src1", 11)),
+        schema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val df = Tables.documents(spark, dir)
+    assert(df.schema("doc_id").dataType == LongType &&
+      df.schema("n_chars").dataType == LongType)
+    val r = df.head()
+    assert(r.getLong(0) == 7L && r.getString(1) == "hello world" &&
+      r.getLong(4) == 11L)
+    // the canonical (current-round) layout passes through un-projected
+    val real = Tables.documents(spark, sf0001)
+    assert(real.schema("doc_id").dataType == LongType &&
+      real.count() == 500)
+  }
+
+  test("embeddings loader normalizes float64/int-width drift") {
+    val dir = tmpDir("emb-drift")
+    val schema = StructType(Seq(
+      StructField("vec_id", IntegerType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", LongType)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(3, Seq(0.5d, -1.25d, 2.0d), 9L)),
+        schema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val df = Tables.embeddings(spark, dir)
+    assert(df.schema("vec_id").dataType == LongType)
+    assert(df.schema("embedding").dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType)
+    assert(df.schema("label").dataType == IntegerType)
+    val r = df.head()
+    assert(r.getLong(0) == 3L && r.getInt(2) == 9)
+    assert(r.getSeq[Float](1) == Seq(0.5f, -1.25f, 2.0f))
+    val real = Tables.embeddings(spark, sf0001)
+    assert(real.schema("embedding").dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType)
+  }
+
   test("all three layouts agree row-for-row") {
     val dirs = Seq("events-a", "events-b", "events-c").map(tmpDir)
     writeFixture(dirs(0), StructField("ts", LongType), micros * 1000L)

@@ -65,6 +65,69 @@ class MultimodalSpec extends SparkSpec {
     assert(up.payload.length == 4)
   }
 
+  // Hand-built PCM WAV: RIFF container, fmt + data chunks, plus a
+  // skippable LIST chunk to exercise the chunk walk.
+  private def wavBytes(sampleRate: Int, channels: Int, bits: Int,
+      samples: Seq[Int], withListChunk: Boolean = false): Array[Byte] = {
+    val perSample = bits / 8
+    val dataLen = samples.length * perSample
+    val listLen = if (withListChunk) 8 + 4 else 0 // "LIST"+size+"INFO"
+    val riffLen = 4 + 24 + listLen + 8 + dataLen
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * perSample)
+      .putShort((channels * perSample).toShort).putShort(bits.toShort)
+    if (withListChunk)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("INFO".getBytes("US-ASCII"))
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s =>
+      if (bits == 16) buf.putShort(s.toShort) else buf.put(s.toByte))
+    buf.array()
+  }
+
+  test("WavDecoder parses real RIFF/PCM bytes through extractFeatures") {
+    import spark.implicits._
+    // 16-bit mono at 8 kHz, constant amplitude 16384 -> rms = 0.5
+    // exactly; 24 samples / 1 channel = 24 frames. The LIST chunk in
+    // doc 2 must be walked over, not tripped over.
+    val tone16 = wavBytes(8000, 1, 16, Seq.fill(24)(16384))
+    // 8-bit stereo at 4 kHz, constant byte 192 = (192-128)/128 = +0.5
+    // -> rms 0.5; 32 samples / 2 channels = 16 frames
+    val tone8 = wavBytes(4000, 2, 8, Seq.fill(32)(192),
+      withListChunk = true)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, tone16, "wav"),
+      Multimodal.MediaRecord(2L, tone8, "wav")).toDF()
+    val got = Multimodal
+      .extractFeatures(spark, media, Multimodal.WavDecoder)
+      .collect().sortBy(_.doc_id)
+      .map(f => (f.doc_id, f.n_bytes, f.features.toSeq))
+    assert(got.toSeq == Seq(
+      (1L, tone16.length, Seq(8000.0, 1.0, 24.0, 0.5)),
+      (2L, tone8.length, Seq(4000.0, 2.0, 16.0, 0.5))), got.toSeq)
+    // malformed payloads fail loudly (the dead-letter hook), they
+    // never decode to garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decodeWav(
+        Multimodal.MediaRecord(3L, "not a wav at all, just text".getBytes,
+          "wav"))
+    }
+    // non-PCM format code refused
+    val nonPcm = wavBytes(8000, 1, 16, Seq.fill(4)(1))
+    val bb = java.nio.ByteBuffer.wrap(nonPcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(20, 3.toShort) // fmt code -> IEEE float
+    intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decodeWav(
+        Multimodal.MediaRecord(4L, nonPcm, "wav"))
+    }
+  }
+
   test("a custom MediaDecoder drops into extractFeatures unchanged") {
     import spark.implicits._
     // the compile-checked codec contract: swapping the decoder touches

@@ -50,6 +50,48 @@ class PlanShapeSpec extends SparkSpec {
       s"quadratic join in registered plans: ${offenders.mkString(", ")}")
   }
 
+  test("no corpus-proportional broadcast hint in any registered plan") {
+    // The growing-broadcast driver-OOM class (VERDICT r6 #2, r7 #1): a
+    // broadcast() hint whose side scales with the corpus — fine at
+    // test scale, billions of rows at 100 TB. Mechanical gate: every
+    // explicitly-hinted broadcast subtree in every registered query is
+    // EVALUATED at sf0.001 and must stay under a hard row bound that
+    // separates dim/flag/probe frames (region 5, nation 25, supplier
+    // 10, customer 150, part 200, LSH probe fan-out 288, staged flag
+    // lists) from row-per-corpus-record frames (documents 500, orders
+    // 1500, lineitem 6k, events 60k). Catches staged/checkpointed
+    // offenders too — the round-7 capstone broadcast (one docMeta row
+    // per document) hid behind a LogicalRDD leaf no file-scan check
+    // would see, but its COUNT gives it away.
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, SubqueryAlias}
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val bound = 450L
+    def isGuarded(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case s: SubqueryAlias =>
+        s.alias == graft.scale.Staging.GuardedAlias
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (name.endsWith("_oracle")) Nil
+        else {
+          val analyzed = fn(spark, sf0001).queryExecution.analyzed
+          analyzed.collect {
+            // guarded sides are exempt BY CONSTRUCTION: their hint
+            // only exists because the size guard took the broadcast
+            // branch, and the shuffle fallback is the gate's demand
+            case h: ResolvedHint
+                if h.hints.strategy.isDefined && !isGuarded(h.child) =>
+              PlanBridge.ofRows(spark, h.child).count()
+          }.filter(_ > bound).map(n => s"$name($n rows)")
+        }
+    }
+    assert(offenders.isEmpty,
+      "corpus-proportional broadcast side(s) in registered plans: " +
+        offenders.mkString(", "))
+  }
+
   // ---- positive pins for the flagship TPC-H plans: the shapes the
   // engine was TUNED to (pushed filters reach the scan, dim stars stay
   // broadcast with no sort-merge shuffle, q21's repeated orders scan is
@@ -131,5 +173,82 @@ class PlanShapeSpec extends SparkSpec {
         "planned once and reused")
     assert(count(plan, "SortMergeJoin") == 0, plan)
     assert(count(plan, "BroadcastNestedLoop") == 0, plan)
+  }
+
+  // ---- LLM-flagship stage-count pins: the share-the-scan contracts
+  // the capstone family was TUNED to. Parquet stage mode routes every
+  // Staging.materialize through a write action, so each staged
+  // computation's physical plan flows past a QueryExecutionListener
+  // and scans become countable across the WHOLE pipeline (stages +
+  // final pass) — the localCheckpoint default hides staged jobs from
+  // any plan inspection.
+
+  /** Count FileScan nodes over `table` whose ReadSchema includes
+    * `column`, across every QueryExecution fired while `body` runs
+    * (parquet stage mode). The listener bus is async — drain by
+    * waiting for the count to go quiet. */
+  private def countColumnScans(table: String, column: String)(
+      body: => Unit): Int = {
+    val scanRe = (s"FileScan parquet [^\\n]*$table\\.parquet" +
+      s"[^\\n]*ReadSchema:[^\\n]*$column").r
+    val hits = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        // AQE plans print BOTH the final and the initial plan; keep
+        // only the final section or every scan counts twice
+        val plan = qe.explainString(
+            org.apache.spark.sql.execution.SimpleMode)
+          .split("== Initial Plan ==").head
+        hits.addAndGet(scanRe.findAllIn(plan).size)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set(graft.scale.Staging.ModeConf, "parquet")
+      spark.conf.set(graft.scale.Staging.DirConf, tmpDir("stage-pins"))
+      body
+      // drain the async listener bus: settle when the count holds
+      // steady for 500 ms (bounded at 10 s)
+      var last = -1
+      var waited = 0
+      while (hits.get() != last && waited < 10000) {
+        last = hits.get()
+        Thread.sleep(500)
+        waited += 500
+      }
+      hits.get()
+    } finally {
+      spark.conf.set(graft.scale.Staging.ModeConf, "local")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
+  test("capstone reads the documents text column at most twice") {
+    // the fused-metadata contract (round 7): ONE metadata scan
+    // (n_tok + rep_ratio) + ONE gram explode (source carried, not
+    // joined back). A third text scan means a gate re-derived per-doc
+    // text state instead of reading the staged frames.
+    val n = countColumnScans("documents", "text") {
+      SparkEntry.queries("pipeline_pretraining_corpus")(spark, sf0001)
+        .collect()
+    }
+    assert(n > 0 && n <= 2,
+      s"capstone scanned documents.text $n times (contract: <= 2)")
+  }
+
+  test("repeated-span detect+cut reads the text column at most twice") {
+    // windows table staged once (detect); the cut re-splits text for
+    // the token filter — two text scans total, never one per consumer
+    // of the windows table.
+    val n = countColumnScans("documents", "text") {
+      SparkEntry.queries("curation_cut_spans")(spark, sf0001).collect()
+    }
+    assert(n > 0 && n <= 2,
+      s"span cut scanned documents.text $n times (contract: <= 2)")
   }
 }
