@@ -37,6 +37,26 @@ object Curation {
         i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** 64-bit window hashes — the hash-only sibling of [[wordNgrams]]
+    * for consumers that only ever test window EQUALITY (never display
+    * the text): xxhash64 over the w-token slice at each position.
+    * Hashing the token slice directly (the hash chains over array
+    * elements) skips building the joined gram string entirely, and the
+    * generator emits 8-byte longs instead of ~w-word strings — so the
+    * explode, the stage write, and every downstream shuffle move ~8 B
+    * per window. Equality of token sequences is exactly equality of
+    * space-joined grams (tokens cannot contain the separator), so the
+    * equivalence classes match a string-hash formulation; a 64-bit
+    * collision (P ~ windows^2 / 2^65, ~1e-6 at sf0.1) merges two
+    * windows' doc-counts — fine for span flagging, same contract as
+    * [[docNgramHashes]].
+    */
+  def windowHashes(words: Column, w: Int): Column =
+    when(size(words) >= w,
+      transform(sequence(lit(0), size(words) - w),
+        i => xxhash64(slice(words, i + lit(1), lit(w)))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Distinct (doc_id, ngram) pairs for a documents frame — the shared
     * candidate-generation step. Distinct BEFORE any join/count so a
     * gram repeated inside one doc counts that doc once. */
@@ -150,8 +170,11 @@ object Curation {
     * grams corpus-wide, this flags LONG verbatim runs and returns
     * their positions.
     *
-    * Plan shape: one windows pass (explode + md5 — only hex hashes
-    * shuffle, never window text), distinct-doc counts with map-side
+    * Plan shape: one windows pass (explode + [[windowHashes]] — only
+    * 8-byte window hashes shuffle, never window text; round 7 shipped
+    * 32-char md5 hex here, a deliberate oracle-parity hedge that
+    * turned out unnecessary — the oracle compares only span positions,
+    * which are hash-agnostic), distinct-doc counts with map-side
     * combine, a semi join back, then the standard island merge
     * (running max + cumulative sum over ONE per-doc window ordering —
     * no interval self-join). Everything after the hash is integer and
@@ -166,10 +189,10 @@ object Curation {
     val windows = graft.scale.Staging.materialize(docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
-        posexplode_outer(wordNgrams(col("ws"), w)).as(Seq("pos", "gram")))
-      .filter(col("gram").isNotNull)
+        posexplode_outer(windowHashes(col("ws"), w)).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(col("gram")).as("h")), "repeated-spans-windows")
+        col("h")), "repeated-spans-windows")
     val flagged = windows.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

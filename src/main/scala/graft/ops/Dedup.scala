@@ -117,29 +117,23 @@ object Dedup {
       .filter(col("edit_sim") >= t)
   }
 
-  /** MinHash signatures: numHashes independent permutations simulated by
-    * rehashing a single base shingle hash with the permutation index —
-    * each shingle string is hashed ONCE (xxhash64 over the string), then
-    * the i-th permutation is xxhash64(baseHash, i) over fixed-width
-    * longs (no per-permutation string concat — that was ~5x the cost).
-    * One exploded pass, min-agg per doc; map-side combine keeps the
-    * shuffle at |docs| x numHashes longs.
-    */
+  /** MinHash signatures as one `sig` array<long> column: numHashes
+    * independent permutations simulated by rehashing a single base
+    * shingle hash with the permutation index — each shingle string is
+    * hashed ONCE, then the i-th permutation is xxhash64(baseHash, i)
+    * over fixed-width longs. Computed per ROW by the native
+    * [[graft.functions.MinHashSig]] expression (bit-identical to the
+    * explode + min-agg formulation it replaces, pinned by
+    * FingerprintParitySpec): the signature pass is now a narrow
+    * codegen'd projection — no generate, no aggregation state, no
+    * exchange — so at 100 TB each task streams documents straight
+    * through. */
   def minHashSignatures(docs: DataFrame, n: Int,
-      numHashes: Int): DataFrame = {
-    // explode_outer, not explode: InferFiltersFromGenerate would add a
-    // size(sh)>0 filter below the shingle projection with the whole
-    // expression re-inlined against raw text (re-running the tokenizer
-    // per element access — the dominant cost). The rule skips outer
-    // generators; dropping the rare null row afterwards is free.
-    val sh = withShingles(docs, n)
-      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-      .withColumn("h0", xxhash64(col("s")))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+      numHashes: Int): DataFrame =
+    withShingles(docs, n)
+      .select(col("doc_id"),
+        graft.functions.FingerprintFunctions
+          .minhash_sig(col("sh"), numHashes).as("sig"))
 
   /** Exploded LSH band table: one (doc_id, band, sig) row per band,
     * where sig hashes that band's rowsPerBand minhash values. The
@@ -150,10 +144,16 @@ object Dedup {
   def bandTable(docs: DataFrame, n: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
     val sigs = minHashSignatures(docs, n, bands * rowsPerBand)
+    // element_at reads the bound `sig` attribute: CollapseProject keeps
+    // the (non-cheap) MinHashSig projection separate rather than
+    // inlining it once per band reference, so the signature is computed
+    // exactly once per doc (asserted by FingerprintParitySpec's
+    // plan-shape check).
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rowsPerBand)
-          .map(r => col(s"h${b * rowsPerBand + r}")): _*).as("sig"))
+          .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+          .as("sig"))
     }: _*)
     sigs
       .select(col("doc_id"), explode(bandStructs).as("bs"))
@@ -216,49 +216,31 @@ object Dedup {
     docs.join(broadcast(dups), Seq("doc_id"), "left_anti")
   }
 
-  /** 64-bit SimHash per document: per-bit +/-1 votes over 3-gram
-    * shingle hashes (shingles, not unigrams — documents sharing a
-    * vocabulary would otherwise collapse into near-identical hashes),
-    * folded back into one long. One exploded pass + 64 small aggs. */
-  /** Hard cap on shingles hashed per document. Keeps every packed
-    * bit-vote counter below 2^16 (no carry into the adjacent field) and
-    * every packed sum below 2^63 (no long overflow under ANSI mode):
-    * max per-row packed value is 2^48+2^32+2^16+1, and
-    * 32767 * (2^48+2^32+2^16+1) < 2^63. ~32k shingles ≈ a 32k-token
-    * document; longer docs are fingerprinted on their first 32767
-    * shingles (deterministic truncation).
+  /** Hard cap on shingles voted per document. Historically this kept
+    * the packed-agg formulation's 16-bit bit-vote counters from
+    * carrying (32767 * max packed vote < 2^63); the native expression
+    * has no overflow constraint, but the cap is KEPT so fingerprints
+    * stay bit-identical across the rewrite — longer docs are
+    * fingerprinted on their first 32767 (distinct) shingles,
+    * deterministic truncation either way.
     */
   private val MaxSimHashShingles = 32767
 
-  def simHash(docs: DataFrame): DataFrame = {
-    // explode_outer for the same InferFiltersFromGenerate reason as in
-    // minHashSignatures
-    val tok = withShingles(docs, 3)
+  /** 64-bit SimHash per document: per-bit majority votes over 3-gram
+    * shingle hashes (shingles, not unigrams — documents sharing a
+    * vocabulary would otherwise collapse into near-identical hashes).
+    * Computed per ROW by the native [[graft.functions.SimHash64]]
+    * expression — bit-identical to the packed explode + 16-sum-agg
+    * formulation it replaces (FingerprintParitySpec) but with no
+    * generate, no agg hash-map, and no exchange: the fingerprint pass
+    * is a narrow codegen'd map over the scan, the shape that streams
+    * at 100 TB.
+    */
+  def simHash(docs: DataFrame): DataFrame =
+    withShingles(docs, 3)
       .select(col("doc_id"),
-        explode_outer(slice(col("sh"), 1, MaxSimHashShingles)).as("t"))
-      .filter(col("t").isNotNull)
-      .withColumn("h", xxhash64(col("t")))
-    // Bit-vote accumulation packed 4 bit-counters x 16 bits per agg
-    // column: 16 packed sums + 1 count instead of 64 sum-aggs (the agg
-    // buffer update was the dominant cost). [[MaxSimHashShingles]]
-    // guarantees counters can't carry into the next 16-bit field; bit b
-    // is set iff 2*count_set(b) > n — identical to the +/-1 vote.
-    val groupsOf4 = 16
-    val packAggs = (0 until groupsOf4).map { k =>
-      sum((0 until 4).map { j =>
-        shiftrightunsigned(col("h"), 4 * k + j).bitwiseAND(lit(1L)) *
-          lit(1L << (16 * j))
-      }.reduce(_ + _)).as(s"g$k")
-    } :+ count(lit(1)).as("n_sh_tok")
-    val voted = tok.groupBy(col("doc_id"))
-      .agg(packAggs.head, packAggs.tail: _*)
-    val packed = (0 until 64).map { b =>
-      val cnt = shiftrightunsigned(col(s"g${b / 4}"), 16 * (b % 4))
-        .bitwiseAND(lit(65535L))
-      when(cnt * 2 > col("n_sh_tok"), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    voted.select(col("doc_id"), packed.as("simhash"))
-  }
+        graft.functions.FingerprintFunctions
+          .simhash64(col("sh"), MaxSimHashShingles).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, via
     * pigeonhole banding: split the 64-bit hash into (maxDist+1) chunks —
