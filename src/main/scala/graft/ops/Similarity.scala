@@ -41,7 +41,7 @@ object Similarity {
   private val dimCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  private def dimCacheKey(df: DataFrame): Option[String] = {
+  private[ops] def dimCacheKey(df: DataFrame): Option[String] = {
     val plan = df.queryExecution.analyzed
     val leaves = plan.collectLeaves()
     val paths = leaves.flatMap {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Components, Dedup, Multimodal, Similarity, TextAnalysis, VectorIndex}
+import graft.ops.{Components, Dedup, Multimodal, Pq, Similarity, TextAnalysis, VectorIndex}
 
 /** LLM-training-data pipeline operators as driver-contract queries:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -243,6 +243,19 @@ object PipelineQueries {
     "sim_cosine_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Product-quantization top-k (the compressed-scan rung: corpus
+    // scored through m-sub-space codebook codes without touching a
+    // float embedding, then the ADC shortlist re-ranked exactly —
+    // shortlist-then-verify, same discipline as LSH/IVF). Approximate
+    // (recall ~0.95+ gated in PqSpec) -> rows-only.
+    "sim_cosine_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pq.pqTopK(emb.filter(col("vec_id") < 8), emb, 10)
         .select(col("query_id"), col("neighbor_id"), col("sim"),
           col("rank"))
         .orderBy(col("query_id"), col("rank"))

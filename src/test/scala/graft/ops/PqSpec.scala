@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class PqSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf0001)
+  private def queries = emb.filter(col("vec_id") < 8)
+
+  test("codes are in range, deterministic, and the encode plan is a " +
+      "narrow map") {
+    val enc = Pq.encode(emb)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode shuffles:\n$plan")
+    val rows = enc.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val code = r.getSeq[Int](1)
+      assert(code.length == 16)
+      assert(code.forall(c => c >= 0 && c < 64))
+    }
+    val again = Pq.encode(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val first = rows.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(first == again, "encoding must be deterministic")
+  }
+
+  test("pure-ADC output is well-formed: valid cosines, contiguous " +
+      "ranks, k rows per query") {
+    val adc = Pq.pqTopK(queries, emb, 10, rerank = 0).collect()
+    val byQuery = adc.groupBy(_.getLong(0))
+    assert(byQuery.size == 8)
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 10)
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 10L))
+      rows.foreach(r =>
+        assert(r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
+    }
+  }
+
+  test("shortlist-then-verify recall@10 vs brute force >= 0.9 " +
+      "(measured 0.988 at sf0.001, 0.950 at sf0.1)") {
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.pqTopK(queries, emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pq recall@10 $recall < 0.9")
+  }
+
+  test("reranked sims are the EXACT cosines: every returned pair " +
+      "matches brute force bit-for-bit") {
+    val exact = Similarity.bruteForceTopK(queries, emb, 50)
+      .select(col("query_id"), col("neighbor_id"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Pq.pqTopK(queries, emb, 10).collect()
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach { e =>
+        assert(e == r.getDouble(2),
+          s"rerank sim for $key diverges from exact: ${r.getDouble(2)} vs $e")
+      }
+    }
+  }
+
+  test("codebooks are sample-bound and memoized per corpus") {
+    val a = Pq.codebooks(emb)
+    val b = Pq.codebooks(emb)
+    assert(a eq b, "file-backed corpus codebooks must be memoized")
+    assert(a.m == 16 && a.k == 64 && a.subDim == 4)
+    assert(a.cents.length == 16 && a.cents.forall(_.length == 64))
+  }
+
+  test("dim not divisible by m fails loudly") {
+    intercept[IllegalArgumentException] {
+      Pq.codebooks(emb, m = 7)
+    }
+  }
+}
