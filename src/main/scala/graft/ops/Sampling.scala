@@ -26,6 +26,20 @@ object Sampling {
   def hashBucket(id: Column, buckets: Int): Column =
     (id * lit(2654435761L)) % lit(4294967296L) % lit(buckets)
 
+  /** Epoch-seeded deterministic permutation key: the Knuth hash of the
+    * id salted by the epoch, so every epoch is an independent-looking
+    * but fully reproducible global shuffle of the corpus — the
+    * training-order primitive (data order is part of a training run's
+    * reproducibility contract; rand() reshuffles differently per
+    * retry/partitioning, this never does). Materializing an epoch's
+    * order at 100 TB is a range-partition-by-key sorted write (the
+    * [[graft.scale.Projection]] layout machinery); the key is the
+    * whole contract. 64-bit-safe for ids up to ~3.4e9 and any sane
+    * epoch count (intermediate max ~(id + epoch*1000003) * 2^31.3).
+    */
+  def epochKey(id: Column, epoch: Column): Column =
+    ((id + epoch * lit(1000003L)) * lit(2654435761L)) % lit(4294967296L)
+
   /** Adds a `split` column: 'train' for ~trainPct% of rows, 'test' for
     * the rest — disjoint, exhaustive, deterministic in the id. */
   def trainTestSplit(df: DataFrame, id: Column,

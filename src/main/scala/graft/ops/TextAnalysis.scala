@@ -57,6 +57,39 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** Linear-model inference over the hashing-trick feature space (the
+    * fastText-style quality/topic classifier a curation pipeline runs
+    * per doc): score = Σ_tokens w(bucket(token)) / n_tokens, with the
+    * weight table joined in (broadcast — it is numBuckets rows by
+    * construction, the vocabulary-free trick again). Weights are
+    * INTEGER milli-units (`w_int`, weight x 1000) so the sum is exact
+    * integer arithmetic — no FP association anywhere until the single
+    * final divide, which keeps the score bit-identical across engines
+    * and partitionings (the editSimilarPairs discipline). The score is
+    * emitted as a BIGINT in ten-thousandths (`score_e4` = the mean
+    * weight x 10^4, half away from zero): fractional-digit round(x, 4)
+    * diverges between engines on the exact .5 boundaries an integer
+    * weight grid hits routinely (DuckDB pre-multiplies by 10^4 in
+    * double, Spark rounds the exact decimal expansion), while
+    * integer-round of one shared IEEE quotient cannot. A trained model
+    * drops in as a different weights frame; nothing else moves.
+    * Plan: one explode + one broadcast join + one map-side-combined
+    * groupBy — same scale shape as [[hashingFeatures]].
+    */
+  def linearScore(docs: DataFrame, weights: DataFrame,
+      numBuckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long") % numBuckets).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(coalesce(sum(col("w_int")), lit(0L)) * lit(10.0d)
+          / count(lit(1))).cast("long").as("score_e4"))
+
   /** Stopword hit count against a fixed profile — array HOF, no UDF. */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
     val set = array(stopwords.map(lit): _*)

@@ -71,6 +71,19 @@ object PipelineQueries {
       TextAnalysis.hashingFeatures(Tables.documents(s, d), 64)
         .orderBy(col("doc_id"), col("bucket"))),
 
+    // Linear-classifier inference over the hashing feature space
+    // (fastText-style quality scorer): integer-milli weights, exact
+    // integer sum, one final divide. The weight frame here is
+    // deterministically generated (Knuth hash of the bucket id mapped
+    // to [-1.000, 1.000]) — a trained model swaps the frame.
+    "text_linear_score" -> ((s, d) => {
+      val weights = s.range(64).select(col("id").as("bucket"),
+        ((col("id") * lit(2654435761L)) % lit(4294967296L) % lit(2001L)
+          - lit(1000L)).as("w_int"))
+      TextAnalysis.linearScore(Tables.documents(s, d), weights, 64)
+        .orderBy(col("doc_id"))
+    }),
+
     // Mean-pooled class centroids over the embedding corpus: one row
     // per (label, dim) — class prototypes / supervised IVF seeds.
     "emb_label_centroids" -> ((s, d) =>
@@ -393,6 +406,23 @@ object PipelineQueries {
         | FROM documents)
         |WHERE tok <> ''
         |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    "text_linear_score" ->
+      """WITH w AS (
+        |  SELECT b AS bucket,
+        |    (b * 2654435761) % 4294967296 % 2001 - 1000 AS w_int
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+        |tb AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT doc_id,
+        |     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |   FROM documents)
+        |  WHERE tok <> '')
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(round(coalesce(sum(w_int), 0) * 10.0 / count(*)) AS BIGINT)
+        |    AS score_e4
+        |FROM tb LEFT JOIN w USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "emb_label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         | round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid

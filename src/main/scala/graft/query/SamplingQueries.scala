@@ -30,6 +30,28 @@ object SamplingQueries {
         .select(col("lang"), col("doc_id"), col("source"))
         .orderBy(col("lang"), col("doc_id"))),
 
+    // Training-order materialization: the first 100-doc shard of each
+    // of two epoch-seeded deterministic global shuffles (data order is
+    // part of a training run's reproducibility contract — see
+    // Sampling.epochKey). Per-epoch windows, so the rank shuffle
+    // partitions by epoch; a full-order materialization at scale is a
+    // range-partitioned sorted write, not a global window.
+    "sample_epoch_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), lit(2))).as("epoch"))
+        .withColumn("key",
+          Sampling.epochKey(col("doc_id"), col("epoch")))
+      val w = Window.partitionBy(col("epoch"))
+        .orderBy(col("key"), col("doc_id"))
+      keyed.withColumn("ord", row_number().over(w).cast("long"))
+        .filter(col("ord") <= 100)
+        .select(col("epoch").cast("long").as("epoch"), col("ord"),
+          col("doc_id"))
+        .orderBy(col("epoch"), col("ord"))
+    }),
+
     // Dataset mixing toward target token shares per language (the
     // pre-training data-mixing recipe): summary of the kept mix.
     // n_tok is projected ONCE into a staged narrow frame feeding both
@@ -98,6 +120,17 @@ object SamplingQueries {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY $hash % 1073741824, doc_id) <= 5
         |ORDER BY lang, doc_id""".stripMargin,
+    "sample_epoch_order" ->
+      """SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch
+        |    ORDER BY (doc_id + epoch * 1000003) * 2654435761
+        |      % 4294967296, doc_id) AS BIGINT) AS ord, doc_id
+        |FROM documents,
+        |  (SELECT unnest(generate_series(1, 2)) AS epoch) e
+        |QUALIFY row_number() OVER (PARTITION BY epoch
+        |  ORDER BY (doc_id + epoch * 1000003) * 2654435761
+        |    % 4294967296, doc_id) <= 100
+        |ORDER BY epoch, ord""".stripMargin,
     // Same double math as the Scala side (share*t then /w, floor to the
     // bucket grid) so thresholds agree bit-for-bit across engines.
     "sample_mixture_lang" ->

@@ -79,4 +79,21 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == mix)
   }
+
+  test("epochKey: reproducible per epoch, distinct orders across epochs") {
+    val docs = (0L until 200L).toDF("id")
+    def order(epoch: Int): Seq[Long] = docs
+      .withColumn("k", Sampling.epochKey(col("id"), lit(epoch)))
+      .orderBy(col("k"), col("id")).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    val e1a = order(1)
+    val e1b = order(1)
+    val e2 = order(2)
+    assert(e1a == e1b, "same epoch must give the identical order")
+    assert(e1a != e2, "different epochs must permute differently")
+    assert(e1a.sorted == (0L until 200L), "a permutation, not a filter")
+    val keys = docs.withColumn("k", Sampling.epochKey(col("id"), lit(7)))
+      .select("k").collect().map(_.getLong(0))
+    assert(keys.forall(k => k >= 0L && k < 4294967296L))
+  }
 }

@@ -86,4 +86,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(feats.exists(r => r.getLong(0) == 2L &&
       r.getLong(1) == sparkBucket))
   }
+
+  test("linearScore: exact hand case, missing buckets weigh zero") {
+    val docs = Seq(
+      (1L, "aa bb aa"),   // 3 tokens
+      (2L, "cc"),         // 1 token, bucket without a weight row
+      (3L, "aa")          // 1 token
+    ).toDF("doc_id", "text")
+    // Recover each token's bucket with the SAME expression the op uses,
+    // then hand-build a weight table hitting aa and bb only.
+    val b = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+      .select(col("tok"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long") % 64).as("bucket"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = Seq((b("aa"), 500L), (b("bb"), -250L))
+      .toDF("bucket", "w_int")
+    val out = TextAnalysis.linearScore(docs, weights, 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: (500 + -250 + 500) / 3 tokens = 250 milli -> 2500 e4
+    assert(out(1L) == ((3L, 2500L)))
+    // doc 2: no weight row -> 0
+    assert(out(2L) == ((1L, 0L)))
+    // doc 3: 500 milli -> 5000 e4
+    assert(out(3L) == ((1L, 5000L)))
+  }
 }
