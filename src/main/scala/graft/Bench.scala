@@ -27,6 +27,12 @@ object Bench {
       Tables.embeddings(spark, sfDir),
       graft.ops.VectorIndex.defaultPath(sfDir))
     catch { case _: Throwable => () }
+    // And the residual-PQ half behind sim_cosine_ivfpq (adds pq_cells
+    // + pq_books beside the base layout; no-op when current).
+    try graft.ops.VectorIndex.ensureIvfPq(
+      Tables.embeddings(spark, sfDir),
+      graft.ops.VectorIndex.defaultPath(sfDir))
+    catch { case _: Throwable => () }
     // Same for the MinHash signature store behind dedup_incoming_store.
     try {
       import org.apache.spark.sql.functions.col

@@ -208,6 +208,211 @@ case class PqAdcCosine(child: Expression, luts: Broadcast[PqAdcLut])
   override def prettyName: String = "pq_adc_cosine"
 }
 
+/** Broadcast payload for residual (IVF-PQ / IVFADC) encoding: the
+  * sub-space codebooks were trained on RESIDUALS v - c_cell, so the
+  * encoder must subtract the row's cell centroid (indexed by cell id)
+  * before quantizing. */
+case class IvfPqBooks(books: PqCodebooks,
+    cellCents: Array[Array[Double]]) extends Serializable
+
+/** `ivfpq_encode(emb, cell)`: residual PQ codes — quantize
+  * v - c_cell against the residual codebooks. Same argmin/tie/null
+  * discipline as [[PqEncode]]. */
+case class IvfPqEncode(left: Expression, right: Expression,
+    payload: Broadcast[IvfPqBooks])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+          IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ivfpq_encode expects (array<float|double>, int), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  @transient private lazy val p: IvfPqBooks = payload.value
+  @transient private lazy val elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Public for the generated-code call-through. */
+  def encode(v: ArrayData, cell: Int): ArrayData = {
+    val cb = p.books
+    require(cell >= 0 && cell < p.cellCents.length,
+      s"ivfpq_encode: cell $cell outside the ${p.cellCents.length}-cell " +
+        "centroid table — stale index or wrong layout")
+    val cent = p.cellCents(cell)
+    val codes = new Array[Int](cb.m)
+    val n = v.numElements()
+    var s = 0
+    while (s < cb.m) {
+      val base = s * cb.subDim
+      var best = 0
+      var bestScore = Double.MaxValue
+      var j = 0
+      while (j < cb.k) {
+        val c = cb.cents(s)(j)
+        var score = 0.0
+        var d = 0
+        while (d < cb.subDim) {
+          val vi =
+            if (base + d >= n) 0.0
+            else if (elemIsFloat) v.getFloat(base + d).toDouble
+            else v.getDouble(base + d)
+          val diff = vi - cent(base + d) - c(d)
+          score += diff * diff
+          d += 1
+        }
+        if (score < bestScore) { bestScore = score; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  def emptyCodes(): ArrayData =
+    new GenericArrayData(new Array[Int](p.books.m))
+
+  override def eval(input: InternalRow): Any = {
+    val v = left.eval(input)
+    val c = right.eval(input)
+    if (v == null || c == null) emptyCodes()
+    else encode(v.asInstanceOf[ArrayData], c.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfPqEncode", this,
+      classOf[IvfPqEncode].getName)
+    val ad = classOf[ArrayData].getName
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${lGen.code}
+      ${rGen.code}
+      $ad ${ev.value} = (${lGen.isNull} || ${rGen.isNull})
+        ? $ref.emptyCodes()
+        : ($ad) $ref.encode(${lGen.value}, ${rGen.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "ivfpq_encode"
+}
+
+/** Broadcast payload for residual ADC scoring. Per query q and row
+  * (cell, codes): cosine =
+  *   (qdotcell(q)(cell) + Σ_s lutR(q)(s)(code_s))
+  *   / (qnorm(q) · sqrt(cellNormSq(cell) + Σ_s rnormPart(cell)(s)(code_s)))
+  * where rnormPart(cell)(s)(j) = 2·dot(c_cell_sub_s, r_sj) + |r_sj|² —
+  * so the denominator is the EXACT norm of the reconstruction
+  * c_cell + r̂ (sub-spaces are disjoint coordinates; the cross term is
+  * precomputed per (cell, s, j) on the driver).
+  */
+case class IvfPqLut(qids: Array[Long], qnorms: Array[Double],
+    qdotcell: Array[Array[Double]],
+    lutR: Array[Array[Array[Double]]],
+    rnormPart: Array[Array[Array[Double]]],
+    cellNormSq: Array[Double]) extends Serializable
+
+/** `ivfpq_adc_cosine(cell, codes)`: every query's residual-ADC cosine
+  * for one encoded row — m+1 lookups per query, float embeddings never
+  * read. */
+case class IvfPqAdcCosine(left: Expression, right: Expression,
+    luts: Broadcast[IvfPqLut])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ivfpq_adc_cosine expects (int, array<int>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  @transient private lazy val lut: IvfPqLut = luts.value
+
+  /** Public for the generated-code call-through. */
+  def cosines(cell: Int, codes: ArrayData): ArrayData = {
+    require(cell >= 0 && cell < lut.cellNormSq.length,
+      s"ivfpq_adc_cosine: cell $cell outside the " +
+        s"${lut.cellNormSq.length}-cell table")
+    val m = lut.rnormPart(cell).length
+    var rnormSq = lut.cellNormSq(cell)
+    var s = 0
+    while (s < m) {
+      rnormSq += lut.rnormPart(cell)(s)(codes.getInt(s))
+      s += 1
+    }
+    // FP cancellation can push a near-zero reconstructed norm a hair
+    // negative; clamp — the zero-norm guard below handles the rest.
+    val rnorm = math.sqrt(math.max(0.0, rnormSq))
+    val nq = lut.qids.length
+    val out = new Array[Double](nq)
+    var q = 0
+    while (q < nq) {
+      var num = lut.qdotcell(q)(cell)
+      val ql = lut.lutR(q)
+      var t = 0
+      while (t < m) { num += ql(t)(codes.getInt(t)); t += 1 }
+      val den = lut.qnorms(q) * rnorm
+      out(q) = if (den == 0.0) 0.0 else num / den
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def emptyScores(): ArrayData =
+    new GenericArrayData(new Array[Double](lut.qids.length))
+
+  override def eval(input: InternalRow): Any = {
+    val c = left.eval(input)
+    val v = right.eval(input)
+    if (v == null || c == null) emptyScores()
+    else cosines(c.asInstanceOf[Int], v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfPqAdc", this,
+      classOf[IvfPqAdcCosine].getName)
+    val ad = classOf[ArrayData].getName
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${lGen.code}
+      ${rGen.code}
+      $ad ${ev.value} = (${lGen.isNull} || ${rGen.isNull})
+        ? $ref.emptyScores()
+        : ($ad) $ref.cosines(${lGen.value}, ${rGen.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "ivfpq_adc_cosine"
+}
+
 /** Column-API entry points. */
 object PqFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -217,4 +422,14 @@ object PqFunctions {
 
   def pq_adc_cosine(codes: Column, luts: Broadcast[PqAdcLut]): Column =
     ColumnBridge.column(PqAdcCosine(ColumnBridge.expression(codes), luts))
+
+  def ivfpq_encode(emb: Column, cell: Column,
+      payload: Broadcast[IvfPqBooks]): Column =
+    ColumnBridge.column(IvfPqEncode(ColumnBridge.expression(emb),
+      ColumnBridge.expression(cell), payload))
+
+  def ivfpq_adc_cosine(cell: Column, codes: Column,
+      luts: Broadcast[IvfPqLut]): Column =
+    ColumnBridge.column(IvfPqAdcCosine(ColumnBridge.expression(cell),
+      ColumnBridge.expression(codes), luts))
 }

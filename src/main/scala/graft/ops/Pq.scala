@@ -81,8 +81,9 @@ object Pq {
   }
 
   /** Driver-side Lloyd over one sub-space's sample (sample ≤
-    * sampleCap, k·subDim state — trivially driver-sized). */
-  private def trainSubspace(subs: Array[Array[Double]], k: Int,
+    * sampleCap, k·subDim state — trivially driver-sized). Shared with
+    * the residual (IVF-PQ) trainer in [[VectorIndex]]. */
+  private[ops] def trainSubspace(subs: Array[Array[Double]], k: Int,
       iters: Int, subDim: Int): Array[Array[Double]] = {
     val n = subs.length
     val seeded = math.min(k, n)

@@ -176,6 +176,225 @@ object VectorIndex {
       .parquet(s"$root/batch=*"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF-PQ (IVFADC, Jégou et al. 2011 §IV): residual product
+  // quantization layered on the persisted cell layout. The index gains
+  // a third table, `<path>/pq_cells`: (vec_id, code) partitioned by
+  // cell, where code quantizes the RESIDUAL v - c_cell against
+  // sub-space codebooks trained on residuals (residuals are much
+  // better centered than raw vectors, so the same codebook budget
+  // buys more precision — the paper's core point). A probe then
+  // composes BOTH prunings: partition pruning to nProbe cells, and a
+  // compressed scan inside them (m ints per row, float embeddings
+  // untouched until the exact rerank of the ADC shortlist).
+  // ------------------------------------------------------------------
+
+  /** Read the persisted centroid table into driver arrays, index =
+    * cell id (build writes ids contiguously; checked loudly). */
+  private def centroidArrays(spark: SparkSession,
+      path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "ivfpq: non-contiguous cell ids — rebuild the index")
+    rows.map(_._2)
+  }
+
+  /** Build (or refresh) the residual-PQ half on top of [[ensureIvf]]:
+    * train residual codebooks on a bounded hash-ordered sample of the
+    * cell-assigned corpus (driver Lloyd per sub-space — sample-bound,
+    * never corpus-bound), then encode every row in one narrow map and
+    * land `pq_cells` cell-partitioned. Returns `path`. */
+  def ensureIvfPq(corpus: DataFrame, path: String, numCells: Int = 16,
+      refineIters: Int = 2, m: Int = 16, k: Int = 64,
+      pqIters: Int = 8, sampleCap: Int = 4096): String = {
+    ensureIvf(corpus, path, numCells, refineIters)
+    val spark = corpus.sparkSession
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val meta = new Path(s"$path/_graft_pq_meta")
+    val fingerprint =
+      s"rows=${corpus.count()};cells=$numCells;m=$m;k=$k"
+    val current = fs.exists(new Path(s"$path/pq_cells/_SUCCESS")) &&
+      fs.exists(new Path(s"$path/pq_books/_SUCCESS")) &&
+      fs.exists(meta) && {
+        val in = fs.open(meta)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == fingerprint
+        finally in.close()
+      }
+    if (!current) {
+      import spark.implicits._
+      val dim = Similarity.embDim(corpus)
+      require(dim % m == 0, s"ivfpq: dim $dim not divisible by m=$m")
+      val subDim = dim / m
+      val cents = centroidArrays(spark, path)
+      val cells = spark.read.parquet(s"$path/cells")
+      // residual sample: (embedding, cell) hash-ordered, bounded
+      val sample = cells.select(col("vec_id"), col("embedding"),
+          col("cell"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(sampleCap).collect()
+        .map { r =>
+          val v = r.getSeq[Float](1).map(_.toDouble).toArray
+          val c = cents(r.getInt(2))
+          Array.tabulate(dim)(i =>
+            (if (i < v.length) v(i) else 0.0) - c(i))
+        }
+      require(sample.nonEmpty, "ivfpq: empty corpus")
+      val books = Array.tabulate(m) { s =>
+        val base = s * subDim
+        val subs = sample.map(r =>
+          java.util.Arrays.copyOfRange(r, base, base + subDim))
+        Pq.trainSubspace(subs, k, pqIters, subDim)
+      }
+      val normSq = books.map(_.map(c => c.map(x => x * x).sum))
+      val cb = graft.functions.PqCodebooks(m, k, subDim, books, normSq)
+      // persist the codebooks as data (not just driver state): the
+      // query side must decode with EXACTLY the books the codes were
+      // built from, across sessions
+      books.indices.flatMap(s => books(s).indices.map(j =>
+          (s, j, books(s)(j).toSeq)))
+        .toDF("sub", "j", "centroid")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_books")
+      val bc = spark.sparkContext.broadcast(
+        graft.functions.IvfPqBooks(cb, cents))
+      cells
+        .select(col("vec_id"),
+          graft.functions.PqFunctions.ivfpq_encode(col("embedding"),
+            col("cell"), bc).as("code"),
+          col("cell"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell")
+        .parquet(s"$path/pq_cells")
+      val out = fs.create(meta, true)
+      try out.write(
+        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    path
+  }
+
+  /** Probe the IVF-PQ index: partition-pruned scan of the probed
+    * cells' CODE column, residual-ADC cosine per (query, row) through
+    * broadcast LUTs, per-query ADC shortlist, then exact rerank of
+    * shortlist rows only (their float embeddings read via the same
+    * partition-pruned cell layout). Output shape matches
+    * [[Similarity.bruteForceTopK]].
+    */
+  def queryIvfPq(spark: SparkSession, path: String, queries: DataFrame,
+      topK: Int, nProbe: Int = 4, rerank: Int = 64): DataFrame = {
+    import spark.implicits._
+    val cents = centroidArrays(spark, path)
+    val numCells = cents.length
+    val cellNormSq = cents.map(c => c.map(x => x * x).sum)
+    // rebuild PqCodebooks from the persisted books table
+    val bookRows = spark.read.parquet(s"$path/pq_books")
+      .select(col("sub"), col("j"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val k = bookRows.map(_._2).max + 1
+    val subDim = bookRows.head._3.length
+    val books = Array.ofDim[Array[Double]](m, k)
+    bookRows.foreach { case (s, j, c) => books(s)(j) = c }
+    // rnormPart(cell)(s)(j) = 2·dot(cell_sub_s, r_sj) + |r_sj|²
+    val rnormPart = Array.tabulate(numCells) { cell =>
+      Array.tabulate(m) { s =>
+        val base = s * subDim
+        Array.tabulate(k) { j =>
+          val r = books(s)(j)
+          var cross = 0.0
+          var d = 0
+          while (d < subDim) { cross += cents(cell)(base + d) * r(d); d += 1 }
+          2.0 * cross + r.map(x => x * x).sum
+        }
+      }
+    }
+    val qrows = queries.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(1025).collect()
+    require(qrows.length <= 1024,
+      "ivfpq: query set exceeds the bounded-collect cap")
+    val qids = qrows.map(_.getLong(0))
+    val qvecs = qrows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val qnorms = qvecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val qdotcell = qvecs.map(qv => cents.map { c =>
+      var acc = 0.0
+      var d = 0
+      val lim = math.min(qv.length, c.length)
+      while (d < lim) { acc += qv(d) * c(d); d += 1 }
+      acc
+    })
+    val lutR = qvecs.map { qv =>
+      Array.tabulate(m) { s =>
+        val base = s * subDim
+        Array.tabulate(k) { j =>
+          val r = books(s)(j)
+          var acc = 0.0
+          var d = 0
+          val lim = math.min(subDim, math.max(0, qv.length - base))
+          while (d < lim) { acc += qv(base + d) * r(d); d += 1 }
+          acc
+        }
+      }
+    }
+    val bcLut = spark.sparkContext.broadcast(graft.functions.IvfPqLut(
+      qids, qnorms, qdotcell, lutR, rnormPart, cellNormSq))
+    // per-query probed cells, ranked by the same dot/|c| affinity
+    // CentroidTopCells uses — driver-side, everything involved is tiny
+    val probePairs = qvecs.indices.flatMap { qi =>
+      val byCell = qdotcell(qi).zipWithIndex
+        .map { case (dp, cell) =>
+          val cn = math.sqrt(cellNormSq(cell))
+          (if (cn == 0.0) 0.0 else dp / cn, cell)
+        }
+        .sortBy { case (aff, cell) => (-aff, cell) }
+        .take(nProbe).map(_._2)
+      byCell.map(cell => (cell, qi))
+    }
+    val probedCells = probePairs.map(_._1).distinct.sorted
+    val probeDf = probePairs.toDF("cell", "q_idx")
+    val scored = spark.read.parquet(s"$path/pq_cells")
+      .select(col("vec_id").as("neighbor_id"), col("code"), col("cell"))
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("neighbor_id"), col("cell"),
+        posexplode(graft.functions.PqFunctions.ivfpq_adc_cosine(
+          col("cell"), col("code"), bcLut)).as(Seq("q_idx", "sim_raw")))
+      // keep only (cell, query) pairs the query actually probed —
+      // semantic parity with queryIvf's per-query cell ranking
+      .join(broadcast(probeDf), Seq("cell", "q_idx"))
+    val wAdc = Window.partitionBy(col("q_idx"))
+      .orderBy(col("sim_raw").desc, col("neighbor_id"))
+    val qmap = qids.zipWithIndex.toSeq
+      .map { case (id, i) => (i, id) }.toDF("q_idx", "query_id")
+    val shortlist = graft.scale.Staging.materialize(scored
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= rerank)
+      .join(broadcast(qmap), Seq("q_idx"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")), "ivfpq-shortlist")
+    // exact rerank: float embeddings read ONLY for shortlist rows,
+    // through the same partition-pruned cell layout
+    val floats = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), col("c_norm"), col("cell"))
+      .filter(col("cell").isin(probedCells: _*))
+    val qside = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      vec_norm(col("embedding")).as("q_norm"))
+    val exact = graft.scale.Staging.guardedBroadcast(shortlist)
+      .join(floats, Seq("neighbor_id"))
+      .join(broadcast(qside), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vec_dot(col("q_emb"), col("c_emb"))
+          / (col("q_norm") * col("c_norm")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Query the persisted index: rank cells per query vector on the
     * driver (centroids are tiny), then probe ONLY the union of the
     * top-nProbe cells — a `cell IN (...)` filter on the partition

@@ -234,6 +234,20 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ (IVFADC): both prunings composed — partition-pruned probe
+    // of nProbe cells AND a compressed residual-code scan inside them
+    // (float embeddings only touched for the exact rerank of the ADC
+    // shortlist). Approximate -> rows-only; recall and sim-exactness
+    // gated in IvfPqSpec.
+    "sim_cosine_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = VectorIndex.ensureIvfPq(emb, VectorIndex.defaultPath(d))
+      VectorIndex.queryIvfPq(s, path, emb.filter(col("vec_id") < 8), 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Incremental dedup against the PERSISTED signature store — the
     // text twin of sim_cosine_ivf_indexed: the corpus (all non-src0
     // docs) is signature-indexed ONCE (ensure skips rebuilds), and the

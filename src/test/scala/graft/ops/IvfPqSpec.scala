@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** IVF-PQ (IVFADC): the two prunings must compose without stacking
+  * losses — the PQ layer's recall is measured against the float IVF
+  * scan over the SAME probed cells (isolating quantization loss from
+  * the shared cell-pruning loss), and the full-probe variant against
+  * brute force (isolating the PQ+rerank pipeline alone).
+  */
+class IvfPqSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf0001)
+  private def queries = emb.filter(col("vec_id") < 8)
+  private lazy val path = {
+    val p = tmpDir("ivfpq")
+    graft.ops.VectorIndex.ensureIvfPq(emb, p)
+    p
+  }
+
+  test("full-probe recall@10 vs brute force >= 0.9 (measured 1.000)") {
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorIndex.queryIvfPq(spark, path, queries, 10,
+        nProbe = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ivfpq full-probe recall $recall < 0.9")
+  }
+
+  test("at equal nProbe, the PQ layer loses <= 10% vs the float IVF " +
+      "scan (measured 1.000 at sf0.001, 0.963 at sf0.1)") {
+    val ivf = VectorIndex.queryIvf(spark, path, queries, 10, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorIndex.queryIvfPq(spark, path, queries, 10,
+        nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (ivf & pq).size.toDouble / ivf.size
+    assert(recall >= 0.9, s"pq-vs-ivf recall $recall < 0.9")
+  }
+
+  test("reranked sims are exact: returned pairs match brute-force " +
+      "cosines bit-for-bit") {
+    val exact = Similarity.bruteForceTopK(queries, emb, 200)
+      .select(col("query_id"), col("neighbor_id"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    VectorIndex.queryIvfPq(spark, path, queries, 10).collect()
+      .foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        exact.get(key).foreach(e => assert(e == r.getDouble(2),
+          s"sim for $key: ${r.getDouble(2)} vs exact $e"))
+      }
+  }
+
+  test("the code scan is partition-pruned and never reads embeddings") {
+    val plan = spark.read.parquet(s"$path/pq_cells")
+      .select(col("vec_id"), col("code"), col("cell"))
+      .filter(col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe scan not partition-pruned:\n$plan")
+    assert(!plan.contains("embedding"),
+      "pq_cells scan must not touch a float embedding column")
+  }
+
+  test("ensure is fingerprint-guarded: second call is a no-op, a " +
+      "corpus change forces a rebuild") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_pq_meta")
+    val t1 = fs.getFileStatus(meta).getModificationTime
+    VectorIndex.ensureIvfPq(emb, path)
+    assert(fs.getFileStatus(meta).getModificationTime == t1,
+      "unchanged corpus must not rebuild")
+    VectorIndex.ensureIvfPq(emb.filter(col("vec_id") < 400), path)
+    assert(fs.getFileStatus(meta).getModificationTime > t1,
+      "changed corpus fingerprint must rebuild")
+  }
+}
