@@ -143,6 +143,67 @@ object Multimodal {
     }
   }
 
+  /** The IMAGE sibling of [[WavDecoder]]: a BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, uncompressed 24-bit BI_RGB) parser with no
+    * dependencies beyond `java.nio` — bottom-up row order and the
+    * 4-byte row padding handled, anything else fails loudly (same
+    * dead-letter hook as WAV). `features = [width, height, meanR,
+    * meanG, meanB]` (channel means over [0, 255]) — the kind of cheap
+    * per-image statistic a curation gate filters on (e.g. near-black
+    * or single-color images) before an expensive model ever runs.
+    */
+  object BmpDecoder extends MediaDecoder {
+    override def decodeBatch(
+        records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      records.map(decodeBmp)
+
+    private[ops] def decodeBmp(rec: MediaRecord): MediaFeatures = {
+      val bytes = rec.media
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 54 &&
+          bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        s"doc ${rec.doc_id}: not a BMP payload")
+      val pixelOff = b.getInt(10)
+      val dibSize = b.getInt(14)
+      require(dibSize >= 40,
+        s"doc ${rec.doc_id}: unsupported DIB header size $dibSize")
+      val width = b.getInt(18)
+      val heightRaw = b.getInt(22)
+      val bpp = b.getShort(28) & 0xffff
+      val compression = b.getInt(30)
+      require(bpp == 24 && compression == 0,
+        s"doc ${rec.doc_id}: only uncompressed 24-bit BMP supported " +
+          s"(bpp=$bpp compression=$compression)")
+      // negative height = top-down row order; row order doesn't change
+      // channel MEANS, but bounds checking needs the magnitude
+      val height = math.abs(heightRaw)
+      val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte bounds
+      require(width > 0 && height > 0 &&
+          pixelOff + rowBytes.toLong * height <= bytes.length,
+        s"doc ${rec.doc_id}: truncated BMP " +
+          s"(${width}x$height needs ${rowBytes.toLong * height} bytes)")
+      var rSum = 0L; var gSum = 0L; var bSum = 0L
+      var row = 0
+      while (row < height) {
+        val base = pixelOff + row * rowBytes
+        var x = 0
+        while (x < width) {
+          val p = base + x * 3 // BMP stores BGR
+          bSum += bytes(p) & 0xff
+          gSum += bytes(p + 1) & 0xff
+          rSum += bytes(p + 2) & 0xff
+          x += 1
+        }
+        row += 1
+      }
+      val n = width.toLong * height
+      MediaFeatures(rec.doc_id, bytes.length, rec.format,
+        Array(width.toDouble, height.toDouble,
+          rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n))
+    }
+  }
+
   /** The decode stage: typed boundary + per-partition batch iteration,
     * exactly the shape a vectorized decoder (or native lib with
     * per-batch init cost) needs — per-partition setup happens once per

@@ -151,4 +151,55 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.map(_.doc_id).toSeq == Seq(1L, 2L) &&
       stub.head.features.length == 4)
   }
+
+  /** Hand-assemble a minimal uncompressed 24-bit BMP: 54-byte headers
+    * + bottom-up padded pixel rows, little-endian throughout. */
+  private def bmpBytes(width: Int, height: Int,
+      rowsTopDown: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3
+    val size = 54 + rowBytes * height
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)          // pixel offset
+    b.putInt(40).putInt(width).putInt(height)       // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // BMP stores rows bottom-up, pixels as BGR
+    rowsTopDown.reverse.foreach { row =>
+      row.foreach { case (r, g, bl) =>
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+      }
+      (width * 3 until rowBytes).foreach(_ => b.put(0.toByte))
+    }
+    b.array()
+  }
+
+  test("BmpDecoder parses real 24-bit BMP bytes through extractFeatures") {
+    import spark.implicits._
+    // 3x2 image, known channel means: top row red-ish, bottom blue-ish
+    val img = bmpBytes(3, 2, Seq(
+      Seq((200, 10, 0), (200, 10, 0), (200, 10, 0)),
+      Seq((0, 50, 100), (0, 50, 100), (0, 50, 100))))
+    val media = Seq(Multimodal.MediaRecord(1L, img, "bmp")).toDF()
+    val f = Multimodal
+      .extractFeatures(spark, media, Multimodal.BmpDecoder)
+      .collect().head
+    assert(f.features.toSeq == Seq(3.0, 2.0, 100.0, 30.0, 50.0))
+    assert(f.n_bytes == img.length)
+  }
+
+  test("BmpDecoder fails loudly on non-BMP and truncated payloads") {
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decodeBmp(
+        Multimodal.MediaRecord(1L, "not an image".getBytes, "bmp"))
+    }
+    val img = bmpBytes(3, 2, Seq(
+      Seq((1, 2, 3), (1, 2, 3), (1, 2, 3)),
+      Seq((1, 2, 3), (1, 2, 3), (1, 2, 3))))
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decodeBmp(
+        Multimodal.MediaRecord(2L, img.take(img.length - 5), "bmp"))
+    }
+  }
 }
