@@ -202,6 +202,29 @@ object VectorIndex {
     rows.map(_._2)
   }
 
+  /** The PQ half's currency fingerprint derives from the INDEX layout
+    * (base cells row count), not a caller's frame: appends and delta
+    * compaction grow `cells`, and the code table must re-cover the
+    * grown base. */
+  private def pqFingerprint(spark: SparkSession, path: String, m: Int,
+      k: Int): String =
+    s"base=${spark.read.parquet(s"$path/cells").count()};m=$m;k=$k"
+
+  private def pqCurrent(spark: SparkSession, path: String, m: Int,
+      k: Int): Boolean = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val meta = new Path(s"$path/_graft_pq_meta")
+    fs.exists(new Path(s"$path/pq_cells/_SUCCESS")) &&
+      fs.exists(new Path(s"$path/pq_books/_SUCCESS")) &&
+      fs.exists(meta) && {
+        val in = fs.open(meta)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) ==
+          pqFingerprint(spark, path, m, k)
+        finally in.close()
+      }
+  }
+
   /** Build (or refresh) the residual-PQ half on top of [[ensureIvf]]:
     * train residual codebooks on a bounded hash-ordered sample of the
     * cell-assigned corpus (driver Lloyd per sub-space — sample-bound,
@@ -212,69 +235,68 @@ object VectorIndex {
       pqIters: Int = 8, sampleCap: Int = 4096): String = {
     ensureIvf(corpus, path, numCells, refineIters)
     val spark = corpus.sparkSession
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val meta = new Path(s"$path/_graft_pq_meta")
-    val fingerprint =
-      s"rows=${corpus.count()};cells=$numCells;m=$m;k=$k"
-    val current = fs.exists(new Path(s"$path/pq_cells/_SUCCESS")) &&
-      fs.exists(new Path(s"$path/pq_books/_SUCCESS")) &&
-      fs.exists(meta) && {
-        val in = fs.open(meta)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == fingerprint
-        finally in.close()
-      }
-    if (!current) {
-      import spark.implicits._
-      val dim = Similarity.embDim(corpus)
-      require(dim % m == 0, s"ivfpq: dim $dim not divisible by m=$m")
-      val subDim = dim / m
-      val cents = centroidArrays(spark, path)
-      val cells = spark.read.parquet(s"$path/cells")
-      // residual sample: (embedding, cell) hash-ordered, bounded
-      val sample = cells.select(col("vec_id"), col("embedding"),
-          col("cell"))
-        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        .limit(sampleCap).collect()
-        .map { r =>
-          val v = r.getSeq[Float](1).map(_.toDouble).toArray
-          val c = cents(r.getInt(2))
-          Array.tabulate(dim)(i =>
-            (if (i < v.length) v(i) else 0.0) - c(i))
-        }
-      require(sample.nonEmpty, "ivfpq: empty corpus")
-      val books = Array.tabulate(m) { s =>
-        val base = s * subDim
-        val subs = sample.map(r =>
-          java.util.Arrays.copyOfRange(r, base, base + subDim))
-        Pq.trainSubspace(subs, k, pqIters, subDim)
-      }
-      val normSq = books.map(_.map(c => c.map(x => x * x).sum))
-      val cb = graft.functions.PqCodebooks(m, k, subDim, books, normSq)
-      // persist the codebooks as data (not just driver state): the
-      // query side must decode with EXACTLY the books the codes were
-      // built from, across sessions
-      books.indices.flatMap(s => books(s).indices.map(j =>
-          (s, j, books(s)(j).toSeq)))
-        .toDF("sub", "j", "centroid")
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_books")
-      val bc = spark.sparkContext.broadcast(
-        graft.functions.IvfPqBooks(cb, cents))
-      cells
-        .select(col("vec_id"),
-          graft.functions.PqFunctions.ivfpq_encode(col("embedding"),
-            col("cell"), bc).as("code"),
-          col("cell"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("cell")
-        .parquet(s"$path/pq_cells")
-      val out = fs.create(meta, true)
-      try out.write(
-        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    if (!pqCurrent(spark, path, m, k))
+      refreshPq(spark, path, m, k, pqIters, sampleCap)
     path
+  }
+
+  /** (Re)build the PQ half from the index layout AS-IS — the
+    * maintenance entry for the ingest flow: after
+    * [[graft.pipeline.VectorIngestPipeline.compactDeltas]] folds
+    * streamed vectors into the base cells, this re-covers them with
+    * codes (until then, [[queryIvfPq]] scores uncovered rows exactly —
+    * see its scaladoc). Never touches centroids or the base cells. */
+  def refreshPq(spark: SparkSession, path: String, m: Int = 16,
+      k: Int = 64, pqIters: Int = 8, sampleCap: Int = 4096): Unit = {
+    import spark.implicits._
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val cents = centroidArrays(spark, path)
+    val cells = spark.read.parquet(s"$path/cells")
+    val dim = cents.head.length
+    require(dim % m == 0, s"ivfpq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    // residual sample: (embedding, cell) hash-ordered, bounded
+    val sample = cells.select(col("vec_id"), col("embedding"),
+        col("cell"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleCap).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val c = cents(r.getInt(2))
+        Array.tabulate(dim)(i =>
+          (if (i < v.length) v(i) else 0.0) - c(i))
+      }
+    require(sample.nonEmpty, "ivfpq: empty corpus")
+    val books = Array.tabulate(m) { s =>
+      val base = s * subDim
+      val subs = sample.map(r =>
+        java.util.Arrays.copyOfRange(r, base, base + subDim))
+      Pq.trainSubspace(subs, k, pqIters, subDim)
+    }
+    val normSq = books.map(_.map(c => c.map(x => x * x).sum))
+    val cb = graft.functions.PqCodebooks(m, k, subDim, books, normSq)
+    // persist the codebooks as data (not just driver state): the
+    // query side must decode with EXACTLY the books the codes were
+    // built from, across sessions
+    books.indices.flatMap(s => books(s).indices.map(j =>
+        (s, j, books(s)(j).toSeq)))
+      .toDF("sub", "j", "centroid")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_books")
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.IvfPqBooks(cb, cents))
+    cells
+      .select(col("vec_id"),
+        graft.functions.PqFunctions.ivfpq_encode(col("embedding"),
+          col("cell"), bc).as("code"),
+        col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/pq_cells")
+    val out = fs.create(new Path(s"$path/_graft_pq_meta"), true)
+    try out.write(pqFingerprint(spark, path, m, k)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Probe the IVF-PQ index: partition-pruned scan of the probed
@@ -383,8 +405,42 @@ object VectorIndex {
     val qside = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       vec_norm(col("embedding")).as("q_norm"))
-    val exact = graft.scale.Staging.guardedBroadcast(shortlist)
+    val shortRows = graft.scale.Staging.guardedBroadcast(shortlist)
       .join(floats, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("c_emb"),
+        col("c_norm"))
+    // INVARIANT: every probed vector gets scored — compressed when the
+    // code table covers it, EXACTLY otherwise. Two uncovered classes:
+    //  (a) streamed delta batches not yet compacted (cells_delta) —
+    //      small by definition, scored exactly like queryIvf would;
+    //  (b) base rows folded in by compactDeltas AFTER the last
+    //      refreshPq — detected by a metadata-only count compare, then
+    //      isolated with an anti-join (only runs while stale; the
+    //      steady state pays two footer counts).
+    // Both classes are disjoint from the shortlist (covered rows) by
+    // construction, so no dedup is needed before the final ranking.
+    val probeQ = probePairs.map { case (cell, qi) => (cell, qids(qi)) }
+      .toDF("cell", "query_id")
+    def exactSide(rows: DataFrame): DataFrame = rows
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probeQ), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("c_emb"),
+        col("c_norm"))
+    val deltaRows = deltaBatches(spark, path).map(d => exactSide(
+      d.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), col("c_norm"), col("cell"))))
+    val pqCells = spark.read.parquet(s"$path/pq_cells")
+    val uncoveredRows =
+      if (pqCells.count() ==
+        spark.read.parquet(s"$path/cells").count()) None
+      else Some(exactSide(floats.join(
+        pqCells.select(col("vec_id").as("neighbor_id"), col("cell"))
+          .filter(col("cell").isin(probedCells: _*)),
+        Seq("neighbor_id", "cell"), "left_anti")))
+    val candRows = (deltaRows.toSeq ++ uncoveredRows.toSeq)
+      .foldLeft(shortRows)(_ unionByName _)
+    val exact = candRows
       .join(broadcast(qside), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(vec_dot(col("q_emb"), col("c_emb"))

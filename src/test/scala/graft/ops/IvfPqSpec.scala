@@ -71,6 +71,37 @@ class IvfPqSpec extends SparkSpec {
       "pq_cells scan must not touch a float embedding column")
   }
 
+  test("every probed vector is scored: streamed deltas before " +
+      "compaction, folded rows after, codes after refreshPq") {
+    import spark.implicits._
+    val p = tmpDir("ivfpq-ingest")
+    val base = emb.filter(col("vec_id") < 400)
+    VectorIndex.ensureIvfPq(base, p)
+    // stream in vectors 400-449 as one delta batch
+    val delta = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select(col("vec_id"), col("embedding"))
+    graft.pipeline.VectorIngestPipeline.ingestBatch(delta, p, 0L)
+    // a query that IS delta vector 420 (fresh id, so self-exclusion
+    // doesn't hide it): its exact top-1 must be 420 at sim 1.0
+    val probe = emb.filter(col("vec_id") === 420)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    def top1: (Long, Double) = {
+      val r = VectorIndex.queryIvfPq(spark, p, probe, 1).collect().head
+      (r.getLong(1), r.getDouble(2))
+    }
+    assert(top1 == ((420L, 1.0)),
+      "pre-compaction: delta vector must be scored (exact path)")
+    graft.pipeline.VectorIngestPipeline.compactDeltas(spark, p)
+    assert(top1 == ((420L, 1.0)),
+      "post-compaction: folded-but-unencoded vector must be scored")
+    VectorIndex.refreshPq(spark, p)
+    assert(spark.read.parquet(s"$p/pq_cells").count() ==
+      spark.read.parquet(s"$p/cells").count(),
+      "refreshPq must re-cover the grown base")
+    assert(top1 == ((420L, 1.0)),
+      "post-refresh: the vector must surface via the compressed path")
+  }
+
   test("ensure is fingerprint-guarded: second call is a no-op, a " +
       "corpus change forces a rebuild") {
     val fs = org.apache.hadoop.fs.FileSystem.get(
