@@ -168,7 +168,19 @@ object Dedup {
     */
   def minHashCandidates(docs: DataFrame, n: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
-    val exploded = bandTable(docs, n, bands, rowsPerBand)
+    // Staged: the band table feeds BOTH sides of the bucket self-join.
+    // The old agg-based signature pass ended in a shuffle Exchange that
+    // ReuseExchange deduped across the sides; the native expression's
+    // narrow plan has no exchange below the join and the small side
+    // gets broadcast, so WITHOUT the stage the tokenize+shingle+sign
+    // pass appears twice in the executed plan (verified: 2x
+    // minhash_sig, zero ReusedExchange). At sf0.1 that duplicate is
+    // wall-clock-invisible (the pass is ~0.1 s against the verify
+    // joins' floor); the stage is for the 100 TB contract, where
+    // re-tokenizing the corpus is the dominant cost and must happen
+    // exactly once.
+    val exploded = graft.scale.Staging.materialize(
+      bandTable(docs, n, bands, rowsPerBand), "minhash-bands")
     exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
