@@ -144,6 +144,28 @@ object AnalyticsQueries {
           col("text"))
         .orderBy(col("doc_id"))),
 
+    // CCNet head/middle/tail split (Wenzek et al. 2020): per-language
+    // LM-score terciles — bucket 1 is the "head" a pre-training mix
+    // keeps preferentially. The ntile orders on the ROUNDED score
+    // (exactly what the oracle pairs on) with a doc_id tie-break, so
+    // bucket boundaries are engine-identical even where the unrounded
+    // double means differ in the last bits.
+    "sample_quality_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ll = TextAnalysis.unigramLogLik(docs, col("doc_id"),
+        col("text"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_loglik").desc, col("doc_id"))
+      ll.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          min(col("avg_loglik")).as("min_ll"),
+          max(col("avg_loglik")).as("max_ll"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // Event-sequence pattern match (ClickHouse sequenceMatch/
     // sequenceCount analog): each user's events collapse to a 1-char-
     // per-event code string in (ts, event_id) order, then plain regex
@@ -582,6 +604,23 @@ object AnalyticsQueries {
         |SELECT doc_id, count(*) AS n_words,
         |  round(avg(ln(c)) - ln(n), 3) AS avg_loglik
         |FROM wf JOIN c USING(word) CROSS JOIN n
-        |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    "sample_quality_buckets" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+        |    '[^a-z]+')) AS word FROM documents),
+        |wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |c AS (SELECT word, count(*) AS c FROM wf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM wf),
+        |ll AS (SELECT doc_id, count(*) AS n_words,
+        |    round(avg(ln(c)) - ln(n), 3) AS avg_loglik
+        |  FROM wf JOIN c USING(word) CROSS JOIN n GROUP BY doc_id, n),
+        |b AS (SELECT d.lang, ll.n_words, ll.avg_loglik,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY ll.avg_loglik DESC, ll.doc_id) AS bucket
+        |  FROM ll JOIN documents d USING (doc_id))
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS words,
+        |  min(avg_loglik) AS min_ll, max(avg_loglik) AS max_ll
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
   )
 }
