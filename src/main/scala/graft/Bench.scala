@@ -41,6 +41,12 @@ object Bench {
         sys.props("java.io.tmpdir") + "/graft_sigs_" +
           sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     } catch { case _: Throwable => () }
+    // And the BM25 postings behind retrieval_bm25_indexed.
+    try graft.ops.Bm25.ensurePostings(
+      Tables.documents(spark, sfDir),
+      sys.props("java.io.tmpdir") + "/graft_bm25_" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    catch { case _: Throwable => () }
     // And the int8 code table behind sim_cosine_topk_int8.
     try graft.ops.Similarity.ensureQuantized(
       Tables.embeddings(spark, sfDir),

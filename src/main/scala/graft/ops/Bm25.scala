@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval (Robertson & Zaragoza 2009) — the keyword
+  * half of a RAG retrieval stack next to the ANN family; hybrid
+  * retrieval is "union these top-ks, rerank".
+  *
+  * Scale shape of [[scoreTopK]] over 100 TB of documents:
+  *  - the term explode is FILTERED to the query's terms immediately, so
+  *    only |docs_containing_a_query_term| x |terms| rows survive to the
+  *    (doc, term) tf aggregation — everything else dies inside the
+  *    scan's codegen span, and the one real shuffle is bounded by
+  *    matching docs, not corpus tokens;
+  *  - document lengths ride the same pass (a second map-side-combined
+  *    agg over the SAME exploded frame, exchange-reused);
+  *  - df and avgdl are |terms|-row / 1-row broadcasts.
+  *
+  * [[ensurePostings]] + [[scoreTopKIndexed]] are the build-once
+  * variant: the corpus tokenizes ONCE into a postings table
+  * partitioned by term hash-bucket; a query then prunes to its terms'
+  * buckets — the inverted-index layout as pure data files, same
+  * discipline as [[VectorIndex]] (no index service, just partitions).
+  *
+  * All integer inputs (tf, dl, N, df) stay exact; idf and the length
+  * normalization are the only double math, and the final score rounds
+  * to 4 decimals for the engine-portable compare.
+  */
+object Bm25 {
+
+  private def tokens(text: org.apache.spark.sql.Column) =
+    split(lower(text), "[^a-z]+")
+
+  /** (doc_id, term, tf) for ALL terms + (doc_id, dl) lengths — the
+    * shared tokenize pass. */
+  private def termFreqs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k for one query (a bag of terms) directly against the
+    * corpus — no index, one pass. */
+  def scoreTopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    val lengths = docs
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= "")).cast("long")
+          .as("dl"))
+    val corpusStats = lengths
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    score(tf, df, lengths, corpusStats, k, k1, b)
+  }
+
+  /** The scoring tail shared by the direct and indexed paths: tf per
+    * (doc, term in query), df per term (broadcast), lengths, corpus
+    * stats (1-row broadcast). */
+  private def score(tf: DataFrame, df: DataFrame, lengths: DataFrame,
+      corpusStats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val idf = df.crossJoin(broadcast(corpusStats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))).as("idf"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(idf), Seq("term"))
+      .join(lengths, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("idf") * (col("tf") * (lit(k1) + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0) - b
+            + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("score"))
+    // Distributed top-k (TakeOrderedAndProject) FIRST, then rank the k
+    // survivors — a bare global row_number window would funnel every
+    // matching doc through one partition.
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Number of term hash-buckets in the persisted postings layout. */
+  val PostingsBuckets = 64
+
+  private def bucketOf(term: org.apache.spark.sql.Column) =
+    pmod(xxhash64(term), lit(PostingsBuckets)).cast("int")
+
+  /** Build-once postings: `<path>/postings` = (term, doc_id, tf, dl)
+    * partitioned by term hash-bucket, `<path>/stats` = the 1-row
+    * (n_docs, total_dl). Fingerprint-guarded like every ensure* store.
+    * The corpus tokenizes exactly once, here. */
+  def ensurePostings(docs: DataFrame, path: String): String = {
+    val spark = docs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+    val fingerprint = s"rows=${docs.count()};buckets=$PostingsBuckets"
+    val current = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS")) &&
+      fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS")) &&
+      fs.exists(meta) && {
+        val in = fs.open(meta)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == fingerprint
+        finally in.close()
+      }
+    if (!current) {
+      val tf = termFreqs(docs)
+      val dl = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"))
+      tf.join(dl, Seq("doc_id"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          bucketOf(col("term")).as("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$path/postings")
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+      val out = fs.create(meta, true)
+      try out.write(
+        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    path
+  }
+
+  /** BM25 top-k against the persisted postings: the scan prunes to the
+    * query terms' hash-bucket partitions (`bucket IN (...)` on the
+    * partition column) and then filters to the exact terms — the
+    * corpus text is never touched at query time. */
+  def scoreTopKIndexed(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    val buckets = terms.map(t =>
+      java.lang.Long.remainderUnsigned(
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L),
+        PostingsBuckets.toLong).toInt).distinct.sorted
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val lengths = tf.select(col("doc_id"), col("dl")).distinct()
+    val corpusStats = spark.read.parquet(s"$path/stats")
+    score(tf.select(col("doc_id"), col("term"), col("tf")), df,
+      lengths, corpusStats, k, k1, b)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Components, Dedup, Multimodal, Pq, Similarity, TextAnalysis, VectorIndex}
+import graft.ops.{Bm25, Components, Dedup, Multimodal, Pq, Similarity, TextAnalysis, VectorIndex}
 
 /** LLM-training-data pipeline operators as driver-contract queries:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -22,6 +22,10 @@ import graft.ops.{Components, Dedup, Multimodal, Pq, Similarity, TextAnalysis, V
 object PipelineQueries {
 
   private val jaccardT = 0.8
+
+  /** The fixed demo query for the BM25 pair — mid-frequency corpus
+    * terms so tf/df actually discriminate. */
+  private val Bm25QueryTerms = Seq("window", "merge", "spark")
   private val cosineT = 0.4 // demo threshold: testdata max pair sim ~0.51
 
   /** Input cap for the two deliberately-quadratic `_oracle` anchors:
@@ -275,6 +279,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // BM25 lexical retrieval (the keyword half of a RAG stack): one
+    // filtered-explode pass, df/avgdl broadcasts, distributed top-k.
+    "retrieval_bm25" -> ((s, d) =>
+      Bm25.scoreTopK(Tables.documents(s, d), Bm25QueryTerms, 20)
+        .orderBy(col("rank"))),
+
+    // Same query through the persisted postings layout: term-bucket
+    // partition pruning, corpus text never touched at query time.
+    // Scores must be bit-identical to the direct path (same stats),
+    // so BOTH pair against the same oracle.
+    "retrieval_bm25_indexed" -> ((s, d) => {
+      val path = sys.props("java.io.tmpdir") + "/graft_bm25_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      Bm25.ensurePostings(Tables.documents(s, d), path)
+      Bm25.scoreTopKIndexed(s, path, Bm25QueryTerms, 20)
+        .orderBy(col("rank"))
+    }),
+
     // Product-quantization top-k (the compressed-scan rung: corpus
     // scored through m-sub-space codebook codes without touching a
     // float embedding, then the ADC shortlist re-ranked exactly —
@@ -398,7 +420,31 @@ object PipelineQueries {
     TextAnalysis.langProfiles.find(_._1 == lang).get._2
       .map(w => s"'$w'").mkString(", ")
 
+  /** One oracle body for both BM25 paths — scores must be identical. */
+  private val bm25OracleSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+      |    '[^a-z]+')) AS term FROM documents),
+      |wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
+      |  WHERE term IN ('window', 'merge', 'spark') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25
+      |        + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))),
+      |      4) AS score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+      |    AS rank
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "retrieval_bm25" -> bm25OracleSql,
+    "retrieval_bm25_indexed" -> bm25OracleSql,
     "dedup_edit_sim_oracle" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | round(1.0 - levenshtein(a.text, b.text)::DOUBLE

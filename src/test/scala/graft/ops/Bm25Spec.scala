@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed score on a three-doc corpus") {
+    // doc 1: 'cat' twice in 4 tokens; doc 2: 'cat' once in 2; doc 3: none
+    val docs = Seq(
+      (1L, "cat cat dog bird"),
+      (2L, "cat fish"),
+      (3L, "dog dog dog")
+    ).toDF("doc_id", "text")
+    val got = Bm25.scoreTopK(docs, Seq("cat"), 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // N=3, df=2 -> idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    // avgdl = 9/3 = 3
+    val idf = math.log(1.6)
+    def s(tf: Int, dl: Int): Double = {
+      val raw = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == s(2, 4) && got(2L)._1 == s(1, 2))
+    assert(got(1L)._2 == 1L && got(2L)._2 == 2L,
+      "doc 1 (higher tf) must outrank doc 2")
+  }
+
+  test("indexed path returns bit-identical rows to the direct path") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("window", "merge", "spark")
+    val path = tmpDir("bm25")
+    Bm25.ensurePostings(docs, path)
+    val direct = Bm25.scoreTopK(docs, terms, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val indexed = Bm25.scoreTopKIndexed(spark, path, terms, 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(direct.size == 20)
+    assert(indexed == direct)
+  }
+
+  test("postings probe is partition-pruned to the query terms' buckets") {
+    val docs = Tables.documents(spark, sf0001)
+    val path = tmpDir("bm25-prune")
+    Bm25.ensurePostings(docs, path)
+    val plan = Bm25.scoreTopKIndexed(spark, path, Seq("window"), 5)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r
+        .findFirstIn(plan).isDefined,
+      s"postings scan not partition-pruned:\n$plan")
+    assert(!plan.contains("text#"),
+      "indexed path must never read the corpus text column")
+  }
+
+  test("a term absent from the corpus contributes nothing; all-absent " +
+      "query returns no rows") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val withGhost = Bm25.scoreTopK(docs, Seq("alpha", "zzz"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val without = Bm25.scoreTopK(docs, Seq("alpha"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(withGhost == without)
+    assert(Bm25.scoreTopK(docs, Seq("zzz"), 10).count() == 0)
+  }
+}
