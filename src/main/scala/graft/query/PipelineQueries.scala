@@ -297,6 +297,23 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }),
 
+    // Hybrid retrieval: BM25 top-20 and dense cosine top-20 (query =
+    // doc 0's embedding) merged by reciprocal-rank fusion — the
+    // standard score-free way to combine incomparable retrievers.
+    // Rank inputs are exact integers and each RRF contribution is one
+    // IEEE division, so the fused scores pair bit-for-bit against the
+    // SQL oracle.
+    "retrieval_hybrid_rrf" -> ((s, d) => {
+      val lex = Bm25.scoreTopK(Tables.documents(s, d), Bm25QueryTerms, 20)
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb, 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Rrf.fuse(Seq(lex, dense), 10)
+        .orderBy(col("rank"))
+    }),
+
     // Product-quantization top-k (the compressed-scan rung: corpus
     // scored through m-sub-space codebook codes without touching a
     // float embedding, then the ADC shortlist re-ranked exactly —
@@ -445,6 +462,40 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "retrieval_bm25" -> bm25OracleSql,
     "retrieval_bm25_indexed" -> bm25OracleSql,
+    "retrieval_hybrid_rrf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+        |    '[^a-z]+')) AS term FROM documents),
+        |wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
+        |  WHERE term IN ('window', 'merge', 'spark') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25
+        |        + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))),
+        |      4) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |  GROUP BY tf.doc_id),
+        |lex AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS rank FROM sc) WHERE rank <= 20),
+        |dense AS (SELECT neighbor_id AS doc_id, rank FROM (
+        |  SELECT c.vec_id AS neighbor_id,
+        |    row_number() OVER (ORDER BY
+        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id = 0) WHERE rank <= 20),
+        |u AS (SELECT doc_id, 1.0 / (60 + rank) AS w FROM lex
+        |  UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM dense),
+        |fused AS (SELECT doc_id, round(sum(w), 6) AS rrf FROM u
+        |  GROUP BY doc_id)
+        |SELECT doc_id, rrf,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+        |    AS rank
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "dedup_edit_sim_oracle" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | round(1.0 - levenshtein(a.text, b.text)::DOUBLE
