@@ -135,6 +135,44 @@ object Bm25 {
     path
   }
 
+  /** Incrementally index arriving documents WITHOUT re-tokenizing the
+    * corpus (the [[VectorIndex.appendIvf]] / SignatureStore arrival
+    * discipline): the batch tokenizes alone, its postings land as a
+    * dynamic-partition append (only touched term buckets gain files),
+    * and the 1-row stats table is rewritten with the batch's
+    * increments. Queries need no special handling — df is computed
+    * from the (pruned) postings at probe time and avgdl from stats, so
+    * appended documents participate in scoring immediately and
+    * exactly. */
+  def appendPostings(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val tf = termFreqs(newDocs)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        bucketOf(col("term")).as("bucket"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val inc = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl")).collect().head
+    val old = spark.read.parquet(s"$path/stats").collect().head
+    import spark.implicits._
+    Seq((old.getLong(0) + inc.getLong(0),
+        old.getLong(1) + inc.getLong(1)))
+      .toDF("n_docs", "total_dl")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val total = old.getLong(0) + inc.getLong(0)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_meta"), true)
+    try out.write(s"rows=$total;buckets=$PostingsBuckets"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** BM25 top-k against the persisted postings: the scan prunes to the
     * query terms' hash-bucket partitions (`bucket IN (...)` on the
     * partition column) and then filters to the exact terms — the

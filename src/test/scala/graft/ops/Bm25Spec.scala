@@ -57,6 +57,33 @@ class Bm25Spec extends SparkSpec {
       "indexed path must never read the corpus text column")
   }
 
+  test("appendPostings: arriving docs score immediately and exactly " +
+      "(indexed == direct over the grown corpus)") {
+    val base = Tables.documents(spark, sf0001).filter(col("doc_id") < 480)
+    val arrivals = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") >= 480)
+    val path = tmpDir("bm25-append")
+    Bm25.ensurePostings(base, path)
+    Bm25.appendPostings(arrivals, path)
+    val grown = Tables.documents(spark, sf0001)
+    val terms = Seq("window", "merge")
+    val direct = Bm25.scoreTopK(grown, terms, 15).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val indexed = Bm25.scoreTopKIndexed(spark, path, terms, 15)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(indexed == direct,
+      "append must make indexed scoring equal a full rebuild")
+    // stats carried the increments: a second ensure is a no-op
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+    val t1 = fs.getFileStatus(meta).getModificationTime
+    Bm25.ensurePostings(grown, path)
+    assert(fs.getFileStatus(meta).getModificationTime == t1,
+      "ensure over the grown corpus must see the appended index as current")
+  }
+
   test("a term absent from the corpus contributes nothing; all-absent " +
       "query returns no rows") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
