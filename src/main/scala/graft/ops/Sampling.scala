@@ -40,6 +40,30 @@ object Sampling {
   def epochKey(id: Column, epoch: Column): Column =
     ((id + epoch * lit(1000003L)) * lit(2654435761L)) % lit(4294967296L)
 
+  /** Materialize one epoch's training order as `shards` key-range
+    * shards: shard s holds exactly the rows whose [[epochKey]] falls
+    * in [s, s+1) x 2^32/shards, rows sorted by (key, id) inside each
+    * file — so reading shard 0, 1, ... in order (re-sorting each by
+    * the carried `shuffle_key`, cheap within a shard) replays the
+    * epoch's global permutation without any global sort having ever
+    * run: the write is one hash repartition on the shard id + a
+    * per-partition sort. This is the 100 TB form of `ORDER BY
+    * epochKey` — a trainer streams shard files; nothing ever funnels
+    * through one partition. Key-range sharding (not hash-mod) is what
+    * makes shard order = global order.
+    */
+  def writeEpochShards(df: DataFrame, id: Column, epoch: Int,
+      shards: Int, path: String): Unit = {
+    val span = 4294967296L / shards
+    df.withColumn("shuffle_key", epochKey(id, lit(epoch)))
+      .withColumn("shard", (col("shuffle_key") / span).cast("int"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), id)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** Adds a `split` column: 'train' for ~trainPct% of rows, 'test' for
     * the rest — disjoint, exhaustive, deterministic in the id. */
   def trainTestSplit(df: DataFrame, id: Column,

@@ -96,4 +96,31 @@ class SamplingSpec extends SparkSpec {
       .select("k").collect().map(_.getLong(0))
     assert(keys.forall(k => k >= 0L && k < 4294967296L))
   }
+
+  test("writeEpochShards: shard-concatenated order replays the global " +
+      "epoch permutation without a global sort") {
+    import graft.Tables
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+    val path = tmpDir("epoch-shards")
+    Sampling.writeEpochShards(docs, col("doc_id"), epoch = 1,
+      shards = 4, path = path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 500, "shards must partition the corpus")
+    // every row sits in its key-range shard
+    val misplaced = back.filter(
+      (col("shuffle_key") / (4294967296L / 4)).cast("int")
+        =!= col("shard")).count()
+    assert(misplaced == 0)
+    // concatenating shards 0..3 (each re-sorted by its carried key)
+    // replays the direct global ordering exactly
+    val replayed = (0 until 4).flatMap { sh =>
+      back.filter(col("shard") === sh)
+        .orderBy(col("shuffle_key"), col("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0))
+    }
+    val direct = docs
+      .orderBy(Sampling.epochKey(col("doc_id"), lit(1)), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(replayed == direct)
+  }
 }
