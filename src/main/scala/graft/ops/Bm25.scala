@@ -135,6 +135,90 @@ object Bm25 {
     path
   }
 
+  def deltaDir(path: String): String = s"$path/postings_delta"
+  def deltaStatsDir(path: String): String = s"$path/stats_delta"
+
+  /** One streamed micro-batch of documents, landed batchId-keyed: the
+    * batch's postings under `postings_delta/batch=<id>/bucket=*` and
+    * its 1-row stats increment under `stats_delta/batch=<id>` — a
+    * replayed batch OVERWRITES its own dirs (the engine's exactly-once
+    * discipline), and `bucket` stays a partition column inside each
+    * batch dir so probes prune deltas like base files. Arrivals are
+    * NEW doc_ids by contract (same as the vector ingest path). */
+  def ingestBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
+    val tf = termFreqs(batch)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        bucketOf(col("term")).as("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"${deltaDir(path)}/batch=$batchId")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .na.fill(0L)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${deltaStatsDir(path)}/batch=$batchId")
+  }
+
+  private def batchDirs(spark: SparkSession, root: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).map(_.toString).toSeq
+  }
+
+  /** All streamed postings deltas, or None when no batch has landed. */
+  def deltaPostings(spark: SparkSession, path: String): Option[DataFrame] = {
+    val dirs = batchDirs(spark, deltaDir(path))
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", deltaDir(path))
+      .parquet(s"${deltaDir(path)}/batch=*")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("bucket")))
+  }
+
+  /** Summed (n_docs, total_dl) across landed delta batches. */
+  private def deltaStatTotals(spark: SparkSession,
+      path: String): Option[(Long, Long)] = {
+    val dirs = batchDirs(spark, deltaStatsDir(path))
+    if (dirs.isEmpty) None
+    else {
+      val r = spark.read.parquet(dirs: _*)
+        .agg(sum(col("n_docs")), sum(col("total_dl"))).collect().head
+      Some((r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  /** Fold streamed deltas into the base postings + stats and retire
+    * the delta dirs. Maintenance op — run with no replay or reader in
+    * flight (the append-store compaction contract). */
+  def compactDeltas(spark: SparkSession, path: String): Unit =
+    deltaPostings(spark, path).foreach { delta =>
+      delta.write.mode(SaveMode.Append)
+        .partitionBy("bucket")
+        .parquet(s"$path/postings")
+      val inc = deltaStatTotals(spark, path).get
+      val old = spark.read.parquet(s"$path/stats").collect().head
+      import spark.implicits._
+      Seq((old.getLong(0) + inc._1, old.getLong(1) + inc._2))
+        .toDF("n_docs", "total_dl")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(deltaDir(path)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(deltaStatsDir(path)), true)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$path/_graft_meta"), true)
+      try out.write(
+        s"rows=${old.getLong(0) + inc._1};buckets=$PostingsBuckets"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
   /** Incrementally index arriving documents WITHOUT re-tokenizing the
     * corpus (the [[VectorIndex.appendIvf]] / SignatureStore arrival
     * discipline): the batch tokenizes alone, its postings land as a
@@ -187,12 +271,29 @@ object Bm25 {
           .hashUTF8String(
             org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L),
         PostingsBuckets.toLong).toInt).distinct.sorted
-    val tf = spark.read.parquet(s"$path/postings")
+    val base = spark.read.parquet(s"$path/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("bucket"))
+    // streamed arrivals probe alongside the base — bucket is a
+    // partition column inside each batch dir, so the same IN-filter
+    // prunes both sides (applied per side, before the union, to keep
+    // the pruning visible in each scan — the queryIvf discipline)
+    def pruned(rows: DataFrame): DataFrame = rows
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
+    val tf = deltaPostings(spark, path) match {
+      case None => pruned(base)
+      case Some(delta) => pruned(base).unionByName(pruned(delta))
+    }
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val lengths = tf.select(col("doc_id"), col("dl")).distinct()
-    val corpusStats = spark.read.parquet(s"$path/stats")
+    val baseStats = spark.read.parquet(s"$path/stats")
+    val corpusStats = deltaStatTotals(spark, path) match {
+      case None => baseStats
+      case Some((nd, tdl)) =>
+        baseStats.select((col("n_docs") + nd).as("n_docs"),
+          (col("total_dl") + tdl).as("total_dl"))
+    }
     score(tf.select(col("doc_id"), col("term"), col("tf")), df,
       lengths, corpusStats, k, k1, b)
   }
