@@ -246,6 +246,47 @@ object StreamBench {
       s""""value":$cur2Rate,"unit":"docs/sec","docs":$nDocs,""" +
       s""""seconds":$cur2Sec,"kept":$kept2}""")
 
+    // Streaming BM25 postings maintenance: the curation corpus's doc
+    // stream re-used as index arrivals — a base index is built from
+    // the first half, the second half streams in as batchId-keyed
+    // postings deltas; the metric prices tokenize + delta write +
+    // stats increment per doc. A post-ingest probe sanity-checks the
+    // grown index answers.
+    val bmBase = s"$root/bm25_idx"
+    locally {
+      import spark.implicits._
+      val half = (0 until nDocs / 2).map { i =>
+        val r = new scala.util.Random(i)
+        (i.toLong,
+          Array.fill(45)(vocab(r.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      graft.ops.Bm25.ensurePostings(half, bmBase)
+    }
+    val bmsrc = s"$root/bm25_src"
+    Files.createDirectories(Paths.get(bmsrc))
+    val nArrivals = nDocs / 2
+    val bsb = new StringBuilder(nArrivals * 300)
+    (0 until nArrivals).foreach { i =>
+      val docId = nDocs / 2 + i
+      val r = new scala.util.Random(docId)
+      val text =
+        Array.fill(45)(vocab(r.nextInt(vocab.length))).mkString(" ")
+      bsb.append(s"""{"doc_id": $docId, "text": "$text"}""").append('\n')
+    }
+    Files.writeString(Paths.get(bmsrc).resolve("arrivals.json"),
+      bsb.toString)
+    val bmSec = timed {
+      graft.pipeline.PostingsPipeline.start(spark, bmsrc, bmBase,
+        s"$root/bm25_ck").awaitTermination()
+    }
+    val probed = graft.ops.Bm25.scoreTopKIndexed(spark, bmBase,
+      Seq("alpha", "kappa"), 10).count()
+    require(probed == 10, s"bm25 probe implausible: $probed rows")
+    val bmRate = nArrivals / bmSec
+    emit(s"""{"metric":"stream_postings_docs_per_sec",""" +
+      s""""value":$bmRate,"unit":"docs/sec","docs":$nArrivals,""" +
+      s""""seconds":$bmSec}""")
+
     // Streaming heavy hitters: Zipf-ish term stream through the
     // sharded SpaceSaving state (TopKPipeline), then one snapshot
     // merge. Terms drawn from a 10k vocabulary with rank-skew so the
