@@ -42,7 +42,14 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
 
   /** BM25 top-k for one query (a bag of terms) directly against the
-    * corpus — no index, one pass. */
+    * corpus — no index, one pass. N and avgdl count TOKEN-HAVING
+    * documents only (dl >= 1): a doc whose text yields no terms (null,
+    * empty, all digits/punctuation) is not a retrievable document, and
+    * this is also the only definition the postings layout CAN store
+    * (its dl derives from term rows) — so direct, indexed, and the
+    * DuckDB oracle agree on every corpus, not just clean ones
+    * (review-caught: the old all-rows count diverged from the indexed
+    * path exactly on token-less docs). */
   def scoreTopK(docs: DataFrame, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25: empty query")
@@ -50,8 +57,10 @@ object Bm25 {
       .select(col("doc_id"),
         size(filter(tokens(col("text")), t => t =!= "")).cast("long")
           .as("dl"))
+      .filter(col("dl") > 0)
     val corpusStats = lengths
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .na.fill(0L)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term").isin(terms: _*))
@@ -94,9 +103,64 @@ object Bm25 {
   private def bucketOf(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(PostingsBuckets)).cast("int")
 
+  /** Driver-side twin of [[bucketOf]] for probe-side pruning:
+    * floorMod matches Spark's pmod for ANY positive modulus (a
+    * remainderUnsigned formulation agreed only for power-of-two
+    * bucket counts — review-caught drift trap). */
+  private[ops] def bucketOfTerm(t: String): Int =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L),
+      PostingsBuckets.toLong).toInt
+
+  /** The ONE physical postings writer (shared by build, batch append,
+    * and streamed delta ingest — the layout must never fork): rows =
+    * (term, doc_id, tf, dl) partitioned by term hash-bucket. Returns
+    * the per-doc (doc_id, dl) frame so callers derive their stats from
+    * exactly what was written. */
+  private def writePostings(docs: DataFrame, dir: String,
+      mode: SaveMode): DataFrame = {
+    val tf = termFreqs(docs)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        bucketOf(col("term")).as("bucket"))
+      .write.mode(mode)
+      .partitionBy("bucket")
+      .parquet(dir)
+    dl
+  }
+
+  private def statsOf(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .na.fill(0L)
+
+  private def writeMeta(spark: SparkSession, path: String,
+      rows: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_meta"), true)
+    try out.write(s"rows=$rows;buckets=$PostingsBuckets"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def metaRows(spark: SparkSession, path: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_graft_meta"))
+    val s = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    s.split(";").head.stripPrefix("rows=").toLong
+  }
+
   /** Build-once postings: `<path>/postings` = (term, doc_id, tf, dl)
     * partitioned by term hash-bucket, `<path>/stats` = the 1-row
-    * (n_docs, total_dl). Fingerprint-guarded like every ensure* store.
+    * (n_docs, total_dl) over TOKEN-HAVING docs. Fingerprint-guarded
+    * like every ensure* store; the fingerprint counts RAW input rows
+    * (cheap before tokenizing) and every append path tracks the same
+    * raw count, so currency holds on corpora with token-less docs too.
     * The corpus tokenizes exactly once, here. */
   def ensurePostings(docs: DataFrame, path: String): String = {
     val spark = docs.sparkSession
@@ -115,17 +179,8 @@ object Bm25 {
         finally in.close()
       }
     if (!current) {
-      val tf = termFreqs(docs)
-      val dl = tf.groupBy(col("doc_id"))
-        .agg(sum(col("tf")).as("dl"))
-      tf.join(dl, Seq("doc_id"))
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-          bucketOf(col("term")).as("bucket"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket")
-        .parquet(s"$path/postings")
-      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-        .coalesce(1)
+      val dl = writePostings(docs, s"$path/postings", SaveMode.Overwrite)
+      statsOf(dl).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
       val out = fs.create(meta, true)
       try out.write(
@@ -140,106 +195,122 @@ object Bm25 {
 
   /** One streamed micro-batch of documents, landed batchId-keyed: the
     * batch's postings under `postings_delta/batch=<id>/bucket=*` and
-    * its 1-row stats increment under `stats_delta/batch=<id>` — a
-    * replayed batch OVERWRITES its own dirs (the engine's exactly-once
-    * discipline), and `bucket` stays a partition column inside each
-    * batch dir so probes prune deltas like base files. Arrivals are
-    * NEW doc_ids by contract (same as the vector ingest path). */
+    * its stats increment (token-having n_docs, total_dl, RAW row
+    * count for the ensure fingerprint) under `stats_delta/batch=<id>`
+    * — a replayed batch OVERWRITES its own dirs (the engine's
+    * exactly-once discipline), and `bucket` stays a partition column
+    * inside each batch dir so probes prune deltas like base files.
+    * Arrivals are NEW doc_ids by contract (same as the vector ingest
+    * path). Write order postings-then-stats makes the stats dir the
+    * batch's COMMIT marker: readers and compaction only consume
+    * batches whose stats landed. */
   def ingestBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
-    val tf = termFreqs(batch)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, Seq("doc_id"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        bucketOf(col("term")).as("bucket"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket")
-      .parquet(s"${deltaDir(path)}/batch=$batchId")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      .na.fill(0L)
+    val nRaw = batch.count()
+    val dl = writePostings(batch, s"${deltaDir(path)}/batch=$batchId",
+      SaveMode.Overwrite)
+    statsOf(dl).withColumn("n_raw", lit(nRaw))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${deltaStatsDir(path)}/batch=$batchId")
   }
 
-  private def batchDirs(spark: SparkSession, root: String): Seq[String] = {
+  /** Batch ids whose ingest COMPLETED: both the postings dir and the
+    * stats dir carry a _SUCCESS marker. A postings dir without its
+    * stats (ingest crashed mid-batch; its replay will rewrite both) is
+    * invisible to readers and to compaction. */
+  private def completeBatchIds(spark: SparkSession,
+      path: String): Seq[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(root)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.startsWith("batch=")).map(_.toString).toSeq
+    def done(root: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath)
+        .filter(d => d.getName.startsWith("batch=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+        .map(_.getName).toSet
+    }
+    (done(deltaDir(path)) intersect done(deltaStatsDir(path)))
+      .toSeq.sorted
   }
 
-  /** All streamed postings deltas, or None when no batch has landed. */
+  /** All COMMITTED streamed postings deltas, or None when no complete
+    * batch has landed. */
   def deltaPostings(spark: SparkSession, path: String): Option[DataFrame] = {
-    val dirs = batchDirs(spark, deltaDir(path))
-    if (dirs.isEmpty) None
+    val ids = completeBatchIds(spark, path)
+    if (ids.isEmpty) None
     else Some(spark.read.option("basePath", deltaDir(path))
-      .parquet(s"${deltaDir(path)}/batch=*")
+      .parquet(ids.map(b => s"${deltaDir(path)}/$b"): _*)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("bucket")))
   }
 
-  /** Summed (n_docs, total_dl) across landed delta batches. */
+  /** Summed (n_docs, total_dl, n_raw) across COMMITTED delta batches. */
   private def deltaStatTotals(spark: SparkSession,
-      path: String): Option[(Long, Long)] = {
-    val dirs = batchDirs(spark, deltaStatsDir(path))
-    if (dirs.isEmpty) None
+      path: String): Option[(Long, Long, Long)] = {
+    val ids = completeBatchIds(spark, path)
+    if (ids.isEmpty) None
     else {
-      val r = spark.read.parquet(dirs: _*)
-        .agg(sum(col("n_docs")), sum(col("total_dl"))).collect().head
-      Some((r.getLong(0), r.getLong(1)))
+      val r = spark.read
+        .parquet(ids.map(b => s"${deltaStatsDir(path)}/$b"): _*)
+        .agg(sum(col("n_docs")), sum(col("total_dl")),
+          sum(col("n_raw"))).collect().head
+      Some((r.getLong(0), r.getLong(1), r.getLong(2)))
     }
   }
 
   /** Fold streamed deltas into the base postings + stats and retire
     * the delta dirs. Maintenance op — run with no replay or reader in
     * flight (the append-store compaction contract). */
-  def compactDeltas(spark: SparkSession, path: String): Unit =
-    deltaPostings(spark, path).foreach { delta =>
-      delta.write.mode(SaveMode.Append)
-        .partitionBy("bucket")
-        .parquet(s"$path/postings")
-      val inc = deltaStatTotals(spark, path).get
-      val old = spark.read.parquet(s"$path/stats").collect().head
-      import spark.implicits._
-      Seq((old.getLong(0) + inc._1, old.getLong(1) + inc._2))
-        .toDF("n_docs", "total_dl")
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(deltaDir(path)), true)
-      fs.delete(new org.apache.hadoop.fs.Path(deltaStatsDir(path)), true)
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(s"$path/_graft_meta"), true)
-      try out.write(
-        s"rows=${old.getLong(0) + inc._1};buckets=$PostingsBuckets"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+  def compactDeltas(spark: SparkSession, path: String): Unit = {
+    // Increments computed and validated BEFORE any base mutation
+    // (review-caught: the old order appended first and could then
+    // throw, leaving the base mutated with deltas still present — a
+    // retry would double-append). Only COMMITTED batches are folded;
+    // the remaining crash window (append lands, delta delete doesn't)
+    // is the documented maintenance contract shared with
+    // VectorIngestPipeline.compactDeltas: run with no replay or
+    // reader in flight, retry only after checking the delta dirs.
+    val incOpt = deltaStatTotals(spark, path)
+    deltaPostings(spark, path).zip(incOpt).foreach {
+      case (delta, (nDocs, totalDl, nRaw)) =>
+        val old = spark.read.parquet(s"$path/stats").collect().head
+        val oldRows = metaRows(spark, path)
+        delta.write.mode(SaveMode.Append)
+          .partitionBy("bucket")
+          .parquet(s"$path/postings")
+        import spark.implicits._
+        Seq((old.getLong(0) + nDocs, old.getLong(1) + totalDl))
+          .toDF("n_docs", "total_dl")
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+        writeMeta(spark, path, oldRows + nRaw)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(deltaDir(path)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(deltaStatsDir(path)),
+          true)
     }
+  }
 
   /** Incrementally index arriving documents WITHOUT re-tokenizing the
     * corpus (the [[VectorIndex.appendIvf]] / SignatureStore arrival
     * discipline): the batch tokenizes alone, its postings land as a
     * dynamic-partition append (only touched term buckets gain files),
     * and the 1-row stats table is rewritten with the batch's
-    * increments. Queries need no special handling — df is computed
-    * from the (pruned) postings at probe time and avgdl from stats, so
+    * increments (raw row count tracked separately so the ensure
+    * fingerprint stays exact on corpora with token-less docs).
+    * Queries need no special handling — df is computed from the
+    * (pruned) postings at probe time and avgdl from stats, so
     * appended documents participate in scoring immediately and
-    * exactly. */
+    * exactly. Empty (or all-token-less) batches are a no-op on stats
+    * beyond the raw count. */
   def appendPostings(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
-    val tf = termFreqs(newDocs)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, Seq("doc_id"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        bucketOf(col("term")).as("bucket"))
-      .write.mode(SaveMode.Append)
-      .partitionBy("bucket")
-      .parquet(s"$path/postings")
-    val inc = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("total_dl")).collect().head
+    val nRaw = newDocs.count()
+    val oldRows = metaRows(spark, path)
+    val dl = writePostings(newDocs, s"$path/postings", SaveMode.Append)
+    val inc = statsOf(dl).collect().head
     val old = spark.read.parquet(s"$path/stats").collect().head
     import spark.implicits._
     Seq((old.getLong(0) + inc.getLong(0),
@@ -247,14 +318,7 @@ object Bm25 {
       .toDF("n_docs", "total_dl")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val total = old.getLong(0) + inc.getLong(0)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$path/_graft_meta"), true)
-    try out.write(s"rows=$total;buckets=$PostingsBuckets"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeMeta(spark, path, oldRows + nRaw)
   }
 
   /** BM25 top-k against the persisted postings: the scan prunes to the
@@ -265,12 +329,7 @@ object Bm25 {
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25: empty query")
-    val buckets = terms.map(t =>
-      java.lang.Long.remainderUnsigned(
-        org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUTF8String(
-            org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L),
-        PostingsBuckets.toLong).toInt).distinct.sorted
+    val buckets = terms.map(bucketOfTerm).distinct.sorted
     val base = spark.read.parquet(s"$path/postings")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("bucket"))
@@ -290,7 +349,7 @@ object Bm25 {
     val baseStats = spark.read.parquet(s"$path/stats")
     val corpusStats = deltaStatTotals(spark, path) match {
       case None => baseStats
-      case Some((nd, tdl)) =>
+      case Some((nd, tdl, _)) =>
         baseStats.select((col("n_docs") + nd).as("n_docs"),
           (col("total_dl") + tdl).as("total_dl"))
     }

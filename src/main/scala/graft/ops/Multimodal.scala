@@ -179,10 +179,15 @@ object Multimodal {
       // channel MEANS, but bounds checking needs the magnitude
       val height = math.abs(heightRaw)
       val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte bounds
-      require(width > 0 && height > 0 &&
+      // pixelOff needs BOTH bounds: an unchecked low offset (0, or
+      // negative) would silently read header bytes as pixel data or
+      // crash with an untagged AIOOBE instead of the doc_id-tagged
+      // loud failure the dead-letter hook relies on (review-caught)
+      require(width > 0 && height > 0 && pixelOff >= 54 &&
           pixelOff + rowBytes.toLong * height <= bytes.length,
-        s"doc ${rec.doc_id}: truncated BMP " +
-          s"(${width}x$height needs ${rowBytes.toLong * height} bytes)")
+        s"doc ${rec.doc_id}: truncated or corrupt BMP " +
+          s"(pixelOff=$pixelOff, ${width}x$height needs " +
+          s"${rowBytes.toLong * height} bytes)")
       var rSum = 0L; var gSum = 0L; var bSum = 0L
       var row = 0
       while (row < height) {

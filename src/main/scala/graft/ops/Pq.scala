@@ -36,8 +36,10 @@ import graft.functions.PqFunctions.{pq_adc_cosine, pq_encode}
 object Pq {
 
   /** Queries are the driver-built-LUT side; bound it like every other
-    * bounded collect in this engine (ops/Dict contract). */
-  private val MaxQueries = 1024
+    * bounded collect in this engine (ops/Dict contract). Shared with
+    * [[VectorIndex.queryIvfPq]] so the PQ and IVF-PQ paths can't drift
+    * to different caps. */
+  private[ops] val MaxQueries = 1024
 
   private val bookCache =
     new java.util.concurrent.ConcurrentHashMap[String, PqCodebooks]()
@@ -58,6 +60,7 @@ object Pq {
       // astronomically-unlikely hash collision.
       val sample: Array[Array[Double]] = corpus
         .select(col("vec_id"), col("embedding"))
+        .filter(col("embedding").isNotNull) // see encode()
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(sampleCap)
         .collect()
@@ -132,8 +135,14 @@ object Pq {
       iters: Int = 8): DataFrame = {
     val bc = corpus.sparkSession.sparkContext
       .broadcast(codebooks(corpus, m, k, iters))
-    corpus.select(col("vec_id"),
-      pq_encode(col("embedding"), bc).as("code"))
+    // NULL embeddings are not encodable rows: PqEncode's non-nullable
+    // identity (all-zero codes) would otherwise score as a genuine
+    // centroid-0 reconstruction — a phantom neighbor in the pure-ADC
+    // ranking (review-caught). isnotnull on a SCAN column pushes down
+    // cleanly (no alias re-inlining hazard).
+    corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        pq_encode(col("embedding"), bc).as("code"))
   }
 
   /** ADC shortlist scores per query — the scan stage: every corpus
@@ -173,6 +182,7 @@ object Pq {
     val qmap = qids.zipWithIndex
       .map { case (id, i) => (i, id) }.toSeq.toDF("q_idx", "query_id")
     val scored = corpus
+      .filter(col("embedding").isNotNull) // see encode()
       .select(col("vec_id").as("neighbor_id"),
         posexplode(pq_adc_cosine(
           pq_encode(col("embedding"), bcCb), bcLut))

@@ -54,9 +54,16 @@ object Sampling {
     */
   def writeEpochShards(df: DataFrame, id: Column, epoch: Int,
       shards: Int, path: String): Unit = {
-    val span = 4294967296L / shards
+    // shard = floor(key * shards / 2^32): exact proportional split for
+    // ANY shard count. The floored-span formulation (key / (2^32 /
+    // shards)) overflows into shard index == shards for keys past
+    // shards*span whenever shards doesn't divide 2^32 — rows a reader
+    // iterating shards 0..shards-1 would silently skip
+    // (review-caught). key < 2^32 and sane shard counts keep the
+    // product within long range.
     df.withColumn("shuffle_key", epochKey(id, lit(epoch)))
-      .withColumn("shard", (col("shuffle_key") / span).cast("int"))
+      .withColumn("shard",
+        (col("shuffle_key") * shards / lit(4294967296L)).cast("int"))
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_key"), id)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

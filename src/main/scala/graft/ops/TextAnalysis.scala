@@ -47,13 +47,23 @@ object TextAnalysis {
     * the DuckDB oracle share bit-for-bit; a production swap to
     * xxhash64(token) % k changes one line and only relabels buckets.
     */
-  def hashingFeatures(docs: DataFrame, numBuckets: Int): DataFrame =
+  /** (doc_id, bucket) per token — THE hashing-trick featurization
+    * shared by [[hashingFeatures]] and [[linearScore]]: the bucket
+    * expression is the cross-engine parity contract with the DuckDB
+    * oracles AND the train/serve contract between a weight table and
+    * the features it was fit on, so it must exist exactly once
+    * (review-caught duplication). A production swap to
+    * xxhash64(token) % k changes this one expression. */
+  private def tokenBuckets(docs: DataFrame, numBuckets: Int): DataFrame =
     docs
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
       .filter(col("tok").isNotNull && col("tok") =!= "")
       .select(col("doc_id"),
         (conv(substring(md5(col("tok")), 1, 15), 16, 10)
           .cast("long") % numBuckets).as("bucket"))
+
+  def hashingFeatures(docs: DataFrame, numBuckets: Int): DataFrame =
+    tokenBuckets(docs, numBuckets)
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("n"))
 
@@ -78,12 +88,7 @@ object TextAnalysis {
     */
   def linearScore(docs: DataFrame, weights: DataFrame,
       numBuckets: Int): DataFrame =
-    docs
-      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
-      .filter(col("tok").isNotNull && col("tok") =!= "")
-      .select(col("doc_id"),
-        (conv(substring(md5(col("tok")), 1, 15), 16, 10)
-          .cast("long") % numBuckets).as("bucket"))
+    tokenBuckets(docs, numBuckets)
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),

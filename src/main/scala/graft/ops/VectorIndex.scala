@@ -335,9 +335,10 @@ object VectorIndex {
       }
     }
     val qrows = queries.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(1025).collect()
-    require(qrows.length <= 1024,
-      "ivfpq: query set exceeds the bounded-collect cap")
+      .orderBy(col("vec_id")).limit(Pq.MaxQueries + 1).collect()
+    require(qrows.length <= Pq.MaxQueries,
+      s"ivfpq: query set exceeds the ${Pq.MaxQueries} bounded-collect " +
+        "cap — pass the corpus as the corpus, not as queries")
     val qids = qrows.map(_.getLong(0))
     val qvecs = qrows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val qnorms = qvecs.map(v => math.sqrt(v.map(x => x * x).sum))

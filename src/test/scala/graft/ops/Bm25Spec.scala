@@ -95,4 +95,29 @@ class Bm25Spec extends SparkSpec {
     assert(withGhost == without)
     assert(Bm25.scoreTopK(docs, Seq("zzz"), 10).count() == 0)
   }
+
+  test("token-less docs (empty/numeric text) are outside N and avgdl " +
+      "on BOTH paths — direct == indexed on a dirty corpus") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat fish"),
+      (3L, "12345 !!! ???"), // tokenizes to nothing
+      (4L, "")               // empty
+    ).toDF("doc_id", "text")
+    val direct = Bm25.scoreTopK(dirty, Seq("cat"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val path = tmpDir("bm25-dirty")
+    Bm25.ensurePostings(dirty, path)
+    val indexed = Bm25.scoreTopKIndexed(spark, path, Seq("cat"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(direct == indexed,
+      "stats must agree on corpora with token-less docs")
+    // N=2 (token-having), df=2 -> idf = ln(1 + 0.5/2.5); avgdl = 5/2
+    val idf = math.log(1.2)
+    val s1 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.5))
+    assert(direct(1L) == BigDecimal(s1)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "N must count token-having docs only")
+  }
 }

@@ -189,6 +189,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes == img.length)
   }
 
+  test("BmpDecoder fails loudly on a corrupt pixel offset") {
+    val img = bmpBytes(3, 2, Seq(
+      Seq((1, 2, 3), (1, 2, 3), (1, 2, 3)),
+      Seq((1, 2, 3), (1, 2, 3), (1, 2, 3))))
+    val bad = img.clone()
+    bad(10) = 0 // pixelOff -> 0: would read header bytes as pixels
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decodeBmp(
+        Multimodal.MediaRecord(7L, bad, "bmp"))
+    }
+    assert(e.getMessage.contains("doc 7"))
+  }
+
   test("BmpDecoder fails loudly on non-BMP and truncated payloads") {
     intercept[IllegalArgumentException] {
       Multimodal.BmpDecoder.decodeBmp(

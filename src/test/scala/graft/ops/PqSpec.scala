@@ -81,4 +81,16 @@ class PqSpec extends SparkSpec {
       Pq.codebooks(emb, m = 7)
     }
   }
+
+  test("null-embedding rows are excluded, never phantom neighbors") {
+    import spark.implicits._
+    val withNull = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((9999L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    assert(Pq.encode(withNull).filter(col("vec_id") === 9999L).count()
+      == 0, "null embedding must not encode")
+    val adc = Pq.pqTopK(queries, withNull, 10, rerank = 0)
+      .filter(col("neighbor_id") === 9999L).count()
+    assert(adc == 0, "null embedding must not rank in pure-ADC results")
+  }
 }

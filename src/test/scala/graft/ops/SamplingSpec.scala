@@ -108,7 +108,7 @@ class SamplingSpec extends SparkSpec {
     assert(back.count() == 500, "shards must partition the corpus")
     // every row sits in its key-range shard
     val misplaced = back.filter(
-      (col("shuffle_key") / (4294967296L / 4)).cast("int")
+      (col("shuffle_key") * 4 / lit(4294967296L)).cast("int")
         =!= col("shard")).count()
     assert(misplaced == 0)
     // concatenating shards 0..3 (each re-sorted by its carried key)
@@ -122,5 +122,19 @@ class SamplingSpec extends SparkSpec {
       .orderBy(Sampling.epochKey(col("doc_id"), lit(1)), col("doc_id"))
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(replayed == direct)
+  }
+
+  test("writeEpochShards: non-power-of-two shard counts stay in range") {
+    import graft.Tables
+    val docs = Tables.documents(spark, sf0001).select("doc_id")
+    val path = tmpDir("epoch-shards6")
+    Sampling.writeEpochShards(docs, col("doc_id"), epoch = 2,
+      shards = 6, path = path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 500)
+    val shards = back.select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(shards.forall(s => s >= 0 && s < 6),
+      s"out-of-range shard in ${shards.toSeq}")
   }
 }
