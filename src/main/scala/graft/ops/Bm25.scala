@@ -70,6 +70,58 @@ object Bm25 {
     score(tf, df, lengths, corpusStats, k, k1, b)
   }
 
+  /** Batch retrieval: MANY queries against one corpus pass — the
+    * production shape (a retrieval service scores query batches, not
+    * one query per scan). `queries` is (query_id, terms array<string>);
+    * the corpus tokenizes ONCE, tf covers the UNION of all queried
+    * terms (the explode still filters to that union inside the scan's
+    * codegen span via a broadcast semi-join), df/idf are per-term as in
+    * the single-query path, and each (query, doc) score sums only that
+    * query's terms. Ranking is per-query (partitioned window — the
+    * shuffle key is query_id, so queries parallelize). Single-query
+    * calls and the batch agree exactly: same stats, same per-term
+    * math, spec-pinned. */
+  def scoreTopKBatch(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("term"))
+      .distinct()
+    val termSet = qterms.select(col("term")).distinct()
+    val lengths = docs
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= "")).cast("long")
+          .as("dl"))
+      .filter(col("dl") > 0)
+    val corpusStats = lengths
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .na.fill(0L)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(corpusStats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))).as("idf"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .join(lengths, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("idf") * (col("tf") * (lit(k1) + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0) - b
+            + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** The scoring tail shared by the direct and indexed paths: tf per
     * (doc, term in query), df per term (broadcast), lengths, corpus
     * stats (1-row broadcast). */

@@ -285,6 +285,19 @@ object PipelineQueries {
       Bm25.scoreTopK(Tables.documents(s, d), Bm25QueryTerms, 20)
         .orderBy(col("rank"))),
 
+    // Batch retrieval: three queries share ONE corpus pass (the
+    // production shape — a retrieval service scores query batches).
+    // Per-query results equal single-query calls exactly (Bm25Spec).
+    "retrieval_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(
+        ("kj", Seq("key", "join", "scan")),
+        ("sp", Seq("spark", "part")),
+        ("wm", Seq("window", "merge"))).toDF("query_id", "terms")
+      Bm25.scoreTopKBatch(Tables.documents(s, d), qs, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Same query through the persisted postings layout: term-bucket
     // partition pruning, corpus text never touched at query time.
     // Scores must be bit-identical to the direct path (same stats),
@@ -462,6 +475,32 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "retrieval_bm25" -> bm25OracleSql,
     "retrieval_bm25_indexed" -> bm25OracleSql,
+    "retrieval_bm25_batch" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+        |    '[^a-z]+')) AS term FROM documents),
+        |wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+        |qt(query_id, term) AS (VALUES
+        |  ('kj', 'key'), ('kj', 'join'), ('kj', 'scan'),
+        |  ('sp', 'spark'), ('sp', 'part'),
+        |  ('wm', 'window'), ('wm', 'merge')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25
+        |        + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))),
+        |      4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN st
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score,
+        |  CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "retrieval_hybrid_rrf" ->
       """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
         |    '[^a-z]+')) AS term FROM documents),

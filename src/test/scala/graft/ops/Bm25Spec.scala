@@ -120,4 +120,23 @@ class Bm25Spec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
       "N must count token-having docs only")
   }
+
+  test("batch retrieval equals per-query single calls exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val qs = Seq(
+      ("kj", Seq("key", "join", "scan")),
+      ("wm", Seq("window", "merge"))).toDF("query_id", "terms")
+    val batch = Bm25.scoreTopKBatch(docs, qs, 12).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    for ((qid, terms) <- Seq("kj" -> Seq("key", "join", "scan"),
+        "wm" -> Seq("window", "merge"))) {
+      val single = Bm25.scoreTopK(docs, terms, 12).collect()
+        .map(r => (qid, r.getLong(0)) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      assert(batch.view.filterKeys(_._1 == qid).toMap == single,
+        s"batch results for $qid diverge from the single-query path")
+    }
+  }
 }

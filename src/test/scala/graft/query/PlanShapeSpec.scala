@@ -27,7 +27,8 @@ import graft.{SparkEntry, SparkSpec}
   *  - `q11_important_parts`: same scalar-attach shape — the global
   *    value total (TPC-H q11's HAVING scalar subquery) is a ONE-ROW
   *    broadcast aggregate joined onto the per-part aggregate.
-  *  - `retrieval_bm25` / `retrieval_bm25_indexed`: scalar-attach —
+  *  - `retrieval_bm25` / `retrieval_bm25_indexed` /
+  *    `retrieval_bm25_batch`: scalar-attach —
   *    the ONE-ROW (n_docs, total_dl) corpus stats broadcast onto the
   *    |query terms|-row df frame (O(|terms| x 1)); the corpus-side
   *    pass itself is equi-joins only.
@@ -43,7 +44,8 @@ class PlanShapeSpec extends SparkSpec {
     Set("sim_cosine_topk", "sim_cosine_topk_int8", "join_cross_dims",
       "text_unigram_loglik", "q22_dormant_customers",
       "q11_important_parts", "retrieval_bm25", "retrieval_bm25_indexed",
-      "sample_quality_buckets", "retrieval_hybrid_rrf")
+      "retrieval_bm25_batch", "sample_quality_buckets",
+      "retrieval_hybrid_rrf")
 
   test("no quadratic join in any registered non-oracle query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
