@@ -61,11 +61,24 @@ object Tables {
   private def normalize(df: DataFrame,
       canon: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame =
     canon.foldLeft(df) { case (cur, (name, t)) =>
+      import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
       // catalogString compare = nullability-insensitive type equality
       // (DataType.sameType is private[sql])
       if (cur.schema(name).dataType.catalogString == t.catalogString) cur
-      else cur.withColumn(name,
-        org.apache.spark.sql.functions.col(name).cast(t))
+      else if (t == org.apache.spark.sql.types.IntegerType) {
+        // guarded integral narrowing: a non-ANSI cast silently WRAPS
+        // an out-of-range long (review-caught — the same silent-
+        // downcast corruption castToRawSchema raises on elsewhere);
+        // drift normalization must fail loudly, never relabel
+        cur.withColumn(name,
+          when(col(name).isNotNull &&
+              (col(name) < Int.MinValue.toLong ||
+                col(name) > Int.MaxValue.toLong),
+            raise_error(concat(
+              lit(s"normalize: $name value out of int range: "),
+              col(name).cast("string"))))
+            .otherwise(col(name)).cast(t))
+      } else cur.withColumn(name, col(name).cast(t))
     }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",

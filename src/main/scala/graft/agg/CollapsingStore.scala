@@ -60,8 +60,12 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
     // and a glob would double-count it against its folded block
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val raw = spark.read.option("basePath", path)
-      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
+    nettedFrom(spark, StoreCompaction.visibleBatchDirs(fs, path))
+  }
+
+  private def nettedFrom(spark: SparkSession,
+      dirs: Seq[String]): DataFrame = {
+    val raw = spark.read.option("basePath", path).parquet(dirs: _*)
     val aggs = sum(col(signCol)).as(signCol) +:
       valCols.map(c => sum(col(c) * col(signCol)).as(c))
     raw.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -88,7 +92,10 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp")
-    if (!StoreCompaction.hasBatchDirs(fs, path)) {
+    // one snapshot drives schema probe, fold input, and watermark —
+    // see SummingStore.compact
+    val dirs = StoreCompaction.visibleBatchDirs(fs, path)
+    if (dirs.isEmpty) {
       // empty store, or a legacy-scheme crash left folded rows in the
       // temp dir with no visible batch dirs — publish them, don't
       // throw on the schema probe below
@@ -101,10 +108,11 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
     // the helper raises on any net value the narrower type cannot
     // hold instead of silently wrapping it
     val rawSchema = spark.read.option("basePath", path)
-      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*).schema
+      .parquet(dirs: _*).schema
     StoreCompaction
-      .castToRawSchema(netted(spark).filter(col(signCol) =!= 0), rawSchema)
+      .castToRawSchema(
+        nettedFrom(spark, dirs).filter(col(signCol) =!= 0), rawSchema)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    StoreCompaction.foldBatches(fs, path, tmp)
+    StoreCompaction.foldBatches(fs, path, tmp, dirs)
   }
 }

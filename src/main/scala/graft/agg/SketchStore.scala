@@ -71,13 +71,21 @@ final class SketchStore(path: String, keyCols: Seq[String],
   def compact(spark: SparkSession): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/_compact_tmp")
-    if (!StoreCompaction.hasBatchDirs(fs, path)) return
-    raw(spark)
+    // one snapshot drives fold input AND watermark (see
+    // SummingStore.compact); legacy-crash temp state recovers instead
+    // of stranding (review-caught: Summing/Collapsing had the
+    // recovery, the sketch stores didn't)
+    val dirs = StoreCompaction.visibleBatchDirs(fs, path)
+    if (dirs.isEmpty) {
+      StoreCompaction.recoverOrNoop(fs, path, tmp)
+      return
+    }
+    spark.read.option("basePath", path).parquet(dirs: _*)
       .groupBy(keyCols.map(col): _*)
       .agg(hll_union_agg(col("state"), lit(false)).as("state"))
       .select((keyCols :+ "state").map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    StoreCompaction.foldBatches(fs, path, tmp)
+    StoreCompaction.foldBatches(fs, path, tmp, dirs)
   }
 }
 
@@ -148,13 +156,21 @@ final class QuantileStore(path: String, keyCols: Seq[String],
   def compact(spark: SparkSession): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/_compact_tmp")
-    if (!StoreCompaction.hasBatchDirs(fs, path)) return
-    raw(spark)
+    // one snapshot drives fold input AND watermark (see
+    // SummingStore.compact); legacy-crash temp state recovers instead
+    // of stranding (review-caught: Summing/Collapsing had the
+    // recovery, the sketch stores didn't)
+    val dirs = StoreCompaction.visibleBatchDirs(fs, path)
+    if (dirs.isEmpty) {
+      StoreCompaction.recoverOrNoop(fs, path, tmp)
+      return
+    }
+    spark.read.option("basePath", path).parquet(dirs: _*)
       .groupBy(keyCols.map(col): _*)
       .agg(QuantileState.mergeAgg(col("qstate")).as("qstate"))
       .select((keyCols :+ "qstate").map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    StoreCompaction.foldBatches(fs, path, tmp)
+    StoreCompaction.foldBatches(fs, path, tmp, dirs)
   }
 }
 
@@ -219,12 +235,20 @@ final class CountMinStore(path: String, keyCols: Seq[String],
   def compact(spark: SparkSession): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/_compact_tmp")
-    if (!StoreCompaction.hasBatchDirs(fs, path)) return
-    raw(spark)
+    // one snapshot drives fold input AND watermark (see
+    // SummingStore.compact); legacy-crash temp state recovers instead
+    // of stranding (review-caught: Summing/Collapsing had the
+    // recovery, the sketch stores didn't)
+    val dirs = StoreCompaction.visibleBatchDirs(fs, path)
+    if (dirs.isEmpty) {
+      StoreCompaction.recoverOrNoop(fs, path, tmp)
+      return
+    }
+    spark.read.option("basePath", path).parquet(dirs: _*)
       .groupBy(keyCols.map(col): _*)
       .agg(CountMinState.mergeAgg(col("cms")).as("cms"))
       .select((keyCols :+ "cms").map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    StoreCompaction.foldBatches(fs, path, tmp)
+    StoreCompaction.foldBatches(fs, path, tmp, dirs)
   }
 }

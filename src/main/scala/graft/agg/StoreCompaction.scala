@@ -60,13 +60,25 @@ private[agg] object StoreCompaction {
     }
   }
 
-  private def writeThrough(fs: FileSystem, storePath: String,
-      through: Long): Unit = {
-    val out = fs.create(marker(storePath), true)
-    try out.write(through.toString.getBytes(
+  /** Write-temp + atomic rename — the pattern [[publishManifest]]
+    * uses, now shared with the watermark (review-caught: a
+    * truncate-in-place fs.create let a concurrent reader see an empty
+    * or torn marker — crashing readThrough, or worse, under-reading
+    * the watermark so append ACCEPTED a replay of a folded batch). */
+  private def atomicWrite(fs: FileSystem, target: Path,
+      content: String): Unit = {
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  private def writeThrough(fs: FileSystem, storePath: String,
+      through: Long): Unit =
+    atomicWrite(fs, marker(storePath), through.toString)
 
   /** Highest batch id folded into a compacted block so far, or -1 if
     * never compacted (every real batch id is >= 0). */
@@ -97,16 +109,8 @@ private[agg] object StoreCompaction {
     * with OVERWRITE has the same contract. Readers therefore see
     * either the old manifest or the new one, never a torn write. */
   private def publishManifest(fs: FileSystem, storePath: String,
-      m: Manifest): Unit = {
-    val tmp = new Path(s"$storePath/_manifest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"${m.gen} ${m.through}".getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      .rename(tmp, manifestPath(storePath),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      m: Manifest): Unit =
+    atomicWrite(fs, manifestPath(storePath), s"${m.gen} ${m.through}")
 
   private def listBatchDirs(fs: FileSystem,
       storePath: String): Array[FileStatus] = {
@@ -153,6 +157,7 @@ private[agg] object StoreCompaction {
     if (fs.exists(tmp)) {
       val gen = readManifest(fs, storePath).map(_.gen + 1).getOrElse(0L)
       val dst = new Path(s"$storePath/batch=compacted-$gen")
+      if (fs.exists(dst)) fs.delete(dst, true)
       require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
         "folded rows remain in the temp dir")
       publishManifest(fs, storePath,
@@ -164,26 +169,39 @@ private[agg] object StoreCompaction {
     * protocol above: land invisible, advance the replay watermark,
     * atomically flip the manifest, and defer deleting the
     * just-superseded dirs to the NEXT fold (grace for in-flight
-    * readers). The fold input must be the [[visibleBatchDirs]] view —
-    * the caller materialized `tmp` from it before calling in. */
-  def foldBatches(fs: FileSystem, storePath: String, tmp: Path): Unit = {
+    * readers).
+    *
+    * `foldedDirs` is the EXACT [[visibleBatchDirs]] view the caller
+    * materialized `tmp` from: the new watermark derives from what is
+    * actually IN the folded block, never from a re-listing
+    * (review-caught: re-listing absorbed a batch appended between the
+    * caller's snapshot and the fold — its rows, absent from `tmp`,
+    * went invisible and were later deleted). A batch landing after the
+    * snapshot carries a HIGHER id than everything folded (streaming
+    * batch ids are monotone; batch-mode appends take watermark+1), so
+    * it stays visible under the new manifest.
+    */
+  def foldBatches(fs: FileSystem, storePath: String, tmp: Path,
+      foldedDirs: Seq[String]): Unit = {
     val cur = readManifest(fs, storePath)
     val dirs = listBatchDirs(fs, storePath)
+    val newGen = cur.map(_.gen + 1).getOrElse(0L)
+    val dst = new Path(s"$storePath/batch=compacted-$newGen")
+    // the destination name is EXCLUDED from retirement: a crashed
+    // prior attempt at this generation is replaced by the rename in
+    // step 1, and must not be deleted in step 4 AFTER it became the
+    // published block (review-caught data-loss path)
     val staleBefore = dirs.map(_.getPath.getName)
-      .filterNot(isVisible(_, cur)).toSet
+      .filterNot(isVisible(_, cur))
+      .filterNot(_ == dst.getName).toSet
 
     var maxId = readThrough(fs, storePath)
-    dirs.foreach { st =>
-      numericId(st.getPath.getName).foreach(id =>
-        if (isVisible(st.getPath.getName, cur))
-          maxId = math.max(maxId, id))
-    }
+    foldedDirs.map(p => new Path(p).getName).foreach(n =>
+      numericId(n).foreach(id => maxId = math.max(maxId, id)))
 
     // 1. land the folded block under its generation name — invisible
     //    until the manifest flips (a crashed prior attempt at this
     //    same generation is itself invisible: clear it first)
-    val newGen = cur.map(_.gen + 1).getOrElse(0L)
-    val dst = new Path(s"$storePath/batch=compacted-$newGen")
     if (fs.exists(dst)) fs.delete(dst, true)
     require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
       "folded rows remain in the temp dir")

@@ -108,7 +108,13 @@ final class SummingStore(path: String, keyCols: Seq[String],
   def compact(spark: SparkSession): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/_compact_tmp")
-    if (!StoreCompaction.hasBatchDirs(fs, path)) {
+    // ONE snapshot of the visible view drives the schema probe, the
+    // fold input, AND the published watermark — a re-listing anywhere
+    // in between could absorb a just-appended batch the folded block
+    // does not contain (review-caught; also one listing instead of
+    // four round-trips)
+    val dirs = StoreCompaction.visibleBatchDirs(fs, path)
+    if (dirs.isEmpty) {
       // empty store, or a legacy-scheme crash left folded rows in the
       // temp dir with no visible batch dirs — publish them, don't
       // throw on the schema probe below
@@ -120,10 +126,13 @@ final class SummingStore(path: String, keyCols: Seq[String],
     // original-width rows — still union cleanly at read time; the
     // helper raises on any total the narrower type cannot hold
     // instead of silently wrapping it
-    val rawSchema = spark.read.option("basePath", path)
-      .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*).schema
-    StoreCompaction.castToRawSchema(merged(spark), rawSchema)
+    val raw = spark.read.option("basePath", path).parquet(dirs: _*)
+    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    val folded = raw.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((keyCols ++ sumCols).map(col): _*)
+    StoreCompaction.castToRawSchema(folded, raw.schema)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    StoreCompaction.foldBatches(fs, path, tmp)
+    StoreCompaction.foldBatches(fs, path, tmp, dirs)
   }
 }

@@ -105,6 +105,11 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val id = tag(off)
         val size = b.getInt(off + 4)
+        // a negative size field would advance off by <= 0 — an
+        // infinite loop hanging the executor task instead of the
+        // documented loud failure (review-caught)
+        require(size >= 0,
+          s"doc ${rec.doc_id}: corrupt RIFF chunk '$id' size $size")
         id match {
           case "fmt " =>
             val fmtCode = b.getShort(off + 8) & 0xffff

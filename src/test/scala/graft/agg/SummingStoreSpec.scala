@@ -176,4 +176,51 @@ class SummingStoreSpec extends SparkSpec {
     s.compact(spark)
     assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(2L))
   }
+
+  test("a crashed fold attempt's orphan generation dir never eats the " +
+      "published block (recovery data-loss regression)") {
+    val path = tmpDir("sumstore-crash")
+    val s = store(path)
+    (0 until 3).foreach(i =>
+      s.append(partials(("2026-01-01", "info", 1L)), batchId = i.toLong))
+    s.compact(spark) // publishes generation 0
+    s.append(partials(("2026-01-01", "info", 1L)), batchId = 5L)
+    // simulate a fold that crashed AFTER landing batch=compacted-1 but
+    // BEFORE flipping the manifest: the orphan dir is invisible junk
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/batch=compacted-1")
+    partials(("2026-01-01", "info", 99L)).write.parquet(orphan.toString)
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(4L),
+      "orphan must be invisible before the retry")
+    // the retried fold publishes the REAL generation 1 at that name —
+    // and must not delete it as stale afterwards
+    s.compact(spark)
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(4L),
+      "retried fold must keep the published totals")
+    assert(fs.exists(orphan), "the published generation dir must exist")
+  }
+
+  test("the fold's watermark derives from what it folded, not a " +
+      "re-listing (append-racing-compact regression)") {
+    // Direct protocol-level check: fold with a snapshot that EXCLUDES
+    // a batch appended after it; the late batch must stay visible.
+    val path = tmpDir("sumstore-latebatch")
+    val s = store(path)
+    s.append(partials(("2026-01-01", "info", 1L)), batchId = 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val snapshot = StoreCompaction.visibleBatchDirs(fs, path)
+    // materialize the fold input from the snapshot
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp")
+    spark.read.option("basePath", path).parquet(snapshot: _*)
+      .groupBy("day", "level")
+      .agg(org.apache.spark.sql.functions.sum("total").as("total"))
+      .write.parquet(tmp.toString)
+    // a batch lands AFTER the snapshot, BEFORE the fold completes
+    s.append(partials(("2026-01-01", "info", 7L)), batchId = 3L)
+    StoreCompaction.foldBatches(fs, path, tmp, snapshot)
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(8L),
+      "the late batch's rows must survive the fold")
+  }
 }

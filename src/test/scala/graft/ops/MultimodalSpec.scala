@@ -215,4 +215,19 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.MediaRecord(2L, img.take(img.length - 5), "bmp"))
     }
   }
+
+  test("WavDecoder fails loudly on a negative chunk size (no hang)") {
+    // valid RIFF/WAVE header, then a chunk whose size field is -8:
+    // the chunk walk must raise, not loop forever
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    b.put("junk".getBytes).putInt(-8)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decodeWav(
+        Multimodal.MediaRecord(3L, b.array(), "wav"))
+    }
+    assert(e.getMessage.contains("doc 3") &&
+      e.getMessage.contains("-8"))
+  }
 }
