@@ -46,11 +46,17 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
   }
 
   /** Append without batch identity (batch-mode callers) — lands just
-    * above the compaction watermark so the rows stay visible under
-    * the generation manifest. */
+    * above BOTH the compaction watermark and every batch dir on disk
+    * (max(on-disk id, watermark)+1), so the rows stay visible under
+    * the generation manifest AND cannot land inside a streamed dir a
+    * concurrent compact is mid-fold on (the SummingStore.append fix —
+    * watermark+1 alone collides with not-yet-folded streamed ids). */
   def append(signed: DataFrame): Unit = {
-    val next = StoreCompaction.compactedThrough(
-      signed.sparkSession, path) + 1
+    val spark = signed.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val next = math.max(StoreCompaction.maxBatchId(fs, path),
+      StoreCompaction.compactedThrough(spark, path)) + 1
     signed.write.mode(SaveMode.Append).parquet(s"$path/batch=$next")
   }
 

@@ -148,6 +148,17 @@ private[agg] object StoreCompaction {
   def hasBatchDirs(fs: FileSystem, storePath: String): Boolean =
     visibleBatchDirs(fs, storePath).nonEmpty
 
+  /** Highest numeric batch id ON DISK (visible or not), or -1 on an
+    * empty store. Batch-mode appends land at max(this, watermark)+1:
+    * watermark+1 alone can COLLIDE with a streamed batch above the
+    * watermark that a concurrent fold is absorbing — rows appended
+    * into that dir mid-fold would go invisible at publish and be
+    * deleted by the next fold's retirement (review-caught). */
+  def maxBatchId(fs: FileSystem, storePath: String): Long =
+    listBatchDirs(fs, storePath)
+      .flatMap(st => numericId(st.getPath.getName))
+      .foldLeft(-1L)(math.max)
+
   /** Pre-manifest crash shapes have no recovery to do anymore (the
     * fold never deletes before publishing); an orphaned temp dir from
     * a legacy-scheme crash is simply absorbed: if the store has no
@@ -178,8 +189,10 @@ private[agg] object StoreCompaction {
     * caller's snapshot and the fold — its rows, absent from `tmp`,
     * went invisible and were later deleted). A batch landing after the
     * snapshot carries a HIGHER id than everything folded (streaming
-    * batch ids are monotone; batch-mode appends take watermark+1), so
-    * it stays visible under the new manifest.
+    * batch ids are monotone; batch-mode appends take
+    * max(on-disk id, watermark)+1 via [[maxBatchId]] — watermark+1
+    * alone could collide with a streamed dir that is mid-fold), so it
+    * stays visible under the new manifest.
     */
   def foldBatches(fs: FileSystem, storePath: String, tmp: Path,
       foldedDirs: Seq[String]): Unit = {

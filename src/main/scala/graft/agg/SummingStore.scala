@@ -46,11 +46,19 @@ final class SummingStore(path: String, keyCols: Seq[String],
   }
 
   /** Append without batch identity (batch-mode callers). Lands just
-    * above the compaction watermark — a fixed `batch=0` would fall
-    * below it (invisible) once a fold has absorbed id 0. */
+    * above BOTH the compaction watermark and every batch dir on disk —
+    * a fixed `batch=0` would fall below the watermark (invisible) once
+    * a fold has absorbed id 0, and watermark+1 alone can equal a
+    * streamed batch id above the watermark that a concurrent compact
+    * is mid-fold on: rows appended into that dir during the fold go
+    * invisible at publish and are deleted next fold (review-caught).
+    * Taking max(on-disk id, watermark)+1 lands in a FRESH dir no
+    * in-flight fold snapshot can contain. */
   def append(partials: DataFrame): Unit = {
-    val next =
-      StoreCompaction.compactedThrough(partials.sparkSession, path) + 1
+    val spark = partials.sparkSession
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val next = math.max(StoreCompaction.maxBatchId(fs, path),
+      StoreCompaction.compactedThrough(spark, path)) + 1
     partials.write.mode(SaveMode.Append).parquet(s"$path/batch=$next")
   }
 

@@ -219,25 +219,34 @@ object Bm25 {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
-    val fingerprint = s"rows=${docs.count()};buckets=$PostingsBuckets"
+    val nRaw = docs.count()
+    // Currency counts BASE raw rows + COMMITTED delta raw rows: an
+    // appended-but-not-yet-compacted index is current for the grown
+    // corpus (the delta layout probes identically), so ensure neither
+    // rebuilds over live deltas nor forces a compact.
+    val deltaRaw = deltaStatTotalsOf(spark, path,
+      completeBatchIds(spark, path)).map(_._3).getOrElse(0L)
     val current = fs.exists(
         new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS")) &&
       fs.exists(
         new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS")) &&
       fs.exists(meta) && {
         val in = fs.open(meta)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == fingerprint
-        finally in.close()
+        val s = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        s.endsWith(s"buckets=$PostingsBuckets") &&
+          s.split(";").head.stripPrefix("rows=").toLong + deltaRaw == nRaw
       }
     if (!current) {
+      // a REBUILD derives from the caller's full corpus, which
+      // subsumes any delta rows — stale delta dirs left beside the
+      // fresh base would double-count at probe time
+      fs.delete(new org.apache.hadoop.fs.Path(deltaDir(path)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(deltaStatsDir(path)), true)
       val dl = writePostings(docs, s"$path/postings", SaveMode.Overwrite)
       statsOf(dl).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
-      val out = fs.create(meta, true)
-      try out.write(
-        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      writeMeta(spark, path, nRaw)
     }
     path
   }
@@ -286,21 +295,31 @@ object Bm25 {
       .toSeq.sorted
   }
 
-  /** All COMMITTED streamed postings deltas, or None when no complete
-    * batch has landed. */
-  def deltaPostings(spark: SparkSession, path: String): Option[DataFrame] = {
-    val ids = completeBatchIds(spark, path)
+  /** The postings of EXACTLY the delta batches in `ids` — callers
+    * snapshot [[completeBatchIds]] ONCE and thread the same list into
+    * this and [[deltaStatTotalsOf]], so a micro-batch committing
+    * between the two reads cannot produce stats that include a batch
+    * whose postings were not scanned (review-caught: the old
+    * per-helper re-listing broke the "appended docs score immediately
+    * and exactly" contract under concurrent ingest). */
+  private def deltaPostingsOf(spark: SparkSession, path: String,
+      ids: Seq[String]): Option[DataFrame] =
     if (ids.isEmpty) None
     else Some(spark.read.option("basePath", deltaDir(path))
       .parquet(ids.map(b => s"${deltaDir(path)}/$b"): _*)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("bucket")))
-  }
 
-  /** Summed (n_docs, total_dl, n_raw) across COMMITTED delta batches. */
-  private def deltaStatTotals(spark: SparkSession,
-      path: String): Option[(Long, Long, Long)] = {
-    val ids = completeBatchIds(spark, path)
+  /** All COMMITTED streamed postings deltas, or None when no complete
+    * batch has landed. Standalone listing — for a read that must be
+    * consistent with stats, snapshot ids and use the *Of twins. */
+  def deltaPostings(spark: SparkSession, path: String): Option[DataFrame] =
+    deltaPostingsOf(spark, path, completeBatchIds(spark, path))
+
+  /** Summed (n_docs, total_dl, n_raw) across EXACTLY the delta batches
+    * in `ids` (same snapshot discipline as [[deltaPostingsOf]]). */
+  private def deltaStatTotalsOf(spark: SparkSession, path: String,
+      ids: Seq[String]): Option[(Long, Long, Long)] =
     if (ids.isEmpty) None
     else {
       val r = spark.read
@@ -309,22 +328,26 @@ object Bm25 {
           sum(col("n_raw"))).collect().head
       Some((r.getLong(0), r.getLong(1), r.getLong(2)))
     }
-  }
 
   /** Fold streamed deltas into the base postings + stats and retire
     * the delta dirs. Maintenance op — run with no replay or reader in
     * flight (the append-store compaction contract). */
   def compactDeltas(spark: SparkSession, path: String): Unit = {
-    // Increments computed and validated BEFORE any base mutation
-    // (review-caught: the old order appended first and could then
-    // throw, leaving the base mutated with deltas still present — a
-    // retry would double-append). Only COMMITTED batches are folded;
-    // the remaining crash window (append lands, delta delete doesn't)
-    // is the documented maintenance contract shared with
-    // VectorIngestPipeline.compactDeltas: run with no replay or
-    // reader in flight, retry only after checking the delta dirs.
-    val incOpt = deltaStatTotals(spark, path)
-    deltaPostings(spark, path).zip(incOpt).foreach {
+    // ONE listing drives the fold input, the stats increment, AND the
+    // retirement set (review-caught twice: (a) the old order appended
+    // first and could then throw, leaving the base mutated with deltas
+    // still present — a retry would double-append; (b) the old
+    // delete-the-whole-delta-tree retirement destroyed, unfolded, any
+    // batch that committed after the listing). Only the snapshot's
+    // batches are folded, and only their dirs are deleted — a batch
+    // landing mid-fold survives to the next compact. The remaining
+    // crash window (append lands, delta delete doesn't) is the
+    // documented maintenance contract shared with
+    // VectorIngestPipeline.compactDeltas: run with no replay in
+    // flight, retry only after checking the delta dirs.
+    val ids = completeBatchIds(spark, path)
+    deltaPostingsOf(spark, path, ids)
+      .zip(deltaStatTotalsOf(spark, path, ids)).foreach {
       case (delta, (nDocs, totalDl, nRaw)) =>
         val old = spark.read.parquet(s"$path/stats").collect().head
         val oldRows = metaRows(spark, path)
@@ -339,39 +362,46 @@ object Bm25 {
         writeMeta(spark, path, oldRows + nRaw)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(deltaDir(path)), true)
-        fs.delete(new org.apache.hadoop.fs.Path(deltaStatsDir(path)),
-          true)
+        ids.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"${deltaDir(path)}/$b"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"${deltaStatsDir(path)}/$b"), true)
+        }
+        // tidy the parent dirs ONLY if nothing landed mid-fold — a
+        // batch committing after the snapshot keeps its files and
+        // survives to the next compact
+        Seq(deltaDir(path), deltaStatsDir(path)).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          if (fs.exists(p) && fs.listStatus(p).isEmpty)
+            fs.delete(p, true)
+        }
     }
   }
 
   /** Incrementally index arriving documents WITHOUT re-tokenizing the
     * corpus (the [[VectorIndex.appendIvf]] / SignatureStore arrival
-    * discipline): the batch tokenizes alone, its postings land as a
-    * dynamic-partition append (only touched term buckets gain files),
-    * and the 1-row stats table is rewritten with the batch's
-    * increments (raw row count tracked separately so the ensure
-    * fingerprint stays exact on corpora with token-less docs).
-    * Queries need no special handling — df is computed from the
-    * (pruned) postings at probe time and avgdl from stats, so
-    * appended documents participate in scoring immediately and
-    * exactly. Empty (or all-token-less) batches are a no-op on stats
-    * beyond the raw count. */
-  def appendPostings(newDocs: DataFrame, path: String): Unit = {
-    val spark = newDocs.sparkSession
-    val nRaw = newDocs.count()
-    val oldRows = metaRows(spark, path)
-    val dl = writePostings(newDocs, s"$path/postings", SaveMode.Append)
-    val inc = statsOf(dl).collect().head
-    val old = spark.read.parquet(s"$path/stats").collect().head
-    import spark.implicits._
-    Seq((old.getLong(0) + inc.getLong(0),
-        old.getLong(1) + inc.getLong(1)))
-      .toDF("n_docs", "total_dl")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
-    writeMeta(spark, path, oldRows + nRaw)
-  }
+    * discipline) — routed through the SAME batchId-keyed delta layout
+    * as the streaming path ([[ingestBatch]]): the batch's postings
+    * land under their own `postings_delta/batch=<id>` dir (bucket
+    * still a partition column, so probes prune the delta exactly like
+    * base files), the stats increment lands second as the batch's
+    * COMMIT marker, and a replayed batchId overwrites itself.
+    *
+    * This replaces the old base-mutating SaveMode.Append, which had no
+    * idempotence key at all: a crash between the postings append and
+    * the stats rewrite left appended postings with stale stats, and a
+    * retry DOUBLE-APPENDED the postings — the defect class the
+    * append-log stores cure with batch-keyed overwrite. Queries need
+    * no special handling — df is computed from the (pruned) base ∪
+    * committed-delta postings at probe time and avgdl from base stats
+    * + delta increments, so appended documents participate in scoring
+    * immediately and exactly; [[compactDeltas]] periodically folds the
+    * deltas into the base. Empty (or all-token-less) batches are a
+    * no-op on stats beyond the raw count. */
+  def appendPostings(newDocs: DataFrame, path: String,
+      batchId: Long): Unit =
+    ingestBatch(newDocs, path, batchId)
 
   /** BM25 top-k against the persisted postings: the scan prunes to the
     * query terms' hash-bucket partitions (`bucket IN (...)` on the
@@ -392,14 +422,18 @@ object Bm25 {
     def pruned(rows: DataFrame): DataFrame = rows
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
-    val tf = deltaPostings(spark, path) match {
+    // ONE committed-batch snapshot serves BOTH the postings read and
+    // the stats totals — a batch committing between two independent
+    // listings would yield stats including postings never scanned
+    val ids = completeBatchIds(spark, path)
+    val tf = deltaPostingsOf(spark, path, ids) match {
       case None => pruned(base)
       case Some(delta) => pruned(base).unionByName(pruned(delta))
     }
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val lengths = tf.select(col("doc_id"), col("dl")).distinct()
     val baseStats = spark.read.parquet(s"$path/stats")
-    val corpusStats = deltaStatTotals(spark, path) match {
+    val corpusStats = deltaStatTotalsOf(spark, path, ids) match {
       case None => baseStats
       case Some((nd, tdl, _)) =>
         baseStats.select((col("n_docs") + nd).as("n_docs"),

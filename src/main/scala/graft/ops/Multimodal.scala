@@ -106,10 +106,19 @@ object Multimodal {
         val id = tag(off)
         val size = b.getInt(off + 4)
         // a negative size field would advance off by <= 0 — an
-        // infinite loop hanging the executor task instead of the
-        // documented loud failure (review-caught)
+        // infinite loop hanging the executor task — and a size claim
+        // near Int.MaxValue would overflow the offset advance into a
+        // NEGATIVE off, dying as an untagged StringIndexOutOfBounds
+        // from tag() instead of the doc_id-tagged loud failure the
+        // dead-letter hook relies on (both review-caught); only the
+        // final chunk may claim more payload than the buffer holds
+        // (truncated data chunk — the sample loop clamps to it)
         require(size >= 0,
           s"doc ${rec.doc_id}: corrupt RIFF chunk '$id' size $size")
+        require(off + 8L + size + (size & 1) <= bytes.length ||
+            id == "data",
+          s"doc ${rec.doc_id}: RIFF chunk '$id' size $size overruns " +
+            s"the ${bytes.length}-byte payload")
         id match {
           case "fmt " =>
             val fmtCode = b.getShort(off + 8) & 0xffff
@@ -124,7 +133,10 @@ object Multimodal {
             dataLen = size
           case _ => () // LIST/INFO/etc. chunks skip silently
         }
-        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+        // advance in Long, clamped to the buffer end: a truncated
+        // final data chunk must END the walk, not wrap off negative
+        off = math.min(off.toLong + 8L + size + (size & 1),
+          bytes.length.toLong).toInt // RIFF chunks are word-aligned
       }
       require(sampleRate > 0 && channels > 0 && dataOff >= 0 &&
           (bits == 8 || bits == 16),
@@ -183,16 +195,26 @@ object Multimodal {
       // negative height = top-down row order; row order doesn't change
       // channel MEANS, but bounds checking needs the magnitude
       val height = math.abs(heightRaw)
-      val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte bounds
+      // row stride in LONG: a corrupt header claiming width > ~715M
+      // overflows `width * 3 + 3` into a negative int, which would
+      // sail through the bounds require (negative total <= length)
+      // and die in the pixel loop as an untagged AIOOBE instead of
+      // the doc_id-tagged loud failure (review-caught)
+      val rowBytesL = (3L * width + 3) & ~3L // rows pad to 4-byte bounds
       // pixelOff needs BOTH bounds: an unchecked low offset (0, or
       // negative) would silently read header bytes as pixel data or
       // crash with an untagged AIOOBE instead of the doc_id-tagged
       // loud failure the dead-letter hook relies on (review-caught)
+      // rowBytesL is bounded against the buffer FIRST so the
+      // rowBytesL * height product below cannot overflow even Long
+      // (both factors then fit in 31 bits)
       require(width > 0 && height > 0 && pixelOff >= 54 &&
-          pixelOff + rowBytes.toLong * height <= bytes.length,
+          rowBytesL <= bytes.length &&
+          pixelOff + rowBytesL * height <= bytes.length,
         s"doc ${rec.doc_id}: truncated or corrupt BMP " +
-          s"(pixelOff=$pixelOff, ${width}x$height needs " +
-          s"${rowBytes.toLong * height} bytes)")
+          s"(pixelOff=$pixelOff, ${width}x$height rows of " +
+          s"$rowBytesL bytes exceed the payload)")
+      val rowBytes = rowBytesL.toInt // bounded by bytes.length now
       var rSum = 0L; var gSum = 0L; var bSum = 0L
       var row = 0
       while (row < height) {

@@ -63,6 +63,31 @@ class SummingStoreSpec extends SparkSpec {
     assert(s.read(spark).collect().map(r => r.getLong(2)).toSeq == Seq(5L))
   }
 
+  test("batch-mode append lands in a FRESH dir above every on-disk " +
+      "batch id (mid-fold collision regression)") {
+    val path = tmpDir("sumstore-fresh")
+    val s = store(path)
+    // streamed batches 0..5 exist, nothing compacted: watermark is -1,
+    // so the old watermark+1 rule appended into batch=0 — a dir a
+    // concurrent compact may be mid-fold on (its rows would go
+    // invisible at publish and be deleted next fold)
+    (0 to 5).foreach(i =>
+      s.append(partials(("2026-01-01", "info", 1L)), batchId = i.toLong))
+    s.append(partials(("2026-01-01", "info", 10L)))
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs.contains("batch=6"),
+      s"anonymous append must take max(on-disk id)+1, got: $dirs")
+    assert(s.read(spark).collect().map(r => r.getLong(2)).toSeq
+      == Seq(16L))
+    // and after a compact, the next anonymous append clears both the
+    // watermark AND the not-yet-retired generation dirs
+    s.compact(spark)
+    s.append(partials(("2026-01-01", "info", 100L)))
+    assert(s.read(spark).collect().map(r => r.getLong(2)).toSeq
+      == Seq(116L))
+  }
+
   test("read racing a compact sees one complete view (reader-safe fold)") {
     val path = tmpDir("sumstore-race")
     val s = store(path)

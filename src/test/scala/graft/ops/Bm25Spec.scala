@@ -64,7 +64,7 @@ class Bm25Spec extends SparkSpec {
       .filter(col("doc_id") >= 480)
     val path = tmpDir("bm25-append")
     Bm25.ensurePostings(base, path)
-    Bm25.appendPostings(arrivals, path)
+    Bm25.appendPostings(arrivals, path, batchId = 0L)
     val grown = Tables.documents(spark, sf0001)
     val terms = Seq("window", "merge")
     val direct = Bm25.scoreTopK(grown, terms, 15).collect()
@@ -74,7 +74,14 @@ class Bm25Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(indexed == direct,
       "append must make indexed scoring equal a full rebuild")
-    // stats carried the increments: a second ensure is a no-op
+    // folding the delta into the base must not change a single score
+    Bm25.compactDeltas(spark, path)
+    val compacted = Bm25.scoreTopKIndexed(spark, path, terms, 15)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(compacted == direct,
+      "compaction must preserve scores exactly")
+    // stats carried the increments: a post-compact ensure is a no-op
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
@@ -82,6 +89,51 @@ class Bm25Spec extends SparkSpec {
     Bm25.ensurePostings(grown, path)
     assert(fs.getFileStatus(meta).getModificationTime == t1,
       "ensure over the grown corpus must see the appended index as current")
+  }
+
+  test("appendPostings is idempotent under replay and reader-safe " +
+      "across a crash between postings and stats") {
+    val all = Tables.documents(spark, sf0001)
+    val base = all.filter(col("doc_id") < 480)
+    val arrivals = all.filter(col("doc_id") >= 480)
+    val path = tmpDir("bm25-replay")
+    Bm25.ensurePostings(base, path)
+    val terms = Seq("window", "merge")
+    def indexed() = Bm25.scoreTopKIndexed(spark, path, terms, 15)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val baseOnly = Bm25.scoreTopK(base, terms, 15).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val grownDirect = Bm25.scoreTopK(all, terms, 15).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+    // CRASH SHAPE: postings dir lands, stats dir doesn't (the write
+    // order makes stats the commit marker). Simulated by writing the
+    // batch's postings half directly, as the ingest would, with no
+    // stats dir beside it.
+    val crashDir = s"${Bm25.deltaDir(path)}/batch=7"
+    arrivals
+      .select(col("doc_id"), explode(split(lower(col("text")),
+        "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(64))
+        .cast("int"))
+      .write.partitionBy("bucket").parquet(crashDir)
+    assert(indexed() == baseOnly,
+      "an uncommitted (stats-less) batch must be invisible to readers")
+
+    // REPLAY completes the same batch id: overwrites its own dirs
+    Bm25.appendPostings(arrivals, path, batchId = 7L)
+    assert(indexed() == grownDirect,
+      "replay after the crash must land the batch exactly once")
+
+    // SECOND replay of the same id: still exactly once
+    Bm25.appendPostings(arrivals, path, batchId = 7L)
+    assert(indexed() == grownDirect,
+      "replaying a committed append must not double-count")
   }
 
   test("a term absent from the corpus contributes nothing; all-absent " +

@@ -230,4 +230,59 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("doc 3") &&
       e.getMessage.contains("-8"))
   }
+
+  test("WavDecoder fails TAGGED on a chunk size near Int.MaxValue " +
+      "(offset-overflow regression)") {
+    // a non-data chunk claiming ~Int.MaxValue bytes used to overflow
+    // the offset advance into a negative off — an UNTAGGED
+    // StringIndexOutOfBounds from tag() instead of the doc_id-tagged
+    // loud failure the dead-letter hook relies on
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    b.put("junk".getBytes).putInt(Int.MaxValue - 4)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decodeWav(
+        Multimodal.MediaRecord(4L, b.array(), "wav"))
+    }
+    assert(e.getMessage.contains("doc 4") &&
+      e.getMessage.contains("overruns"))
+  }
+
+  test("WavDecoder tolerates a truncated FINAL data chunk (clamped " +
+      "sample walk), including an absurd size claim") {
+    // fmt chunk + a data chunk claiming far more bytes than present:
+    // the data walk clamps to the buffer, no untagged throw
+    val b = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(Int.MaxValue - 4)
+    b.putShort(16384).putShort(-16384) // 2 samples actually present
+    val f = Multimodal.WavDecoder.decodeWav(
+      Multimodal.MediaRecord(5L, b.array(), "wav"))
+    assert(f.features(0) == 8000.0 && f.features(1) == 1.0)
+    assert(f.features(2) == 2.0, "frame count must clamp to real bytes")
+  }
+
+  test("BmpDecoder fails TAGGED on a width claim that overflows the " +
+      "int row stride (rowBytes-overflow regression)") {
+    val img = bmpBytes(3, 2, Seq(
+      Seq((1, 2, 3), (1, 2, 3), (1, 2, 3)),
+      Seq((1, 2, 3), (1, 2, 3), (1, 2, 3))))
+    val bad = img.clone()
+    // width := 800M: (width*3+3) wraps negative in int; the old bounds
+    // require passed and the pixel loop died with an untagged AIOOBE
+    val bb = java.nio.ByteBuffer.wrap(bad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 800000000)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decodeBmp(
+        Multimodal.MediaRecord(8L, bad, "bmp"))
+    }
+    assert(e.getMessage.contains("doc 8") &&
+      e.getMessage.contains("corrupt BMP"))
+  }
 }
