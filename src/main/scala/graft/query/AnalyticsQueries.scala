@@ -146,18 +146,51 @@ object AnalyticsQueries {
 
     // CCNet head/middle/tail split (Wenzek et al. 2020): per-language
     // LM-score terciles — bucket 1 is the "head" a pre-training mix
-    // keeps preferentially. The ntile orders on the ROUNDED score
-    // (exactly what the oracle pairs on) with a doc_id tie-break, so
-    // bucket boundaries are engine-identical even where the unrounded
-    // double means differ in the last bits.
+    // keeps preferentially. THRESHOLD-bucketed, the shape CCNet itself
+    // uses, not a global rank: an ntile(3) window partitioned by lang
+    // funnels EVERY doc of a language through one task (billions at
+    // 100 TB — the full-sort-on-a-skewed-key scale-killer). Instead:
+    //   1. histogram the ROUNDED score per (lang, avg_loglik) — one
+    //      map-side-combined agg; distinct 3-decimal scores are
+    //      bounded by the score VALUE DOMAIN (a few thousand values),
+    //      independent of corpus size;
+    //   2. cumulative counts over that histogram (the only window —
+    //      its per-lang partition is the value-domain-bounded
+    //      distinct-score set, never the corpus);
+    //   3. cut points c1/c2 = the score at descending rank ceil(n/3)
+    //      / ceil(2n/3) — an exact order statistic: the largest score
+    //      whose cumulative count reaches the rank — as a |langs|-row
+    //      aggregate, broadcast;
+    //   4. bucket every doc by two comparisons in the scan's codegen
+    //      span. Ties at a cut all land in the better bucket (the
+    //      threshold semantics; exact and engine-portable, so the
+    //      DuckDB oracle formulates the SAME order statistic).
     "sample_quality_buckets" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val ll = TextAnalysis.unigramLogLik(docs, col("doc_id"),
         col("text"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("avg_loglik").desc, col("doc_id"))
-      ll.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .withColumn("bucket", ntile(3).over(w).cast("long"))
+      val j = ll.join(docs.select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      val hist = j.groupBy(col("lang"), col("avg_loglik"))
+        .agg(count(lit(1)).as("cnt"))
+      val wcum = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_loglik").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cuts = hist
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("lang"))))
+        .groupBy(col("lang"))
+        .agg(
+          max(when(col("cum") >= ceil(col("n") / 3.0),
+            col("avg_loglik"))).as("c1"),
+          max(when(col("cum") >= ceil(col("n") * 2.0 / 3.0),
+            col("avg_loglik"))).as("c2"))
+      j.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("avg_loglik") >= col("c1"), 1L)
+            .when(col("avg_loglik") >= col("c2"), 2L)
+            .otherwise(3L))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("words"),
@@ -605,6 +638,11 @@ object AnalyticsQueries {
         |  round(avg(ln(c)) - ln(n), 3) AS avg_loglik
         |FROM wf JOIN c USING(word) CROSS JOIN n
         |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // Same order statistic as the Spark side: c1/c2 = the score at
+    // descending rank ceil(n/3) / ceil(2n/3) per lang (formulated via
+    // row_number here — the ORACLE may sort; the registered plan must
+    // not), then threshold-bucket by comparison. Ties at a cut land in
+    // the better bucket on both engines.
     "sample_quality_buckets" ->
       """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
         |    '[^a-z]+')) AS word FROM documents),
@@ -614,10 +652,24 @@ object AnalyticsQueries {
         |ll AS (SELECT doc_id, count(*) AS n_words,
         |    round(avg(ln(c)) - ln(n), 3) AS avg_loglik
         |  FROM wf JOIN c USING(word) CROSS JOIN n GROUP BY doc_id, n),
-        |b AS (SELECT d.lang, ll.n_words, ll.avg_loglik,
-        |    ntile(3) OVER (PARTITION BY d.lang
-        |      ORDER BY ll.avg_loglik DESC, ll.doc_id) AS bucket
-        |  FROM ll JOIN documents d USING (doc_id))
+        |j AS (SELECT d.lang, ll.n_words, ll.avg_loglik
+        |  FROM ll JOIN documents d USING (doc_id)),
+        |r AS (SELECT lang, avg_loglik,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY avg_loglik DESC) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM j),
+        |cuts AS (SELECT lang,
+        |    max(CASE WHEN rk = CAST(ceil(n / 3.0) AS BIGINT)
+        |      THEN avg_loglik END) AS c1,
+        |    max(CASE WHEN rk = CAST(ceil(n * 2.0 / 3.0) AS BIGINT)
+        |      THEN avg_loglik END) AS c2
+        |  FROM r GROUP BY lang),
+        |b AS (SELECT j.lang, j.n_words, j.avg_loglik,
+        |    CASE WHEN j.avg_loglik >= cuts.c1 THEN 1
+        |         WHEN j.avg_loglik >= cuts.c2 THEN 2
+        |         ELSE 3 END AS bucket
+        |  FROM j JOIN cuts USING (lang))
         |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
         |  count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS words,
         |  min(avg_loglik) AS min_ll, max(avg_loglik) AS max_ll
