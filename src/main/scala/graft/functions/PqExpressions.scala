@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Product-quantization codebooks (Jégou et al. 2011, "Product
   * Quantization for Nearest Neighbor Search"): the embedding space is
@@ -21,7 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   */
 case class PqCodebooks(m: Int, k: Int, subDim: Int,
     cents: Array[Array[Array[Double]]],
-    centNormSq: Array[Array[Double]]) extends Serializable
+    centNormSq: Array[Array[Double]]) extends Serializable {
+  // codes persist as ONE byte per sub-space (the whole point of PQ at
+  // 100 TB is the scan-byte budget: m bytes vs 4m-and-overhead for an
+  // int array); k beyond a byte would silently alias codes
+  require(k <= 256, s"pq: k=$k codes do not fit byte-packed storage")
+}
 
 /** Per-query-set ADC lookup tables: `lut(q)(s)(j)` = dot(query_q's
   * sub-vector s, centroid j of sub-space s), plus each query's full
@@ -43,12 +48,16 @@ private[functions] object PqExpressions {
     }
 }
 
-/** `pq_encode(emb)`: the m sub-space codes of one embedding as
-  * array<int> — per sub-space, argmin_j |v_s - c_sj|², computed as
-  * argmin of (|c_sj|² - 2 v_s·c_sj) so the vector's own norm never
-  * enters; ties break to the lowest index (deterministic). Codebooks
-  * ride ONE broadcast probed per row — same broadcast-not-literals
-  * discipline as [[CentroidTopCells]] / [[LshSignatures]].
+/** `pq_encode(emb)`: the m sub-space codes of one embedding,
+  * BYTE-PACKED as `binary` (one unsigned byte per sub-space; k ≤ 256
+  * enforced by [[PqCodebooks]]) — at 100 TB the compressed scan IS
+  * the point of PQ, and an array<int> layout read ~4 B + array
+  * overhead per code where the information content is one byte. Per
+  * sub-space: argmin_j |v_s - c_sj|², computed as argmin of
+  * (|c_sj|² - 2 v_s·c_sj) so the vector's own norm never enters;
+  * ties break to the lowest index (deterministic). Codebooks ride ONE
+  * broadcast probed per row — same broadcast-not-literals discipline
+  * as [[CentroidTopCells]] / [[LshSignatures]].
   *
   * Non-nullable with a defined NULL-input identity (all-zero codes):
   * a nullable code column in a join key invites the
@@ -58,8 +67,7 @@ private[functions] object PqExpressions {
 case class PqEncode(child: Expression, books: Broadcast[PqCodebooks])
     extends UnaryExpression {
 
-  override def dataType: DataType =
-    ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
 
   override def nullable: Boolean = false
 
@@ -74,8 +82,8 @@ case class PqEncode(child: Expression, books: Broadcast[PqCodebooks])
 
   /** Public for the generated-code call-through (see
     * [[SimHash64.simhash]]). */
-  def encode(v: ArrayData): ArrayData = {
-    val codes = new Array[Int](cb.m)
+  def encode(v: ArrayData): Array[Byte] = {
+    val codes = new Array[Byte](cb.m)
     val n = v.numElements()
     var s = 0
     while (s < cb.m) {
@@ -97,13 +105,13 @@ case class PqEncode(child: Expression, books: Broadcast[PqCodebooks])
         if (score < bestScore) { bestScore = score; best = j }
         j += 1
       }
-      codes(s) = best
+      codes(s) = best.toByte // k <= 256: unsigned byte, read back & 0xff
       s += 1
     }
-    new GenericArrayData(codes)
+    codes
   }
 
-  def emptyCodes(): ArrayData = new GenericArrayData(new Array[Int](cb.m))
+  def emptyCodes(): Array[Byte] = new Array[Byte](cb.m)
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
@@ -114,13 +122,12 @@ case class PqEncode(child: Expression, books: Broadcast[PqCodebooks])
       ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqEncode", this,
       classOf[PqEncode].getName)
-    val ad = classOf[ArrayData].getName
     val childGen = child.genCode(ctx)
     ev.copy(code = code"""
       ${childGen.code}
-      $ad ${ev.value} = ${childGen.isNull}
+      byte[] ${ev.value} = ${childGen.isNull}
         ? $ref.emptyCodes()
-        : ($ad) $ref.encode(${childGen.value});""",
+        : $ref.encode(${childGen.value});""",
       isNull = FalseLiteral)
   }
 
@@ -148,21 +155,23 @@ case class PqAdcCosine(child: Expression, luts: Broadcast[PqAdcLut])
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_adc_cosine expects array<int> codes, got ${other.catalogString}")
+      s"pq_adc_cosine expects byte-packed binary codes, got " +
+        other.catalogString)
   }
 
   @transient private lazy val lut: PqAdcLut = luts.value
 
-  /** Public for the generated-code call-through. */
-  def cosines(codes: ArrayData): ArrayData = {
+  /** Public for the generated-code call-through. Codes are unsigned
+    * bytes ([[PqEncode]]). */
+  def cosines(codes: Array[Byte]): ArrayData = {
     val nq = lut.qids.length
     val m = lut.centNormSq.length
     var rnormSq = 0.0
     var s = 0
     while (s < m) {
-      rnormSq += lut.centNormSq(s)(codes.getInt(s))
+      rnormSq += lut.centNormSq(s)(codes(s) & 0xff)
       s += 1
     }
     val rnorm = math.sqrt(rnormSq)
@@ -172,7 +181,7 @@ case class PqAdcCosine(child: Expression, luts: Broadcast[PqAdcLut])
       var num = 0.0
       var t = 0
       val ql = lut.lut(q)
-      while (t < m) { num += ql(t)(codes.getInt(t)); t += 1 }
+      while (t < m) { num += ql(t)(codes(t) & 0xff); t += 1 }
       val den = lut.qnorms(q) * rnorm
       out(q) = if (den == 0.0) 0.0 else num / den
       q += 1
@@ -185,7 +194,8 @@ case class PqAdcCosine(child: Expression, luts: Broadcast[PqAdcLut])
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) emptyScores() else cosines(v.asInstanceOf[ArrayData])
+    if (v == null) emptyScores()
+    else cosines(v.asInstanceOf[Array[Byte]])
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -216,14 +226,13 @@ case class IvfPqBooks(books: PqCodebooks,
     cellCents: Array[Array[Double]]) extends Serializable
 
 /** `ivfpq_encode(emb, cell)`: residual PQ codes — quantize
-  * v - c_cell against the residual codebooks. Same argmin/tie/null
-  * discipline as [[PqEncode]]. */
+  * v - c_cell against the residual codebooks. Same argmin/tie/null/
+  * byte-packing discipline as [[PqEncode]]. */
 case class IvfPqEncode(left: Expression, right: Expression,
     payload: Broadcast[IvfPqBooks])
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
-  override def dataType: DataType =
-    ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
 
   override def nullable: Boolean = false
 
@@ -243,13 +252,13 @@ case class IvfPqEncode(left: Expression, right: Expression,
   }
 
   /** Public for the generated-code call-through. */
-  def encode(v: ArrayData, cell: Int): ArrayData = {
+  def encode(v: ArrayData, cell: Int): Array[Byte] = {
     val cb = p.books
     require(cell >= 0 && cell < p.cellCents.length,
       s"ivfpq_encode: cell $cell outside the ${p.cellCents.length}-cell " +
         "centroid table — stale index or wrong layout")
     val cent = p.cellCents(cell)
-    val codes = new Array[Int](cb.m)
+    val codes = new Array[Byte](cb.m)
     val n = v.numElements()
     var s = 0
     while (s < cb.m) {
@@ -273,14 +282,13 @@ case class IvfPqEncode(left: Expression, right: Expression,
         if (score < bestScore) { bestScore = score; best = j }
         j += 1
       }
-      codes(s) = best
+      codes(s) = best.toByte
       s += 1
     }
-    new GenericArrayData(codes)
+    codes
   }
 
-  def emptyCodes(): ArrayData =
-    new GenericArrayData(new Array[Int](p.books.m))
+  def emptyCodes(): Array[Byte] = new Array[Byte](p.books.m)
 
   override def eval(input: InternalRow): Any = {
     val v = left.eval(input)
@@ -293,15 +301,14 @@ case class IvfPqEncode(left: Expression, right: Expression,
       ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ivfPqEncode", this,
       classOf[IvfPqEncode].getName)
-    val ad = classOf[ArrayData].getName
     val lGen = left.genCode(ctx)
     val rGen = right.genCode(ctx)
     ev.copy(code = code"""
       ${lGen.code}
       ${rGen.code}
-      $ad ${ev.value} = (${lGen.isNull} || ${rGen.isNull})
+      byte[] ${ev.value} = (${lGen.isNull} || ${rGen.isNull})
         ? $ref.emptyCodes()
-        : ($ad) $ref.encode(${lGen.value}, ${rGen.value});""",
+        : $ref.encode(${lGen.value}, ${rGen.value});""",
       isNull = FalseLiteral)
   }
 
@@ -341,17 +348,18 @@ case class IvfPqAdcCosine(left: Expression, right: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (IntegerType, ArrayType(IntegerType, _)) =>
+      case (IntegerType, BinaryType) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"ivfpq_adc_cosine expects (int, array<int>), got " +
+        s"ivfpq_adc_cosine expects (int, binary codes), got " +
           s"(${l.catalogString}, ${r.catalogString})")
     }
 
   @transient private lazy val lut: IvfPqLut = luts.value
 
-  /** Public for the generated-code call-through. */
-  def cosines(cell: Int, codes: ArrayData): ArrayData = {
+  /** Public for the generated-code call-through. Codes are unsigned
+    * bytes ([[IvfPqEncode]]). */
+  def cosines(cell: Int, codes: Array[Byte]): ArrayData = {
     require(cell >= 0 && cell < lut.cellNormSq.length,
       s"ivfpq_adc_cosine: cell $cell outside the " +
         s"${lut.cellNormSq.length}-cell table")
@@ -359,7 +367,7 @@ case class IvfPqAdcCosine(left: Expression, right: Expression,
     var rnormSq = lut.cellNormSq(cell)
     var s = 0
     while (s < m) {
-      rnormSq += lut.rnormPart(cell)(s)(codes.getInt(s))
+      rnormSq += lut.rnormPart(cell)(s)(codes(s) & 0xff)
       s += 1
     }
     // FP cancellation can push a near-zero reconstructed norm a hair
@@ -372,7 +380,7 @@ case class IvfPqAdcCosine(left: Expression, right: Expression,
       var num = lut.qdotcell(q)(cell)
       val ql = lut.lutR(q)
       var t = 0
-      while (t < m) { num += ql(t)(codes.getInt(t)); t += 1 }
+      while (t < m) { num += ql(t)(codes(t) & 0xff); t += 1 }
       val den = lut.qnorms(q) * rnorm
       out(q) = if (den == 0.0) 0.0 else num / den
       q += 1
@@ -387,7 +395,7 @@ case class IvfPqAdcCosine(left: Expression, right: Expression,
     val c = left.eval(input)
     val v = right.eval(input)
     if (v == null || c == null) emptyScores()
-    else cosines(c.asInstanceOf[Int], v.asInstanceOf[ArrayData])
+    else cosines(c.asInstanceOf[Int], v.asInstanceOf[Array[Byte]])
   }
 
   override protected def doGenCode(ctx: CodegenContext,

@@ -10,11 +10,12 @@ import graft.functions.PqFunctions.{pq_adc_cosine, pq_encode}
 /** Product-quantization ANN (Jégou et al. 2011) — the compression rung
   * between int8 ([[Similarity.quantize]], 4× vs float) and the
   * cell-pruning families (LSH / IVF): vectors become m sub-space
-  * centroid codes (m=8 ints over dim 64 — the SCAN reads ~32 B of
-  * codes instead of 256 B of floats, and a production byte-packed
-  * layout would read 5 B), and queries score the whole corpus through
-  * per-query lookup tables without touching a float embedding
-  * (asymmetric distance computation — the query side stays exact).
+  * centroid codes BYTE-PACKED into one `binary` value (m=16/k=64
+  * defaults — the SCAN reads 16 bytes of codes instead of 256 B of
+  * floats; k ≤ 256 is enforced so a code is always one unsigned
+  * byte), and queries score the whole corpus through per-query lookup
+  * tables without touching a float embedding (asymmetric distance
+  * computation — the query side stays exact).
   *
   * 100 TB shape, stage by stage:
   *  - TRAIN reads one bounded deterministic sample (`sampleCap` rows,

@@ -208,7 +208,9 @@ object VectorIndex {
     * grown base. */
   private def pqFingerprint(spark: SparkSession, path: String, m: Int,
       k: Int): String =
-    s"base=${spark.read.parquet(s"$path/cells").count()};m=$m;k=$k"
+    // layout=b1 = byte-packed binary codes: a code table persisted
+    // under the old array<int> layout must rebuild, not type-mismatch
+    s"base=${spark.read.parquet(s"$path/cells").count()};m=$m;k=$k;layout=b1"
 
   private def pqCurrent(spark: SparkSession, path: String, m: Int,
       k: Int): Boolean = {

@@ -62,7 +62,7 @@ object PqProps extends Properties("Pq") {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(
           org.apache.spark.sql.functions.lit(1)), sc.broadcast(cb))
       val got = expr.encode(new GenericArrayData(v.map(_.toDouble)))
-        .toIntArray().toSeq
+        .map(_ & 0xff).toSeq
       got == naiveEncode(v, cb).toSeq
     }
 
@@ -89,7 +89,7 @@ object PqProps extends Properties("Pq") {
       val got = adc.cosines(codes).toDoubleArray()(0)
       // naive: reconstruct v-hat from the codes, cosine directly
       val vhat = Array.tabulate(Dim)(i =>
-        cb.cents(i / SubDim)(codes.getInt(i / SubDim))(i % SubDim))
+        cb.cents(i / SubDim)(codes(i / SubDim) & 0xff)(i % SubDim))
       val num = (0 until Dim).map(i => qd(i) * vhat(i)).sum
       val den = qnorm * math.sqrt(vhat.map(x => x * x).sum)
       val want = if (den == 0.0) 0.0 else num / den

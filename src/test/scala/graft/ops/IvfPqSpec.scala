@@ -60,8 +60,14 @@ class IvfPqSpec extends SparkSpec {
       }
   }
 
-  test("the code scan is partition-pruned and never reads embeddings") {
-    val plan = spark.read.parquet(s"$path/pq_cells")
+  test("the code scan is partition-pruned, byte-packed, and never " +
+      "reads embeddings") {
+    val cellsDf = spark.read.parquet(s"$path/pq_cells")
+    assert(cellsDf.schema("code").dataType ==
+      org.apache.spark.sql.types.BinaryType,
+      "persisted codes must be binary (m bytes/row) — the 4–8x " +
+        "scan-byte win is the reason PQ exists at 100 TB")
+    val plan = cellsDf
       .select(col("vec_id"), col("code"), col("cell"))
       .filter(col("cell").isin(0, 1))
       .queryExecution.executedPlan.toString
@@ -69,6 +75,63 @@ class IvfPqSpec extends SparkSpec {
       s"probe scan not partition-pruned:\n$plan")
     assert(!plan.contains("embedding"),
       "pq_cells scan must not touch a float embedding column")
+  }
+
+  test("the probe's pq_cells scan reads ONLY (vec_id, binary code) + " +
+      "the cell partition column — across every staged job") {
+    // the verdict-demanded schema pin: the ADC stage's ReadSchema must
+    // be exactly the code layout — embeddings appear ONLY in the
+    // rerank scan over `cells`. The ADC shortlist is staged inside
+    // queryIvfPq, so its scan never appears in the RETURNED frame's
+    // plan; a QueryExecutionListener sees every fired plan instead.
+    // text matching, not a plan-node collect: AQE wraps materialized
+    // stages in leaf QueryStageExec nodes that foreach never descends
+    // into, but explainString prints the full nested tree
+    val scanRe =
+      ("FileScan parquet [^\\n]*pq_cells[^\\n]*" +
+        "ReadSchema: (struct<[^>\\n]*>)").r
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val plan = qe.explainString(
+            org.apache.spark.sql.execution.SimpleMode)
+          .split("== Initial Plan ==").head
+        scanRe.findAllMatchIn(plan).foreach(m => seen.add(m.group(1)))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // parquet stage mode routes the staged ADC shortlist through a
+      // write action the listener can see (the localCheckpoint
+      // default hides staged jobs from plan inspection — the
+      // PlanShapeSpec countColumnScans discipline)
+      spark.conf.set(graft.scale.Staging.ModeConf, "parquet")
+      spark.conf.set(graft.scale.Staging.DirConf, tmpDir("ivfpq-pin"))
+      VectorIndex.queryIvfPq(spark, path, queries, 10).collect()
+      // the listener bus is async — wait for the pq_cells scan plan
+      var waited = 0
+      while (seen.isEmpty && waited < 10000) {
+        Thread.sleep(250); waited += 250
+      }
+    } finally {
+      spark.conf.set(graft.scale.Staging.ModeConf, "local")
+      spark.listenerManager.unregister(listener)
+    }
+    val schemas = seen.toArray(Array.empty[String]).toSet
+    assert(schemas.nonEmpty, "probe must scan pq_cells")
+    // the coverage count() probes read no columns; the ADC scan reads
+    // vec_id + binary code; NO pq_cells scan may touch an embedding
+    assert(schemas.exists(s => s.contains("code:binary") &&
+        s.contains("vec_id:bigint")),
+      s"ADC scan must read the compressed layout, saw: $schemas")
+    assert(schemas.forall(s => !s.contains("embedding")),
+      s"pq_cells scans must never read embeddings, saw: $schemas")
   }
 
   test("every probed vector is scored: streamed deltas before " +

@@ -9,21 +9,25 @@ class PqSpec extends SparkSpec {
   private def emb = Tables.embeddings(spark, sf0001)
   private def queries = emb.filter(col("vec_id") < 8)
 
-  test("codes are in range, deterministic, and the encode plan is a " +
-      "narrow map") {
+  test("codes are byte-packed binary (m bytes), in range, " +
+      "deterministic, and the encode plan is a narrow map") {
     val enc = Pq.encode(emb)
+    assert(enc.schema("code").dataType ==
+      org.apache.spark.sql.types.BinaryType,
+      "codes must persist as binary — the compressed scan is PQ's point")
     val plan = enc.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"encode shuffles:\n$plan")
     val rows = enc.collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      val code = r.getSeq[Int](1)
+      val code = r.getAs[Array[Byte]](1)
       assert(code.length == 16)
-      assert(code.forall(c => c >= 0 && c < 64))
+      assert(code.forall(c => (c & 0xff) >= 0 && (c & 0xff) < 64))
     }
     val again = Pq.encode(emb).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    val first = rows.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val first = rows.map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(first == again, "encoding must be deterministic")
   }
 

@@ -44,8 +44,9 @@ class PlanShapeSpec extends SparkSpec {
     Set("sim_cosine_topk", "sim_cosine_topk_int8", "join_cross_dims",
       "text_unigram_loglik", "q22_dormant_customers",
       "q11_important_parts", "retrieval_bm25", "retrieval_bm25_indexed",
-      "retrieval_bm25_batch", "sample_quality_buckets",
-      "retrieval_hybrid_rrf")
+      "retrieval_bm25_batch", "retrieval_bm25_indexed_batch",
+      "sample_quality_buckets", "retrieval_hybrid_rrf",
+      "retrieval_hybrid_rrf_batch")
 
   test("no quadratic join in any registered non-oracle query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -251,6 +252,27 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(n > 0 && n <= 2,
       s"capstone scanned documents.text $n times (contract: <= 2)")
+  }
+
+  test("quality buckets: no per-language rank window — every window " +
+      "consumes the value-domain-bounded histogram, not corpus rows") {
+    // the CCNet tercile split is THRESHOLD-bucketed: an ntile(3)
+    // window partitioned by lang would funnel every doc of a language
+    // through one task (billions at 100 TB). The only admissible
+    // windows sit ABOVE the (lang, avg_loglik) histogram aggregate,
+    // whose per-lang partition is bounded by the distinct rounded
+    // scores (the value domain), independent of corpus size.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = SparkEntry.queries("sample_quality_buckets")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    assert(!plan.toString.contains("ntile"),
+      "threshold bucketing must not rank a whole language partition")
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "the histogram cumsum window must exist")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window over non-aggregated (corpus-sized) input:\n$w")
+    }
   }
 
   test("repeated-span detect+cut reads the text column at most twice") {
