@@ -100,6 +100,17 @@ object Bm25 {
       .join(broadcast(termSet), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    scoreBatch(tf, lengths, corpusStats, qterms, k, k1, b)
+  }
+
+  /** The batch scoring tail shared by the direct and indexed batch
+    * paths: per-term df + idf (broadcast), per-(query, doc) score sum,
+    * per-query rank window (shuffle key query_id — queries
+    * parallelize; rank ≤ k prunes below the shuffle via
+    * WindowGroupLimit). */
+  private def scoreBatch(tf: DataFrame, lengths: DataFrame,
+      corpusStats: DataFrame, qterms: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(corpusStats))
       .select(col("term"),
@@ -441,5 +452,59 @@ object Bm25 {
     }
     score(tf.select(col("doc_id"), col("term"), col("tf")), df,
       lengths, corpusStats, k, k1, b)
+  }
+
+  /** Queries are the driver-side pruning input (their term union
+    * resolves the bucket IN-list); bound the collect like every other
+    * bounded driver read in this engine. */
+  private[ops] val MaxBatchQueries = 1024
+
+  /** MANY queries against the persisted postings in ONE pruned probe —
+    * the production retrieval-service shape composed with the index
+    * layout: the bucket IN-list is the UNION of all queries' term
+    * buckets (one partition-pruned scan serves the whole batch), the
+    * exact-term filter keeps the union's terms, and the scoring tail
+    * is the same per-(query, doc) math as [[scoreTopKBatch]] — so
+    * batch-indexed, batch-direct, and the per-query single calls all
+    * agree bit-for-bit (spec-pinned; batch-direct pairs against the
+    * DuckDB oracle). Streamed delta batches probe alongside the base
+    * under one committed-id snapshot, exactly as [[scoreTopKIndexed]].
+    */
+  def scoreTopKIndexedBatch(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qrows = queries.select(col("query_id"), col("terms"))
+      .limit(MaxBatchQueries + 1).collect()
+    require(qrows.length <= MaxBatchQueries,
+      s"bm25 batch: query set exceeds the $MaxBatchQueries " +
+        "bounded-collect cap")
+    val pairs = qrows.flatMap(r => r.getSeq[String](1)
+      .map(t => (r.getString(0), t))).distinct.toSeq
+    require(pairs.nonEmpty, "bm25 batch: no query terms")
+    val terms = pairs.map(_._2).distinct
+    val buckets = terms.map(bucketOfTerm).distinct.sorted
+    import spark.implicits._
+    val qterms = pairs.toDF("query_id", "term")
+    val base = spark.read.parquet(s"$path/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("bucket"))
+    def pruned(rows: DataFrame): DataFrame = rows
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val ids = completeBatchIds(spark, path)
+    val tfAll = deltaPostingsOf(spark, path, ids) match {
+      case None => pruned(base)
+      case Some(delta) => pruned(base).unionByName(pruned(delta))
+    }
+    val lengths = tfAll.select(col("doc_id"), col("dl")).distinct()
+    val baseStats = spark.read.parquet(s"$path/stats")
+    val corpusStats = deltaStatTotalsOf(spark, path, ids) match {
+      case None => baseStats
+      case Some((nd, tdl, _)) =>
+        baseStats.select((col("n_docs") + nd).as("n_docs"),
+          (col("total_dl") + tdl).as("total_dl"))
+    }
+    scoreBatch(tfAll.select(col("doc_id"), col("term"), col("tf")),
+      lengths, corpusStats, qterms, k, k1, b)
   }
 }

@@ -34,4 +34,28 @@ object Rrf {
     val w = Window.orderBy(col("rrf").desc, col("doc_id"))
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Per-query fusion for BATCHED retrieval (each list
+    * `(query_id, doc_id, rank)`): the RRF sum keys on
+    * (query_id, doc_id), and ranking is a per-query window — the
+    * shuffle key is query_id, so queries parallelize and no global
+    * sort exists. Input lists are top-k-bounded per query by their
+    * retrievers, so the fused frame is at most
+    * |queries| x Σ|lists| x k rows, and the rank ≤ k filter prunes
+    * below the shuffle (WindowGroupLimit). Fusing one batch equals
+    * running [[fuse]] per query (spec-pinned): same sum, same
+    * rounding, same tie order.
+    */
+  def fuseBatch(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrf: no lists to fuse")
+    val contributions = lists.map(_.select(col("query_id"), col("doc_id"),
+      (lit(1.0) / (lit(c) + col("rank"))).as("w")))
+    val fused = contributions.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("w")), 6).as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -173,6 +173,62 @@ class Bm25Spec extends SparkSpec {
       "N must count token-having docs only")
   }
 
+  test("indexed batch: one bucket-pruned probe serves all queries, " +
+      "bit-identical to the direct batch AND per-query indexed calls") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val path = tmpDir("bm25-ibatch")
+    Bm25.ensurePostings(docs, path)
+    val qdefs = Seq(
+      ("kj", Seq("key", "join", "scan")),
+      ("wm", Seq("window", "merge")))
+    val qs = qdefs.toDF("query_id", "terms")
+    val ib = Bm25.scoreTopKIndexedBatch(spark, path, qs, 12)
+    // pruned probe: the bucket IN-list must reach PartitionFilters,
+    // and the corpus text is never touched
+    val plan = ib.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r
+        .findFirstIn(plan).isDefined,
+      s"batch probe not partition-pruned:\n$plan")
+    assert(!plan.contains("text#"),
+      "indexed batch must never read the corpus text column")
+    val got = ib.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val direct = Bm25.scoreTopKBatch(docs, qs, 12).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == direct,
+      "indexed batch must equal the direct batch bit-for-bit")
+    for ((qid, terms) <- qdefs) {
+      val single = Bm25.scoreTopKIndexed(spark, path, terms, 12)
+        .collect()
+        .map(r => (qid, r.getLong(0)) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      assert(got.view.filterKeys(_._1 == qid).toMap == single,
+        s"indexed batch for $qid diverges from the single-query probe")
+    }
+  }
+
+  test("indexed batch sees committed deltas under one snapshot " +
+      "(appended docs score immediately, batch == grown direct batch)") {
+    import spark.implicits._
+    val all = Tables.documents(spark, sf0001)
+    val base = all.filter(col("doc_id") < 480)
+    val path = tmpDir("bm25-ibatch-delta")
+    Bm25.ensurePostings(base, path)
+    Bm25.appendPostings(all.filter(col("doc_id") >= 480), path, 0L)
+    val qs = Seq(("wm", Seq("window", "merge"))).toDF("query_id", "terms")
+    val got = Bm25.scoreTopKIndexedBatch(spark, path, qs, 15).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val direct = Bm25.scoreTopKBatch(all, qs, 15).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == direct,
+      "batch probe must score base + committed deltas exactly")
+  }
+
   test("batch retrieval equals per-query single calls exactly") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)

@@ -254,6 +254,20 @@ class PlanShapeSpec extends SparkSpec {
       s"capstone scanned documents.text $n times (contract: <= 2)")
   }
 
+  test("registered indexed-BM25 probes (single + batch) carry the " +
+      "bucket IN-list as a partition filter and never read text") {
+    for (name <- Seq("retrieval_bm25_indexed",
+        "retrieval_bm25_indexed_batch")) {
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bucket".r
+          .findFirstIn(plan).isDefined,
+        s"$name: postings scan not partition-pruned:\n$plan")
+      assert(!plan.contains("text#"),
+        s"$name must never read the corpus text column at query time")
+    }
+  }
+
   test("quality buckets: no per-language rank window — every window " +
       "consumes the value-domain-bounded histogram, not corpus rows") {
     // the CCNet tercile split is THRESHOLD-bucketed: an ntile(3)
