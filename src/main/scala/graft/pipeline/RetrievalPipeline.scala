@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructField, StructType}
+
+import graft.ops.{Bm25, Rrf, VectorIndex}
+
+/** The retrieval stack's incremental story end-to-end: ONE document
+  * stream (text + embedding per doc) maintains BOTH halves of a hybrid
+  * retrieval index — BM25 postings deltas ([[PostingsPipeline]]'s
+  * layout) and IVF cell deltas ([[VectorIngestPipeline]]'s layout) —
+  * and [[hybridTopK]] probes both mid-stream, immediately and exactly:
+  *
+  *  - Exactly-once per store: each micro-batch lands batchId-keyed in
+  *    BOTH delta layouts; a replayed batch overwrites its own dirs on
+  *    each side independently, so a crash between the two store writes
+  *    is healed by the replay (the lexical write is itself
+  *    postings-then-stats committed; the vector write is a single
+  *    overwrite).
+  *  - Probe-compatible: term-bucket pruning applies to postings deltas
+  *    and cell pruning to vector deltas exactly as to base files, so
+  *    an arrived document is retrievable by keyword AND by similarity
+  *    the moment its batch commits — no rebuild, no refresh job.
+  *  - Compaction-neutral: folding either side's deltas into its base
+  *    ([[Bm25.compactDeltas]] / [[VectorIngestPipeline.compactDeltas]])
+  *    changes no probe answer (spec-pinned pre/post equality).
+  *
+  * This is the maintenance loop of a production RAG serving index
+  * expressed as pure data layouts — no index server, just partitioned
+  * files both probes prune.
+  */
+object RetrievalPipeline {
+
+  /** Arriving-document schema: text and embedding ride one record. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** One micro-batch into both stores. Both writes are batchId-keyed
+    * and idempotent; order is lexical-then-vector, but replay heals
+    * either-half crashes so the order is not load-bearing. */
+  def ingestBatch(batch: DataFrame, bmPath: String, ivfPath: String,
+      batchId: Long): Unit = {
+    Bm25.ingestBatch(batch.select(col("doc_id"), col("text")),
+      bmPath, batchId)
+    VectorIngestPipeline.ingestBatch(
+      batch.select(col("doc_id").as("vec_id"), col("embedding")),
+      ivfPath, batchId)
+  }
+
+  /** Start the ingest stream over a JSON drop directory. Both base
+    * indexes must already exist ([[Bm25.ensurePostings]],
+    * [[VectorIndex.ensureIvf]]) — arrivals extend built indexes. */
+  def start(spark: SparkSession, srcDir: String, bmPath: String,
+      ivfPath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(docSchema).json(srcDir)
+      .writeStream
+      .queryName("retrieval-ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, bmPath, ivfPath, batchId)
+      }
+      .start()
+
+  /** Hybrid probe of the LIVE index (base + committed deltas on both
+    * sides): BM25 top-`perList` by `terms`, dense IVF top-`perList`
+    * by `queryVec` (a one-row (vec_id, embedding) frame), fused by
+    * reciprocal rank into the top `k`. */
+  def hybridTopK(spark: SparkSession, bmPath: String, ivfPath: String,
+      terms: Seq[String], queryVec: DataFrame, k: Int,
+      perList: Int = 20, nProbe: Int = 4): DataFrame = {
+    val lex = Bm25.scoreTopKIndexed(spark, bmPath, terms, perList)
+      .select(col("doc_id"), col("rank"))
+    val dense = VectorIndex.queryIvf(spark, ivfPath, queryVec,
+        perList, nProbe)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Rrf.fuse(Seq(lex, dense), k)
+  }
+
+  /** Fold both sides' deltas into their bases. Maintenance op — run
+    * with no ingest replay in flight (each side's documented compact
+    * contract). Probe answers are identical before and after. */
+  def compact(spark: SparkSession, bmPath: String,
+      ivfPath: String): Unit = {
+    Bm25.compactDeltas(spark, bmPath)
+    VectorIngestPipeline.compactDeltas(spark, ivfPath)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.ops.{Bm25, Rrf, Similarity, VectorIndex}
+
+/** The retrieval stack's incremental capstone: one document stream
+  * (text + embedding) maintains BM25 postings deltas AND IVF cell
+  * deltas; a hybrid probe mid-stream retrieves arrived docs by keyword
+  * and by similarity immediately and exactly; compacting both sides
+  * changes no answer; a replayed batch changes no answer.
+  */
+class RetrievalPipelineSpec extends SparkSpec {
+
+  private val terms = Seq("window", "merge")
+
+  test("stream once, probe hybrid, compact both sides, re-probe: " +
+      "identical answers throughout, arrivals retrievable both ways") {
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val baseDocs = docs.filter(col("doc_id") < 470)
+    val baseVecs = emb.filter(col("vec_id") < 470)
+    val bmPath = tmpDir("retr-bm25")
+    val ivfPath = tmpDir("retr-ivf")
+    Bm25.ensurePostings(baseDocs, bmPath)
+    VectorIndex.ensureIvf(baseVecs, ivfPath)
+
+    // arrivals 470..499 carry text AND embedding in one record
+    val arrivals = docs.filter(col("doc_id") >= 470)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val src = tmpDir("retr-drop")
+    val ckpt = tmpDir("retr-ckpt")
+    Files.write(Paths.get(src, "b0.json"),
+      arrivals.toJSON.collect().mkString("\n").getBytes)
+    RetrievalPipeline.start(spark, src, bmPath, ivfPath, ckpt)
+      .awaitTermination(120000)
+
+    // query vector = arrival 480's embedding under a fresh id, so
+    // self-exclusion cannot hide it: the nearest neighbor exists ONLY
+    // in the vector delta, and must surface densely at sim 1.0
+    val probe = emb.filter(col("vec_id") === 480)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val denseTop = VectorIndex.queryIvf(spark, ivfPath, probe, 1)
+      .collect().head
+    assert((denseTop.getLong(1), denseTop.getDouble(2)) == ((480L, 1.0)),
+      "an arrived vector must be densely retrievable mid-stream")
+
+    // the lexical side over the live index equals a full rebuild
+    val lexDirect = Bm25.scoreTopK(docs, terms, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val lexLive = Bm25.scoreTopKIndexed(spark, bmPath, terms, 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(lexLive == lexDirect,
+      "arrived docs must score lexically like a full rebuild")
+
+    def hybrid(): Seq[(Long, Double, Long)] =
+      RetrievalPipeline.hybridTopK(spark, bmPath, ivfPath, terms,
+          probe, 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+        .sortBy(_._3)
+    val preCompact = hybrid()
+    assert(preCompact.nonEmpty)
+
+    // the hybrid probe must BE the fusion of its two live lists —
+    // pinning that both sides feed the fusion mid-stream
+    val expectedFuse = Rrf.fuse(Seq(
+        Bm25.scoreTopKIndexed(spark, bmPath, terms, 20)
+          .select(col("doc_id"), col("rank")),
+        VectorIndex.queryIvf(spark, ivfPath, probe, 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      .sortBy(_._3)
+    assert(preCompact == expectedFuse)
+
+    // replayed batch (crash-replay analog): same id, same rows, both
+    // stores — no answer may move
+    RetrievalPipeline.ingestBatch(arrivals, bmPath, ivfPath, 0L)
+    assert(hybrid() == preCompact,
+      "a replayed batch must overwrite itself in BOTH stores")
+
+    // compact BOTH sides, re-probe: answer-neutral
+    RetrievalPipeline.compact(spark, bmPath, ivfPath)
+    assert(hybrid() == preCompact,
+      "compaction of either store must change no probe answer")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        Bm25.deltaDir(bmPath))) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(
+        VectorIngestPipeline.deltaDir(ivfPath))),
+      "compaction retires both delta trees")
+
+    // and the dense planted arrival still surfaces from the base
+    val denseAfter = VectorIndex.queryIvf(spark, ivfPath, probe, 1)
+      .collect().head
+    assert((denseAfter.getLong(1), denseAfter.getDouble(2))
+      == ((480L, 1.0)))
+  }
+
+  test("similarity probes prune delta files like base files (cell " +
+      "partition filter on both sides of the union)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val bmPath = tmpDir("retr2-bm25")
+    val ivfPath = tmpDir("retr2-ivf")
+    Bm25.ensurePostings(
+      Tables.documents(spark, sf0001).filter(col("doc_id") < 490),
+      bmPath)
+    VectorIndex.ensureIvf(emb.filter(col("vec_id") < 490), ivfPath)
+    RetrievalPipeline.ingestBatch(
+      Tables.documents(spark, sf0001).filter(col("doc_id") >= 490)
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("embedding")),
+      bmPath, ivfPath, 0L)
+    val probe = emb.filter(col("vec_id") === 3)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val plan = VectorIndex.queryIvf(spark, ivfPath, probe, 5)
+      .queryExecution.executedPlan.toString
+    // both the base scan and the delta scan must carry the cell
+    // partition filter
+    val prunedScans = "PartitionFilters: \\[[^\\]]*cell".r
+      .findAllIn(plan).size
+    assert(prunedScans >= 2,
+      s"expected cell pruning on base AND delta scans:\n$plan")
+  }
+}
