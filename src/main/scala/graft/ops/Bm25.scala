@@ -456,8 +456,10 @@ object Bm25 {
 
   /** Queries are the driver-side pruning input (their term union
     * resolves the bucket IN-list); bound the collect like every other
-    * bounded driver read in this engine. */
-  private[ops] val MaxBatchQueries = 1024
+    * bounded driver read in this engine. Shared with
+    * [[graft.pipeline.RetrievalPipeline.hybridTopKBatch]] so the
+    * hybrid and lexical batch caps can't drift. */
+  private[graft] val MaxBatchQueries = 1024
 
   /** MANY queries against the persisted postings in ONE pruned probe —
     * the production retrieval-service shape composed with the index

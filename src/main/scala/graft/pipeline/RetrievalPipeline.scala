@@ -90,4 +90,48 @@ object RetrievalPipeline {
     Bm25.compactDeltas(spark, bmPath)
     VectorIngestPipeline.compactDeltas(spark, ivfPath)
   }
+
+  /** BATCHED hybrid probe — the full retrieval-service request shape:
+    * `queries` = (query_id string, terms array<string>, embedding
+    * array<float>), one row per hybrid query. The lexical side is ONE
+    * bucket-pruned postings probe for the whole batch
+    * ([[Bm25.scoreTopKIndexedBatch]]); the dense side is ONE
+    * cell-pruned probe of the IVF layout (per-query synthetic vec ids
+    * far above the corpus id space, so self-exclusion can never hide
+    * a corpus row); fusion keys on (query_id, doc_id)
+    * ([[Rrf.fuseBatch]]). Equals a per-query [[hybridTopK]] loop
+    * exactly (spec-pinned), at a fraction of the scans.
+    */
+  def hybridTopKBatch(spark: SparkSession, bmPath: String,
+      ivfPath: String, queries: DataFrame, k: Int, perList: Int = 20,
+      nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val lex = Bm25.scoreTopKIndexedBatch(spark, bmPath,
+        queries.select(col("query_id"), col("terms")), perList)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qrows = queries.select(col("query_id"), col("embedding"))
+      .limit(Bm25.MaxBatchQueries + 1).collect()
+    require(qrows.length <= Bm25.MaxBatchQueries,
+      s"hybrid batch: query set exceeds the ${Bm25.MaxBatchQueries} " +
+        "bounded-collect cap")
+    // synthetic probe ids: SyntheticBase + position — disjoint from
+    // any corpus vec_id by construction (ids are row positions in
+    // this engine's testdata and bounded far below this base)
+    val idMap = qrows.zipWithIndex
+      .map { case (r, i) => (SyntheticBase + i, r.getString(0)) }.toSeq
+      .toDF("qvec_id", "query_id")
+    val qvecs = qrows.zipWithIndex.map { case (r, i) =>
+      (SyntheticBase + i, r.getSeq[Float](1))
+    }.toSeq.toDF("vec_id", "embedding")
+    val dense = VectorIndex.queryIvf(spark, ivfPath, qvecs, perList,
+        nProbe)
+      .select(col("query_id").as("qvec_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+      .join(broadcast(idMap), Seq("qvec_id"))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    Rrf.fuseBatch(Seq(lex, dense), k)
+  }
+
+  /** Base for synthetic dense-probe ids in [[hybridTopKBatch]]. */
+  private val SyntheticBase = 1L << 40
 }

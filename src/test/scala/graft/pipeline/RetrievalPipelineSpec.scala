@@ -105,6 +105,43 @@ class RetrievalPipelineSpec extends SparkSpec {
       == ((480L, 1.0)))
   }
 
+  test("hybridTopKBatch equals a per-query hybridTopK loop exactly — " +
+      "one pruned probe per side serves the whole batch") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val bmPath = tmpDir("retr3-bm25")
+    val ivfPath = tmpDir("retr3-ivf")
+    Bm25.ensurePostings(docs, bmPath)
+    VectorIndex.ensureIvf(emb, ivfPath)
+    val qdefs = Seq(
+      ("kj", Seq("key", "join", "scan"), 0L),
+      ("wm", Seq("window", "merge"), 1L))
+    val embOf = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val queries = qdefs
+      .map { case (qid, terms, vid) => (qid, terms, embOf(vid)) }
+      .toDF("query_id", "terms", "embedding")
+    val batch = RetrievalPipeline.hybridTopKBatch(spark, bmPath,
+        ivfPath, queries, 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    for ((qid, terms, vid) <- qdefs) {
+      // same synthetic-id discipline as the batch path, so dense
+      // self-exclusion behaves identically
+      val probe = Seq(((1L << 40) + 7L, embOf(vid)))
+        .toDF("vec_id", "embedding")
+      val single = RetrievalPipeline.hybridTopK(spark, bmPath,
+          ivfPath, terms, probe, 10)
+        .collect()
+        .map(r => (qid, r.getLong(0)) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      assert(batch.view.filterKeys(_._1 == qid).toMap == single,
+        s"batched hybrid for $qid diverges from the per-query probe")
+    }
+  }
+
   test("similarity probes prune delta files like base files (cell " +
       "partition filter on both sides of the union)") {
     val emb = Tables.embeddings(spark, sf0001)
