@@ -287,6 +287,63 @@ object StreamBench {
       s""""value":$bmRate,"unit":"docs/sec","docs":$nArrivals,""" +
       s""""seconds":$bmSec}""")
 
+    // Streaming hybrid retrieval maintenance: ONE stream of documents
+    // (text + embedding per record) feeds BOTH index halves through
+    // RetrievalPipeline — BM25 postings deltas AND IVF cell deltas.
+    // The metric prices tokenize + centroid-assign + two batchId-keyed
+    // delta writes per doc; a post-ingest hybrid probe sanity-checks
+    // that arrivals are retrievable by keyword AND by similarity.
+    locally {
+      import spark.implicits._
+      val dim = 32
+      def vec(idSeed: Long): Array[Float] = {
+        val r = new scala.util.Random(idSeed)
+        Array.fill(dim)(r.nextFloat() * 2f - 1f)
+      }
+      val half = nDocs / 2
+      val retrBm = s"$root/retr_bm"
+      val retrIvf = s"$root/retr_ivf"
+      val baseDf = (0 until half).map { i =>
+        val r = new scala.util.Random(i)
+        (i.toLong,
+          Array.fill(45)(vocab(r.nextInt(vocab.length))).mkString(" "),
+          vec(i.toLong))
+      }.toDF("doc_id", "text", "embedding")
+      graft.ops.Bm25.ensurePostings(
+        baseDf.select($"doc_id", $"text"), retrBm)
+      graft.ops.VectorIndex.ensureIvf(
+        baseDf.select($"doc_id".as("vec_id"), $"embedding"), retrIvf)
+      val rsrc = s"$root/retr_src"
+      Files.createDirectories(Paths.get(rsrc))
+      val rsb = new StringBuilder(half * 600)
+      (0 until half).foreach { i =>
+        val docId = half + i
+        val r = new scala.util.Random(docId)
+        val text =
+          Array.fill(45)(vocab(r.nextInt(vocab.length))).mkString(" ")
+        val emb = vec(docId.toLong).mkString("[", ",", "]")
+        rsb.append(s"""{"doc_id": $docId, "text": "$text", """ +
+          s""""embedding": $emb}""").append('\n')
+      }
+      Files.writeString(Paths.get(rsrc).resolve("arrivals.json"),
+        rsb.toString)
+      val retrSec = timed {
+        graft.pipeline.RetrievalPipeline.start(spark, rsrc, retrBm,
+          retrIvf, s"$root/retr_ck").awaitTermination()
+      }
+      val probeVec = Seq(((1L << 40), vec((half + 7).toLong)))
+        .toDF("vec_id", "embedding")
+      val fused = graft.pipeline.RetrievalPipeline.hybridTopK(spark,
+        retrBm, retrIvf, Seq("alpha", "kappa"), probeVec, 10).collect()
+      require(fused.length == 10 &&
+        fused.exists(_.getLong(0) == (half + 7).toLong),
+        "hybrid probe must surface the planted arrival")
+      val retrRate = half / retrSec
+      emit(s"""{"metric":"stream_retrieval_docs_per_sec",""" +
+        s""""value":$retrRate,"unit":"docs/sec","docs":$half,""" +
+        s""""seconds":$retrSec}""")
+    }
+
     // Streaming heavy hitters: Zipf-ish term stream through the
     // sharded SpaceSaving state (TopKPipeline), then one snapshot
     // merge. Terms drawn from a 10k vocabulary with rank-skew so the
