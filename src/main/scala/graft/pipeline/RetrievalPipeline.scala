@@ -114,9 +114,13 @@ object RetrievalPipeline {
     require(qrows.length <= Bm25.MaxBatchQueries,
       s"hybrid batch: query set exceeds the ${Bm25.MaxBatchQueries} " +
         "bounded-collect cap")
-    // synthetic probe ids: SyntheticBase + position — disjoint from
-    // any corpus vec_id by construction (ids are row positions in
-    // this engine's testdata and bounded far below this base)
+    // synthetic probe ids: SyntheticBase + position. queryIvf excludes
+    // neighbor == query id (self-exclusion), so probe ids must be
+    // DISJOINT from corpus vec_ids — a collision would silently hide
+    // that corpus row from its own query. 2^40 clears this engine's
+    // id spaces (row positions); a caller whose corpus carries ids at
+    // or above SyntheticBase must remap before indexing (contract,
+    // also noted on SyntheticBase)
     val idMap = qrows.zipWithIndex
       .map { case (r, i) => (SyntheticBase + i, r.getString(0)) }.toSeq
       .toDF("qvec_id", "query_id")
@@ -132,6 +136,9 @@ object RetrievalPipeline {
     Rrf.fuseBatch(Seq(lex, dense), k)
   }
 
-  /** Base for synthetic dense-probe ids in [[hybridTopKBatch]]. */
+  /** Base for synthetic dense-probe ids in [[hybridTopKBatch]].
+    * CONTRACT: corpus vec_ids must stay below this value (self-
+    * exclusion would otherwise hide the colliding corpus row from its
+    * own query); corpora with larger id spaces remap before indexing. */
   private val SyntheticBase = 1L << 40
 }
