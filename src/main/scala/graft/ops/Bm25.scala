@@ -53,19 +53,26 @@ object Bm25 {
   def scoreTopK(docs: DataFrame, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25: empty query")
-    val lengths = docs
+    // Both derived frames feed TWO consumers each (lengths →
+    // corpusStats + the scoring join; tf → df + the scoring join), and
+    // exchange reuse does not survive the differing column pruning —
+    // unstaged, the corpus TEXT tokenizes four times per query
+    // (measured, PlanShapeSpec-pinned at <= 2 now). Staging trades a
+    // narrow (doc_id, dl) / (doc_id, term, tf) materialization for the
+    // repeated wide text scans — the right trade at any corpus size.
+    val lengths = graft.scale.Staging.materialize(docs
       .select(col("doc_id"),
         size(filter(tokens(col("text")), t => t =!= "")).cast("long")
           .as("dl"))
-      .filter(col("dl") > 0)
+      .filter(col("dl") > 0), "bm25-lengths")
     val corpusStats = lengths
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
       .na.fill(0L)
-    val tf = docs
+    val tf = graft.scale.Staging.materialize(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")), "bm25-tf")
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     score(tf, df, lengths, corpusStats, k, k1, b)
   }
@@ -87,19 +94,20 @@ object Bm25 {
       .select(col("query_id"), explode(col("terms")).as("term"))
       .distinct()
     val termSet = qterms.select(col("term")).distinct()
-    val lengths = docs
+    // staged for the same two-consumers-per-frame reason as scoreTopK
+    val lengths = graft.scale.Staging.materialize(docs
       .select(col("doc_id"),
         size(filter(tokens(col("text")), t => t =!= "")).cast("long")
           .as("dl"))
-      .filter(col("dl") > 0)
+      .filter(col("dl") > 0), "bm25-batch-lengths")
     val corpusStats = lengths
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
       .na.fill(0L)
-    val tf = docs
+    val tf = graft.scale.Staging.materialize(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .join(broadcast(termSet), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")), "bm25-batch-tf")
     scoreBatch(tf, lengths, corpusStats, qterms, k, k1, b)
   }
 

@@ -289,6 +289,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("batch retrieval reads documents.text at most twice per run " +
+      "(tf explode + lengths; the dense side never)") {
+    for (name <- Seq("retrieval_bm25", "retrieval_bm25_batch",
+        "retrieval_hybrid_rrf_batch")) {
+      val n = countColumnScans("documents", "text") {
+        SparkEntry.queries(name)(spark, sf0001).collect()
+      }
+      assert(n > 0 && n <= 2,
+        s"$name scanned documents.text $n times (contract: <= 2)")
+    }
+  }
+
   test("repeated-span detect+cut reads the text column at most twice") {
     // windows table staged once (detect); the cut re-splits text for
     // the token filter — two text scans total, never one per consumer
