@@ -170,10 +170,16 @@ object TextAnalysis {
     * scan shape.
     */
   def unigramLogLik(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val words = docs
+    // The token stream feeds THREE consumers (the vocab counts, the
+    // corpus total via those counts, and the doc-side join), and
+    // without a stage each consumer re-scans and RE-TOKENIZES the
+    // corpus text (regex split per pass — measured 3 text scans).
+    // Staged, the text tokenizes exactly once (PlanShapeSpec-pinned);
+    // the staged frame is the narrow (doc_id, word) token table.
+    val words = graft.scale.Staging.materialize(docs
       .select(id.as("doc_id"),
         explode(split(lower(text), "[^a-z]+")).as("word"))
-      .filter(col("word") =!= "")
+      .filter(col("word") =!= ""), "unigram-words")
     val counts = words.groupBy("word").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum("c").as("n"))
     words.join(counts, "word")

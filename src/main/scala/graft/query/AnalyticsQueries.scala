@@ -169,8 +169,12 @@ object AnalyticsQueries {
       val docs = Tables.documents(s, d)
       val ll = TextAnalysis.unigramLogLik(docs, col("doc_id"),
         col("text"))
-      val j = ll.join(docs.select(col("doc_id"), col("lang")),
-        Seq("doc_id"))
+      // staged: the scored frame feeds both the histogram/cuts branch
+      // and the bucket-assignment branch — unstaged, each branch
+      // re-runs the whole LM pass
+      val j = graft.scale.Staging.materialize(
+        ll.join(docs.select(col("doc_id"), col("lang")),
+          Seq("doc_id")), "quality-j")
       val hist = j.groupBy(col("lang"), col("avg_loglik"))
         .agg(count(lit(1)).as("cnt"))
       val wcum = Window.partitionBy(col("lang"))

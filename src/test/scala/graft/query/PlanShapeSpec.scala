@@ -301,6 +301,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("unigram-LM family tokenizes the corpus text exactly once") {
+    // the token stream feeds three consumers inside unigramLogLik and
+    // the buckets query branches the scored frame again — all staged,
+    // so the regex tokenize runs once per query, not 3-6 times
+    for (name <- Seq("text_unigram_loglik", "sample_quality_buckets")) {
+      val n = countColumnScans("documents", "text") {
+        SparkEntry.queries(name)(spark, sf0001).collect()
+      }
+      assert(n == 1,
+        s"$name scanned documents.text $n times (contract: 1)")
+    }
+  }
+
   test("repeated-span detect+cut reads the text column at most twice") {
     // windows table staged once (detect); the cut re-splits text for
     // the token filter — two text scans total, never one per consumer
