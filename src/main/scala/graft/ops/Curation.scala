@@ -114,9 +114,16 @@ object Curation {
     */
   def boilerplateFraction(docs: DataFrame, n: Int = 5,
       minDocs: Int = 3): DataFrame = {
-    val boiler = boilerplateNgrams(docs, n, minDocs)
+    // the gram table feeds BOTH the boilerplate detection and the
+    // per-doc scoring join — staged, the text tokenizes and explodes
+    // once instead of twice (same two-consumer class as Bm25/unigram)
+    val grams = graft.scale.Staging.materialize(docNgrams(docs, n),
+      "boiler-grams")
+    val boiler = grams
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
       .select(col("ngram"), lit(1).as("is_boiler"))
-    val perDoc = docNgrams(docs, n)
+    val perDoc = grams
       .join(broadcast(boiler), Seq("ngram"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
