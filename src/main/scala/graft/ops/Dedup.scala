@@ -201,10 +201,14 @@ object Dedup {
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // Semi join pushes the id filter below the shingle projection, so
-    // shingle arrays are only computed for candidate docs.
-    val sh = withShingles(docs.join(broadcast(ids), Seq("doc_id"),
-        "left_semi"), n)
-      .select(col("doc_id"), col("sh"))
+    // shingle arrays are only computed for candidate docs — and the
+    // frame is STAGED because it feeds both verify sides (doc_a and
+    // doc_b broadcasts): unstaged, each side re-scanned and
+    // re-shingled the candidate docs' text.
+    val sh = graft.scale.Staging.materialize(
+      withShingles(docs.join(broadcast(ids), Seq("doc_id"),
+          "left_semi"), n)
+        .select(col("doc_id"), col("sh")), "minhash-verify-sh")
     cand
       .join(broadcast(sh.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("sh", "sh_a")), "doc_a")
