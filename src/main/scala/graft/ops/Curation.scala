@@ -114,16 +114,16 @@ object Curation {
     */
   def boilerplateFraction(docs: DataFrame, n: Int = 5,
       minDocs: Int = 3): DataFrame = {
-    // the gram table feeds BOTH the boilerplate detection and the
-    // per-doc scoring join — staged, the text tokenizes and explodes
-    // once instead of twice (same two-consumer class as Bm25/unigram)
-    val grams = graft.scale.Staging.materialize(docNgrams(docs, n),
-      "boiler-grams")
-    val boiler = grams
-      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
+    // DELIBERATELY NOT STAGED, though the gram table feeds both the
+    // detection count and the scoring join: exploded n-gram strings
+    // are ~n x the source text bytes, so materializing them costs
+    // more than the second tokenize at every scale (measured 7x
+    // slower staged at sf0.1 — the staging rule is "stage only frames
+    // NARROWER than their source"; cf. Bm25/unigramLogLik where the
+    // staged frames are doc-count-sized).
+    val boiler = boilerplateNgrams(docs, n, minDocs)
       .select(col("ngram"), lit(1).as("is_boiler"))
-    val perDoc = grams
+    val perDoc = docNgrams(docs, n)
       .join(broadcast(boiler), Seq("ngram"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

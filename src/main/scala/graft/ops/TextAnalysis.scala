@@ -174,8 +174,13 @@ object TextAnalysis {
     // corpus total via those counts, and the doc-side join), and
     // without a stage each consumer re-scans and RE-TOKENIZES the
     // corpus text (regex split per pass — measured 3 text scans).
-    // Staged, the text tokenizes exactly once (PlanShapeSpec-pinned);
-    // the staged frame is the narrow (doc_id, word) token table.
+    // Staged, the text tokenizes exactly once (PlanShapeSpec-pinned).
+    // The staged (doc_id, word) table is ~source-text-sized, so this
+    // trades bytes for CPU: one materialization replaces two EXTRA
+    // regex-tokenize passes (measured faster at sf0.1; at cluster
+    // scale the regex CPU dominates scratch I/O). Contrast
+    // boilerplateFraction, where the staged candidate would be ~n x
+    // the source bytes and staging loses.
     val words = graft.scale.Staging.materialize(docs
       .select(id.as("doc_id"),
         explode(split(lower(text), "[^a-z]+")).as("word"))
