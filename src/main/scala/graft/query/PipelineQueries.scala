@@ -352,6 +352,40 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The SAME hybrid batch through BOTH persisted indexes — the
+    // serving path: ONE bucket-pruned postings probe (lexical) + ONE
+    // probe of the cell-partitioned IVF layout (dense; full probe,
+    // nProbe = numCells, so the index answer is EXACT and the query
+    // pairs against the same SQL oracle as the direct batch — the
+    // strongest whole-stack index-correctness gate). Partial probes
+    // are the rows-only sim_cosine_ivf* family; probe ids are the
+    // real vec_ids so self-exclusion matches the oracle.
+    "retrieval_hybrid_indexed_batch" -> ((s, d) => {
+      import s.implicits._
+      val bmPath = sys.props("java.io.tmpdir") + "/graft_bm25_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      Bm25.ensurePostings(Tables.documents(s, d), bmPath)
+      val emb = Tables.embeddings(s, d)
+      val ivfPath = graft.ops.VectorIndex.defaultPath(d)
+      graft.ops.VectorIndex.ensureIvf(emb, ivfPath)
+      val qs = Seq(
+        ("kj", Seq("key", "join", "scan")),
+        ("sp", Seq("spark", "part")),
+        ("wm", Seq("window", "merge"))).toDF("query_id", "terms")
+      val lex = Bm25.scoreTopKIndexedBatch(s, bmPath, qs, 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qid = when(col("qvec") === 0L, "kj")
+        .when(col("qvec") === 1L, "sp")
+        .otherwise("wm")
+      val dense = graft.ops.VectorIndex.queryIvf(s, ivfPath,
+          emb.filter(col("vec_id").isin(0L, 1L, 2L)), 20, nProbe = 16)
+        .select(col("query_id").as("qvec"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+        .select(qid.as("query_id"), col("doc_id"), col("rank"))
+      graft.ops.Rrf.fuseBatch(Seq(lex, dense), 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Hybrid retrieval: BM25 top-20 and dense cosine top-20 (query =
     // doc 0's embedding) merged by reciprocal-rank fusion — the
     // standard score-free way to combine incomparable retrievers.
@@ -514,6 +548,53 @@ object PipelineQueries {
       |    AS rank
       |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** One oracle body for the hybrid BATCH paths — direct and
+    * persisted-index (full dense probe = exact) must fuse to identical
+    * bits. */
+  private val hybridBatchOracleSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+      |    '[^a-z]+')) AS term FROM documents),
+      |wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+      |qt(query_id, term) AS (VALUES
+      |  ('kj', 'key'), ('kj', 'join'), ('kj', 'scan'),
+      |  ('sp', 'spark'), ('sp', 'part'),
+      |  ('wm', 'window'), ('wm', 'merge')),
+      |qv(query_id, vec_id) AS (VALUES
+      |  ('kj', 0), ('sp', 1), ('wm', 2)),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
+      |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25
+      |        + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))),
+      |      4) AS score
+      |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc) WHERE rank <= 20),
+      |dense AS (SELECT query_id, doc_id, rank FROM (
+      |  SELECT qv.query_id, c.vec_id AS doc_id,
+      |    row_number() OVER (PARTITION BY qv.query_id ORDER BY
+      |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |        CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
+      |  FROM qv JOIN embeddings q ON q.vec_id = qv.vec_id
+      |    JOIN embeddings c ON q.vec_id != c.vec_id) WHERE rank <= 20),
+      |u AS (SELECT query_id, doc_id, 1.0 / (60 + rank) AS w FROM lex
+      |  UNION ALL SELECT query_id, doc_id, 1.0 / (60 + rank)
+      |  FROM dense),
+      |fused AS (SELECT query_id, doc_id, round(sum(w), 6) AS rrf
+      |  FROM u GROUP BY 1, 2)
+      |SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "retrieval_bm25" -> bm25OracleSql,
     "retrieval_bm25_indexed" -> bm25OracleSql,
@@ -569,49 +650,10 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, doc_id) AS rank FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "retrieval_hybrid_rrf_batch" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
-        |    '[^a-z]+')) AS term FROM documents),
-        |wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY 1),
-        |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
-        |qt(query_id, term) AS (VALUES
-        |  ('kj', 'key'), ('kj', 'join'), ('kj', 'scan'),
-        |  ('sp', 'spark'), ('sp', 'part'),
-        |  ('wm', 'window'), ('wm', 'merge')),
-        |qv(query_id, vec_id) AS (VALUES
-        |  ('kj', 0), ('sp', 1), ('wm', 2)),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
-        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT qt.query_id, tf.doc_id,
-        |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25
-        |        + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))),
-        |      4) AS score
-        |  FROM tf JOIN qt USING (term) JOIN df USING (term)
-        |    JOIN dl USING (doc_id) CROSS JOIN st
-        |  GROUP BY 1, 2),
-        |lex AS (SELECT query_id, doc_id, rank FROM (
-        |  SELECT query_id, doc_id, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-        |  FROM sc) WHERE rank <= 20),
-        |dense AS (SELECT query_id, doc_id, rank FROM (
-        |  SELECT qv.query_id, c.vec_id AS doc_id,
-        |    row_number() OVER (PARTITION BY qv.query_id ORDER BY
-        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |        CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
-        |  FROM qv JOIN embeddings q ON q.vec_id = qv.vec_id
-        |    JOIN embeddings c ON q.vec_id != c.vec_id) WHERE rank <= 20),
-        |u AS (SELECT query_id, doc_id, 1.0 / (60 + rank) AS w FROM lex
-        |  UNION ALL SELECT query_id, doc_id, 1.0 / (60 + rank)
-        |  FROM dense),
-        |fused AS (SELECT query_id, doc_id, round(sum(w), 6) AS rrf
-        |  FROM u GROUP BY 1, 2)
-        |SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "retrieval_hybrid_rrf_batch" -> hybridBatchOracleSql,
+    // identical semantics served from the persisted indexes (full
+    // dense probe = exact), so the SAME oracle gates the whole stack
+    "retrieval_hybrid_indexed_batch" -> hybridBatchOracleSql,
     "retrieval_hybrid_rrf" ->
       """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
         |    '[^a-z]+')) AS term FROM documents),

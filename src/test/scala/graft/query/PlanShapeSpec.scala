@@ -44,6 +44,7 @@ class PlanShapeSpec extends SparkSpec {
     Set("sim_cosine_topk", "sim_cosine_topk_int8", "join_cross_dims",
       "text_unigram_loglik", "q22_dormant_customers",
       "q11_important_parts", "retrieval_bm25", "retrieval_bm25_indexed",
+      "retrieval_hybrid_indexed_batch",
       "retrieval_bm25_batch", "retrieval_bm25_indexed_batch",
       "sample_quality_buckets", "retrieval_hybrid_rrf",
       "retrieval_hybrid_rrf_batch")
