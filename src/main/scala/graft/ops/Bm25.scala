@@ -253,8 +253,10 @@ object Bm25 {
         val in = fs.open(meta)
         val s = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        // a torn/corrupt meta means NOT current (rebuild), not a crash
         s.endsWith(s"buckets=$PostingsBuckets") &&
-          s.split(";").head.stripPrefix("rows=").toLong + deltaRaw == nRaw
+          s.split(";").head.stripPrefix("rows=").toLongOption
+            .contains(nRaw - deltaRaw)
       }
     if (!current) {
       // a REBUILD derives from the caller's full corpus, which
