@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * PlanShapeSpec countColumnScans machinery as a sweep). A table
   * scanned 3+ times in one query usually means a shared subtree is
   * re-computed per consumer: the class the BM25/unigram staging fixes
-  * removed. Optional arg = query-name substring filter.
+  * removed. Args: [0] query-name substring filter (optional), [1]
+  * dataset dir (optional; also via SPARK_GRAFT_SF_DIR, defaulting to
+  * the sf0.001 fixture) — so the sweep can target any scale factor or
+  * layout, not one machine's path.
   */
 object ScanAudit {
   def main(args: Array[String]): Unit = {
@@ -17,7 +20,9 @@ object ScanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
+    val sf = args.drop(1).headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.001")
     val filter = args.headOption.getOrElse("")
     val tables = Seq("region", "nation", "customer", "supplier",
       "part", "orders", "lineitem", "events", "documents",

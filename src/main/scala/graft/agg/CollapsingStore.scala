@@ -42,6 +42,10 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
         signed.sparkSession, path),
       s"batch $batchId was already folded by compact(); replaying it " +
         "would double-count")
+    // single-writer discipline, enforced loudly: never overwrite a dir
+    // an anonymous batch-mode append owns (StoreCompaction.markAnon)
+    StoreCompaction.assertNotAnon(
+      graft.scale.Hdfs.of(signed.sparkSession, path), path, batchId)
     signed.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
   }
 
@@ -53,19 +57,20 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
     * watermark+1 alone collides with not-yet-folded streamed ids). */
   def append(signed: DataFrame): Unit = {
     val spark = signed.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val next = math.max(StoreCompaction.maxBatchId(fs, path),
       StoreCompaction.compactedThrough(spark, path)) + 1
     signed.write.mode(SaveMode.Append).parquet(s"$path/batch=$next")
+    // claim the dir so a checkpointed stream whose next micro-batch id
+    // lands here fails loudly instead of clobbering these rows
+    StoreCompaction.markAnon(fs, path, next)
   }
 
   private def netted(spark: SparkSession): DataFrame = {
     // manifest-filtered listing, not a raw batch=* glob — the retired
     // generation stays on disk one fold post-compact (reader grace)
     // and a glob would double-count it against its folded block
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     nettedFrom(spark, StoreCompaction.visibleBatchDirs(fs, path))
   }
 
@@ -95,8 +100,7 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
     * one complete view. Replays of already-folded batches are refused
     * by [[append]]'s watermark check rather than double-counted. */
   def compact(spark: SparkSession): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp")
     // one snapshot drives schema probe, fold input, and watermark —
     // see SummingStore.compact

@@ -42,7 +42,7 @@ final class SketchStore(path: String, keyCols: Seq[String],
   }
 
   private def raw(spark: SparkSession): DataFrame = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     spark.read.option("basePath", path)
       .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
   }
@@ -69,7 +69,7 @@ final class SketchStore(path: String, keyCols: Seq[String],
     * correct RACING it — the fold publishes atomically via
     * [[StoreCompaction]]'s generation manifest. */
   def compact(spark: SparkSession): Unit = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val tmp = new Path(s"$path/_compact_tmp")
     // one snapshot drives fold input AND watermark (see
     // SummingStore.compact); legacy-crash temp state recovers instead
@@ -123,7 +123,7 @@ final class QuantileStore(path: String, keyCols: Seq[String],
   }
 
   private def raw(spark: SparkSession): DataFrame = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     spark.read.option("basePath", path)
       .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
   }
@@ -154,7 +154,7 @@ final class QuantileStore(path: String, keyCols: Seq[String],
     * unioned state per key. [[read]] is correct without it, and
     * correct RACING it (reader-safe fold via [[StoreCompaction]]). */
   def compact(spark: SparkSession): Unit = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val tmp = new Path(s"$path/_compact_tmp")
     // one snapshot drives fold input AND watermark (see
     // SummingStore.compact); legacy-crash temp state recovers instead
@@ -210,7 +210,7 @@ final class CountMinStore(path: String, keyCols: Seq[String],
   }
 
   private def raw(spark: SparkSession): DataFrame = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     spark.read.option("basePath", path)
       .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
   }
@@ -233,7 +233,7 @@ final class CountMinStore(path: String, keyCols: Seq[String],
     * unioned state per key. [[read]] is correct without it, and
     * correct RACING it (reader-safe fold via [[StoreCompaction]]). */
   def compact(spark: SparkSession): Unit = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val tmp = new Path(s"$path/_compact_tmp")
     // one snapshot drives fold input AND watermark (see
     // SummingStore.compact); legacy-crash temp state recovers instead

@@ -83,8 +83,7 @@ private[agg] object StoreCompaction {
   /** Highest batch id folded into a compacted block so far, or -1 if
     * never compacted (every real batch id is >= 0). */
   def compactedThrough(spark: SparkSession, storePath: String): Long =
-    readThrough(
-      FileSystem.get(spark.sparkContext.hadoopConfiguration), storePath)
+    readThrough(graft.scale.Hdfs.of(spark, storePath), storePath)
 
   /** The published view: generation number + the batch-id watermark at
     * its publish time. Absent until the first manifest-scheme fold. */
@@ -147,6 +146,31 @@ private[agg] object StoreCompaction {
     * precondition for a schema probe / fold. */
   def hasBatchDirs(fs: FileSystem, storePath: String): Boolean =
     visibleBatchDirs(fs, storePath).nonEmpty
+
+  /** Marker written inside anonymously-appended batch dirs (ignored
+    * by parquet readers — underscore-prefixed). An anonymous append
+    * lands at max(on-disk id, watermark)+1, which is exactly the id a
+    * CHECKPOINTED stream writing the same store will use for its next
+    * micro-batch — and that stream's idempotent overwrite-by-batchId
+    * would silently clobber the anonymous rows (review-caught, round-9
+    * ADVICE). A store is either streamed-into or batch-appended
+    * (single-writer discipline); the marker turns a violation into a
+    * loud error at the keyed append instead of silent data loss. */
+  private val AnonMarker = "_graft_anon"
+
+  def markAnon(fs: FileSystem, storePath: String, batchId: Long): Unit =
+    fs.create(new Path(s"$storePath/batch=$batchId/$AnonMarker"), true)
+      .close()
+
+  /** Refuse a keyed (streamed) append into a dir an anonymous append
+    * owns — see [[markAnon]]. */
+  def assertNotAnon(fs: FileSystem, storePath: String,
+      batchId: Long): Unit =
+    require(!fs.exists(new Path(s"$storePath/batch=$batchId/$AnonMarker")),
+      s"batch $batchId was appended anonymously (batch-mode); " +
+        "overwriting it from a streamed writer would silently drop " +
+        "those rows. A store is either streamed-into or " +
+        "batch-appended — use separate stores, or key every append")
 
   /** Highest numeric batch id ON DISK (visible or not), or -1 on an
     * empty store. Batch-mode appends land at max(this, watermark)+1:

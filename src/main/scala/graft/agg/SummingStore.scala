@@ -42,6 +42,12 @@ final class SummingStore(path: String, keyCols: Seq[String],
     require(batchId > StoreCompaction.compactedThrough(spark, path),
       s"batch $batchId was already folded by compact(); replaying it " +
         "would double-count")
+    // refuse to clobber an anonymously-appended dir: a keyed overwrite
+    // is only idempotent against ITS OWN prior write, and a store fed
+    // by both writer kinds can collide forward (single-writer
+    // discipline, enforced loudly — see StoreCompaction.markAnon)
+    StoreCompaction.assertNotAnon(
+      graft.scale.Hdfs.of(spark, path), path, batchId)
     partials.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
   }
 
@@ -56,10 +62,13 @@ final class SummingStore(path: String, keyCols: Seq[String],
     * in-flight fold snapshot can contain. */
   def append(partials: DataFrame): Unit = {
     val spark = partials.sparkSession
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val next = math.max(StoreCompaction.maxBatchId(fs, path),
       StoreCompaction.compactedThrough(spark, path)) + 1
     partials.write.mode(SaveMode.Append).parquet(s"$path/batch=$next")
+    // claim the dir so a checkpointed stream whose next micro-batch id
+    // lands here fails loudly instead of clobbering these rows
+    StoreCompaction.markAnon(fs, path, next)
   }
 
   private def merged(spark: SparkSession): DataFrame = {
@@ -67,7 +76,7 @@ final class SummingStore(path: String, keyCols: Seq[String],
     // compact the just-retired generation stays on disk one fold as
     // the in-flight readers' grace window, and a glob would count its
     // rows AND the block that absorbed them
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val raw = spark.read.option("basePath", path)
       .parquet(StoreCompaction.visibleBatchDirs(fs, path): _*)
     val aggs = sumCols.map(c => sum(col(c)).as(c))
@@ -90,7 +99,7 @@ final class SummingStore(path: String, keyCols: Seq[String],
     * returning folded totals.
     */
   def readAsOf(spark: SparkSession, maxBatchId: Long): DataFrame = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     require(StoreCompaction.compactedThrough(spark, path) < 0 &&
       !fs.exists(new Path(s"$path/batch=compacted")),
       "as-of read unavailable: compact() has folded per-batch history")
@@ -114,7 +123,7 @@ final class SummingStore(path: String, keyCols: Seq[String],
     * guarantee ClickHouse readers get across a background merge.
     */
   def compact(spark: SparkSession): Unit = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val tmp = new Path(s"$path/_compact_tmp")
     // ONE snapshot of the visible view drives the schema probe, the
     // fold input, AND the published watermark — a re-listing anywhere

@@ -208,8 +208,7 @@ object Bm25 {
 
   private def writeMeta(spark: SparkSession, path: String,
       rows: Long): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(s"$path/_graft_meta"), true)
     try out.write(s"rows=$rows;buckets=$PostingsBuckets"
@@ -218,8 +217,7 @@ object Bm25 {
   }
 
   private def metaRows(spark: SparkSession, path: String): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_graft_meta"))
     val s = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
@@ -235,8 +233,7 @@ object Bm25 {
     * The corpus tokenizes exactly once, here. */
   def ensurePostings(docs: DataFrame, path: String): String = {
     val spark = docs.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
     val nRaw = docs.count()
     // Currency counts BASE raw rows + COMMITTED delta raw rows: an
@@ -302,8 +299,7 @@ object Bm25 {
     * invisible to readers and to compaction. */
   private def completeBatchIds(spark: SparkSession,
       path: String): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     def done(root: String): Set[String] = {
       val p = new org.apache.hadoop.fs.Path(root)
       if (!fs.exists(p)) Set.empty
@@ -381,8 +377,7 @@ object Bm25 {
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
         writeMeta(spark, path, oldRows + nRaw)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        val fs = graft.scale.Hdfs.of(spark, path)
         ids.foreach { b =>
           fs.delete(new org.apache.hadoop.fs.Path(
             s"${deltaDir(path)}/$b"), true)
@@ -490,6 +485,8 @@ object Bm25 {
     require(qrows.length <= MaxBatchQueries,
       s"bm25 batch: query set exceeds the $MaxBatchQueries " +
         "bounded-collect cap")
+    qrows.foreach(r => require(!r.isNullAt(1),
+      s"bm25 batch: query '${r.getString(0)}' has a NULL terms array"))
     val pairs = qrows.flatMap(r => r.getSeq[String](1)
       .map(t => (r.getString(0), t))).distinct.toSeq
     require(pairs.nonEmpty, "bm25 batch: no query terms")

@@ -102,6 +102,7 @@ object Multimodal {
       var bits = 0
       var dataOff = -1
       var dataLen = 0
+      var truncatedData = false
       while (off + 8 <= bytes.length) {
         val id = tag(off)
         val size = b.getInt(off + 4)
@@ -110,15 +111,23 @@ object Multimodal {
         // near Int.MaxValue would overflow the offset advance into a
         // NEGATIVE off, dying as an untagged StringIndexOutOfBounds
         // from tag() instead of the doc_id-tagged loud failure the
-        // dead-letter hook relies on (both review-caught); only the
-        // final chunk may claim more payload than the buffer holds
-        // (truncated data chunk — the sample loop clamps to it)
+        // dead-letter hook relies on (both review-caught); only a
+        // data chunk may claim more payload than the buffer holds
+        // (truncated data chunk — the sample loop clamps to it). An
+        // over-claiming data chunk is indistinguishable from a
+        // truncated final one at this point (both claim past the
+        // buffer end), but it DOES end the walk — so if a required
+        // chunk was still ahead (fmt after data), the final require
+        // below names the truncated data chunk as the cause instead
+        // of the misleading bare 'missing fmt' (round-9 ADVICE).
         require(size >= 0,
           s"doc ${rec.doc_id}: corrupt RIFF chunk '$id' size $size")
         require(off + 8L + size + (size & 1) <= bytes.length ||
             id == "data",
           s"doc ${rec.doc_id}: RIFF chunk '$id' size $size overruns " +
             s"the ${bytes.length}-byte payload")
+        if (id == "data" && off + 8L + size > bytes.length)
+          truncatedData = true
         id match {
           case "fmt " =>
             val fmtCode = b.getShort(off + 8) & 0xffff
@@ -141,7 +150,11 @@ object Multimodal {
       require(sampleRate > 0 && channels > 0 && dataOff >= 0 &&
           (bits == 8 || bits == 16),
         s"doc ${rec.doc_id}: missing/unsupported fmt or data chunk " +
-          s"(rate=$sampleRate ch=$channels bits=$bits)")
+          s"(rate=$sampleRate ch=$channels bits=$bits)" +
+          (if (truncatedData)
+            "; a data chunk claimed past the end of the payload " +
+              "(truncated or size-corrupt), ending the chunk walk early"
+          else ""))
       val perSample = bits / 8
       val n = math.min(dataLen, bytes.length - dataOff) / perSample
       var acc = 0.0

@@ -44,8 +44,7 @@ object SignatureStore {
     */
   def ensure(corpus: DataFrame, path: String, n: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 4): String = {
-    val fs = FileSystem.get(
-      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(corpus.sparkSession, path)
     val meta = new Path(s"$path/_graft_meta")
     val fp = s"rows=${corpus.count()};n=$n;b=$bands;r=$rowsPerBand"
     val current = fs.exists(new Path(s"$path/bands/_SUCCESS")) &&
@@ -125,7 +124,7 @@ object SignatureStore {
 
   /** Store row count (diagnostic). */
   def storeSize(spark: SparkSession, path: String): Long = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     if (!fs.exists(new Path(s"$path/bands"))) 0L
     else spark.read.parquet(s"$path/bands").count()
   }

@@ -214,8 +214,7 @@ object Similarity {
   def ensureLshCandidates(vectors: DataFrame, path: String,
       tables: Int = 8, planesPerTable: Int = 8): DataFrame = {
     val spark = vectors.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
     val fp = s"rows=${vectors.count()};tables=$tables;planes=$planesPerTable"
     val current = fs.exists(
@@ -265,8 +264,7 @@ object Similarity {
     */
   def ensureQuantized(corpus: DataFrame, path: String): DataFrame = {
     val spark = corpus.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
     val fp = s"rows=${corpus.count()}"
     val current = fs.exists(

@@ -60,8 +60,7 @@ object VectorIndex {
     */
   def ensureIvf(corpus: DataFrame, path: String, numCells: Int = 16,
       refineIters: Int = 2): String = {
-    val fs = FileSystem.get(
-      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(corpus.sparkSession, path)
     val meta = new Path(s"$path/_graft_meta")
     val fingerprint = s"rows=${corpus.count()};cells=$numCells"
     val current = fs.exists(new Path(s"$path/centroids/_SUCCESS")) &&
@@ -152,7 +151,7 @@ object VectorIndex {
       .write.mode(SaveMode.Append)
       .partitionBy("cell")
       .parquet(s"$path/cells")
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val total = spark.read.parquet(s"$path/cells").count()
     val nCells = spark.read.parquet(s"$path/centroids").count()
     val out = fs.create(new Path(s"$path/_graft_meta"), true)
@@ -167,7 +166,7 @@ object VectorIndex {
     * both discoverable; readers prune on cell exactly as on the base
     * layout. */
   def deltaBatches(spark: SparkSession, path: String): Option[DataFrame] = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val root = new Path(s"$path/cells_delta")
     val hasBatches = fs.exists(root) &&
       fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
@@ -214,7 +213,7 @@ object VectorIndex {
 
   private def pqCurrent(spark: SparkSession, path: String, m: Int,
       k: Int): Boolean = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val meta = new Path(s"$path/_graft_pq_meta")
     fs.exists(new Path(s"$path/pq_cells/_SUCCESS")) &&
       fs.exists(new Path(s"$path/pq_books/_SUCCESS")) &&
@@ -251,7 +250,7 @@ object VectorIndex {
   def refreshPq(spark: SparkSession, path: String, m: Int = 16,
       k: Int = 64, pqIters: Int = 8, sampleCap: Int = 4096): Unit = {
     import spark.implicits._
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.scale.Hdfs.of(spark, path)
     val cents = centroidArrays(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
     val dim = cents.head.length

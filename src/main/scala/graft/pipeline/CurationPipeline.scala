@@ -117,8 +117,7 @@ object CurationPipeline {
         val kept = nearDupStore match {
           case None => batch
           case Some(path) =>
-            val fs = org.apache.hadoop.fs.FileSystem.get(
-              batch.sparkSession.sparkContext.hadoopConfiguration)
+            val fs = graft.scale.Hdfs.of(batch.sparkSession, path)
             val seeded = fs.exists(
               new org.apache.hadoop.fs.Path(s"$path/bands/_SUCCESS"))
             if (!seeded) {

@@ -72,7 +72,7 @@ object VectorIngestPipeline {
         .write.mode(SaveMode.Append)
         .partitionBy("cell")
         .parquet(s"$indexPath/cells")
-      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val fs = graft.scale.Hdfs.of(spark, indexPath)
       fs.delete(new Path(deltaDir(indexPath)), true)
       val total = spark.read.parquet(s"$indexPath/cells").count()
       val nCells = spark.read.parquet(s"$indexPath/centroids").count()

@@ -47,7 +47,7 @@ object Maintenance {
   def compactReplacing(spark: SparkSession, path: String,
       keyCols: Seq[String], versionCol: String, tieCol: String,
       numFiles: Int = 1): Unit = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = Hdfs.of(spark, path)
     val merged = latestByKey(spark.read.parquet(path),
       keyCols.map(col), col(versionCol), col(tieCol))
     val tmp = new Path(path + "__compact_tmp")
@@ -84,7 +84,7 @@ object Maintenance {
   def compactPartitioned(spark: SparkSession, path: String,
       partitionCol: String, sortCols: Seq[String],
       targetRowsPerFile: Long = 1000000L): Unit = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = Hdfs.of(spark, path)
     val base = new Path(path)
     if (!fs.exists(base)) return
     val partDirs = fs.listStatus(base)
@@ -119,7 +119,7 @@ object Maintenance {
     */
   def expireTtl(spark: SparkSession, path: String, partitionCol: String,
       isExpired: String => Boolean): Seq[String] = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = Hdfs.of(spark, path)
     val base = new Path(path)
     if (!fs.exists(base)) return Nil
     val prefix = s"$partitionCol="
@@ -179,7 +179,7 @@ object Maintenance {
       partitionCol: String, cond: Column,
       partitionPrune: String => Boolean,
       rewrite: DataFrame => DataFrame): Seq[String] = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = Hdfs.of(spark, path)
     val base = new Path(path)
     if (!fs.exists(base)) return Nil
     val prefix = s"$partitionCol="
@@ -205,7 +205,7 @@ object Maintenance {
 
   /** Parquet file count under a partitioned table (diagnostic). */
   def dataFileCount(spark: SparkSession, path: String): Int = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = Hdfs.of(spark, path)
     def walk(p: Path): Int =
       fs.listStatus(p).map { st =>
         if (st.isDirectory) walk(st.getPath)

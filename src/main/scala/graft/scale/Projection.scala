@@ -30,15 +30,15 @@ object Projection {
 
   private def metaPath(layoutDir: Path) = new Path(layoutDir, "_graft_sort")
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    Hdfs.of(spark, path)
 
   private def writeLayout(df: DataFrame, dir: String,
       sortCols: Seq[String], files: Int): Unit = {
     df.repartitionByRange(files, col(sortCols.head))
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dir)
-    val f = fs(df.sparkSession)
+    val f = fs(df.sparkSession, dir)
     val out = f.create(metaPath(new Path(dir)), true)
     try out.write(sortCols.mkString(",")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -59,7 +59,7 @@ object Projection {
 
   /** All layouts: name -> sort columns ("base" included). */
   def layouts(spark: SparkSession, path: String): Map[String, Seq[String]] = {
-    val f = fs(spark)
+    val f = fs(spark, path)
     f.listStatus(new Path(path)).toSeq
       .filter(st => st.isDirectory && f.exists(metaPath(st.getPath)))
       .map { st =>

@@ -248,4 +248,27 @@ class SummingStoreSpec extends SparkSpec {
     assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(8L),
       "the late batch's rows must survive the fold")
   }
+
+  test("a keyed append refuses to clobber an anonymously appended " +
+      "batch (single-writer discipline, loud)") {
+    val path = tmpDir("sumstore-anon-clobber")
+    val s = store(path)
+    // checkpointed stream wrote batches 0..2; its checkpoint holds 2
+    (0 to 2).foreach(i =>
+      s.append(partials(("2026-01-01", "info", 1L)), batchId = i.toLong))
+    // a batch-mode writer appends anonymously -> lands at batch=3,
+    // exactly the id the stream's NEXT micro-batch will use
+    s.append(partials(("2026-01-01", "info", 10L)))
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(13L))
+    // the stream's overwrite-by-batchId would silently drop the
+    // anonymous rows -- it must fail loudly instead
+    val e = intercept[IllegalArgumentException](
+      s.append(partials(("2026-01-01", "info", 99L)), batchId = 3L))
+    assert(e.getMessage.contains("anonymously"), e.getMessage)
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(13L),
+      "the refused append must not have touched the store")
+    // a keyed append at a FRESH id still works
+    s.append(partials(("2026-01-01", "info", 2L)), batchId = 4L)
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(15L))
+  }
 }

@@ -247,4 +247,17 @@ class Bm25Spec extends SparkSpec {
         s"batch results for $qid diverge from the single-query path")
     }
   }
+
+  test("indexed batch fails tagged (not NPE) on a NULL terms array") {
+    import spark.implicits._
+    val path = tmpDir("bm25-null-terms")
+    Bm25.ensurePostings(Tables.documents(spark, sf0001), path)
+    val qs = Seq(("ok", Some(Seq("key"))), ("bad", None))
+      .toDF("query_id", "terms")
+    val e = intercept[IllegalArgumentException] {
+      Bm25.scoreTopKIndexedBatch(spark, path, qs, 5)
+    }
+    assert(e.getMessage.contains("bad") &&
+      e.getMessage.contains("NULL terms"), e.getMessage)
+  }
 }

@@ -88,4 +88,29 @@ class StagingSpec extends SparkSpec {
       assert(fallback == local)
     }
   }
+
+  test("stage mode defaults by master URL: local masters checkpoint, " +
+      "cluster masters stage to parquet") {
+    // pure mode choice per master (the conf override still wins)
+    assert(Staging.defaultModeFor("local[4]") == "local")
+    assert(Staging.defaultModeFor("local[*]") == "local")
+    // local-cluster spawns real separate executor JVMs -> losable
+    assert(Staging.defaultModeFor("local-cluster[2,1,1024]") == "parquet")
+    assert(Staging.defaultModeFor("spark://host:7077") == "parquet")
+    assert(Staging.defaultModeFor("yarn") == "parquet")
+    assert(Staging.defaultModeFor("k8s://https://host:443") == "parquet")
+    // and on THIS local session with no conf set, materialize takes
+    // the localCheckpoint path (LogicalRDD: lineage truncated into
+    // block storage, no parquet round-trip)
+    val saved = spark.conf.getOption(Staging.ModeConf)
+    try {
+      spark.conf.unset(Staging.ModeConf)
+      val staged = Staging.materialize(
+        Seq((1, "a"), (2, "b")).toDF("k", "v"), "mode-default")
+      assert(staged.queryExecution.analyzed.getClass.getSimpleName
+          == "LogicalRDD",
+        staged.queryExecution.analyzed.getClass.getName)
+      assert(staged.collect().length == 2)
+    } finally saved.foreach(spark.conf.set(Staging.ModeConf, _))
+  }
 }
