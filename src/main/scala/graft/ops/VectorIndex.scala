@@ -175,6 +175,127 @@ object VectorIndex {
       .parquet(s"$root/batch=*"))
   }
 
+  /** Code-delta layout for streamed arrivals:
+    * `<path>/pq_cells_delta/batch=<id>/cell=<c>` mirrors the float
+    * delta layout, holding (vec_id, code) encoded with the PERSISTED
+    * codebooks at ingest time — so the ADC probe scans bytes, not
+    * floats, for uncompacted arrivals too (the float delta scan was
+    * the one remaining full-width path on a hot ingest stream). */
+  def pqDeltaDir(path: String): String = s"$path/pq_cells_delta"
+
+  private def readSmallText(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  private def booksIdPath(path: String) =
+    new Path(s"$path/_graft_pq_books_id")
+
+  /** Identity of the CURRENT persisted codebooks (fresh id per
+    * [[refreshPq]]). Delta code batches are stamped with the id they
+    * were encoded under; a batch whose stamp no longer matches was
+    * encoded with retired books and silently decoding it through the
+    * new LUTs would corrupt scores — so it falls back to the exact
+    * float path instead ([[deltaByCoverage]]). None = PQ half absent
+    * or predates code deltas (then no arrivals are encoded). */
+  def currentBooksId(spark: SparkSession, path: String): Option[String] = {
+    val fs = graft.scale.Hdfs.of(spark, path)
+    if (!fs.exists(new Path(s"$path/pq_books/_SUCCESS"))) None
+    else readSmallText(fs, booksIdPath(path))
+  }
+
+  /** Read the persisted sub-space codebooks: (m, k, subDim, books). */
+  private def loadPqBooks(spark: SparkSession, path: String)
+      : (Int, Int, Int, Array[Array[Array[Double]]]) = {
+    val bookRows = spark.read.parquet(s"$path/pq_books")
+      .select(col("sub"), col("j"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val k = bookRows.map(_._2).max + 1
+    val subDim = bookRows.head._3.length
+    val books = Array.ofDim[Array[Double]](m, k)
+    bookRows.foreach { case (s, j, c) => books(s)(j) = c }
+    (m, k, subDim, books)
+  }
+
+  /** Residual-encode a cell-assigned arrival batch with the CURRENT
+    * persisted codebooks and land it as a code-delta batch dir
+    * (idempotent overwrite, same discipline as the float delta).
+    * Returns false (a no-op) when the PQ half doesn't exist yet —
+    * pre-codebook arrivals stay float-only and score exactly.
+    *
+    * The books id is read BEFORE encoding and stamped AFTER the
+    * write: if a [[refreshPq]] lands in between, the stamp records
+    * the retired id, the coverage check rejects the batch, and the
+    * probe falls back to exact scoring — stale codes can never be
+    * decoded through new LUTs. */
+  def encodeDeltaBatch(assigned: DataFrame, path: String,
+      batchId: Long): Boolean = {
+    val spark = assigned.sparkSession
+    currentBooksId(spark, path) match {
+      case None => false
+      case Some(id) =>
+        val cents = centroidArrays(spark, path)
+        val (m, k, subDim, books) = loadPqBooks(spark, path)
+        val normSq = books.map(_.map(c => c.map(x => x * x).sum))
+        val cb = graft.functions.PqCodebooks(m, k, subDim, books, normSq)
+        val bc = spark.sparkContext.broadcast(
+          graft.functions.IvfPqBooks(cb, cents))
+        val dir = s"${pqDeltaDir(path)}/batch=$batchId"
+        assigned
+          .select(col("vec_id"),
+            graft.functions.PqFunctions.ivfpq_encode(col("embedding"),
+              col("cell"), bc).as("code"),
+            col("cell"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("cell")
+          .parquet(dir)
+        val fs = graft.scale.Hdfs.of(spark, path)
+        val out = fs.create(new Path(s"$dir/_books_id"), true)
+        try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+    }
+  }
+
+  /** Split the live float-delta batches by code coverage:
+    * `(coded, uncoded)` where `coded = (codes, floats)` spans the
+    * batches whose code dir committed (`_SUCCESS`) under the CURRENT
+    * books id, and `uncoded` spans the rest (pre-codebook arrivals,
+    * crashed code writes, stale-books stamps). The probe scores coded
+    * batches through ADC like base rows and uncoded ones exactly —
+    * every arrival is scored either way, pinned in IvfPqSpec. */
+  private[graft] def deltaByCoverage(spark: SparkSession, path: String)
+      : (Option[(DataFrame, DataFrame)], Option[DataFrame]) = {
+    val fs = graft.scale.Hdfs.of(spark, path)
+    val root = new Path(s"$path/cells_delta")
+    if (!fs.exists(root)) return (None, None)
+    val batches = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    if (batches.isEmpty) return (None, None)
+    val curId = currentBooksId(spark, path)
+    def covered(b: String): Boolean = curId.exists { id =>
+      fs.exists(new Path(s"${pqDeltaDir(path)}/$b/_SUCCESS")) &&
+        readSmallText(fs,
+          new Path(s"${pqDeltaDir(path)}/$b/_books_id")).contains(id)
+    }
+    val (cov, unc) = batches.partition(covered)
+    def readFloats(bs: Seq[String]): DataFrame =
+      spark.read.option("basePath", root.toString)
+        .parquet(bs.map(b => s"$root/$b"): _*)
+    val coded =
+      if (cov.isEmpty) None
+      else Some((spark.read.option("basePath", pqDeltaDir(path))
+          .parquet(cov.map(b => s"${pqDeltaDir(path)}/$b"): _*),
+        readFloats(cov)))
+    val uncoded = if (unc.isEmpty) None else Some(readFloats(unc))
+    (coded, uncoded)
+  }
+
   // ------------------------------------------------------------------
   // IVF-PQ (IVFADC, Jégou et al. 2011 §IV): residual product
   // quantization layered on the persisted cell layout. The index gains
@@ -298,6 +419,13 @@ object VectorIndex {
     try out.write(pqFingerprint(spark, path, m, k)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // fresh books identity: delta code batches stamped with an older
+    // id are retired from ADC coverage (they encode against books
+    // that no longer exist) and fall back to exact scoring
+    val idOut = fs.create(booksIdPath(path), true)
+    try idOut.write(java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally idOut.close()
   }
 
   /** Probe the IVF-PQ index: partition-pruned scan of the probed
@@ -314,14 +442,7 @@ object VectorIndex {
     val numCells = cents.length
     val cellNormSq = cents.map(c => c.map(x => x * x).sum)
     // rebuild PqCodebooks from the persisted books table
-    val bookRows = spark.read.parquet(s"$path/pq_books")
-      .select(col("sub"), col("j"), col("centroid")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = bookRows.map(_._1).max + 1
-    val k = bookRows.map(_._2).max + 1
-    val subDim = bookRows.head._3.length
-    val books = Array.ofDim[Array[Double]](m, k)
-    bookRows.foreach { case (s, j, c) => books(s)(j) = c }
+    val (m, k, subDim, books) = loadPqBooks(spark, path)
     // rnormPart(cell)(s)(j) = 2·dot(cell_sub_s, r_sj) + |r_sj|²
     val rnormPart = Array.tabulate(numCells) { cell =>
       Array.tabulate(m) { s =>
@@ -379,9 +500,20 @@ object VectorIndex {
     }
     val probedCells = probePairs.map(_._1).distinct.sorted
     val probeDf = probePairs.toDF("cell", "q_idx")
-    val scored = spark.read.parquet(s"$path/pq_cells")
+    // streamed arrivals whose batch carries codes under the CURRENT
+    // books join the compressed ADC scan; the rest score exactly below
+    val (codedDelta, uncodedDelta) = deltaByCoverage(spark, path)
+    val basePqScan = spark.read.parquet(s"$path/pq_cells")
       .select(col("vec_id").as("neighbor_id"), col("code"), col("cell"))
       .filter(col("cell").isin(probedCells: _*))
+    val codeScan = codedDelta match {
+      case None => basePqScan
+      case Some((codes, _)) => basePqScan.unionByName(codes
+        .select(col("vec_id").as("neighbor_id"), col("code"),
+          col("cell"))
+        .filter(col("cell").isin(probedCells: _*)))
+    }
+    val scored = codeScan
       .select(col("neighbor_id"), col("cell"),
         posexplode(graft.functions.PqFunctions.ivfpq_adc_cosine(
           col("cell"), col("code"), bcLut)).as(Seq("q_idx", "sim_raw")))
@@ -399,22 +531,33 @@ object VectorIndex {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id")), "ivfpq-shortlist")
     // exact rerank: float embeddings read ONLY for shortlist rows,
-    // through the same partition-pruned cell layout
+    // through the same partition-pruned cell layout. Coded delta rows
+    // can make the shortlist too, so their float side rides along —
+    // shortlist-bounded, never a full-width delta scan for SCORING
     val floats = spark.read.parquet(s"$path/cells")
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"), col("c_norm"), col("cell"))
       .filter(col("cell").isin(probedCells: _*))
+    val rerankFloats = codedDelta match {
+      case None => floats
+      case Some((_, fl)) => floats.unionByName(fl
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_emb"), col("c_norm"), col("cell"))
+        .filter(col("cell").isin(probedCells: _*)))
+    }
     val qside = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       vec_norm(col("embedding")).as("q_norm"))
     val shortRows = graft.scale.Staging.guardedBroadcast(shortlist)
-      .join(floats, Seq("neighbor_id"))
+      .join(rerankFloats, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("c_emb"),
         col("c_norm"))
-    // INVARIANT: every probed vector gets scored — compressed when the
-    // code table covers it, EXACTLY otherwise. Two uncovered classes:
-    //  (a) streamed delta batches not yet compacted (cells_delta) —
-    //      small by definition, scored exactly like queryIvf would;
+    // INVARIANT: every probed vector gets scored — compressed when a
+    // code covers it, EXACTLY otherwise. Two uncovered classes:
+    //  (a) delta batches WITHOUT current-books codes (pre-codebook
+    //      arrivals, crashed code writes, stale stamps) — scored
+    //      exactly like queryIvf would; batches WITH codes went
+    //      through the ADC scan above instead;
     //  (b) base rows folded in by compactDeltas AFTER the last
     //      refreshPq — detected by a metadata-only count compare, then
     //      isolated with an anti-join (only runs while stale; the
@@ -429,7 +572,7 @@ object VectorIndex {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("c_emb"),
         col("c_norm"))
-    val deltaRows = deltaBatches(spark, path).map(d => exactSide(
+    val deltaRows = uncodedDelta.map(d => exactSide(
       d.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"), col("c_norm"), col("cell"))))
     val pqCells = spark.read.parquet(s"$path/pq_cells")

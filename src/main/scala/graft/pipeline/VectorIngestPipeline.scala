@@ -37,13 +37,29 @@ object VectorIngestPipeline {
   def deltaDir(indexPath: String): String = s"$indexPath/cells_delta"
 
   /** One micro-batch: assign to existing centroids, land in the
-    * batch's own delta dir (idempotent under replay). */
+    * batch's own delta dir (idempotent under replay), and — when the
+    * index has a PQ half — residual-encode the same rows with the
+    * EXISTING codebooks into a code-delta dir beside it, so the ADC
+    * probe scans bytes (not floats) for uncompacted arrivals too.
+    * Pre-codebook arrivals stay float-only and score exactly; a crash
+    * between the two writes is healed by the replay (both dirs are
+    * batchId-keyed overwrites) and is read-safe meanwhile (a code dir
+    * without `_SUCCESS` + books-id stamp is treated as uncoded). */
   def ingestBatch(batch: DataFrame, indexPath: String,
-      batchId: Long): Unit =
-    VectorIndex.assignCells(batch, indexPath)
+      batchId: Long): Unit = {
+    val assigned = VectorIndex.assignCells(batch, indexPath)
+    assigned
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"${deltaDir(indexPath)}/batch=$batchId")
+    // re-read the landed batch rather than re-running the assignment
+    // (one extra narrow scan of a micro-batch vs recomputing the
+    // centroid probe; also guarantees codes cover EXACTLY the rows
+    // the float dir committed)
+    val landed = batch.sparkSession.read
+      .parquet(s"${deltaDir(indexPath)}/batch=$batchId")
+    VectorIndex.encodeDeltaBatch(landed, indexPath, batchId)
+  }
 
   /** Start the ingest stream over a JSON drop directory. The index
     * (centroids + base cells) must already exist — stream arrivals
@@ -73,6 +89,12 @@ object VectorIngestPipeline {
         .partitionBy("cell")
         .parquet(s"$indexPath/cells")
       val fs = graft.scale.Hdfs.of(spark, indexPath)
+      // code deltas die with their float batches (the folded rows get
+      // re-covered by the next refreshPq, which the grown base-count
+      // fingerprint forces). Deleted FIRST: a crash in between leaves
+      // floats without codes (exact-scored, correct), never codes
+      // without floats
+      fs.delete(new Path(VectorIndex.pqDeltaDir(indexPath)), true)
       fs.delete(new Path(deltaDir(indexPath)), true)
       val total = spark.read.parquet(s"$indexPath/cells").count()
       val nCells = spark.read.parquet(s"$indexPath/centroids").count()

@@ -178,4 +178,118 @@ class IvfPqSpec extends SparkSpec {
     assert(fs.getFileStatus(meta).getModificationTime > t1,
       "changed corpus fingerprint must rebuild")
   }
+
+  test("coded deltas: a planted delta-only neighbor is served through " +
+      "the ADC path pre-compaction, and the delta code scan reads " +
+      "bytes, never embeddings") {
+    import spark.implicits._
+    val p = tmpDir("ivfpq-coded-delta")
+    val base = emb.filter(col("vec_id") < 400)
+    VectorIndex.ensureIvfPq(base, p)
+    val delta = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select(col("vec_id"), col("embedding"))
+    graft.pipeline.VectorIngestPipeline.ingestBatch(delta, p, 0L)
+    // the batch must be code-COVERED: with no uncoded batches, the
+    // exact-fallback side is empty, so finding the planted vector
+    // below PROVES it traveled the ADC scan + shortlist rerank
+    val (coded, uncoded) = VectorIndex.deltaByCoverage(spark, p)
+    assert(coded.isDefined, "ingest must have encoded the delta batch")
+    assert(uncoded.isEmpty,
+      "no batch may fall back to exact while books are current")
+    assert(coded.get._1.count() == 50,
+      "code delta must cover exactly the landed rows")
+    // ReadSchema pin across every fired job: pq_cells_delta scans
+    // read (vec_id, binary code) only — embeddings appear in NO
+    // code-delta scan (the float delta is touched only by the
+    // shortlist rerank, which is the same contract as the base cells)
+    val scanRe =
+      ("FileScan parquet [^\\n]*pq_cells_delta[^\\n]*" +
+        "ReadSchema: (struct<[^>\\n]*>)").r
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val plan = qe.explainString(
+            org.apache.spark.sql.execution.SimpleMode)
+          .split("== Initial Plan ==").head
+        scanRe.findAllMatchIn(plan).foreach(m => seen.add(m.group(1)))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val probe = emb.filter(col("vec_id") === 420)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    spark.listenerManager.register(listener)
+    val got =
+      try {
+        spark.conf.set(graft.scale.Staging.ModeConf, "parquet")
+        spark.conf.set(graft.scale.Staging.DirConf,
+          tmpDir("ivfpq-coded-pin"))
+        val r = VectorIndex.queryIvfPq(spark, p, probe, 1).collect().head
+        var waited = 0
+        while (seen.isEmpty && waited < 10000) {
+          Thread.sleep(250); waited += 250
+        }
+        (r.getLong(1), r.getDouble(2))
+      } finally {
+        spark.conf.set(graft.scale.Staging.ModeConf, "local")
+        spark.listenerManager.unregister(listener)
+      }
+    assert(got == ((420L, 1.0)),
+      "the delta-only neighbor must surface through the ADC path")
+    val schemas = seen.toArray(Array.empty[String]).toSet
+    assert(schemas.nonEmpty, "probe must scan the code-delta layout")
+    assert(schemas.exists(s => s.contains("code:binary")),
+      s"delta ADC scan must read binary codes, saw: $schemas")
+    assert(schemas.forall(s => !s.contains("embedding")),
+      s"code-delta scans must never read embeddings, saw: $schemas")
+  }
+
+  test("coded deltas retire safely: a stale books id or a missing " +
+      "stamp demotes the batch to exact scoring, never wrong answers") {
+    import spark.implicits._
+    val p = tmpDir("ivfpq-stale-delta")
+    VectorIndex.ensureIvfPq(emb.filter(col("vec_id") < 400), p)
+    graft.pipeline.VectorIngestPipeline.ingestBatch(
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .select(col("vec_id"), col("embedding")), p, 0L)
+    val probe = emb.filter(col("vec_id") === 420)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    def top1: (Long, Double) = {
+      val r = VectorIndex.queryIvfPq(spark, p, probe, 1).collect().head
+      (r.getLong(1), r.getDouble(2))
+    }
+    assert(top1 == ((420L, 1.0)))
+    // refreshPq retrains books -> new id -> the old batch's codes
+    // would decode through the WRONG LUTs; coverage must demote it.
+    // A batch ingested AFTER the refresh carries the new id and stays
+    // covered — the mixed state both paths serve side by side
+    VectorIndex.refreshPq(spark, p)
+    graft.pipeline.VectorIngestPipeline.ingestBatch(
+      emb.filter(col("vec_id") >= 450 && col("vec_id") < 460)
+        .select(col("vec_id"), col("embedding")), p, 1L)
+    val (c1, u1) = VectorIndex.deltaByCoverage(spark, p)
+    assert(c1.isDefined && u1.isDefined,
+      "stale-books batch demoted to exact, fresh batch still covered")
+    assert(top1 == ((420L, 1.0)),
+      "the demoted batch must still be scored (exactly)")
+    // crash window: codes written but the stamp missing -> uncoded
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${VectorIndex.pqDeltaDir(p)}/batch=1/_books_id"), false)
+    val (c2, u2) = VectorIndex.deltaByCoverage(spark, p)
+    assert(c2.isEmpty && u2.isDefined,
+      "every batch without a current-books stamp must score exactly")
+    assert(top1 == ((420L, 1.0)))
+    // compaction folds floats AND removes the code deltas with them
+    graft.pipeline.VectorIngestPipeline.compactDeltas(spark, p)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      VectorIndex.pqDeltaDir(p))),
+      "code deltas must die with their float batches at compaction")
+    assert(top1 == ((420L, 1.0)))
+  }
 }
