@@ -14,8 +14,9 @@ object Scratch {
     val names = args.lift(1).map(_.split(",").toSet)
       .getOrElse(Set("pipeline_pretraining_corpus"))
     val passes = args.lift(2).map(_.toInt).getOrElse(3)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master(sys.env.getOrElse("SCRATCH_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SCRATCH_PARTS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -386,6 +386,45 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The retrieval SERVICE shape at its contract bound: the hybrid
+    // batch driven at the MaxBatchQueries cap (1024 queries at sf0.1;
+    // every corpus embedding below the cap elsewhere) entirely from
+    // the persisted layouts — still ONE bucket-pruned postings probe
+    // and ONE cell-pruned IVF probe for the whole batch, so the scan
+    // count is INDEPENDENT of the batch size; only the probe unions
+    // and the per-query windows grow. Serving-stack correctness is
+    // oracle-gated by retrieval_hybrid_indexed_batch; this entry
+    // measures the shape at the cap (rows-only, deterministic).
+    "retrieval_service_cap" -> ((s, d) => {
+      import s.implicits._
+      val bmPath = sys.props("java.io.tmpdir") + "/graft_bm25_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      Bm25.ensurePostings(Tables.documents(s, d), bmPath)
+      val emb = Tables.embeddings(s, d)
+      val ivfPath = VectorIndex.defaultPath(d)
+      VectorIndex.ensureIvf(emb, ivfPath)
+      // query batch: one hybrid query per corpus embedding under the
+      // cap (bounded collect, <= 1024 x 64 floats), terms rotating
+      // over mid-frequency corpus vocabulary so the lexical probe
+      // exercises many postings buckets
+      val pool = Vector("window", "merge", "spark", "join", "scan",
+        "key", "hash", "filter", "batch", "sort", "group", "column",
+        "stream", "vector", "query", "table")
+      val queries = emb.filter(col("vec_id") < 1024)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map { r =>
+          val i = r.getLong(0)
+          val terms = Seq(pool((i % 16).toInt),
+            pool(((i / 16) % 16).toInt),
+            pool(((i / 256) % 16).toInt)).distinct
+          (f"q$i%04d", terms, r.getSeq[Float](1))
+        }.toSeq.toDF("query_id", "terms", "embedding")
+      graft.pipeline.RetrievalPipeline
+        .hybridTopKBatch(s, bmPath, ivfPath, queries, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Hybrid retrieval: BM25 top-20 and dense cosine top-20 (query =
     // doc 0's embedding) merged by reciprocal-rank fusion — the
     // standard score-free way to combine incomparable retrievers.

