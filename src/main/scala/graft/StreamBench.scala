@@ -344,6 +344,57 @@ object StreamBench {
         s""""seconds":$retrSec}""")
     }
 
+    // Streaming vector ingest into a PQ-BACKED index: same arrival
+    // stream shape, but the base index carries the residual-PQ half,
+    // so every micro-batch additionally residual-encodes its rows
+    // into a code-delta dir (VectorIndex.encodeDeltaBatch, books
+    // broadcast memoized across batches). The metric prices
+    // centroid-assign + float delta + code delta per vector; the
+    // post-ingest probe must surface a planted arrival through the
+    // ADC path (no uncoded batches exist, so exact fallback is empty).
+    locally {
+      import spark.implicits._
+      val dim = 32
+      def vec(idSeed: Long): Array[Float] = {
+        val r = new scala.util.Random(idSeed)
+        Array.fill(dim)(r.nextFloat() * 2f - 1f)
+      }
+      val half = nDocs / 2
+      val pqIdx = s"$root/vecpq_idx"
+      graft.ops.VectorIndex.ensureIvfPq(
+        (0 until half).map(i => (i.toLong, vec(i.toLong)))
+          .toDF("vec_id", "embedding"), pqIdx, m = 16, k = 64)
+      val vsrc = s"$root/vecpq_src"
+      Files.createDirectories(Paths.get(vsrc))
+      val vsb = new StringBuilder(half * 400)
+      (0 until half).foreach { i =>
+        val vid = half + i
+        val emb = vec(vid.toLong).mkString("[", ",", "]")
+        vsb.append(s"""{"vec_id": $vid, "embedding": $emb}""")
+          .append('\n')
+      }
+      Files.writeString(Paths.get(vsrc).resolve("arrivals.json"),
+        vsb.toString)
+      val vpqSec = timed {
+        graft.pipeline.VectorIngestPipeline.start(spark, vsrc, pqIdx,
+          s"$root/vecpq_ck").awaitTermination()
+      }
+      val (coded, uncoded) =
+        graft.ops.VectorIndex.deltaByCoverage(spark, pqIdx)
+      require(coded.isDefined && uncoded.isEmpty,
+        "every streamed batch must land coded while books are current")
+      val probe = Seq(((1L << 40), vec((half + 3).toLong)))
+        .toDF("vec_id", "embedding")
+      val top = graft.ops.VectorIndex.queryIvfPq(spark, pqIdx, probe, 5)
+        .collect()
+      require(top.exists(_.getLong(1) == (half + 3).toLong),
+        "ADC probe must surface the planted streamed arrival")
+      val vpqRate = half / vpqSec
+      emit(s"""{"metric":"stream_vector_pq_docs_per_sec",""" +
+        s""""value":$vpqRate,"unit":"docs/sec","docs":$half,""" +
+        s""""seconds":$vpqSec}""")
+    }
+
     // Streaming heavy hitters: Zipf-ish term stream through the
     // sharded SpaceSaving state (TopKPipeline), then one snapshot
     // merge. Terms drawn from a 10k vocabulary with rank-skew so the

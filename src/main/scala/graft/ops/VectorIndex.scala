@@ -222,6 +222,33 @@ object VectorIndex {
     (m, k, subDim, books)
   }
 
+  /** Driver-side memo of the encode broadcast, keyed by (application,
+    * index path, books id): a streaming ingest encodes EVERY
+    * micro-batch, and re-reading books + centroids per batch (two
+    * small driver jobs) would tax exactly the hot-stream path the
+    * code deltas exist to serve. The books id in the key makes
+    * staleness impossible — a refreshPq mints a new id, which misses
+    * the cache and loads the new books. Bounded (indexes × refreshes
+    * per app is small); cleared wholesale past 64 entries. */
+  private val encodeBooksCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String),
+    org.apache.spark.broadcast.Broadcast[graft.functions.IvfPqBooks]]()
+
+  private def encodeBooksFor(spark: SparkSession, path: String,
+      booksId: String)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.IvfPqBooks] = {
+    if (encodeBooksCache.size > 64) encodeBooksCache.clear()
+    encodeBooksCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, path, booksId), _ => {
+        val cents = centroidArrays(spark, path)
+        val (m, k, subDim, books) = loadPqBooks(spark, path)
+        val normSq = books.map(_.map(c => c.map(x => x * x).sum))
+        val cb = graft.functions.PqCodebooks(m, k, subDim, books, normSq)
+        spark.sparkContext.broadcast(
+          graft.functions.IvfPqBooks(cb, cents))
+      })
+  }
+
   /** Residual-encode a cell-assigned arrival batch with the CURRENT
     * persisted codebooks and land it as a code-delta batch dir
     * (idempotent overwrite, same discipline as the float delta).
@@ -239,12 +266,7 @@ object VectorIndex {
     currentBooksId(spark, path) match {
       case None => false
       case Some(id) =>
-        val cents = centroidArrays(spark, path)
-        val (m, k, subDim, books) = loadPqBooks(spark, path)
-        val normSq = books.map(_.map(c => c.map(x => x * x).sum))
-        val cb = graft.functions.PqCodebooks(m, k, subDim, books, normSq)
-        val bc = spark.sparkContext.broadcast(
-          graft.functions.IvfPqBooks(cb, cents))
+        val bc = encodeBooksFor(spark, path, id)
         val dir = s"${pqDeltaDir(path)}/batch=$batchId"
         assigned
           .select(col("vec_id"),
