@@ -202,8 +202,11 @@ object Bench {
     // publish the telemetry instead). Bounded at 40 entries.
     // pins are sf0.1 medians — at any other scale factor they are not
     // comparable (a larger SF would violate them on healthy runs), so
-    // the gate only arms at the scale it was recorded at
-    val pinsArmed = sfDir.contains("sf0.1")
+    // the gate only arms at the scale it was recorded at. Exact
+    // basename match, not a substring: ".../sf0.12" or ".../sf0.1_old"
+    // must NOT arm sf0.1 pins (review-caught)
+    val pinsArmed = new java.io.File(
+      sfDir.stripSuffix("/")).getName == "sf0.1"
     val pinViolation = (e: (String, Entry)) =>
       pinsArmed && Pins.get(e._1).exists(p => e._2.median > p * PinFactor)
     val canarySuspect = (e: (String, Entry)) =>
@@ -211,7 +214,12 @@ object Bench {
     val suspects = firstPass.toSeq
       .filter(e => pinViolation(e) || canarySuspect(e))
       .map(_._1).take(40)
-    val canaryNow = if (suspects.nonEmpty) runCanary() else canaryBaseline
+    // ALWAYS measured (one ~0.1 s run): the artifact's canary.end is
+    // the end-of-run health reading a reader compares against the
+    // baseline — publishing the baseline as "end" on suspect-free
+    // runs would fabricate exactly the signal the field exists for
+    // (review-caught)
+    val canaryNow = runCanary()
     val canaryRecovered = canaryNow <= canaryBaseline * 1.5
     val remeasured =
       if (suspects.nonEmpty && canaryRecovered) {
@@ -238,11 +246,16 @@ object Bench {
           s"pin_violations=${stillViolating.mkString(",")}")
       stillViolating.foreach { n =>
         val e = results(n)
+        // -1 sentinels (telemetry unavailable) are excluded from the
+        // sum, matching io_mb_total's convention
+        val ioKnown = e.samples.map(_.ioMb).filter(_ >= 0)
+        val ioStr = if (ioKnown.isEmpty) "unavailable"
+          else f"${ioKnown.sum}%.1f"
         System.err.println(
           s"[bench] PIN VIOLATION $n median=${f"${e.median}%.3f"}s " +
             s"(committed ${Pins(n)}s x$PinFactor) " +
             s"gcSec=${f"${e.samples.map(_.gcSec).sum}%.2f"} " +
-            s"ioMB=${f"${e.samples.map(_.ioMb).sum}%.1f"} " +
+            s"ioMB=$ioStr " +
             s"canary=${f"${e.canarySec}%.3f"}s — publishing telemetry, " +
             "treat this artifact's absolute times as degraded-window")
       }

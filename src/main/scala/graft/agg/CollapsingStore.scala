@@ -60,10 +60,10 @@ final class CollapsingStore(path: String, keyCols: Seq[String],
     val fs = graft.scale.Hdfs.of(spark, path)
     val next = math.max(StoreCompaction.maxBatchId(fs, path),
       StoreCompaction.compactedThrough(spark, path)) + 1
-    signed.write.mode(SaveMode.Append).parquet(s"$path/batch=$next")
-    // claim the dir so a checkpointed stream whose next micro-batch id
-    // lands here fails loudly instead of clobbering these rows
+    // claim BEFORE the rows land (crash-window fix — see
+    // SummingStore.append)
     StoreCompaction.markAnon(fs, path, next)
+    signed.write.mode(SaveMode.Append).parquet(s"$path/batch=$next")
   }
 
   private def netted(spark: SparkSession): DataFrame = {

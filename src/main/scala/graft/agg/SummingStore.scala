@@ -65,10 +65,14 @@ final class SummingStore(path: String, keyCols: Seq[String],
     val fs = graft.scale.Hdfs.of(spark, path)
     val next = math.max(StoreCompaction.maxBatchId(fs, path),
       StoreCompaction.compactedThrough(spark, path)) + 1
-    partials.write.mode(SaveMode.Append).parquet(s"$path/batch=$next")
-    // claim the dir so a checkpointed stream whose next micro-batch id
-    // lands here fails loudly instead of clobbering these rows
+    // claim the dir BEFORE the rows land: marker-after-write left a
+    // crash window where committed anonymous rows sat unprotected
+    // from exactly the stream clobber the marker prevents
+    // (review-caught). A crash after the claim leaves an empty marked
+    // dir — a streamed append at that id then refuses loudly, which
+    // is safe (the crashed anonymous append never reported success).
     StoreCompaction.markAnon(fs, path, next)
+    partials.write.mode(SaveMode.Append).parquet(s"$path/batch=$next")
   }
 
   private def merged(spark: SparkSession): DataFrame = {

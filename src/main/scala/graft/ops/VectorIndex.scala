@@ -237,7 +237,16 @@ object VectorIndex {
   private def encodeBooksFor(spark: SparkSession, path: String,
       booksId: String)
       : org.apache.spark.broadcast.Broadcast[graft.functions.IvfPqBooks] = {
-    if (encodeBooksCache.size > 64) encodeBooksCache.clear()
+    if (encodeBooksCache.size > 64) {
+      // evict dead-application entries first (their broadcasts died
+      // with their context; dropping the reference lets GC finish
+      // the job) — a wholesale clear would also evict the HOT entry
+      // mid-stream and force a pointless reload next batch
+      // (review-caught)
+      val liveApp = spark.sparkContext.applicationId
+      encodeBooksCache.keySet.removeIf(_._1 != liveApp)
+      if (encodeBooksCache.size > 64) encodeBooksCache.clear()
+    }
     encodeBooksCache.computeIfAbsent(
       (spark.sparkContext.applicationId, path, booksId), _ => {
         val cents = centroidArrays(spark, path)

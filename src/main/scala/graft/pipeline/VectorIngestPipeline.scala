@@ -44,9 +44,19 @@ object VectorIngestPipeline {
     * Pre-codebook arrivals stay float-only and score exactly; a crash
     * between the two writes is healed by the replay (both dirs are
     * batchId-keyed overwrites) and is read-safe meanwhile (a code dir
-    * without `_SUCCESS` + books-id stamp is treated as uncoded). */
+    * without `_SUCCESS` + books-id stamp is treated as uncoded).
+    *
+    * An EMPTY micro-batch (a blank file in the drop dir, a filtered
+    * source) writes nothing at all: a rows-less batch dir holds only
+    * `_SUCCESS`, and a parquet read of such a dir alone throws
+    * schema-inference errors downstream (the delta coverage split
+    * reads batch subsets, not always the full glob) — and there is
+    * nothing to land anyway; a replay of the empty batch is equally
+    * a no-op (review-caught regression: the encode re-read crashed
+    * the stream on exactly this input). */
   def ingestBatch(batch: DataFrame, indexPath: String,
       batchId: Long): Unit = {
+    if (batch.isEmpty) return
     val assigned = VectorIndex.assignCells(batch, indexPath)
     assigned
       .write.mode(SaveMode.Overwrite)

@@ -31,13 +31,25 @@ object Staging {
   /** The mode [[materialize]] uses when [[ModeConf]] is unset: a
     * `local[...]` master has exactly one JVM whose loss kills the job
     * anyway, so pinned localCheckpoint blocks cost nothing extra;
-    * every other master (standalone/yarn/k8s) can lose ONE executor
-    * and survive — but not with lineage-truncated blocks pinned to
-    * it, so those default to the re-readable parquet stage. */
-  def defaultModeFor(master: String): String =
+    * every other master (standalone/yarn/k8s/local-cluster) can lose
+    * ONE executor and survive — but not with lineage-truncated blocks
+    * pinned to it, so those default to the re-readable parquet stage.
+    *
+    * `hasSharedStageDir` guards the flip (review-caught): the parquet
+    * stage is only MORE durable than localCheckpoint when every
+    * executor and the driver see the same stage directory — an
+    * explicit [[DirConf]], or a non-local Hadoop default filesystem
+    * (the default stage root is a scheme-less absolute path, which
+    * resolves against that FS). On a cluster whose default FS is
+    * `file://` and with no [[DirConf]], each executor would write its
+    * own machine-local directory and the read-back would silently
+    * lose partitions — strictly worse than the executor-loss-fragile
+    * checkpoint, so that configuration keeps "local". */
+  def defaultModeFor(master: String, hasSharedStageDir: Boolean): String =
     if (master.startsWith("local") && !master.startsWith("local-cluster"))
       "local"
-    else "parquet"
+    else if (hasSharedStageDir) "parquet"
+    else "local"
 
   /** Root directory for parquet stages (parquet mode only). */
   val DirConf = "spark.graft.stage.dir"
@@ -58,8 +70,11 @@ object Staging {
     * producer; an eager stage does not). Mode per [[ModeConf]]. */
   def materialize(df: DataFrame, name: String): DataFrame = {
     val spark = df.sparkSession
+    val sharedStage = spark.conf.getOption(DirConf).isDefined ||
+      org.apache.hadoop.fs.FileSystem.getDefaultUri(
+        spark.sparkContext.hadoopConfiguration).getScheme != "file"
     spark.conf.get(ModeConf,
-        defaultModeFor(spark.sparkContext.master)) match {
+        defaultModeFor(spark.sparkContext.master, sharedStage)) match {
       case "parquet" =>
         val root = spark.conf.get(DirConf,
           sys.props("java.io.tmpdir") + "/graft-stage")

@@ -114,4 +114,24 @@ class VectorIngestPipelineSpec extends SparkSpec {
       f.getName -> f.lastModified()).toMap
     assert(after == before, "ensureIvf must see the grown index as current")
   }
+
+  test("an empty micro-batch is a complete no-op (no batch dir, no " +
+      "code dir, no stream crash)") {
+    import spark.implicits._
+    val idx = tmpDir("vecingest-empty") + "/idx"
+    VectorIndex.ensureIvf(vecsDF(0L until 40L), idx, numCells = 4)
+    val empty = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    // pre-fix this crashed: the encode re-read hit a rows-less batch
+    // dir (only _SUCCESS) and schema inference threw, killing the
+    // stream; an empty batch must write NOTHING instead
+    VectorIngestPipeline.ingestBatch(empty, idx, 7L)
+    assert(!new java.io.File(
+      s"${VectorIngestPipeline.deltaDir(idx)}/batch=7").exists(),
+      "an empty batch must not leave a rows-less delta dir")
+    assert(!new java.io.File(VectorIndex.pqDeltaDir(idx)).exists())
+    // and the index still answers
+    assert(VectorIndex.queryIvf(spark, idx,
+      vecsDF(3L until 4L), 5, nProbe = 4).count() == 5)
+  }
 }

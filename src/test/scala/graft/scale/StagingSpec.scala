@@ -91,14 +91,24 @@ class StagingSpec extends SparkSpec {
 
   test("stage mode defaults by master URL: local masters checkpoint, " +
       "cluster masters stage to parquet") {
-    // pure mode choice per master (the conf override still wins)
-    assert(Staging.defaultModeFor("local[4]") == "local")
-    assert(Staging.defaultModeFor("local[*]") == "local")
+    // pure mode choice per (master, shared-stage-dir): local masters
+    // always checkpoint; cluster masters stage to parquet only when a
+    // shared stage location exists (explicit DirConf or a non-file
+    // default FS) — a file://-default cluster with no DirConf would
+    // stage to per-machine local dirs and silently lose partitions
+    assert(Staging.defaultModeFor("local[4]", true) == "local")
+    assert(Staging.defaultModeFor("local[*]", false) == "local")
     // local-cluster spawns real separate executor JVMs -> losable
-    assert(Staging.defaultModeFor("local-cluster[2,1,1024]") == "parquet")
-    assert(Staging.defaultModeFor("spark://host:7077") == "parquet")
-    assert(Staging.defaultModeFor("yarn") == "parquet")
-    assert(Staging.defaultModeFor("k8s://https://host:443") == "parquet")
+    assert(Staging.defaultModeFor("local-cluster[2,1,1024]", true)
+      == "parquet")
+    assert(Staging.defaultModeFor("spark://host:7077", true) == "parquet")
+    assert(Staging.defaultModeFor("yarn", true) == "parquet")
+    assert(Staging.defaultModeFor("k8s://https://host:443", true)
+      == "parquet")
+    // no shared stage dir -> the parquet stage would be WORSE than
+    // the fragile checkpoint; keep local
+    assert(Staging.defaultModeFor("spark://host:7077", false) == "local")
+    assert(Staging.defaultModeFor("yarn", false) == "local")
     // and on THIS local session with no conf set, materialize takes
     // the localCheckpoint path (LogicalRDD: lineage truncated into
     // block storage, no parquet round-trip)
