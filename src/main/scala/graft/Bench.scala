@@ -45,6 +45,37 @@ object Bench {
   val CanaryName = "window_running_sum"
   val CanaryBaselineCommitted = 0.121
 
+  // ---- protocol decision table (pure; spec-pinned in
+  // BenchProtocolSpec so the measurement policy can't drift silently)
+
+  /** Pins arm only at the EXACT scale they were recorded at — a
+    * basename match, not a substring: ".../sf0.12" or ".../sf0.1_old"
+    * must not arm sf0.1 pins (review-caught). */
+  def pinsArmedFor(sfDir: String): Boolean =
+    new java.io.File(sfDir.stripSuffix("/")).getName == "sf0.1"
+
+  /** A pinned query published over [[PinFactor]]x its committed
+    * median (while armed) is a protocol violation. */
+  def isPinViolation(name: String, median: Double,
+      armed: Boolean): Boolean =
+    armed && Pins.get(name).exists(p => median > p * PinFactor)
+
+  /** An entry whose pre-entry canary ran >= 2x the in-run baseline
+    * was timed inside a degraded window — re-measure candidate. */
+  def isCanarySuspect(canarySec: Double, baseline: Double): Boolean =
+    canarySec >= baseline * 2.0
+
+  /** Re-measuring only makes sense once the environment has settled
+    * back near the baseline; inside a still-degraded window it would
+    * re-measure the same bad environment. */
+  def canaryRecoveredAt(canaryNow: Double, baseline: Double): Boolean =
+    canaryNow <= baseline * 1.5
+
+  /** Of two same-bits measurements, publish the lower median — the
+    * one not paying the transient environment cost. */
+  def publishedOf(first: Entry, remeasured: Option[Entry]): Entry =
+    remeasured.filter(_.median < first.median).getOrElse(first)
+
   /** Actual block-device bytes read by this process so far (Linux
     * /proc/self/io read_bytes). -1 where unavailable. Distinguishes
     * page-cache-served scans (delta ~0) from cold-cache scans. */
@@ -193,26 +224,15 @@ object Bench {
       firstPass(name) = measure(name, fn)
     }
 
-    // Re-measure protocol: a pinned query over 3x its committed
-    // median, or any entry whose pre-entry canary ran >=2x the in-run
-    // baseline (the window was degraded while that entry was timed),
-    // gets ONE more 3-pass round at end-of-run — but only if the
-    // canary has recovered (otherwise the whole window is degraded
-    // and re-running would just re-measure the same bad environment;
-    // publish the telemetry instead). Bounded at 40 entries.
-    // pins are sf0.1 medians — at any other scale factor they are not
-    // comparable (a larger SF would violate them on healthy runs), so
-    // the gate only arms at the scale it was recorded at. Exact
-    // basename match, not a substring: ".../sf0.12" or ".../sf0.1_old"
-    // must NOT arm sf0.1 pins (review-caught)
-    val pinsArmed = new java.io.File(
-      sfDir.stripSuffix("/")).getName == "sf0.1"
+    // Re-measure protocol (decision table above): pin violators and
+    // canary-suspect entries get ONE more 3-pass round at end-of-run,
+    // only once the canary has recovered. Bounded at 40 entries.
+    val pinsArmed = pinsArmedFor(sfDir)
     val pinViolation = (e: (String, Entry)) =>
-      pinsArmed && Pins.get(e._1).exists(p => e._2.median > p * PinFactor)
-    val canarySuspect = (e: (String, Entry)) =>
-      e._2.canarySec >= canaryBaseline * 2.0
+      isPinViolation(e._1, e._2.median, pinsArmed)
     val suspects = firstPass.toSeq
-      .filter(e => pinViolation(e) || canarySuspect(e))
+      .filter(e => pinViolation(e) ||
+        isCanarySuspect(e._2.canarySec, canaryBaseline))
       .map(_._1).take(40)
     // ALWAYS measured (one ~0.1 s run): the artifact's canary.end is
     // the end-of-run health reading a reader compares against the
@@ -220,7 +240,7 @@ object Bench {
     // runs would fabricate exactly the signal the field exists for
     // (review-caught)
     val canaryNow = runCanary()
-    val canaryRecovered = canaryNow <= canaryBaseline * 1.5
+    val canaryRecovered = canaryRecoveredAt(canaryNow, canaryBaseline)
     val remeasured =
       if (suspects.nonEmpty && canaryRecovered) {
         System.gc(); Thread.sleep(2000)
@@ -228,12 +248,8 @@ object Bench {
           name -> measure(name, SparkEntry.queries(name))
         }.toMap
       } else Map.empty[String, Entry]
-    // Publish the better (lower-median) of the two measurements —
-    // both were the same bits; the lower one is the one not paying
-    // the transient environment cost.
     val results = firstPass.map { case (name, first) =>
-      name -> remeasured.get(name)
-        .filter(_.median < first.median).getOrElse(first)
+      name -> publishedOf(first, remeasured.get(name))
     }
 
     val stillViolating = results.toSeq.filter(pinViolation).map(_._1)
