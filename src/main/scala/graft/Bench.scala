@@ -189,6 +189,33 @@ object Bench {
         sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     catch { case _: Throwable => () }
 
+    // Warm the OS page cache over the bench dataset AND the prebuilt
+    // index stores with a raw byte sweep (a count() would read only
+    // pruned columns). The timed passes are meant to measure the
+    // ENGINE at steady state; round 9's degraded driver window had a
+    // cold-IO signature (+0.4-0.6 s additive on scan-heavy queries)
+    // consistent with the cache holding whatever ran before the
+    // bench — a deterministic pre-read removes that variable for the
+    // cost of one sequential pass (the sf0.1 set is tens of MB).
+    def warmBytes(root: java.nio.file.Path): Long =
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val stream = java.nio.file.Files.walk(root)
+        try stream.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong { p =>
+            try java.nio.file.Files.readAllBytes(p).length.toLong
+            catch { case _: Throwable => 0L }
+          }.sum()
+        finally stream.close()
+      }
+    val warmed = warmBytes(java.nio.file.Paths.get(sfDir)) +
+      Seq("graft_ivf_", "graft_bm25_", "graft_int8_", "graft_lshcand_",
+        "graft_sigs_").map(p => warmBytes(java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir") + "/" + p +
+            sfDir.replaceAll("[^A-Za-z0-9.]", "_")))).sum
+    System.err.println(
+      f"[bench] page-cache warm: ${warmed / 1048576.0}%.0f MB pre-read")
+
     val canaryFn = SparkEntry.queries(CanaryName)
     def runCanary(): Double = {
       val t0 = System.nanoTime()
