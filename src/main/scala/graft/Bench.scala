@@ -147,46 +147,53 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // ONE list of the prebuilt per-SF store locations, shared by the
+    // ensure* block below and the page-cache warm sweep after it — a
+    // store added here is both built and warmed (review-caught: a
+    // second hand-maintained path list left new stores silently cold
+    // during timed passes)
+    def storePath(prefix: String): String =
+      sys.props("java.io.tmpdir") + "/" + prefix +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val ivfPath = storePath("graft_ivf_")
+    val sigsPath = storePath("graft_sigs_")
+    val bmPath = storePath("graft_bm25_")
+    val int8Path = storePath("graft_int8_")
+    val lshPath = storePath("graft_lshcand_")
+    val storePaths = Seq(ivfPath, sigsPath, bmPath, int8Path, lshPath)
+    require(ivfPath == graft.ops.VectorIndex.defaultPath(sfDir),
+      "bench store path must match the registered queries' index path")
     // Pre-build the persisted vector index for the bench scale so the
     // sim_cosine_ivf_indexed timing measures the PROBE (the repeated
     // operation an index amortizes its one-time build across), not the
     // build. ensureIvf is a no-op when the index is already on disk.
     try graft.ops.VectorIndex.ensureIvf(
-      Tables.embeddings(spark, sfDir),
-      graft.ops.VectorIndex.defaultPath(sfDir))
+      Tables.embeddings(spark, sfDir), ivfPath)
     catch { case _: Throwable => () }
     // And the residual-PQ half behind sim_cosine_ivfpq (adds pq_cells
     // + pq_books beside the base layout; no-op when current).
     try graft.ops.VectorIndex.ensureIvfPq(
-      Tables.embeddings(spark, sfDir),
-      graft.ops.VectorIndex.defaultPath(sfDir))
+      Tables.embeddings(spark, sfDir), ivfPath)
     catch { case _: Throwable => () }
     // Same for the MinHash signature store behind dedup_incoming_store.
     try {
       import org.apache.spark.sql.functions.col
       graft.ops.SignatureStore.ensure(
         Tables.documents(spark, sfDir).filter(col("source") =!= "src0"),
-        sys.props("java.io.tmpdir") + "/graft_sigs_" +
-          sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+        sigsPath)
     } catch { case _: Throwable => () }
     // And the BM25 postings behind retrieval_bm25_indexed.
     try graft.ops.Bm25.ensurePostings(
-      Tables.documents(spark, sfDir),
-      sys.props("java.io.tmpdir") + "/graft_bm25_" +
-        sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      Tables.documents(spark, sfDir), bmPath)
     catch { case _: Throwable => () }
     // And the int8 code table behind sim_cosine_topk_int8.
     try graft.ops.Similarity.ensureQuantized(
-      Tables.embeddings(spark, sfDir),
-      sys.props("java.io.tmpdir") + "/graft_int8_" +
-        sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      Tables.embeddings(spark, sfDir), int8Path)
     catch { case _: Throwable => () }
     // And the LSH candidate-pair store shared by embedding_neardup_lsh
     // and dedup_components_lsh.
     try graft.ops.Similarity.ensureLshCandidates(
-      Tables.embeddings(spark, sfDir),
-      sys.props("java.io.tmpdir") + "/graft_lshcand_" +
-        sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      Tables.embeddings(spark, sfDir), lshPath)
     catch { case _: Throwable => () }
 
     // Warm the OS page cache over the bench dataset AND the prebuilt
@@ -197,22 +204,32 @@ object Bench {
     // consistent with the cache holding whatever ran before the
     // bench — a deterministic pre-read removes that variable for the
     // cost of one sequential pass (the sf0.1 set is tens of MB).
+    // Fixed-buffer streaming read (O(1) heap at any file size) and a
+    // fully guarded walk: warming is an optimization and must never
+    // abort the bench (review-caught on both counts).
     def warmBytes(root: java.nio.file.Path): Long =
-      if (!java.nio.file.Files.exists(root)) 0L
-      else {
-        val stream = java.nio.file.Files.walk(root)
-        try stream.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong { p =>
-            try java.nio.file.Files.readAllBytes(p).length.toLong
-            catch { case _: Throwable => 0L }
-          }.sum()
-        finally stream.close()
-      }
+      try {
+        if (!java.nio.file.Files.exists(root)) 0L
+        else {
+          val buf = new Array[Byte](1 << 20)
+          val stream = java.nio.file.Files.walk(root)
+          try stream.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong { p =>
+              try {
+                val in = java.nio.file.Files.newInputStream(p)
+                try {
+                  var total = 0L
+                  var n = in.read(buf)
+                  while (n >= 0) { total += n; n = in.read(buf) }
+                  total
+                } finally in.close()
+              } catch { case _: Throwable => 0L }
+            }.sum()
+          finally stream.close()
+        }
+      } catch { case _: Throwable => 0L }
     val warmed = warmBytes(java.nio.file.Paths.get(sfDir)) +
-      Seq("graft_ivf_", "graft_bm25_", "graft_int8_", "graft_lshcand_",
-        "graft_sigs_").map(p => warmBytes(java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir") + "/" + p +
-            sfDir.replaceAll("[^A-Za-z0-9.]", "_")))).sum
+      storePaths.map(p => warmBytes(java.nio.file.Paths.get(p))).sum
     System.err.println(
       f"[bench] page-cache warm: ${warmed / 1048576.0}%.0f MB pre-read")
 

@@ -131,14 +131,28 @@ private[agg] object StoreCompaction {
       dirName == s"batch=compacted-$g" || numericId(dirName).exists(_ > t)
   }
 
-  /** The dirs a reader may scan: manifest-filtered listing. This is
-    * the ONLY way store reads should list batch dirs — the raw
-    * `batch=*` glob would double-count a retired-but-not-yet-deleted
-    * generation against the block that absorbed it. */
+  /** The dirs a reader may scan: manifest-filtered listing, further
+    * restricted to dirs that actually HOLD data files. A rows-less
+    * dir exists legitimately — an anonymous append claims its dir
+    * (marker) BEFORE the rows land, so a crash in that window leaves
+    * `batch=N/_graft_anon` alone on disk forever (retries go above
+    * via maxBatchId) — and a parquet read over only such dirs dies in
+    * schema inference (review-caught: it crashed read() and compact()
+    * on exactly the crash shape the marker ordering calls safe).
+    *
+    * This is the ONLY way store reads should list batch dirs — the
+    * raw `batch=*` glob would double-count a
+    * retired-but-not-yet-deleted generation against the block that
+    * absorbed it. */
   def visibleBatchDirs(fs: FileSystem, storePath: String): Seq[String] = {
     val m = readManifest(fs, storePath)
+    def holdsData(dirName: String): Boolean =
+      try fs.listStatus(new Path(s"$storePath/$dirName")).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      } catch { case _: Throwable => false }
     listBatchDirs(fs, storePath).map(_.getPath.getName)
-      .filter(isVisible(_, m)).toSeq.sorted
+      .filter(isVisible(_, m)).filter(holdsData).toSeq.sorted
       .map(n => s"$storePath/$n")
   }
 

@@ -46,8 +46,14 @@ object Staging {
     * lose partitions — strictly worse than the executor-loss-fragile
     * checkpoint, so that configuration keeps "local". */
   def defaultModeFor(master: String, hasSharedStageDir: Boolean): String =
-    if (master.startsWith("local") && !master.startsWith("local-cluster"))
-      "local"
+    if (master.startsWith("local-cluster"))
+      // single-machine by construction (executor JVMs spawned locally)
+      // — file:// IS a shared filesystem there, so the executor-loss-
+      // safe parquet stage is always available (review-caught: the
+      // shared-dir guard must not revert this master to the fragile
+      // checkpoint)
+      "parquet"
+    else if (master.startsWith("local")) "local"
     else if (hasSharedStageDir) "parquet"
     else "local"
 

@@ -271,4 +271,27 @@ class SummingStoreSpec extends SparkSpec {
     s.append(partials(("2026-01-01", "info", 2L)), batchId = 4L)
     assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(15L))
   }
+
+  test("a crashed anonymous claim (marker, no rows) never breaks the " +
+      "store: reads, compaction, and later appends all proceed") {
+    val path = tmpDir("sumstore-crashed-claim")
+    val s = store(path)
+    // simulate the crash window: the claim landed, the rows did not
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    StoreCompaction.markAnon(fs, path, 0L)
+    // a store whose ONLY dir is the rows-less claim must read empty
+    // and compact as a no-op, not die in parquet schema inference
+    assert(StoreCompaction.visibleBatchDirs(fs, path).isEmpty)
+    s.compact(spark)
+    // recovery: the next anonymous append lands ABOVE the claimed id
+    s.append(partials(("2026-01-01", "info", 4L)))
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs.contains("batch=1"),
+      s"retry must land above the crashed claim, got: $dirs")
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(4L))
+    s.compact(spark)
+    assert(s.read(spark).collect().map(_.getLong(2)).toSeq == Seq(4L))
+  }
 }

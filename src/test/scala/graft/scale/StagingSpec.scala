@@ -98,8 +98,12 @@ class StagingSpec extends SparkSpec {
     // stage to per-machine local dirs and silently lose partitions
     assert(Staging.defaultModeFor("local[4]", true) == "local")
     assert(Staging.defaultModeFor("local[*]", false) == "local")
-    // local-cluster spawns real separate executor JVMs -> losable
+    // local-cluster spawns real separate executor JVMs -> losable;
+    // and it is single-machine by construction, so file:// counts as
+    // shared — parquet regardless of the shared-dir guard
     assert(Staging.defaultModeFor("local-cluster[2,1,1024]", true)
+      == "parquet")
+    assert(Staging.defaultModeFor("local-cluster[2,1,1024]", false)
       == "parquet")
     assert(Staging.defaultModeFor("spark://host:7077", true) == "parquet")
     assert(Staging.defaultModeFor("yarn", true) == "parquet")
