@@ -168,4 +168,47 @@ class RetrievalPipelineSpec extends SparkSpec {
     assert(prunedScans >= 2,
       s"expected cell pruning on base AND delta scans:\n$plan")
   }
+
+  test("retrieval_service_cap (registered) equals independent " +
+      "per-query hybrid probes on sampled queries — the cap entry's " +
+      "differential gate") {
+    import spark.implicits._
+    // run the REGISTERED entry (at sf0.001 the corpus sits below the
+    // 1024 cap: one hybrid query per embedding, 500 queries)
+    val full = graft.SparkEntry
+      .queries("retrieval_service_cap")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(full.nonEmpty)
+    // re-derive the entry's own query definitions and re-ask a sample
+    // through the per-query path; the batch must agree exactly (same
+    // discipline as the hybridTopKBatch-vs-loop pin, applied to the
+    // registered cap entry itself). The pool mirrors the entry by
+    // design: if the entry's term derivation changes, this gate fails
+    // loudly and both move together.
+    val pool = Vector("window", "merge", "spark", "join", "scan",
+      "key", "hash", "filter", "batch", "sort", "group", "column",
+      "stream", "vector", "query", "table")
+    val embOf = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 1024)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val bmPath = sys.props("java.io.tmpdir") + "/graft_bm25_" +
+      sf0001.replaceAll("[^A-Za-z0-9.]", "_")
+    val ivfPath = VectorIndex.defaultPath(sf0001)
+    for (i <- Seq(0L, 37L, 123L, 256L, 499L)) {
+      val terms = Seq(pool((i % 16).toInt), pool(((i / 16) % 16).toInt),
+        pool(((i / 256) % 16).toInt)).distinct
+      val probe = Seq(((1L << 40) + 7L, embOf(i)))
+        .toDF("vec_id", "embedding")
+      val single = RetrievalPipeline.hybridTopK(spark, bmPath, ivfPath,
+          terms, probe, 10)
+        .collect()
+        .map(r => (f"q$i%04d", r.getLong(0)) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      assert(full.view.filterKeys(_._1 == f"q$i%04d").toMap == single,
+        s"service cap diverges from the per-query probe for q$i")
+    }
+  }
 }
