@@ -1,21 +1,61 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Dev experiment: capstone wall-clock under the two sharing modes for
-  * the gram table (eager localCheckpoint vs lazy persist). */
+/** Dev experiment: attribute retrieval_service_cap's cost between its
+  * lexical (batched indexed BM25) and dense (batched IVF probe) halves
+  * plus fusion, at bench conditions (4 threads), so the PLANS.md
+  * ~10 ms/query figure carries a breakdown.
+  */
 object CapExp {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SCRATCH_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SCRATCH_PARTS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = SparkEntry.queries("pipeline_pretraining_corpus")
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, "/root/testdata/sf0.1").count()
-      println(f"capstone run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    import spark.implicits._
+    val bmPath = sys.props("java.io.tmpdir") + "/graft_bm25_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.Bm25.ensurePostings(Tables.documents(spark, sfDir), bmPath)
+    val emb = Tables.embeddings(spark, sfDir)
+    val ivfPath = graft.ops.VectorIndex.defaultPath(sfDir)
+    graft.ops.VectorIndex.ensureIvf(emb, ivfPath)
+    val pool = Vector("window", "merge", "spark", "join", "scan",
+      "key", "hash", "filter", "batch", "sort", "group", "column",
+      "stream", "vector", "query", "table")
+    val qrows = emb.filter(col("vec_id") < 1024)
+      .select(col("vec_id"), col("embedding")).collect()
+    val queries = qrows.map { r =>
+      val i = r.getLong(0)
+      (f"q$i%04d", Seq(pool((i % 16).toInt), pool(((i / 16) % 16).toInt),
+        pool(((i / 256) % 16).toInt)).distinct, r.getSeq[Float](1))
+    }.toSeq.toDF("query_id", "terms", "embedding")
+    def timed(tag: String)(body: => Long): Unit = {
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"CAPEXP $tag%-10s ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
+      }
+    }
+    timed("lexical") {
+      graft.ops.Bm25.scoreTopKIndexedBatch(spark, bmPath,
+        queries.select(col("query_id"), col("terms")), 20).count()
+    }
+    timed("dense") {
+      val qvecs = qrows.zipWithIndex.map { case (r, i) =>
+        ((1L << 40) + i, r.getSeq[Float](1))
+      }.toSeq.toDF("vec_id", "embedding")
+      graft.ops.VectorIndex.queryIvf(spark, ivfPath, qvecs, 20,
+        nProbe = 4).count()
+    }
+    timed("full") {
+      graft.pipeline.RetrievalPipeline.hybridTopKBatch(spark, bmPath,
+        ivfPath, queries, 10).count()
     }
     spark.stop()
   }
