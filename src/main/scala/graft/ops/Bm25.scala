@@ -125,10 +125,18 @@ object Bm25 {
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
           / (col("df") + lit(0.5))).as("idf"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
-    val scored = tf
+    // a tf that already CARRIES dl (the postings layout stores it on
+    // every row) skips the lengths join entirely — the join probed
+    // every expanded (query, doc, term) row and the distinct that
+    // built `lengths` re-aggregated the pruned postings, both for a
+    // value each row already holds. The direct (tokenize) path still
+    // joins: its tf covers only queried terms, so total doc length
+    // must come from the separate lengths frame.
+    val base = tf
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(idf), Seq("term"))
-      .join(lengths, Seq("doc_id"))
+    val scored = (if (tf.columns.contains("dl")) base
+      else base.join(lengths, Seq("doc_id")))
       .select(col("query_id"), col("doc_id"),
         (col("idf") * (col("tf") * (lit(k1) + 1.0))
           / (col("tf") + lit(k1) * (lit(1.0) - b
@@ -151,9 +159,11 @@ object Bm25 {
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
           / (col("df") + lit(0.5))).as("idf"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
-    val scored = tf
-      .join(broadcast(idf), Seq("term"))
-      .join(lengths, Seq("doc_id"))
+    // same dl-carrying shortcut as scoreBatch: postings rows hold dl,
+    // so the indexed path needs no lengths join
+    val joined = tf.join(broadcast(idf), Seq("term"))
+    val scored = (if (tf.columns.contains("dl")) joined
+      else joined.join(lengths, Seq("doc_id")))
       .select(col("doc_id"),
         (col("idf") * (col("tf") * (lit(k1) + 1.0))
           / (col("tf") + lit(k1) * (lit(1.0) - b
@@ -447,7 +457,6 @@ object Bm25 {
       case Some(delta) => pruned(base).unionByName(pruned(delta))
     }
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val lengths = tf.select(col("doc_id"), col("dl")).distinct()
     val baseStats = spark.read.parquet(s"$path/stats")
     val corpusStats = deltaStatTotalsOf(spark, path, ids) match {
       case None => baseStats
@@ -455,8 +464,10 @@ object Bm25 {
         baseStats.select((col("n_docs") + nd).as("n_docs"),
           (col("total_dl") + tdl).as("total_dl"))
     }
-    score(tf.select(col("doc_id"), col("term"), col("tf")), df,
-      lengths, corpusStats, k, k1, b)
+    // tf keeps its dl column -> score skips the lengths join (the
+    // lengths argument is never evaluated on this path)
+    score(tf.select(col("doc_id"), col("term"), col("tf"), col("dl")),
+      df, tf.select(col("doc_id"), col("dl")), corpusStats, k, k1, b)
   }
 
   /** Queries are the driver-side pruning input (their term union
@@ -505,7 +516,6 @@ object Bm25 {
       case None => pruned(base)
       case Some(delta) => pruned(base).unionByName(pruned(delta))
     }
-    val lengths = tfAll.select(col("doc_id"), col("dl")).distinct()
     val baseStats = spark.read.parquet(s"$path/stats")
     val corpusStats = deltaStatTotalsOf(spark, path, ids) match {
       case None => baseStats
@@ -513,7 +523,11 @@ object Bm25 {
         baseStats.select((col("n_docs") + nd).as("n_docs"),
           (col("total_dl") + tdl).as("total_dl"))
     }
-    scoreBatch(tfAll.select(col("doc_id"), col("term"), col("tf")),
-      lengths, corpusStats, qterms, k, k1, b)
+    // tf keeps its dl column -> scoreBatch skips the lengths join
+    // (the lengths argument is never evaluated on this path)
+    scoreBatch(
+      tfAll.select(col("doc_id"), col("term"), col("tf"), col("dl")),
+      tfAll.select(col("doc_id"), col("dl")), corpusStats, qterms,
+      k, k1, b)
   }
 }
