@@ -160,7 +160,9 @@ object Bench {
     val bmPath = storePath("graft_bm25_")
     val int8Path = storePath("graft_int8_")
     val lshPath = storePath("graft_lshcand_")
-    val storePaths = Seq(ivfPath, sigsPath, bmPath, int8Path, lshPath)
+    val bloomPath = graft.scale.SkipIndex.defaultPath(sfDir)
+    val storePaths =
+      Seq(ivfPath, sigsPath, bmPath, int8Path, lshPath, bloomPath)
     require(ivfPath == graft.ops.VectorIndex.defaultPath(sfDir),
       "bench store path must match the registered queries' index path")
     // Pre-build the persisted vector index for the bench scale so the
@@ -194,6 +196,10 @@ object Bench {
     // and dedup_components_lsh.
     try graft.ops.Similarity.ensureLshCandidates(
       Tables.embeddings(spark, sfDir), lshPath)
+    catch { case _: Throwable => () }
+    // And the bloom-indexed events layout behind events_bloom_skip_lookup.
+    try graft.scale.SkipIndex.ensureEventsBloom(
+      Tables.events(spark, sfDir), bloomPath)
     catch { case _: Throwable => () }
 
     // Warm the OS page cache over the bench dataset AND the prebuilt

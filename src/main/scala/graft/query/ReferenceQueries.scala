@@ -116,7 +116,25 @@ object ReferenceQueries {
             col("value")),
           Seq(col("user_id"), col("event_type")),
           version = col("ts_us"), tie = col("event_id"))
-        .orderBy(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // A7-adjacent — ClickHouse `bloom_filter` skip index: a point
+    // probe on a NON-sort high-cardinality column (event_id) through
+    // a layout sorted by user_id, where minmax granule stats cannot
+    // prune (every row group spans the id range) but the per-row-group
+    // parquet bloom can — parquet-mr's RowGroupFilter evaluates it
+    // under the pushed equality predicate, no reader code needed.
+    // Answers must equal the raw-table probe exactly (blooms have no
+    // false negatives), so it oracle-pairs against the base table.
+    "events_bloom_skip_lookup" -> ((s, d) => {
+      val path = graft.scale.SkipIndex.defaultPath(d)
+      graft.scale.SkipIndex.ensureEventsBloom(events(s, d), path)
+      s.read.parquet(path)
+        .filter(col("event_id") === lit(777))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("event_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,6 +182,11 @@ object ReferenceQueries {
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
         |    event_id DESC) = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    "events_bloom_skip_lookup" ->
+      """SELECT event_id, user_id, event_type,
+        | epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |FROM events WHERE event_id = 777
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -1,0 +1,74 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SkipIndexSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, sf0001)
+
+  private lazy val layout: String = {
+    val p = tmpDir("skipindex") + "/events_bloom"
+    SkipIndex.ensureEventsBloom(events, p)
+    p
+  }
+
+  test("bloom skip index prunes a non-sort point probe that minmax cannot") {
+    // a key that exists (the registered query's probe key)
+    val hit = SkipIndex.candidateRowGroups(spark, layout, "event_id", 777L)
+    info(s"present key: $hit")
+    assert(hit.totalRowGroups >= 4,
+      s"granularity too coarse to observe skipping: $hit")
+    assert(hit.bloomsPresent == hit.totalRowGroups,
+      s"bloom missing on some row groups (dictionary fallback?): $hit")
+    // the layout is sorted by user_id, event_id is scattered: minmax
+    // granule stats retain (nearly) everything...
+    assert(hit.minmaxCandidates >= hit.totalRowGroups / 2,
+      s"minmax unexpectedly prunes a scattered column: $hit")
+    // ...while the bloom collapses the probe to the containing
+    // group(s) plus at most a false positive or two
+    assert(hit.bloomCandidates >= 1 && hit.bloomCandidates <= 3,
+      s"bloom should isolate the containing row group: $hit")
+    assert(hit.bloomCandidates < hit.minmaxCandidates,
+      s"bloom must out-prune minmax on a non-sort column: $hit")
+
+    // an absent key: blooms reject everywhere (no false negatives
+    // exist by construction, so 0 candidates is pure pruning; the
+    // filter is deterministic, so this is not a flaky bound)
+    val miss = SkipIndex.candidateRowGroups(spark, layout, "event_id",
+      -42L)
+    info(s"absent key: $miss")
+    assert(miss.bloomCandidates <= 1,
+      s"absent key should be rejected by (almost) every bloom: $miss")
+  }
+
+  test("bloom-indexed layout answers the probe exactly like the base table") {
+    val viaIndex = spark.read.parquet(layout)
+      .filter(col("event_id") === lit(777))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect().toSeq
+    val direct = events
+      .filter(col("event_id") === lit(777))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect().toSeq
+    assert(direct.nonEmpty)
+    assert(viaIndex == direct)
+  }
+
+  test("ensure is idempotent and a torn marker forces a rebuild") {
+    val fs = Hdfs.of(spark, layout)
+    val marker = new org.apache.hadoop.fs.Path(s"$layout/_graft_rows")
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    SkipIndex.ensureEventsBloom(events, layout) // current → no-op
+    assert(fs.getFileStatus(marker).getModificationTime == t0)
+    val out = fs.create(marker, true) // torn marker
+    try out.write("12".getBytes("UTF-8")) finally out.close()
+    SkipIndex.ensureEventsBloom(events, layout) // stale → rebuild
+    val in = fs.open(marker)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(s.trim.toLong == events.count())
+  }
+}
