@@ -161,8 +161,10 @@ object Bench {
     val int8Path = storePath("graft_int8_")
     val lshPath = storePath("graft_lshcand_")
     val bloomPath = graft.scale.SkipIndex.defaultPath(sfDir)
+    val gramPath = graft.scale.TextSkipIndex.defaultPath(sfDir)
     val storePaths =
-      Seq(ivfPath, sigsPath, bmPath, int8Path, lshPath, bloomPath)
+      Seq(ivfPath, sigsPath, bmPath, int8Path, lshPath, bloomPath,
+        gramPath)
     require(ivfPath == graft.ops.VectorIndex.defaultPath(sfDir),
       "bench store path must match the registered queries' index path")
     // Pre-build the persisted vector index for the bench scale so the
@@ -200,6 +202,10 @@ object Bench {
     // And the bloom-indexed events layout behind events_bloom_skip_lookup.
     try graft.scale.SkipIndex.ensureEventsBloom(
       Tables.events(spark, sfDir), bloomPath)
+    catch { case _: Throwable => () }
+    // And the gram-bloom text layout behind text_{ngram,token}_skip_search.
+    try graft.scale.TextSkipIndex.ensureDocuments(
+      Tables.documents(spark, sfDir), gramPath)
     catch { case _: Throwable => () }
 
     // Warm the OS page cache over the bench dataset AND the prebuilt

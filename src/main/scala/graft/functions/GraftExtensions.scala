@@ -175,12 +175,47 @@ object GraftExtensions {
           graft.agg.CountMinState.hashedExpr(args(1)))
       })
 
+  /** Constant-string argument (a needle known at analysis time). */
+  private def constString(name: String, arg: Expression): String = {
+    require(arg.foldable && arg.dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"$name expects a literal string, got ${arg.sql}")
+    val v = arg.eval()
+    require(v != null, s"$name literal string must not be null")
+    v.toString
+  }
+
+  private[functions] val gramBloomDescriptor =
+    (new FunctionIdentifier("gram_bloom"),
+      new ExpressionInfo(
+        classOf[GramBloom.GramBloomAgg].getName, "gram_bloom"),
+      (args: Seq[Expression]) => {
+        arity("gram_bloom", 4, args)
+        GramBloom.GramBloomAgg(args.head,
+          constInt("gram_bloom", args(1)),
+          constInt("gram_bloom", args(2)).toLong,
+          constDouble("gram_bloom", args(3)))
+      })
+
+  private[functions] val gramBloomAdmitsDescriptor =
+    (new FunctionIdentifier("gram_bloom_admits"),
+      new ExpressionInfo(
+        classOf[GramBloom.GramBloomAdmits].getName,
+        "gram_bloom_admits"),
+      (args: Seq[Expression]) => {
+        arity("gram_bloom_admits", 3, args)
+        GramBloom.GramBloomAdmits(args.head,
+          constString("gram_bloom_admits", args(1)),
+          constInt("gram_bloom_admits", args(2)))
+      })
+
   private[functions] val descriptors = Seq(vecDotDescriptor,
     vecNormDescriptor, uniqUpToDescriptor, detSampleDescriptor,
     topKWeightedDescriptor, quantileStateDescriptor,
     quantileStateMergeDescriptor, quantileStateValueDescriptor,
     cmsStateDescriptor, cmsStateMergeDescriptor,
-    cmsStateQueryDescriptor)
+    cmsStateQueryDescriptor, gramBloomDescriptor,
+    gramBloomAdmitsDescriptor)
 
   /** Register on an already-built session (tests, driver-owned
     * sessions where spark.sql.extensions can't be set). */

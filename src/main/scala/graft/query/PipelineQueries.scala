@@ -507,6 +507,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Text skip index (ClickHouse ngrambf_v1 analog): substring
+    // search served through the gram-bloom sidecar — files whose
+    // 4-gram bloom rejects any needle gram are never opened; the
+    // survivors re-apply the exact contains(). Needle 'dup dup'
+    // exists at every SF but only in a handful of docs (the phrase's
+    // cross-word grams like 'up d' are rare even though 'dup' alone
+    // is not), so the probe demonstrates real file skipping while
+    // oracle-pairing exactly against the unindexed LIKE scan.
+    "text_ngram_skip_search" -> ((s, d) => {
+      val path = graft.scale.TextSkipIndex.defaultPath(d)
+      graft.scale.TextSkipIndex.ensureDocuments(Tables.documents(s, d),
+        path)
+      graft.scale.TextSkipIndex.searchSubstring(s, path, "dup dup")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text skip index (tokenbf_v1 analog): exact-token search through
+    // the token bloom of the same sidecar. 'dup' is the corpus's one
+    // genuinely rare token (~5% of docs), the regime a token skip
+    // index exists for.
+    "text_token_skip_search" -> ((s, d) => {
+      val path = graft.scale.TextSkipIndex.defaultPath(d)
+      graft.scale.TextSkipIndex.ensureDocuments(Tables.documents(s, d),
+        path)
+      graft.scale.TextSkipIndex.searchToken(s, path, "dup")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprint (canonical-form md5).
     "doc_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -941,6 +972,14 @@ object PipelineQueries {
          |     x -> list_contains([${stopList("en")}], x))) THEN 'de'
          |  ELSE 'en' END AS predicted
          |FROM s ORDER BY doc_id""".stripMargin,
+    "text_ngram_skip_search" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE text LIKE '%dup dup%' ORDER BY doc_id""".stripMargin,
+    "text_token_skip_search" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(
+        |  regexp_split_to_array(text, '[^A-Za-z0-9]+'), 'dup')
+        |ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))

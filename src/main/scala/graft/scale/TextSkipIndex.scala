@@ -1,0 +1,147 @@
+package graft.scale
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GramBloom
+
+/** ClickHouse `ngrambf_v1` / `tokenbf_v1` text skip index, Spark-first
+  * (ref kafka+clickhouse.md:132-141 is the MergeTree layout such
+  * secondary indexes attach to). Substring and token predicates are
+  * the two text filters parquet cannot push down — no footer stat or
+  * column bloom helps `text LIKE '%needle%'` — so at 100 TB they read
+  * every byte of every text chunk. This layout attaches a gram-bloom
+  * SIDECAR: one row per data file carrying a bloom over all character
+  * 4-grams and a bloom over all tokens of that file's text.
+  *
+  * Query = two-phase, both exact:
+  *   1. prune: scan the sidecar (one row per file, distributed) and
+  *      keep files whose bloom admits EVERY gram of the needle. A
+  *      true match contains all its grams, so no false negatives —
+  *      pruning never loses rows; false positives only cost a scan.
+  *   2. scan: read only surviving files and re-apply the exact
+  *      predicate (contains / token equality).
+  *
+  * Scale notes: the sidecar build is one distributed text pass whose
+  * shuffle carries fixed-size bloom bitsets, not text (map-side
+  * partial aggregation — see [[GramBloom.GramBloomAgg]]); the probe
+  * collects only SURVIVING file names (worst case the full file list,
+  * the same listing any parquet read materializes); sidecar size is
+  * O(files), ~2 x 80 KB per data file at the defaults — 1e5 files of
+  * a 100 TB table cost a ~16 GB sidecar table, itself a distributed
+  * scan. Grain = one file (ClickHouse's is one granule): finer files
+  * skip more precisely at more listing overhead, the same dial as
+  * `index_granularity`.
+  */
+object TextSkipIndex {
+
+  /** Character n-gram width (ClickHouse commonly ships
+    * `ngrambf_v1(4, ...)`); `n = 0` is the token mode throughout. */
+  val N = 4
+
+  /** Canonical per-SF layout location, shared by the registered
+    * queries and Bench's pre-build/warm sweep. */
+  def defaultPath(sfDir: String): String =
+    sys.props("java.io.tmpdir") + "/graft_gramidx_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def dataDir(path: String) = s"$path/data"
+  private def sidecarDir(path: String) = s"$path/_gram_blooms"
+
+  /** Write `df` as a gram-indexed layout: `files` range-partitioned
+    * sorted data files plus the bloom sidecar (ngram + token bloom
+    * per file). The sidecar pass re-reads the written text once —
+    * the index build's one-time linear cost. */
+  def write(df: DataFrame, path: String, textCol: String = "text",
+      sortCols: Seq[String] = Seq("doc_id"), files: Int = 16,
+      expectedGrams: Long = 1L << 16, fpp: Double = 0.01): Unit = {
+    val spark = df.sparkSession
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir(path))
+    spark.read.parquet(dataDir(path))
+      .select(col("_metadata.file_path").as("file"), col(textCol))
+      .groupBy(col("file"))
+      .agg(
+        GramBloom.gram_bloom(col(textCol), N, expectedGrams, fpp)
+          .as("ngram_bloom"),
+        GramBloom.gram_bloom(col(textCol), 0, expectedGrams, fpp)
+          .as("token_bloom"))
+      .write.mode(SaveMode.Overwrite).parquet(sidecarDir(path))
+  }
+
+  /** Data files whose bloom admits every gram of `needle` — the set
+    * phase 2 must scan. Distributed sidecar filter; only survivors
+    * reach the driver. */
+  def survivingFiles(spark: SparkSession, path: String, needle: String,
+      token: Boolean): Seq[String] =
+    spark.read.parquet(sidecarDir(path))
+      .filter(GramBloom.gram_bloom_admits(
+        col(if (token) "token_bloom" else "ngram_bloom"), needle,
+        if (token) 0 else N))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  private def scanPruned(spark: SparkSession, path: String,
+      surviving: Seq[String]): DataFrame =
+    if (surviving.isEmpty)
+      // schema-only read: no data file opens under an always-false
+      // filter, but the frame keeps the layout's exact schema
+      spark.read.parquet(dataDir(path)).filter(lit(false))
+    else spark.read.parquet(surviving: _*)
+
+  /** Exact substring search through the index:
+    * rows where `textCol` contains `needle`. */
+  def searchSubstring(spark: SparkSession, path: String, needle: String,
+      textCol: String = "text"): DataFrame =
+    scanPruned(spark, path, survivingFiles(spark, path, needle,
+      token = false))
+      .filter(col(textCol).contains(needle))
+
+  /** Exact token search through the index: rows where `textCol`
+    * splits (on [[GramBloom.TokenSep]]) into a list containing
+    * `tok`. */
+  def searchToken(spark: SparkSession, path: String, tok: String,
+      textCol: String = "text"): DataFrame = {
+    require(tok.nonEmpty &&
+      GramBloom.TokenSep.r.findFirstIn(tok).isEmpty,
+      s"not a single token: '$tok'")
+    scanPruned(spark, path, survivingFiles(spark, path, tok,
+      token = true))
+      .filter(array_contains(split(col(textCol), GramBloom.TokenSep),
+        tok))
+  }
+
+  /** Build-once documents layout for the registered queries. Currency
+    * = a marker INSIDE the layout dir recording row count + layout
+    * params; the Overwrite data write deletes it first, so a crash
+    * anywhere between the two writes and the marker reads as
+    * not-current -> rebuild, never a stale or half-built serve. */
+  def ensureDocuments(documents: DataFrame, path: String): Unit = {
+    val spark = documents.sparkSession
+    val fs = Hdfs.of(spark, path)
+    val marker = new Path(s"$path/_graft_rows")
+    val files = 16
+    val stamp = s"${documents.count()}|$N|$files"
+    val current =
+      fs.exists(new Path(s"${dataDir(path)}/_SUCCESS")) &&
+      fs.exists(new Path(s"${sidecarDir(path)}/_SUCCESS")) &&
+      fs.exists(marker) && {
+        val in = fs.open(marker)
+        val s = try new String(in.readAllBytes(), UTF_8)
+          finally in.close()
+        s.trim == stamp // torn/foreign marker -> rebuild
+      }
+    if (!current) {
+      // delete the marker FIRST: the data Overwrite below also
+      // removes it implicitly only if the marker lived in dataDir —
+      // it does not, so make staleness explicit before any write
+      fs.delete(marker, false)
+      write(documents, path, files = files)
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes(UTF_8)) finally out.close()
+    }
+  }
+}
