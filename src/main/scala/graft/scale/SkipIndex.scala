@@ -35,6 +35,17 @@ import org.apache.spark.sql.functions.col
   * driver-side, layout cost O(data). `rowGroupBytes` is the skip
   * granularity (ClickHouse's `index_granularity` analog): smaller
   * groups skip more precisely but carry more footer+bloom overhead.
+  *
+  * The family's third member, ClickHouse's `set(N)` index, is also
+  * already in the format: parquet-mr's RowGroupFilter has a
+  * DICTIONARY level that checks a pushed equality against the
+  * dictionary page of a fully dictionary-encoded chunk — a per-group
+  * exact value set that, like set(N), stops existing above an NDV
+  * threshold (the dictionary falls back to plain encoding). That is
+  * precisely why [[write]] disables dictionary encoding on bloom
+  * columns: the two mechanisms serve disjoint NDV regimes, and
+  * parquet-mr emits no bloom where the dictionary already filters
+  * exactly.
   */
 object SkipIndex {
 
