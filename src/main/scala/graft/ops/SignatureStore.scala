@@ -45,20 +45,10 @@ object SignatureStore {
   def ensure(corpus: DataFrame, path: String, n: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 4): String = {
     val fs = graft.scale.Hdfs.of(corpus.sparkSession, path)
-    val meta = new Path(s"$path/_graft_meta")
-    val fp = s"rows=${corpus.count()};n=$n;b=$bands;r=$rowsPerBand"
-    val current = fs.exists(new Path(s"$path/bands/_SUCCESS")) &&
-      fs.exists(meta) && {
-        val in = fs.open(meta)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == fp
-        finally in.close()
-      }
-    if (!current) {
+    graft.scale.Hdfs.ensureStamped(fs, new Path(s"$path/_graft_meta"),
+      Seq(new Path(s"$path/bands/_SUCCESS")),
+      s"rows=${corpus.count()};n=$n;b=$bands;r=$rowsPerBand") {
       build(corpus, path, n, bands, rowsPerBand)
-      val out = fs.create(meta, true)
-      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
     }
     path
   }

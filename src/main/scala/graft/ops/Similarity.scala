@@ -215,23 +215,13 @@ object Similarity {
       tables: Int = 8, planesPerTable: Int = 8): DataFrame = {
     val spark = vectors.sparkSession
     val fs = graft.scale.Hdfs.of(spark, path)
-    val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
-    val fp = s"rows=${vectors.count()};tables=$tables;planes=$planesPerTable"
-    val current = fs.exists(
-        new org.apache.hadoop.fs.Path(s"$path/cand/_SUCCESS")) &&
-      fs.exists(meta) && {
-        val in = fs.open(meta)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == fp
-        finally in.close()
-      }
-    if (!current) {
+    graft.scale.Hdfs.ensureStamped(fs,
+      new org.apache.hadoop.fs.Path(s"$path/_graft_meta"),
+      Seq(new org.apache.hadoop.fs.Path(s"$path/cand/_SUCCESS")),
+      s"rows=${vectors.count()};tables=$tables;planes=$planesPerTable") {
       lshCandidates(vectors, tables, planesPerTable).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/cand")
-      val out = fs.create(meta, true)
-      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
     }
     spark.read.parquet(s"$path/cand")
   }
@@ -265,23 +255,13 @@ object Similarity {
   def ensureQuantized(corpus: DataFrame, path: String): DataFrame = {
     val spark = corpus.sparkSession
     val fs = graft.scale.Hdfs.of(spark, path)
-    val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
-    val fp = s"rows=${corpus.count()}"
-    val current = fs.exists(
-        new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")) &&
-      fs.exists(meta) && {
-        val in = fs.open(meta)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == fp
-        finally in.close()
-      }
-    if (!current) {
+    graft.scale.Hdfs.ensureStamped(fs,
+      new org.apache.hadoop.fs.Path(s"$path/_graft_meta"),
+      Seq(new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")),
+      s"rows=${corpus.count()}") {
       quantize(corpus).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/codes")
-      val out = fs.create(meta, true)
-      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
     }
     spark.read.parquet(s"$path/codes")
   }

@@ -61,22 +61,11 @@ object VectorIndex {
   def ensureIvf(corpus: DataFrame, path: String, numCells: Int = 16,
       refineIters: Int = 2): String = {
     val fs = graft.scale.Hdfs.of(corpus.sparkSession, path)
-    val meta = new Path(s"$path/_graft_meta")
-    val fingerprint = s"rows=${corpus.count()};cells=$numCells"
-    val current = fs.exists(new Path(s"$path/centroids/_SUCCESS")) &&
-      fs.exists(new Path(s"$path/cells/_SUCCESS")) &&
-      fs.exists(meta) && {
-        val in = fs.open(meta)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == fingerprint
-        finally in.close()
-      }
-    if (!current) {
+    graft.scale.Hdfs.ensureStamped(fs, new Path(s"$path/_graft_meta"),
+      Seq(new Path(s"$path/centroids/_SUCCESS"),
+        new Path(s"$path/cells/_SUCCESS")),
+      s"rows=${corpus.count()};cells=$numCells") {
       buildIvf(corpus, path, numCells, refineIters)
-      val out = fs.create(meta, true)
-      try out.write(
-        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
     }
     path
   }

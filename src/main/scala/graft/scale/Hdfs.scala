@@ -21,4 +21,39 @@ object Hdfs {
 
   def of(spark: SparkSession, path: Path): FileSystem =
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The build-once currency protocol every persisted store shares
+    * (IVF index, MinHash signatures, int8 codes, LSH candidates,
+    * bloom/gram skip layouts): the layout is current iff every
+    * `successPaths` commit marker exists AND `meta` holds exactly
+    * `stamp`; otherwise `build` runs and the stamp is (re)written
+    * LAST. The stamp is deleted FIRST, so a crash anywhere inside
+    * `build` — including between a layout's multiple writes — leaves
+    * the store not-current -> rebuild, never a stale or half-built
+    * serve; a torn/foreign marker read likewise fails the compare.
+    *
+    * Contract for `stamp`: it must encode the data fingerprint (row
+    * count at minimum) AND every parameter that shapes the layout —
+    * a parameter retune that silently serves the old physical layout
+    * is this protocol's failure mode (review-caught, round 10).
+    */
+  def ensureStamped(fs: FileSystem, meta: Path,
+      successPaths: Seq[Path], stamp: String)(build: => Unit): Unit = {
+    val current = successPaths.forall(fs.exists) &&
+      fs.exists(meta) && {
+        val in = fs.open(meta)
+        val s = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        s.trim == stamp
+      }
+    if (!current) {
+      fs.delete(meta, false)
+      build
+      val out = fs.create(meta, true)
+      try out.write(
+        stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
 }

@@ -1,7 +1,5 @@
 package graft.scale
 
-import java.nio.charset.StandardCharsets.UTF_8
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
@@ -137,28 +135,23 @@ object SkipIndex {
     * sort key that scatters event_id), bloom on event_id, granularity
     * small enough that skipping is observable at test scale
     * (ClickHouse ships 8192-row granules at any scale for the same
-    * reason). Currency = a row-count marker INSIDE the layout dir:
-    * the Overwrite write deletes it first, so a crash between write
-    * and marker reads as not-current → rebuild, never a stale serve.
+    * reason). Currency = the shared [[Hdfs.ensureStamped]] protocol.
     */
   def ensureEventsBloom(events: DataFrame, path: String): Unit = {
-    val spark = events.sparkSession
-    val fs = Hdfs.of(spark, path)
-    val marker = new Path(s"$path/_graft_rows")
-    val n = events.count()
-    val current = fs.exists(new Path(s"$path/_SUCCESS")) &&
-      fs.exists(marker) && {
-        val in = fs.open(marker)
-        val s = try new String(in.readAllBytes(), UTF_8)
-          finally in.close()
-        s.trim.toLongOption.contains(n) // torn marker → rebuild
-      }
-    if (!current) {
-      write(events, path, sortCols = Seq("user_id"),
-        bloomCols = Seq("event_id"), ndvPerGroup = 4096,
-        rowGroupBytes = 64L << 10)
-      val out = fs.create(marker, true)
-      try out.write(n.toString.getBytes(UTF_8)) finally out.close()
+    val fs = Hdfs.of(events.sparkSession, path)
+    val sortCols = Seq("user_id")
+    val bloomCols = Seq("event_id")
+    val ndv = 4096L
+    val rgBytes = 64L << 10
+    // stamp = data fingerprint + every layout parameter: a retune of
+    // granularity/NDV/columns must invalidate, or ensure serves the
+    // old physical layout forever (review-caught)
+    val stamp = s"rows=${events.count()};sort=${sortCols.mkString("+")}" +
+      s";bloom=${bloomCols.mkString("+")};ndv=$ndv;rg=$rgBytes"
+    Hdfs.ensureStamped(fs, new Path(s"$path/_graft_meta"),
+      Seq(new Path(s"$path/_SUCCESS")), stamp) {
+      write(events, path, sortCols, bloomCols, ndvPerGroup = ndv,
+        rowGroupBytes = rgBytes)
     }
   }
 }

@@ -1,7 +1,5 @@
 package graft.scale
 
-import java.nio.charset.StandardCharsets.UTF_8
-
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -115,33 +113,23 @@ object TextSkipIndex {
   }
 
   /** Build-once documents layout for the registered queries. Currency
-    * = a marker INSIDE the layout dir recording row count + layout
-    * params; the Overwrite data write deletes it first, so a crash
-    * anywhere between the two writes and the marker reads as
-    * not-current -> rebuild, never a stale or half-built serve. */
+    * = the shared [[Hdfs.ensureStamped]] protocol (stamp deleted
+    * before the TWO writes, rewritten after both — a crash between
+    * them reads as not-current -> rebuild). */
   def ensureDocuments(documents: DataFrame, path: String): Unit = {
-    val spark = documents.sparkSession
-    val fs = Hdfs.of(spark, path)
-    val marker = new Path(s"$path/_graft_rows")
+    val fs = Hdfs.of(documents.sparkSession, path)
     val files = 16
-    val stamp = s"${documents.count()}|$N|$files"
-    val current =
-      fs.exists(new Path(s"${dataDir(path)}/_SUCCESS")) &&
-      fs.exists(new Path(s"${sidecarDir(path)}/_SUCCESS")) &&
-      fs.exists(marker) && {
-        val in = fs.open(marker)
-        val s = try new String(in.readAllBytes(), UTF_8)
-          finally in.close()
-        s.trim == stamp // torn/foreign marker -> rebuild
-      }
-    if (!current) {
-      // delete the marker FIRST: the data Overwrite below also
-      // removes it implicitly only if the marker lived in dataDir —
-      // it does not, so make staleness explicit before any write
-      fs.delete(marker, false)
-      write(documents, path, files = files)
-      val out = fs.create(marker, true)
-      try out.write(stamp.getBytes(UTF_8)) finally out.close()
+    val expectedGrams = 1L << 16
+    val fpp = 0.01
+    // stamp = data fingerprint + every layout parameter (gram width,
+    // file grain, bloom sizing): a retune must invalidate
+    val stamp = s"rows=${documents.count()};n=$N;files=$files" +
+      s";grams=$expectedGrams;fpp=$fpp"
+    Hdfs.ensureStamped(fs, new Path(s"$path/_graft_meta"),
+      Seq(new Path(s"${dataDir(path)}/_SUCCESS"),
+        new Path(s"${sidecarDir(path)}/_SUCCESS")), stamp) {
+      write(documents, path, files = files,
+        expectedGrams = expectedGrams, fpp = fpp)
     }
   }
 }

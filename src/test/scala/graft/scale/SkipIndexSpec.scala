@@ -60,15 +60,18 @@ class SkipIndexSpec extends SparkSpec {
 
   test("ensure is idempotent and a torn marker forces a rebuild") {
     val fs = Hdfs.of(spark, layout)
-    val marker = new org.apache.hadoop.fs.Path(s"$layout/_graft_rows")
+    val marker = new org.apache.hadoop.fs.Path(s"$layout/_graft_meta")
     val t0 = fs.getFileStatus(marker).getModificationTime
     SkipIndex.ensureEventsBloom(events, layout) // current → no-op
     assert(fs.getFileStatus(marker).getModificationTime == t0)
     val out = fs.create(marker, true) // torn marker
-    try out.write("12".getBytes("UTF-8")) finally out.close()
+    try out.write("rows=12".getBytes("UTF-8")) finally out.close()
     SkipIndex.ensureEventsBloom(events, layout) // stale → rebuild
     val in = fs.open(marker)
     val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    assert(s.trim.toLong == events.count())
+    // the stamp carries the data fingerprint AND the layout params —
+    // a parameter retune must invalidate, not serve the old layout
+    assert(s == s"rows=${events.count()};sort=user_id;" +
+      "bloom=event_id;ndv=4096;rg=65536")
   }
 }

@@ -114,15 +114,17 @@ class TextSkipIndexSpec extends SparkSpec {
 
   test("ensure is idempotent and a torn marker forces a rebuild") {
     val fs = Hdfs.of(spark, layout)
-    val marker = new org.apache.hadoop.fs.Path(s"$layout/_graft_rows")
+    val marker = new org.apache.hadoop.fs.Path(s"$layout/_graft_meta")
     val t0 = fs.getFileStatus(marker).getModificationTime
     TextSkipIndex.ensureDocuments(docs, layout) // current -> no-op
     assert(fs.getFileStatus(marker).getModificationTime == t0)
     val out = fs.create(marker, true) // torn marker
-    try out.write("7|4|16".getBytes("UTF-8")) finally out.close()
+    try out.write("rows=7".getBytes("UTF-8")) finally out.close()
     TextSkipIndex.ensureDocuments(docs, layout) // stale -> rebuild
     val in = fs.open(marker)
     val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    assert(s.trim == s"${docs.count()}|${TextSkipIndex.N}|16")
+    // fingerprint + every layout param (gram width, grain, bloom size)
+    assert(s == s"rows=${docs.count()};n=${TextSkipIndex.N};" +
+      "files=16;grams=65536;fpp=0.01")
   }
 }
