@@ -71,12 +71,46 @@ object TextSkipIndex {
       .write.mode(SaveMode.Overwrite).parquet(sidecarDir(path))
   }
 
+  /** Append a document batch to an existing layout: the batch's data
+    * files land under `data/b_<batchId>/`, its sidecar rows under
+    * `_gram_blooms/b_<batchId>/` — both `Overwrite`, so replaying a
+    * micro-batch after a crash is idempotent (the batchId-keyed delta
+    * discipline every store in this engine follows). Ordering is the
+    * commit protocol: data first, sidecar LAST — a batch is visible
+    * to searches only through its sidecar rows, so a crash between
+    * the two writes leaves the batch invisible (not half-visible)
+    * until the replay overwrites both. No base rebuild, no touch of
+    * other batches; [[write]]'s full Overwrite subsumes all deltas on
+    * the next rebuild. */
+  def append(batch: DataFrame, path: String, batchId: Long,
+      textCol: String = "text", files: Int = 1,
+      expectedGrams: Long = 1L << 16, fpp: Double = 0.01): Unit = {
+    val spark = batch.sparkSession
+    val bData = s"${dataDir(path)}/b_$batchId"
+    batch.repartitionByRange(files, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(bData)
+    spark.read.parquet(bData)
+      .select(col("_metadata.file_path").as("file"), col(textCol))
+      .groupBy(col("file"))
+      .agg(
+        GramBloom.gram_bloom(col(textCol), N, expectedGrams, fpp)
+          .as("ngram_bloom"),
+        GramBloom.gram_bloom(col(textCol), 0, expectedGrams, fpp)
+          .as("token_bloom"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${sidecarDir(path)}/b_$batchId")
+  }
+
   /** Data files whose bloom admits every gram of `needle` — the set
     * phase 2 must scan. Distributed sidecar filter; only survivors
-    * reach the driver. */
+    * reach the driver. Recursive lookup spans the base sidecar and
+    * every committed batch delta; a data file with no sidecar row
+    * (an uncommitted append) is invisible by construction. */
   def survivingFiles(spark: SparkSession, path: String, needle: String,
       token: Boolean): Seq[String] =
-    spark.read.parquet(sidecarDir(path))
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(sidecarDir(path))
       .filter(GramBloom.gram_bloom_admits(
         col(if (token) "token_bloom" else "ngram_bloom"), needle,
         if (token) 0 else N))
@@ -87,7 +121,8 @@ object TextSkipIndex {
     if (surviving.isEmpty)
       // schema-only read: no data file opens under an always-false
       // filter, but the frame keeps the layout's exact schema
-      spark.read.parquet(dataDir(path)).filter(lit(false))
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(dataDir(path)).filter(lit(false))
     else spark.read.parquet(surviving: _*)
 
   /** Exact substring search through the index:

@@ -112,6 +112,42 @@ class TextSkipIndexSpec extends SparkSpec {
       "merged bloom dropped an inserted gram (false negative)")
   }
 
+  test("batchId-keyed append: planted arrival searchable on commit, replay idempotent") {
+    import spark.implicits._
+    val p = tmpDir("gramidx-append") + "/docs"
+    TextSkipIndex.ensureDocuments(docs, p)
+    val planted = Seq(
+      (900001L, "freshzz skip index arrival freshzz", "en", "srcX",
+        34L),
+      (900002L, "another plain arrival row", "en", "srcX", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // invisible before the append commits
+    assert(TextSkipIndex.searchToken(spark, p, "freshzz").count() == 0)
+    TextSkipIndex.append(planted, p, batchId = 1)
+    val hit = TextSkipIndex.searchToken(spark, p, "freshzz")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(900001L))
+    assert(TextSkipIndex
+      .searchSubstring(spark, p, "freshzz skip").count() == 1)
+    // the delta probe PRUNES: only the planted batch's file survives
+    val survivors = TextSkipIndex.survivingFiles(spark, p, "freshzz",
+      token = true)
+    assert(survivors.size == 1 && survivors.head.contains("/b_1/"),
+      s"expected just the batch file: $survivors")
+    // base rows still found across base + delta
+    val viaIndex = TextSkipIndex.searchToken(spark, p, "dup")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val direct = docs.unionByName(planted)
+      .filter(array_contains(split(col("text"), GramBloom.TokenSep),
+        "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaIndex == direct && direct.nonEmpty)
+    // replaying the same batch is idempotent (Overwrite both dirs)
+    TextSkipIndex.append(planted, p, batchId = 1)
+    assert(TextSkipIndex.searchToken(spark, p, "freshzz")
+      .count() == 1)
+  }
+
   test("ensure is idempotent and a torn marker forces a rebuild") {
     val fs = Hdfs.of(spark, layout)
     val marker = new org.apache.hadoop.fs.Path(s"$layout/_graft_meta")
