@@ -148,6 +148,29 @@ class TextSkipIndexSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("foreachBatch maintenance: a streamed arrival is searchable once its batch commits") {
+    val p = tmpDir("gramidx-stream") + "/docs"
+    TextSkipIndex.ensureDocuments(docs, p)
+    val src = tmpDir("gramidx-src")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "b0.json"),
+      ("""{"doc_id": 910001, "text": "streamedzz arrival body",""" +
+        """ "lang": "en", "source": "srcS", "n_chars": 23}""")
+        .getBytes("UTF-8"))
+    val q = spark.readStream.schema(docs.schema).json(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("gramidx-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        TextSkipIndex.append(b, p, id)
+      }
+      .start()
+    q.awaitTermination()
+    val hit = TextSkipIndex.searchToken(spark, p, "streamedzz")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(910001L))
+  }
+
   test("ensure is idempotent and a torn marker forces a rebuild") {
     val fs = Hdfs.of(spark, layout)
     val marker = new org.apache.hadoop.fs.Path(s"$layout/_graft_meta")
