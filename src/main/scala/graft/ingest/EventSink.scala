@@ -67,12 +67,25 @@ object EventSink {
     wire.filter(eventTypeCode(col("event_type")).isNull)
 
   /** MergeTree-layout write: day partitions + (campaign_id, event_time)
-    * clustering within each file for min/max skipping. */
+    * clustering within each file for min/max skipping — plus a
+    * per-row-group bloom on `email` (ClickHouse `bloom_filter` skip
+    * index analog, see [[graft.scale.SkipIndex]]): the per-subject
+    * point probe (GDPR subject access / [[graft.scale.Maintenance]]
+    * erasure) filters on a high-cardinality column the sort key
+    * scatters, exactly the probe min/max stats cannot serve.
+    * Dictionary encoding is disabled on `email` for the same reason
+    * SkipIndex disables it on bloom columns: at production NDV the
+    * dictionary page overflows to plain encoding anyway, and
+    * parquet-mr omits the bloom for fully dictionary-encoded chunks —
+    * this keeps the skip structure present in BOTH regimes. */
   def writeEmailEvents(rows: DataFrame, cfg: PipelineConfig): Unit =
     rows
       .repartition(col("event_date"))
       .sortWithinPartitions(col("campaign_id"), col("event_time"))
       .write.mode(SaveMode.Append)
+      .option("parquet.bloom.filter.enabled#email", "true")
+      .option("parquet.bloom.filter.expected.ndv#email", "65536")
+      .option("parquet.enable.dictionary#email", "false")
       .partitionBy("event_date")
       .parquet(cfg.tablePath("email_events"))
 }

@@ -3,7 +3,8 @@ package graft.scale
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.column.statistics.LongStatistics
+import org.apache.parquet.column.statistics.{BinaryStatistics, LongStatistics}
+import org.apache.parquet.io.api.Binary
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -87,18 +88,18 @@ object SkipIndex {
   final case class Audit(bloomCandidates: Int, minmaxCandidates: Int,
       bloomsPresent: Int, totalRowGroups: Int)
 
-  /** Driver-side audit of an INT64 equality probe against the layout:
-    * for each row group, evaluate (a) the column's min/max footer
-    * stats and (b) its bloom filter — the same two decisions
-    * parquet-mr's `RowGroupFilter` makes at scan time (levels
-    * STATISTICS and BLOOMFILTER). A row group with missing stats or a
-    * missing bloom is a must-scan candidate at that level (skip
-    * indexes only ever prune, never invent rows). Footer-only: reads
-    * no data pages, so the audit is O(row groups) however large the
-    * table.
+  /** Driver-side audit of an equality probe (INT64 or UTF-8 string
+    * column) against the layout: for each row group, evaluate (a) the
+    * column's min/max footer stats and (b) its bloom filter — the
+    * same two decisions parquet-mr's `RowGroupFilter` makes at scan
+    * time (levels STATISTICS and BLOOMFILTER). A row group with
+    * missing/foreign stats or a missing bloom is a must-scan
+    * candidate at that level (skip indexes only ever prune, never
+    * invent rows). Footer-only: reads no data pages, so the audit is
+    * O(row groups) however large the table.
     */
   def candidateRowGroups(spark: SparkSession, path: String,
-      column: String, value: Long): Audit = {
+      column: String, value: Any): Audit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = Hdfs.of(spark, path)
     val parts = fs.listStatus(new Path(path))
@@ -114,16 +115,34 @@ object SkipIndex {
             .getOrElse(throw new IllegalArgumentException(
               s"[skipindex] no column '$column' in ${f.getPath}"))
           total += 1
-          colMeta.getStatistics match {
-            case s: LongStatistics if s.hasNonNullValue =>
-              if (s.getMin <= value && value <= s.getMax) minmaxC += 1
+          (colMeta.getStatistics, value) match {
+            case (s: LongStatistics, v: Long) if s.hasNonNullValue =>
+              if (s.getMin <= v && v <= s.getMax) minmaxC += 1
+            case (s: BinaryStatistics, v: String)
+                if s.hasNonNullValue =>
+              // the column's own comparator (unsigned lexicographic
+              // for UTF8) — the ordering the footer stats were
+              // written under
+              val b = Binary.fromString(v)
+              val cmp = s.comparator
+                .asInstanceOf[java.util.Comparator[Binary]]
+              if (cmp.compare(s.genericGetMin, b) <= 0 &&
+                  cmp.compare(s.genericGetMax, b) >= 0)
+                minmaxC += 1
             case _ => minmaxC += 1 // absent/foreign stats: must scan
           }
           val bloom = reader.getBloomFilterDataReader(block)
             .readBloomFilter(colMeta)
           if (bloom != null) present += 1
-          if (bloom == null || bloom.findHash(bloom.hash(value)))
-            bloomC += 1
+          val hash = value match {
+            case v: Long => if (bloom == null) 0L else bloom.hash(v)
+            case v: String =>
+              if (bloom == null) 0L
+              else bloom.hash(Binary.fromString(v))
+            case other => throw new IllegalArgumentException(
+              s"[skipindex] unsupported probe type: ${other.getClass}")
+          }
+          if (bloom == null || bloom.findHash(hash)) bloomC += 1
         }
       } finally reader.close()
     }

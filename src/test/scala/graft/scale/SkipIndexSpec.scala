@@ -58,6 +58,43 @@ class SkipIndexSpec extends SparkSpec {
     assert(viaIndex == direct)
   }
 
+  test("production email_events layout carries the email bloom (GDPR point probe)") {
+    import spark.implicits._
+    val cfg = graft.config.PipelineConfig(
+      topicsRoot = tmpDir("topics"), warehouseRoot = tmpDir("wh"))
+    val rows = (1 to 4000).map(i => ("c" + (i % 7), "w",
+        s"user$i@mail.example", "open",
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "",
+        20240101))
+      .toDF("campaign_id", "workspace_id", "email", "event_type",
+        "event_time", "metadata", "event_date")
+    graft.ingest.EventSink.writeEmailEvents(rows, cfg)
+    val part = cfg.tablePath("email_events") + "/event_date=20240101"
+    // bloom present on every row group despite a repeated-value-free
+    // high-NDV column (dictionary disabled on email by the writer)
+    val hit = SkipIndex.candidateRowGroups(spark, part, "email",
+      "user123@mail.example")
+    info(s"present email: $hit")
+    assert(hit.totalRowGroups >= 1 &&
+      hit.bloomsPresent == hit.totalRowGroups)
+    assert(hit.bloomCandidates >= 1 &&
+      hit.minmaxCandidates == hit.totalRowGroups)
+    // an absent subject INSIDE the column's lexicographic range:
+    // string min/max stats cannot prune it, the bloom rejects it
+    // (deterministic for fixed data) — an erasure/access probe for a
+    // never-seen address opens zero row groups
+    val miss = SkipIndex.candidateRowGroups(spark, part, "email",
+      "user2500x@mail.example")
+    info(s"absent email: $miss")
+    assert(miss.minmaxCandidates == miss.totalRowGroups,
+      s"in-range probe should pass minmax: $miss")
+    assert(miss.bloomCandidates == 0)
+    // out-of-range absent subject: even the string MINMAX path prunes
+    val below = SkipIndex.candidateRowGroups(spark, part, "email",
+      "ghost@mail.example")
+    assert(below.minmaxCandidates == 0 && below.bloomCandidates == 0)
+  }
+
   test("ensure is idempotent and a torn marker forces a rebuild") {
     val fs = Hdfs.of(spark, layout)
     val marker = new org.apache.hadoop.fs.Path(s"$layout/_graft_meta")
