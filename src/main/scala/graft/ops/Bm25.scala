@@ -429,6 +429,40 @@ object Bm25 {
       batchId: Long): Unit =
     ingestBatch(newDocs, path, batchId)
 
+  /** The shared indexed-probe construction: bucket-pruned postings
+    * rows for `terms` (base + committed streamed deltas, rows carrying
+    * dl) and the delta-adjusted 1-row corpus stats. Streamed arrivals
+    * probe alongside the base — bucket is a partition column inside
+    * each batch dir, so the same IN-filter prunes both sides (applied
+    * per side, before the union, to keep the pruning visible in each
+    * scan — the queryIvf discipline). ONE committed-batch snapshot
+    * serves BOTH the postings read and the stats totals — a batch
+    * committing between two independent listings would yield stats
+    * including postings never scanned. */
+  private def indexedProbe(spark: SparkSession, path: String,
+      terms: Seq[String]): (DataFrame, DataFrame) = {
+    val buckets = terms.map(bucketOfTerm).distinct.sorted
+    val base = spark.read.parquet(s"$path/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("bucket"))
+    def pruned(rows: DataFrame): DataFrame = rows
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val ids = completeBatchIds(spark, path)
+    val tf = deltaPostingsOf(spark, path, ids) match {
+      case None => pruned(base)
+      case Some(delta) => pruned(base).unionByName(pruned(delta))
+    }
+    val baseStats = spark.read.parquet(s"$path/stats")
+    val corpusStats = deltaStatTotalsOf(spark, path, ids) match {
+      case None => baseStats
+      case Some((nd, tdl, _)) =>
+        baseStats.select((col("n_docs") + nd).as("n_docs"),
+          (col("total_dl") + tdl).as("total_dl"))
+    }
+    (tf, corpusStats)
+  }
+
   /** BM25 top-k against the persisted postings: the scan prunes to the
     * query terms' hash-bucket partitions (`bucket IN (...)` on the
     * partition column) and then filters to the exact terms — the
@@ -437,33 +471,8 @@ object Bm25 {
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25: empty query")
-    val buckets = terms.map(bucketOfTerm).distinct.sorted
-    val base = spark.read.parquet(s"$path/postings")
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        col("bucket"))
-    // streamed arrivals probe alongside the base — bucket is a
-    // partition column inside each batch dir, so the same IN-filter
-    // prunes both sides (applied per side, before the union, to keep
-    // the pruning visible in each scan — the queryIvf discipline)
-    def pruned(rows: DataFrame): DataFrame = rows
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(col("term").isin(terms: _*))
-    // ONE committed-batch snapshot serves BOTH the postings read and
-    // the stats totals — a batch committing between two independent
-    // listings would yield stats including postings never scanned
-    val ids = completeBatchIds(spark, path)
-    val tf = deltaPostingsOf(spark, path, ids) match {
-      case None => pruned(base)
-      case Some(delta) => pruned(base).unionByName(pruned(delta))
-    }
+    val (tf, corpusStats) = indexedProbe(spark, path, terms)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val baseStats = spark.read.parquet(s"$path/stats")
-    val corpusStats = deltaStatTotalsOf(spark, path, ids) match {
-      case None => baseStats
-      case Some((nd, tdl, _)) =>
-        baseStats.select((col("n_docs") + nd).as("n_docs"),
-          (col("total_dl") + tdl).as("total_dl"))
-    }
     // tf keeps its dl column -> score skips the lengths join (the
     // lengths argument is never evaluated on this path)
     score(tf.select(col("doc_id"), col("term"), col("tf"), col("dl")),
@@ -502,32 +511,125 @@ object Bm25 {
       .map(t => (r.getString(0), t))).distinct.toSeq
     require(pairs.nonEmpty, "bm25 batch: no query terms")
     val terms = pairs.map(_._2).distinct
-    val buckets = terms.map(bucketOfTerm).distinct.sorted
     import spark.implicits._
     val qterms = pairs.toDF("query_id", "term")
-    val base = spark.read.parquet(s"$path/postings")
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        col("bucket"))
-    def pruned(rows: DataFrame): DataFrame = rows
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(col("term").isin(terms: _*))
-    val ids = completeBatchIds(spark, path)
-    val tfAll = deltaPostingsOf(spark, path, ids) match {
-      case None => pruned(base)
-      case Some(delta) => pruned(base).unionByName(pruned(delta))
-    }
-    val baseStats = spark.read.parquet(s"$path/stats")
-    val corpusStats = deltaStatTotalsOf(spark, path, ids) match {
-      case None => baseStats
-      case Some((nd, tdl, _)) =>
-        baseStats.select((col("n_docs") + nd).as("n_docs"),
-          (col("total_dl") + tdl).as("total_dl"))
-    }
+    val (tfAll, corpusStats) = indexedProbe(spark, path, terms)
     // tf keeps its dl column -> scoreBatch skips the lengths join
     // (the lengths argument is never evaluated on this path)
     scoreBatch(
       tfAll.select(col("doc_id"), col("term"), col("tf"), col("dl")),
       tfAll.select(col("doc_id"), col("dl")), corpusStats, qterms,
       k, k1, b)
+  }
+
+  /** Outcome of a max-score-pruned probe, for specs and diagnostics:
+    * whether the pruned answer was certified exact (else `result` is
+    * the full path's answer), the candidate-doc frame the certificate
+    * scored, the kth candidate score (theta) and the summed
+    * non-essential upper bounds it was checked against. */
+  private[graft] final case class MaxScorePrune(result: DataFrame,
+      prunedExact: Boolean, candidates: Option[DataFrame],
+      theta: Double, ubNonEssential: Double)
+
+  /** Scores round to 4 decimals; a true score s certifies strictly
+    * below a rounded kth score only with half-ulp slack on each side. */
+  private val RoundSlack = 1e-4
+
+  /** Exact top-k with MAX-SCORE pruning (Turtle & Flood 1995; the
+    * WAND/block-max family, Broder 2003 / Ding & Suel 2011) over the
+    * persisted postings — the stop-word-df escape hatch: on a
+    * df-varied (Zipf) vocabulary, the candidate set comes from the
+    * RARE ("essential") terms only, and the stop-word postings are
+    * probed just to finish scoring those candidates, never expanded
+    * into (query, doc) pairs of their own.
+    *
+    * Spark dataflow (one staged narrow probe, three bounded jobs):
+    *  1. the same bucket-pruned postings probe as
+    *     [[scoreTopKIndexed]], staged once (term, doc_id, tf, dl);
+    *  2. per-term df + max single-doc contribution (a |terms|-row
+    *     driver collect) -> per-term score upper bound
+    *     ub(t) = idf(t) * max_d contrib(t, d);
+    *  3. essential = terms with df <= rareDfFraction * N; candidates =
+    *     docs holding at least one essential term; candidates score
+    *     over ALL their query terms (semi join — the stop-word rows of
+    *     non-candidates die in the join, which is the pruning);
+    *  4. certificate: a doc with no essential term scores at most
+    *     sum(ub over non-essential terms); if that bound (plus
+    *     rounding slack) is strictly below the kth candidate score,
+    *     no pruned-away doc can reach the top k — the answer is
+    *     provably EXACT. Otherwise fall back to the full path, so the
+    *     caller gets the exact answer on every input.
+    *
+    * Scale note: scan BYTES equal the full path's (the same term
+    * buckets are read — block-level skipping is the storage layer's
+    * job); what pruning removes is the pair expansion, score
+    * aggregation, and top-k shuffle over every stop-word match — the
+    * compute that dominates when a query mixes one selective term
+    * with stop-word-df terms. On the all-stop-word pool of
+    * `retrieval_service_cap` no essential term exists and this
+    * degrades, by design, to exactly the full path (the documented
+    * floor). df/idf always come from the FULL probed frame, never the
+    * candidate subset, so certified scores are bit-identical to
+    * [[scoreTopKIndexed]]. */
+  def scoreTopKIndexedMaxScore(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      rareDfFraction: Double = 0.25): DataFrame =
+    maxScoreDetail(spark, path, terms, k, k1, b, rareDfFraction).result
+
+  private[graft] def maxScoreDetail(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      rareDfFraction: Double = 0.25): MaxScorePrune = {
+    require(terms.nonEmpty, "bm25: empty query")
+    require(rareDfFraction > 0 && rareDfFraction < 1,
+      s"bm25 max-score: rareDfFraction must be in (0,1), " +
+        s"got $rareDfFraction")
+    val (tfRaw, corpusStats) = indexedProbe(spark, path, terms)
+    // the probe feeds several jobs (term stats, candidates, scoring,
+    // fallback) — stage the narrow frame once
+    val tf = graft.scale.Staging.materialize(
+      tfRaw.select(col("doc_id"), col("term"), col("tf"), col("dl")),
+      "bm25-maxscore-tf")
+    val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    def fullResult: DataFrame =
+      score(tf, dfAll, tf.select(col("doc_id"), col("dl")),
+        corpusStats, k, k1, b)
+    val st = corpusStats.collect()(0)
+    val n = st.getLong(0)
+    if (n == 0L) // empty corpus: nothing to prune, nothing to rank
+      return MaxScorePrune(fullResult, prunedExact = false, None, 0, 0)
+    val avgdl = st.getLong(1).toDouble / n
+    val contrib = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val perTerm = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(contrib).as("mc"))
+      .collect() // |terms|-bounded driver read
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def idfOf(d: Long) = math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+    val essential = perTerm.filter(_._2 <= rareDfFraction * n).map(_._1)
+    if (essential.isEmpty) // every matched term is stop-word-df
+      return MaxScorePrune(fullResult, prunedExact = false, None, 0, 0)
+    val ubNonEss = perTerm.filterNot(t => essential.contains(t._1))
+      .map(t => idfOf(t._2) * t._3).sum
+    val cand = tf.filter(col("term").isin(essential.toSeq: _*))
+      .select(col("doc_id")).distinct()
+    val candRows = tf.join(cand, Seq("doc_id"), "left_semi")
+    val topK = score(candRows, dfAll,
+      candRows.select(col("doc_id"), col("dl")), corpusStats, k, k1, b)
+    val got = topK.orderBy(col("rank")).collect() // <= k rows
+    val certified = got.length == k &&
+      ubNonEss + RoundSlack < got.last.getAs[Double]("score")
+    if (certified)
+      // the certificate already executed the candidate top-k; hand the
+      // k collected rows back as a local relation instead of paying
+      // the candidate scoring a second time on the caller's action
+      MaxScorePrune(
+        spark.createDataFrame(java.util.Arrays.asList(got: _*),
+          topK.schema),
+        prunedExact = true, Some(cand),
+        got.last.getAs[Double]("score"), ubNonEss)
+    else
+      MaxScorePrune(fullResult, prunedExact = false, Some(cand),
+        if (got.isEmpty) 0 else got.last.getAs[Double]("score"),
+        ubNonEss)
   }
 }

@@ -26,6 +26,11 @@ object PipelineQueries {
   /** The fixed demo query for the BM25 pair — mid-frequency corpus
     * terms so tf/df actually discriminate. */
   private val Bm25QueryTerms = Seq("window", "merge", "spark")
+
+  /** One rare term + two stop-word-df terms — the df shape max-score
+    * pruning exists for (certificate engages at every tested SF with
+    * at least k 'dup' docs; smaller fixtures fall back, still exact). */
+  private val Bm25PrunedTerms = Seq("dup", "scan", "merge")
   private val cosineT = 0.4 // demo threshold: testdata max pair sim ~0.51
 
   /** Input cap for the two deliberately-quadratic `_oracle` anchors:
@@ -307,6 +312,21 @@ object PipelineQueries {
         d.replaceAll("[^A-Za-z0-9.]", "_")
       Bm25.ensurePostings(Tables.documents(s, d), path)
       Bm25.scoreTopKIndexed(s, path, Bm25QueryTerms, 20)
+        .orderBy(col("rank"))
+    }),
+
+    // MAX-SCORE pruned top-k (Turtle & Flood) through the same
+    // postings: one rare term ('dup', ~5% df) generates the candidate
+    // set; the two stop-word-df terms only finish scoring those
+    // candidates (semi join) instead of expanding ~80% of the corpus
+    // into scored pairs; the non-essential upper-bound certificate
+    // proves the pruned answer exact (else the path falls back), so
+    // it pairs against the same exact-BM25 oracle as the full paths.
+    "retrieval_bm25_pruned" -> ((s, d) => {
+      val path = sys.props("java.io.tmpdir") + "/graft_bm25_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      Bm25.ensurePostings(Tables.documents(s, d), path)
+      Bm25.scoreTopKIndexedMaxScore(s, path, Bm25PrunedTerms, 10)
         .orderBy(col("rank"))
     }),
 
@@ -596,15 +616,18 @@ object PipelineQueries {
     TextAnalysis.langProfiles.find(_._1 == lang).get._2
       .map(w => s"'$w'").mkString(", ")
 
-  /** One oracle body for both BM25 paths — scores must be identical. */
-  private val bm25OracleSql: String =
-    """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+  /** One oracle body for every single-query BM25 path (direct,
+    * indexed, max-score-pruned) — scores must be identical across all
+    * of them, so they differ only in term list and k. */
+  private def bm25OracleSqlFor(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
       |    '[^a-z]+')) AS term FROM documents),
       |wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
       |dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY 1),
       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
-      |  WHERE term IN ('window', 'merge', 'spark') GROUP BY 1, 2),
+      |  WHERE term IN ($inList) GROUP BY 1, 2),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |sc AS (SELECT tf.doc_id,
       |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
@@ -616,7 +639,11 @@ object PipelineQueries {
       |SELECT doc_id, score,
       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
       |    AS rank
-      |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  private val bm25OracleSql: String =
+    bm25OracleSqlFor(Seq("window", "merge", "spark"), 20)
 
   /** One oracle body for the hybrid BATCH paths — direct and
     * persisted-index (full dense probe = exact) must fuse to identical
@@ -668,6 +695,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "retrieval_bm25" -> bm25OracleSql,
     "retrieval_bm25_indexed" -> bm25OracleSql,
+    "retrieval_bm25_pruned" -> bm25OracleSqlFor(Bm25PrunedTerms, 10),
     "retrieval_bm25_batch" ->
       """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
         |    '[^a-z]+')) AS term FROM documents),

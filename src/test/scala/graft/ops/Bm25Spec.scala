@@ -260,4 +260,85 @@ class Bm25Spec extends SparkSpec {
     assert(e.getMessage.contains("bad") &&
       e.getMessage.contains("NULL terms"), e.getMessage)
   }
+
+  /** 200 docs all holding stop words (df = N), 12 also holding the
+    * rare term — the df shape max-score pruning exists for. dl varies
+    * so the length normalization is exercised, not constant. */
+  private def maxScoreCorpus = {
+    import spark.implicits._
+    (0L until 200L).map { i =>
+      val stop = "scan merge data " * (1 + (i % 3).toInt)
+      ((i, (if (i < 12) "rare " else "") + stop.trim))
+    }.toDF("doc_id", "text")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+
+  test("max-score: certificate engages on a rare+stop-word query; " +
+      "candidates come from the rare term only; answer is bit-" +
+      "identical to the full path") {
+    val path = tmpDir("bm25-maxscore")
+    Bm25.ensurePostings(maxScoreCorpus, path)
+    val q = Seq("rare", "scan", "merge")
+    val det = Bm25.maxScoreDetail(spark, path, q, 10)
+    assert(det.prunedExact,
+      s"certificate should hold: theta=${det.theta} " +
+        s"ubNonEssential=${det.ubNonEssential}")
+    // the pruning: only the 12 rare-term docs were ever expanded into
+    // scored pairs — the 188 stop-word-only docs died in the semi join
+    assert(det.candidates.get.count() == 12)
+    assert(det.theta > det.ubNonEssential)
+    assert(rows(det.result) ==
+      rows(Bm25.scoreTopKIndexed(spark, path, q, 10)))
+  }
+
+  test("max-score: all-stop-word query has no essential term -> " +
+      "exact fallback (the documented service-cap floor)") {
+    val path = tmpDir("bm25-maxscore-fb")
+    Bm25.ensurePostings(maxScoreCorpus, path)
+    val q = Seq("scan", "merge")
+    val det = Bm25.maxScoreDetail(spark, path, q, 10)
+    assert(!det.prunedExact && det.candidates.isEmpty)
+    assert(rows(det.result) ==
+      rows(Bm25.scoreTopKIndexed(spark, path, q, 10)))
+  }
+
+  test("max-score: fewer candidates than k -> exact fallback (stop-" +
+      "word-only docs can hold ranks the candidate set cannot fill)") {
+    val path = tmpDir("bm25-maxscore-short")
+    Bm25.ensurePostings(maxScoreCorpus, path)
+    val q = Seq("rare", "scan", "merge")
+    val det = Bm25.maxScoreDetail(spark, path, q, 15) // 12 candidates
+    assert(!det.prunedExact)
+    val full = rows(Bm25.scoreTopKIndexed(spark, path, q, 15))
+    assert(rows(det.result) == full && full.size == 15)
+  }
+
+  test("max-score equals the full indexed path on random corpora and " +
+      "queries (certified or fallen back, always exact)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rare = Seq("aardvark", "bezoar", "cormorant")
+    val common = Seq("scan", "merge", "data", "join")
+    for (trial <- 0 until 5) {
+      val n = 80 + rnd.nextInt(70)
+      val docs = (0L until n.toLong).map { i =>
+        val words = common.filter(_ => rnd.nextDouble() < 0.8) ++
+          rare.filter(_ => rnd.nextDouble() < 0.08)
+        val text = rnd.shuffle(words.flatMap(w =>
+          Seq.fill(1 + rnd.nextInt(3))(w))).mkString(" ")
+        (i, text)
+      }.toDF("doc_id", "text")
+      val path = tmpDir(s"bm25-maxscore-rnd$trial")
+      Bm25.ensurePostings(docs, path)
+      val q = rnd.shuffle(rare).take(1 + rnd.nextInt(2)) ++
+        rnd.shuffle(common).take(1 + rnd.nextInt(3))
+      val k = 5 + rnd.nextInt(10)
+      assert(rows(Bm25.scoreTopKIndexedMaxScore(spark, path, q, k)) ==
+        rows(Bm25.scoreTopKIndexed(spark, path, q, k)),
+        s"trial $trial: query=$q k=$k")
+    }
+  }
 }
