@@ -165,7 +165,8 @@ object Bench {
     val storePaths =
       Seq(ivfPath, sigsPath, bmPath, int8Path, lshPath, bloomPath,
         gramPath)
-    require(ivfPath == graft.ops.VectorIndex.defaultPath(sfDir),
+    require(ivfPath == graft.ops.VectorIndex.defaultPath(sfDir) &&
+      bmPath == graft.ops.Bm25.defaultPath(sfDir),
       "bench store path must match the registered queries' index path")
     // Pre-build the persisted vector index for the bench scale so the
     // sim_cosine_ivf_indexed timing measures the PROBE (the repeated

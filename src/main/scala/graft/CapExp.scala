@@ -19,8 +19,7 @@ object CapExp {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val bmPath = sys.props("java.io.tmpdir") + "/graft_bm25_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val bmPath = graft.ops.Bm25.defaultPath(sfDir)
     graft.ops.Bm25.ensurePostings(Tables.documents(spark, sfDir), bmPath)
     val emb = Tables.embeddings(spark, sfDir)
     val ivfPath = graft.ops.VectorIndex.defaultPath(sfDir)

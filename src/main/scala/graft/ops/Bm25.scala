@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** Canonical per-SF postings-layout location, shared by every
+    * registered query, the bench warm sweep, and the specs — one
+    * derivation so the callers can never drift onto different paths
+    * (and silently build one postings layout per call site). */
+  def defaultPath(sfDir: String): String =
+    sys.props("java.io.tmpdir") + "/graft_bm25_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
   private def tokens(text: org.apache.spark.sql.Column) =
     split(lower(text), "[^a-z]+")
 
@@ -616,7 +624,9 @@ object Bm25 {
     val topK = score(candRows, dfAll,
       candRows.select(col("doc_id"), col("dl")), corpusStats, k, k1, b)
     val got = topK.orderBy(col("rank")).collect() // <= k rows
-    val certified = got.length == k &&
+    // got.nonEmpty guards k = 0: an empty collect satisfies
+    // length == k vacuously but has no kth score to certify against
+    val certified = got.nonEmpty && got.length == k &&
       ubNonEss + RoundSlack < got.last.getAs[Double]("score")
     if (certified)
       // the certificate already executed the candidate top-k; hand the

@@ -308,8 +308,7 @@ object PipelineQueries {
     // Scores must be bit-identical to the direct path (same stats),
     // so BOTH pair against the same oracle.
     "retrieval_bm25_indexed" -> ((s, d) => {
-      val path = sys.props("java.io.tmpdir") + "/graft_bm25_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = Bm25.defaultPath(d)
       Bm25.ensurePostings(Tables.documents(s, d), path)
       Bm25.scoreTopKIndexed(s, path, Bm25QueryTerms, 20)
         .orderBy(col("rank"))
@@ -323,8 +322,7 @@ object PipelineQueries {
     // proves the pruned answer exact (else the path falls back), so
     // it pairs against the same exact-BM25 oracle as the full paths.
     "retrieval_bm25_pruned" -> ((s, d) => {
-      val path = sys.props("java.io.tmpdir") + "/graft_bm25_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = Bm25.defaultPath(d)
       Bm25.ensurePostings(Tables.documents(s, d), path)
       Bm25.scoreTopKIndexedMaxScore(s, path, Bm25PrunedTerms, 10)
         .orderBy(col("rank"))
@@ -336,8 +334,7 @@ object PipelineQueries {
     // oracle, the index-correctness gate batched.
     "retrieval_bm25_indexed_batch" -> ((s, d) => {
       import s.implicits._
-      val path = sys.props("java.io.tmpdir") + "/graft_bm25_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = Bm25.defaultPath(d)
       Bm25.ensurePostings(Tables.documents(s, d), path)
       val qs = Seq(
         ("kj", Seq("key", "join", "scan")),
@@ -382,8 +379,7 @@ object PipelineQueries {
     // real vec_ids so self-exclusion matches the oracle.
     "retrieval_hybrid_indexed_batch" -> ((s, d) => {
       import s.implicits._
-      val bmPath = sys.props("java.io.tmpdir") + "/graft_bm25_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val bmPath = Bm25.defaultPath(d)
       Bm25.ensurePostings(Tables.documents(s, d), bmPath)
       val emb = Tables.embeddings(s, d)
       val ivfPath = graft.ops.VectorIndex.defaultPath(d)
@@ -417,8 +413,7 @@ object PipelineQueries {
     // measures the shape at the cap (rows-only, deterministic).
     "retrieval_service_cap" -> ((s, d) => {
       import s.implicits._
-      val bmPath = sys.props("java.io.tmpdir") + "/graft_bm25_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val bmPath = Bm25.defaultPath(d)
       Bm25.ensurePostings(Tables.documents(s, d), bmPath)
       val emb = Tables.embeddings(s, d)
       val ivfPath = VectorIndex.defaultPath(d)

@@ -96,9 +96,20 @@ object SkipIndex {
     * missing/foreign stats or a missing bloom is a must-scan
     * candidate at that level (skip indexes only ever prune, never
     * invent rows). Footer-only: reads no data pages, so the audit is
-    * O(row groups) however large the table.
+    * O(row groups) however large the table. Typed overloads (INT64 /
+    * UTF-8 probe) keep the probe-type contract at compile time — an
+    * `Any` parameter would let an Int probe compile and then miss the
+    * Long match at runtime.
     */
   def candidateRowGroups(spark: SparkSession, path: String,
+      column: String, value: Long): Audit =
+    candidateRowGroupsImpl(spark, path, column, value)
+
+  def candidateRowGroups(spark: SparkSession, path: String,
+      column: String, value: String): Audit =
+    candidateRowGroupsImpl(spark, path, column, value)
+
+  private def candidateRowGroupsImpl(spark: SparkSession, path: String,
       column: String, value: Any): Audit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = Hdfs.of(spark, path)

@@ -60,7 +60,18 @@ object TextSkipIndex {
     df.repartitionByRange(files, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dataDir(path))
-    spark.read.parquet(dataDir(path))
+    buildSidecar(spark, dataDir(path), sidecarDir(path), textCol,
+      expectedGrams, fpp)
+  }
+
+  /** The sidecar build both [[write]] and [[append]] commit with: one
+    * distributed pass over the just-written data files, one bloom row
+    * per file. Shared so a bloom retune can never fork base and delta
+    * sidecar schemas/parameters. */
+  private def buildSidecar(spark: SparkSession, dataPath: String,
+      sidecarPath: String, textCol: String, expectedGrams: Long,
+      fpp: Double): Unit =
+    spark.read.parquet(dataPath)
       .select(col("_metadata.file_path").as("file"), col(textCol))
       .groupBy(col("file"))
       .agg(
@@ -68,38 +79,34 @@ object TextSkipIndex {
           .as("ngram_bloom"),
         GramBloom.gram_bloom(col(textCol), 0, expectedGrams, fpp)
           .as("token_bloom"))
-      .write.mode(SaveMode.Overwrite).parquet(sidecarDir(path))
-  }
+      .write.mode(SaveMode.Overwrite).parquet(sidecarPath)
 
   /** Append a document batch to an existing layout: the batch's data
     * files land under `data/b_<batchId>/`, its sidecar rows under
-    * `_gram_blooms/b_<batchId>/` — both `Overwrite`, so replaying a
-    * micro-batch after a crash is idempotent (the batchId-keyed delta
-    * discipline every store in this engine follows). Ordering is the
-    * commit protocol: data first, sidecar LAST — a batch is visible
-    * to searches only through its sidecar rows, so a crash between
-    * the two writes leaves the batch invisible (not half-visible)
-    * until the replay overwrites both. No base rebuild, no touch of
-    * other batches; [[write]]'s full Overwrite subsumes all deltas on
-    * the next rebuild. */
+    * `_gram_blooms/b_<batchId>/` (the batchId-keyed delta discipline
+    * every store in this engine follows), so replaying a micro-batch
+    * after a crash is idempotent. The commit protocol has to survive
+    * REPLAY of an already-committed batch, not just first-time crash:
+    * the sidecar rows reference physical data file names, and an
+    * Overwrite of the data dir deletes the files a still-committed
+    * sidecar points at. So: retract the sidecar FIRST (the batch
+    * turns invisible — sidecar rows are the only route to a delta's
+    * files), then rewrite data, then recommit the sidecar. Every
+    * crash window leaves the batch invisible-not-dangling, and the
+    * next replay heals it. No base rebuild, no touch of other
+    * batches; [[write]]'s full Overwrite subsumes all deltas on the
+    * next rebuild. */
   def append(batch: DataFrame, path: String, batchId: Long,
       textCol: String = "text", files: Int = 1,
       expectedGrams: Long = 1L << 16, fpp: Double = 0.01): Unit = {
     val spark = batch.sparkSession
     val bData = s"${dataDir(path)}/b_$batchId"
+    val bSidecar = s"${sidecarDir(path)}/b_$batchId"
+    Hdfs.of(spark, bSidecar).delete(new Path(bSidecar), true)
     batch.repartitionByRange(files, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(bData)
-    spark.read.parquet(bData)
-      .select(col("_metadata.file_path").as("file"), col(textCol))
-      .groupBy(col("file"))
-      .agg(
-        GramBloom.gram_bloom(col(textCol), N, expectedGrams, fpp)
-          .as("ngram_bloom"),
-        GramBloom.gram_bloom(col(textCol), 0, expectedGrams, fpp)
-          .as("token_bloom"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"${sidecarDir(path)}/b_$batchId")
+    buildSidecar(spark, bData, bSidecar, textCol, expectedGrams, fpp)
   }
 
   /** Data files whose bloom admits every gram of `needle` — the set

@@ -316,6 +316,16 @@ class Bm25Spec extends SparkSpec {
     assert(rows(det.result) == full && full.size == 15)
   }
 
+  test("max-score: k = 0 returns empty without certifying (an empty " +
+      "collect satisfies length == k vacuously but has no kth score)") {
+    val path = tmpDir("bm25-maxscore-k0")
+    Bm25.ensurePostings(maxScoreCorpus, path)
+    val det = Bm25.maxScoreDetail(spark, path,
+      Seq("rare", "scan", "merge"), 0)
+    assert(!det.prunedExact)
+    assert(det.result.count() == 0)
+  }
+
   test("max-score equals the full indexed path on random corpora and " +
       "queries (certified or fallen back, always exact)") {
     import spark.implicits._

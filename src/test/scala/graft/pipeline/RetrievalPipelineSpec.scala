@@ -194,8 +194,7 @@ class RetrievalPipelineSpec extends SparkSpec {
       .filter(col("vec_id") < 1024)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val bmPath = sys.props("java.io.tmpdir") + "/graft_bm25_" +
-      sf0001.replaceAll("[^A-Za-z0-9.]", "_")
+    val bmPath = Bm25.defaultPath(sf0001)
     val ivfPath = VectorIndex.defaultPath(sf0001)
     for (i <- Seq(0L, 37L, 123L, 256L, 499L)) {
       val terms = Seq(pool((i % 16).toInt), pool(((i / 16) % 16).toInt),

@@ -148,6 +148,46 @@ class TextSkipIndexSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("replay of a committed batch never leaves dangling sidecar refs " +
+      "(retract-first protocol: every crash window reads invisible)") {
+    import spark.implicits._
+    val p = tmpDir("gramidx-replay") + "/docs"
+    TextSkipIndex.ensureDocuments(docs, p)
+    val planted = Seq(
+      (920001L, "replayzz crash window probe", "en", "srcR", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    TextSkipIndex.append(planted, p, batchId = 7)
+    assert(TextSkipIndex.searchToken(spark, p, "replayzz").count() == 1)
+    // simulate the replay crash window append now walks through:
+    // sidecar retracted FIRST, data rewritten (fresh part-file UUIDs),
+    // crash before the sidecar recommit
+    val fs = Hdfs.of(spark, p)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_gram_blooms/b_7"),
+      true)
+    planted.repartition(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$p/data/b_7")
+    // mid-window: the batch is invisible — searches must not throw on
+    // deleted paths (the pre-fix ordering left the committed sidecar
+    // pointing at files the data Overwrite had just deleted)
+    assert(TextSkipIndex.searchToken(spark, p, "replayzz").count() == 0)
+    assert(TextSkipIndex.searchToken(spark, p, "dup").count() ==
+      docs.filter(array_contains(
+        split(col("text"), GramBloom.TokenSep), "dup")).count())
+    // the next replay heals both dirs
+    TextSkipIndex.append(planted, p, batchId = 7)
+    assert(TextSkipIndex.searchToken(spark, p, "replayzz").count() == 1)
+    // invariant the protocol exists for: every committed sidecar row
+    // references a live data file
+    val referenced = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$p/_gram_blooms").select("file").collect()
+      .map(_.getString(0))
+    referenced.foreach { f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(f)),
+        s"dangling sidecar ref: $f")
+    }
+  }
+
   test("foreachBatch maintenance: a streamed arrival is searchable once its batch commits") {
     val p = tmpDir("gramidx-stream") + "/docs"
     TextSkipIndex.ensureDocuments(docs, p)
