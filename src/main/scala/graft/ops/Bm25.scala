@@ -504,6 +504,17 @@ object Bm25 {
     * agree bit-for-bit (spec-pinned; batch-direct pairs against the
     * DuckDB oracle). Streamed delta batches probe alongside the base
     * under one committed-id snapshot, exactly as [[scoreTopKIndexed]].
+    *
+    * Duplicate term SETS score once: BM25 here is a pure function of
+    * the query's distinct-term set (scores sum per distinct (query,
+    * term) pair; ranking ties break on doc_id — fully deterministic),
+    * so the batch scores one representative per canonical set and
+    * fans the finished top-k back to the queries that share it
+    * through a broadcast map over the <= |queries| x k result rows.
+    * A production query batch is duplicate-heavy (popular queries
+    * repeat), making the pair expansion + score aggregation + rank
+    * windows scale with DISTINCT queries, not requests; an
+    * all-distinct batch skips the fan-back entirely.
     */
   def scoreTopKIndexedBatch(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, k1: Double = 1.2,
@@ -515,8 +526,18 @@ object Bm25 {
         "bounded-collect cap")
     qrows.foreach(r => require(!r.isNullAt(1),
       s"bm25 batch: query '${r.getString(0)}' has a NULL terms array"))
-    val pairs = qrows.flatMap(r => r.getSeq[String](1)
-      .map(t => (r.getString(0), t))).distinct.toSeq
+    // canonical term set per query_id — a repeated query_id keeps its
+    // historical union-of-terms semantics
+    val canon: Seq[(String, Seq[String])] = qrows.toSeq
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .groupBy(_._1)
+      .map { case (qid, rows) =>
+        (qid, rows.flatMap(_._2).distinct.sorted)
+      }.toSeq
+    val repOf: Map[Seq[String], String] = canon.groupBy(_._2)
+      .map { case (ts, qs) => (ts, qs.map(_._1).min) }
+    val pairs = repOf.toSeq
+      .flatMap { case (ts, rid) => ts.map(t => (rid, t)) }
     require(pairs.nonEmpty, "bm25 batch: no query terms")
     val terms = pairs.map(_._2).distinct
     import spark.implicits._
@@ -524,10 +545,20 @@ object Bm25 {
     val (tfAll, corpusStats) = indexedProbe(spark, path, terms)
     // tf keeps its dl column -> scoreBatch skips the lengths join
     // (the lengths argument is never evaluated on this path)
-    scoreBatch(
+    val repScored = scoreBatch(
       tfAll.select(col("doc_id"), col("term"), col("tf"), col("dl")),
       tfAll.select(col("doc_id"), col("dl")), corpusStats, qterms,
       k, k1, b)
+    if (repOf.size == canon.size) repScored
+    else {
+      val mapping = canon
+        .map { case (qid, ts) => (repOf(ts), qid) }
+        .toDF("rep_id", "query_id")
+      repScored.withColumnRenamed("query_id", "rep_id")
+        .join(broadcast(mapping), Seq("rep_id"))
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("rank"))
+    }
   }
 
   /** Outcome of a max-score-pruned probe, for specs and diagnostics:

@@ -248,6 +248,38 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("indexed batch scores duplicate term SETS once and fans the " +
+      "result back: dup-heavy batch equals per-query indexed calls") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val path = tmpDir("bm25-ibatch-dup")
+    Bm25.ensurePostings(docs, path)
+    // 12 queries over 3 canonical sets, with order variations and
+    // in-array duplicates (canonicalization = distinct + sorted)
+    val qdefs = (0 until 12).map { i =>
+      val terms = (i % 3) match {
+        case 0 => Seq("key", "join", "scan")
+        case 1 => Seq("scan", "join", "key") // same set, other order
+        case _ => Seq("window", "merge", "merge") // in-array dup
+      }
+      (f"q$i%02d", terms)
+    }
+    val got = Bm25.scoreTopKIndexedBatch(spark, path,
+        qdefs.toDF("query_id", "terms"), 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    for ((qid, terms) <- qdefs) {
+      val single = Bm25.scoreTopKIndexed(spark, path, terms.distinct, 8)
+        .collect()
+        .map(r => (qid, r.getLong(0)) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      assert(got.view.filterKeys(_._1 == qid).toMap == single,
+        s"dedup'd batch for $qid diverges from the single-query probe")
+    }
+    // every query_id surfaces (the fan-back lost none)
+    assert(got.keySet.map(_._1) == qdefs.map(_._1).toSet)
+  }
+
   test("indexed batch fails tagged (not NPE) on a NULL terms array") {
     import spark.implicits._
     val path = tmpDir("bm25-null-terms")
