@@ -118,6 +118,41 @@ object ReferenceQueries {
           version = col("ts_us"), tie = col("event_id"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // ClickHouse `ORDER BY ... WITH FILL` (+ INTERPOLATE) analog:
+    // densify a sparse per-(day, level) series onto the full calendar
+    // grid — zero-fill for the additive count, last-observation-
+    // carried-forward for the gauge column. The grid's bounds derive
+    // from the result set itself (ClickHouse's default): a 1-row
+    // min/max aggregate exploded through sequence() — never a driver
+    // collect — cross-joined to the distinct levels. The cross
+    // product is justified (PlanShapeSpec exemption): BOTH sides are
+    // calendar/enum-bounded (days x |levels|), independent of corpus
+    // size at any scale. Every frame past the daily aggregation is
+    // calendar-sized; the one real shuffle is that aggregation.
+    "window_gap_fill" -> ((s, d) => {
+      val obs = events(s, d)
+        .filter(col("value") > 190)
+        .groupBy(to_date(col("ts")).as("day"),
+          col("event_type").as("level"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_val"))
+      val days = obs.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      val grid = days
+        .crossJoin(obs.select(col("level")).distinct())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("level")).orderBy(col("day"))
+        .rowsBetween(Long.MinValue, 0)
+      grid.join(obs, Seq("day", "level"), "left")
+        .withColumn("locf_gauge",
+          last(col("sum_val"), ignoreNulls = true).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("level"), coalesce(col("n"), lit(0L)).as("n"),
+          col("locf_gauge"))
+        .orderBy(col("day"), col("level"))
+    }),
+
     // A7-adjacent — ClickHouse `bloom_filter` skip index: a point
     // probe on a NON-sort high-cardinality column (event_id) through
     // a layout sorted by user_id, where minmax granule stats cannot
@@ -187,6 +222,27 @@ object ReferenceQueries {
       """SELECT event_id, user_id, event_type,
         | epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         |FROM events WHERE event_id = 777
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "window_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    event_type AS level, count(*) AS n,
+        |    round(sum(value), 2) AS sum_val
+        |  FROM events WHERE value > 190 GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |lv AS (SELECT DISTINCT level FROM obs),
+        |grid AS (SELECT day, level FROM days CROSS JOIN lv)
+        |SELECT strftime(g.day, '%Y-%m-%d') AS day, g.level,
+        |  coalesce(o.n, 0) AS n,
+        |  last_value(o.sum_val IGNORE NULLS) OVER (
+        |    PARTITION BY g.level ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS locf_gauge
+        |FROM grid g LEFT JOIN obs o USING (day, level)
+        |ORDER BY 1, 2""".stripMargin
   )
 }

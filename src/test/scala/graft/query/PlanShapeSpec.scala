@@ -47,7 +47,10 @@ class PlanShapeSpec extends SparkSpec {
       "retrieval_hybrid_indexed_batch",
       "retrieval_bm25_batch", "retrieval_bm25_indexed_batch",
       "sample_quality_buckets", "retrieval_hybrid_rrf",
-      "retrieval_hybrid_rrf_batch", "retrieval_service_cap")
+      "retrieval_hybrid_rrf_batch", "retrieval_service_cap",
+      // calendar-grid densification: the cross product's BOTH sides
+      // are result-bounded (days x |levels|, never corpus rows)
+      "window_gap_fill")
 
   /** Queries whose hinted broadcast sides are QUERY-BATCH frames
     * bounded by the MaxBatchQueries contract (≤1024 queries → ≤1024 ×
