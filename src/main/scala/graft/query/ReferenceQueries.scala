@@ -153,6 +153,54 @@ object ReferenceQueries {
         .orderBy(col("day"), col("level"))
     }),
 
+    // ClickHouse `WITH FILL INTERPOLATE` with linear interpolation —
+    // the gap-fill sibling for gauges where carrying the last value
+    // is wrong: each missing day gets prev + (next - prev) * i / gap
+    // from the nearest observations on both sides (two directional
+    // ignore-nulls windows, both keyed on level — never global).
+    // Deliberately NOT rounded: both engines evaluate the identical
+    // IEEE-double expression on identical inputs (the observed values
+    // are 2-decimal-rounded sums), and each fp op is correctly
+    // rounded, so the results are bit-identical without a final
+    // round() — which could itself diverge at a .xx5 boundary.
+    // Same calendar-bounded grid discipline as window_gap_fill.
+    "window_interpolate" -> ((s, d) => {
+      val obs = events(s, d)
+        .filter(col("value") > 190)
+        .groupBy(to_date(col("ts")).as("day"),
+          col("event_type").as("level"))
+        .agg(round(sum(col("value")), 2).as("sum_val"))
+      val days = obs.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      val grid = days
+        .crossJoin(obs.select(col("level")).distinct())
+      val byLevel = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("level")).orderBy(col("day"))
+      val past = byLevel.rowsBetween(Long.MinValue, 0)
+      val future = byLevel.rowsBetween(0, Long.MaxValue)
+      val obsDay = when(col("sum_val").isNotNull, col("day"))
+      grid.join(obs, Seq("day", "level"), "left")
+        .withColumn("prev_val",
+          last(col("sum_val"), ignoreNulls = true).over(past))
+        .withColumn("prev_day", last(obsDay, ignoreNulls = true).over(past))
+        .withColumn("next_val",
+          first(col("sum_val"), ignoreNulls = true).over(future))
+        .withColumn("next_day",
+          first(obsDay, ignoreNulls = true).over(future))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("level"),
+          when(col("sum_val").isNotNull, col("sum_val"))
+            .when(col("prev_val").isNull || col("next_val").isNull,
+              lit(null).cast("double"))
+            .otherwise(col("prev_val") +
+              (col("next_val") - col("prev_val"))
+                * datediff(col("day"), col("prev_day"))
+                / datediff(col("next_day"), col("prev_day")))
+            .as("interp_val"))
+        .orderBy(col("day"), col("level"))
+    }),
+
     // A7-adjacent — ClickHouse `bloom_filter` skip index: a point
     // probe on a NON-sort high-cardinality column (event_id) through
     // a layout sorted by user_id, where minmax granule stats cannot
@@ -243,6 +291,43 @@ object ReferenceQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS locf_gauge
         |FROM grid g LEFT JOIN obs o USING (day, level)
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "window_interpolate" ->
+      """WITH obs AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    event_type AS level, round(sum(value), 2) AS sum_val
+        |  FROM events WHERE value > 190 GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |lv AS (SELECT DISTINCT level FROM obs),
+        |grid AS (SELECT day, level FROM days CROSS JOIN lv),
+        |j AS (SELECT g.day, g.level, o.sum_val
+        |      FROM grid g LEFT JOIN obs o USING (day, level)),
+        |f AS (
+        |  SELECT day, level, sum_val,
+        |    last_value(sum_val IGNORE NULLS) OVER w_past AS prev_val,
+        |    last_value(CASE WHEN sum_val IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER w_past AS prev_day,
+        |    first_value(sum_val IGNORE NULLS) OVER w_fut AS next_val,
+        |    first_value(CASE WHEN sum_val IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER w_fut AS next_day
+        |  FROM j
+        |  WINDOW
+        |    w_past AS (PARTITION BY level ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_fut AS (PARTITION BY level ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, level,
+        |  CASE
+        |    WHEN sum_val IS NOT NULL THEN sum_val
+        |    WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+        |    ELSE prev_val + (next_val - prev_val)
+        |      * date_diff('day', prev_day, day)
+        |      / date_diff('day', prev_day, next_day)
+        |  END AS interp_val
+        |FROM f ORDER BY 1, 2""".stripMargin
   )
 }

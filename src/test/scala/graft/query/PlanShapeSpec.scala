@@ -50,7 +50,7 @@ class PlanShapeSpec extends SparkSpec {
       "retrieval_hybrid_rrf_batch", "retrieval_service_cap",
       // calendar-grid densification: the cross product's BOTH sides
       // are result-bounded (days x |levels|, never corpus rows)
-      "window_gap_fill")
+      "window_gap_fill", "window_interpolate")
 
   /** Queries whose hinted broadcast sides are QUERY-BATCH frames
     * bounded by the MaxBatchQueries contract (≤1024 queries → ≤1024 ×
