@@ -162,9 +162,10 @@ object Bench {
     val lshPath = storePath("graft_lshcand_")
     val bloomPath = graft.scale.SkipIndex.defaultPath(sfDir)
     val gramPath = graft.scale.TextSkipIndex.defaultPath(sfDir)
+    val samplePath = graft.scale.SampleLayout.defaultPath(sfDir)
     val storePaths =
       Seq(ivfPath, sigsPath, bmPath, int8Path, lshPath, bloomPath,
-        gramPath)
+        gramPath, samplePath)
     require(ivfPath == graft.ops.VectorIndex.defaultPath(sfDir) &&
       bmPath == graft.ops.Bm25.defaultPath(sfDir),
       "bench store path must match the registered queries' index path")
@@ -207,6 +208,10 @@ object Bench {
     // And the gram-bloom text layout behind text_{ngram,token}_skip_search.
     try graft.scale.TextSkipIndex.ensureDocuments(
       Tables.documents(spark, sfDir), gramPath)
+    catch { case _: Throwable => () }
+    // And the sample-keyed events layout behind sample_clause_estimate.
+    try graft.scale.SampleLayout.ensureEvents(
+      Tables.events(spark, sfDir), samplePath)
     catch { case _: Throwable => () }
 
     // Warm the OS page cache over the bench dataset AND the prebuilt

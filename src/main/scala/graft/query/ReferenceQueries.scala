@@ -201,6 +201,25 @@ object ReferenceQueries {
         .orderBy(col("day"), col("level"))
     }),
 
+    // ClickHouse `SAMPLE n/m` clause analog over the `SAMPLE BY`
+    // storage layout: the Knuth sample key is MATERIALIZED as the
+    // layout's leading sort key (scale.SampleLayout — ClickHouse puts
+    // intHash32(UserID) in the PK for exactly this), so the 1/8
+    // sample scan is a contiguous key slab that prunes ~7/8 of files/
+    // row groups instead of full-scanning and discarding. Sampling is
+    // by ENTITY (user), so per-user analytics stay unbiased; the hash
+    // is plain 64-bit arithmetic, so the DuckDB oracle reproduces the
+    // exact sample population and the scaled estimates hash-match.
+    "sample_clause_estimate" -> ((s, d) => {
+      val path = graft.scale.SampleLayout.defaultPath(d)
+      graft.scale.SampleLayout.ensureEvents(events(s, d), path)
+      graft.scale.SampleLayout.sampleScan(s, path, 1, 8)
+        .groupBy(col("event_type").as("level"))
+        .agg((count(lit(1)) * 8).as("est_total"),
+          round(sum(col("value")) * 8, 2).as("est_sum_value"))
+        .orderBy(col("level"))
+    }),
+
     // A7-adjacent — ClickHouse `bloom_filter` skip index: a point
     // probe on a NON-sort high-cardinality column (event_id) through
     // a layout sorted by user_id, where minmax granule stats cannot
@@ -328,6 +347,12 @@ object ReferenceQueries {
         |      * date_diff('day', prev_day, day)
         |      / date_diff('day', prev_day, next_day)
         |  END AS interp_val
-        |FROM f ORDER BY 1, 2""".stripMargin
+        |FROM f ORDER BY 1, 2""".stripMargin,
+    "sample_clause_estimate" ->
+      """SELECT event_type AS level, count(*) * 8 AS est_total,
+        |  round(sum(value) * 8, 2) AS est_sum_value
+        |FROM events
+        |WHERE (user_id * 2654435761) % 4294967296 < 536870912
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

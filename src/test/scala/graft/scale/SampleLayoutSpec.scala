@@ -1,0 +1,90 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SampleLayoutSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, sf0001)
+
+  private lazy val layout: String = {
+    val p = tmpDir("sampleidx") + "/events"
+    SampleLayout.ensureEvents(events, p)
+    p
+  }
+
+  test("sample population is exact: the slab scan returns precisely " +
+      "the rows whose hashed id falls under the threshold") {
+    val got = SampleLayout.sampleScan(spark, layout, 1, 8)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = events
+      .filter(SampleLayout.sampleKey(col("user_id")) <
+        lit(SampleLayout.KeyDomain / 8))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("sampling is by entity: a sampled user's events are ALL in " +
+      "the sample (per-user analytics stay unbiased)") {
+    val sampledCounts = SampleLayout.sampleScan(spark, layout, 1, 8)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawCounts = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sampledCounts.nonEmpty)
+    sampledCounts.foreach { case (uid, n) =>
+      assert(n == rawCounts(uid),
+        s"user $uid partially sampled: $n of ${rawCounts(uid)} events")
+    }
+  }
+
+  test("the SAMPLE scan prunes files: the 1/8 slab reads a fraction " +
+      "of the layout where a time-sorted layout reads everything") {
+    val hi = (SampleLayout.KeyDomain / 8 - 1).toDouble
+    val slabFrac = ZOrder.fileSurvivalFraction(
+      spark.read.parquet(layout), "sample_key", 0.0, hi)
+    // the counterfactual: same data sorted by ts — sample keys
+    // scatter, every file's [min, max] spans the probe slab
+    val tsPath = tmpDir("sampleidx") + "/ts_sorted"
+    events.withColumn("sample_key",
+        SampleLayout.sampleKey(col("user_id")))
+      .repartitionByRange(16, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(tsPath)
+    val tsFrac = ZOrder.fileSurvivalFraction(
+      spark.read.parquet(tsPath), "sample_key", 0.0, hi)
+    info(f"1/8-slab file survival: sample-keyed $slabFrac%.2f vs " +
+      f"ts-sorted $tsFrac%.2f")
+    assert(tsFrac == 1.0, s"ts layout unexpectedly pruned: $tsFrac")
+    assert(slabFrac <= 0.25,
+      s"sample layout should read ~1/8 of files, got $slabFrac")
+  }
+
+  test("scaled estimates are within sampling error of the exact " +
+      "answer (differential sanity, oracle gates exactness)") {
+    val est = SampleLayout.sampleScan(spark, layout, 1, 8)
+      .agg((count(lit(1)) * 8).as("n")).head().getLong(0)
+    val exact = events.count()
+    // loose bound: ~12 users survive a 1/8 entity sample at sf0.001,
+    // so sampling error runs tens of percent — the check only needs
+    // to catch a missing x8 scale-up (87% off), not grade accuracy
+    // (the DuckDB oracle already gates the estimate bit-for-bit)
+    assert(math.abs(est - exact).toDouble / exact < 0.6,
+      s"1/8-sample estimate $est too far from exact $exact")
+  }
+
+  test("ensure is idempotent; fraction bounds are enforced") {
+    val fs = Hdfs.of(spark, layout)
+    val marker = new org.apache.hadoop.fs.Path(s"$layout/_graft_meta")
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    SampleLayout.ensureEvents(events, layout)
+    assert(fs.getFileStatus(marker).getModificationTime == t0)
+    intercept[IllegalArgumentException] {
+      SampleLayout.sampleScan(spark, layout, 9, 8)
+    }
+    intercept[IllegalArgumentException] {
+      SampleLayout.sampleScan(spark, layout, 0, 8)
+    }
+  }
+}
