@@ -17,14 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth multiplicative hash of a non-negative integer id, folded
-    * into [0, buckets): (id * 2654435761) mod 2^32 mod buckets.
+  /** Knuth multiplicative hash of an integer id into [0, 2^32) —
+    * (id mod 2^32) * 2654435761 mod 2^32, 64-bit-OVERFLOW-SAFE for
+    * the FULL long domain (snowflake-style ~1e18 ids included): the
+    * naive single multiply wraps negative above ~3.47e9 and would put
+    * those entities into EVERY sample slab (review-caught). Since
+    * only the low 32 input bits survive the mod-2^32 product, the
+    * multiply splits into 16-bit halves whose intermediates peak at
+    * ~4.6e14 << 2^63:
+    *   lo = id mod 2^32;  a = lo >> 16;  b = lo & 0xffff
+    *   key = ((a * K mod 2^32) * 2^16 + b * K) mod 2^32
+    * Bit shifts/masks and mod are plain SQL any engine evaluates
+    * identically — the property every sampler here depends on. For
+    * ids within the old ~3.4e9 bound the value is bit-identical to
+    * the single-multiply form, so persisted layouts and inlined
+    * oracle arithmetic over the testdata id ranges are unchanged.
     * 2654435761 = floor(2^32 / phi), the classic Fibonacci-hashing
-    * multiplier — consecutive ids scatter uniformly. Fits 64-bit
-    * arithmetic for ids up to ~3.4e9.
-    */
+    * multiplier — consecutive ids scatter uniformly. */
+  def hashKey(id: Column): Column = {
+    val lo = pmod(id, lit(4294967296L))
+    val a = shiftrightunsigned(lo, 16)
+    val b = lo.bitwiseAND(lit(65535L))
+    ((a * lit(2654435761L)) % lit(4294967296L) * lit(65536L)
+      + b * lit(2654435761L)) % lit(4294967296L)
+  }
+
+  /** [[hashKey]] folded into [0, buckets). */
   def hashBucket(id: Column, buckets: Int): Column =
-    (id * lit(2654435761L)) % lit(4294967296L) % lit(buckets)
+    hashKey(id) % lit(buckets)
 
   /** Epoch-seeded deterministic permutation key: the Knuth hash of the
     * id salted by the epoch, so every epoch is an independent-looking
@@ -34,11 +54,12 @@ object Sampling {
     * retry/partitioning, this never does). Materializing an epoch's
     * order at 100 TB is a range-partition-by-key sorted write (the
     * [[graft.scale.Projection]] layout machinery); the key is the
-    * whole contract. 64-bit-safe for ids up to ~3.4e9 and any sane
-    * epoch count (intermediate max ~(id + epoch*1000003) * 2^31.3).
+    * whole contract. The salted SUM must stay inside 64 bits
+    * (id < ~2^62 for sane epoch counts); the hash itself is
+    * overflow-safe via [[hashKey]].
     */
   def epochKey(id: Column, epoch: Column): Column =
-    ((id + epoch * lit(1000003L)) * lit(2654435761L)) % lit(4294967296L)
+    hashKey(id + epoch * lit(1000003L))
 
   /** Materialize one epoch's training order as `shards` key-range
     * shards: shard s holds exactly the rows whose [[epochKey]] falls

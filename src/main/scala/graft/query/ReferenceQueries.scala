@@ -130,12 +130,16 @@ object ReferenceQueries {
     // size at any scale. Every frame past the daily aggregation is
     // calendar-sized; the one real shuffle is that aggregation.
     "window_gap_fill" -> ((s, d) => {
-      val obs = events(s, d)
+      // staged: obs feeds THREE consumers (bounds, distinct levels,
+      // the join probe) whose differing column pruning defeats
+      // exchange reuse — unstaged, the corpus-proportional scan+agg
+      // runs three times for a calendar-sized result
+      val obs = graft.scale.Staging.materialize(events(s, d)
         .filter(col("value") > 190)
         .groupBy(to_date(col("ts")).as("day"),
           col("event_type").as("level"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 2).as("sum_val"))
+          round(sum(col("value")), 2).as("sum_val")), "gap-fill-obs")
       val days = obs.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("interval 1 day"))).as("day"))
@@ -165,11 +169,13 @@ object ReferenceQueries {
     // round() — which could itself diverge at a .xx5 boundary.
     // Same calendar-bounded grid discipline as window_gap_fill.
     "window_interpolate" -> ((s, d) => {
-      val obs = events(s, d)
+      // staged for the same three-consumers reason as window_gap_fill
+      val obs = graft.scale.Staging.materialize(events(s, d)
         .filter(col("value") > 190)
         .groupBy(to_date(col("ts")).as("day"),
           col("event_type").as("level"))
-        .agg(round(sum(col("value")), 2).as("sum_val"))
+        .agg(round(sum(col("value")), 2).as("sum_val")),
+        "interpolate-obs")
       val days = obs.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("interval 1 day"))).as("day"))
@@ -352,7 +358,10 @@ object ReferenceQueries {
       """SELECT event_type AS level, count(*) * 8 AS est_total,
         |  round(sum(value) * 8, 2) AS est_sum_value
         |FROM events
-        |WHERE (user_id * 2654435761) % 4294967296 < 536870912
+        |WHERE (((((user_id % 4294967296) >> 16) * 2654435761)
+        |         % 4294967296) * 65536
+        |       + (user_id & 65535) * 2654435761) % 4294967296
+        |      < 536870912
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -33,10 +33,11 @@ object SampleLayout {
     * f * KeyDomain. */
   val KeyDomain: Long = 4294967296L
 
-  /** The materialized sample key: Knuth multiplicative hash of the
-    * entity id, in [0, 2^32). */
-  def sampleKey(id: Column): Column =
-    (id * lit(2654435761L)) % lit(KeyDomain)
+  /** The materialized sample key: [[Sampling.hashKey]] of the entity
+    * id — ONE shared implementation of the engine-portable Knuth
+    * hash (overflow-safe over the full long id domain), so the
+    * layout, every sampler, and the SQL oracles can never drift. */
+  def sampleKey(id: Column): Column = Sampling.hashKey(id)
 
   /** Canonical per-SF location of the sample-keyed events layout —
     * one derivation shared by the registered query and Bench's

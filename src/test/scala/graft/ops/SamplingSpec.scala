@@ -80,6 +80,22 @@ class SamplingSpec extends SparkSpec {
     assert(again == mix)
   }
 
+  test("hashKey is overflow-safe over the full long domain and equals " +
+      "the exact (id mod 2^32) * K mod 2^32 reference") {
+    // the naive single multiply wraps negative above ~3.47e9 and
+    // would land those ids in EVERY sample slab (review-caught)
+    val K = BigInt(2654435761L)
+    val M = BigInt(4294967296L)
+    val probes = Seq(0L, 1L, 7L, 3470000000L, 4000000000L,
+      4294967296L, 1000000000000000000L, Long.MaxValue)
+    val got = probes.toDF("id")
+      .select(Sampling.hashKey(col("id")).as("k"))
+      .collect().map(_.getLong(0))
+    val want = probes.map(id => (BigInt(id).mod(M) * K).mod(M).toLong)
+    assert(got.toSeq == want)
+    assert(got.forall(k => k >= 0L && k < 4294967296L))
+  }
+
   test("epochKey: reproducible per epoch, distinct orders across epochs") {
     val docs = (0L until 200L).toDF("id")
     def order(epoch: Int): Seq[Long] = docs
