@@ -14,13 +14,14 @@ class SampleLayoutSpec extends SparkSpec {
     p
   }
 
+  private val slabHi = SampleLayout.KeyDomain / 8
+
   test("sample population is exact: the slab scan returns precisely " +
       "the rows whose hashed id falls under the threshold") {
     val got = SampleLayout.sampleScan(spark, layout, 1, 8)
       .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
     val want = events
-      .filter(SampleLayout.sampleKey(col("user_id")) <
-        lit(SampleLayout.KeyDomain / 8))
+      .filter(SampleLayout.sampleKey(col("user_id")) < lit(slabHi))
       .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == want && want.nonEmpty)
   }
@@ -42,9 +43,9 @@ class SampleLayoutSpec extends SparkSpec {
 
   test("the SAMPLE scan prunes files: the 1/8 slab reads a fraction " +
       "of the layout where a time-sorted layout reads everything") {
-    val hi = (SampleLayout.KeyDomain / 8 - 1).toDouble
+    val hi = (slabHi - 1).toDouble
     val slabFrac = ZOrder.fileSurvivalFraction(
-      spark.read.parquet(layout), "sample_key", 0.0, hi)
+      spark.read.parquet(s"$layout/base"), "sample_key", 0.0, hi)
     // the counterfactual: same data sorted by ts — sample keys
     // scatter, every file's [min, max] spans the probe slab
     val tsPath = tmpDir("sampleidx") + "/ts_sorted"
@@ -72,6 +73,77 @@ class SampleLayoutSpec extends SparkSpec {
     // (the DuckDB oracle already gates the estimate bit-for-bit)
     assert(math.abs(est - exact).toDouble / exact < 0.6,
       s"1/8-sample estimate $est too far from exact $exact")
+  }
+
+  test("delta append: arrivals are sampled correctly on commit, " +
+      "replay is idempotent, compact is answer-neutral") {
+    val p = tmpDir("sampleidx-delta") + "/events"
+    SampleLayout.ensureEvents(events, p)
+    // one user inside the 1/8 slab, one outside — membership is a
+    // pure function of the id, so a streamed arrival's fate is
+    // decided the moment it lands
+    val byKey = events.select(col("user_id"),
+        SampleLayout.sampleKey(col("user_id")).as("k"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getLong(1))
+    val inUser = byKey.find(_._2 < slabHi).get._1
+    val outUser = byKey.find(_._2 >= slabHi).get._1
+    val batch = events.filter(col("user_id").isin(inUser, outUser))
+      .dropDuplicates("user_id")
+      .withColumn("event_id", col("user_id") + lit(90000000L))
+    SampleLayout.append(batch, p, batchId = 1, col("user_id"),
+      Seq("ts"))
+    def sampledNew() = SampleLayout.sampleScan(spark, p, 1, 8)
+      .filter(col("event_id") >= 90000000L)
+      .select("user_id").collect().map(_.getLong(0)).toSeq
+    assert(sampledNew() == Seq(inUser),
+      "in-slab arrival must surface; out-slab arrival must not")
+    // replay the same batch: Overwrite, no duplicates
+    SampleLayout.append(batch, p, batchId = 1, col("user_id"),
+      Seq("ts"))
+    assert(sampledNew() == Seq(inUser))
+    // an uncommitted dir (no _SUCCESS) is invisible
+    val fs = Hdfs.of(spark, p)
+    batch.write.mode("overwrite").parquet(s"$p/b_9")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/b_9/_SUCCESS"), false)
+    assert(sampledNew() == Seq(inUser),
+      "markerless delta dir must stay invisible")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/b_9"), true)
+    // compact folds the delta into base and retires it, answers fixed
+    val before = SampleLayout.sampleScan(spark, p, 1, 8)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    SampleLayout.compact(spark, p, sortCols = Seq("ts"))
+    val after = SampleLayout.sampleScan(spark, p, 1, 8)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "compaction changed sample answers")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .exists(_.getPath.getName.startsWith("b_")),
+      "compaction must retire delta dirs")
+  }
+
+  test("foreachBatch maintenance: a streamed in-slab arrival is " +
+      "sampled once its batch commits") {
+    val p = tmpDir("sampleidx-stream") + "/events"
+    SampleLayout.ensureEvents(events, p)
+    val inUser = events.select(col("user_id"),
+        SampleLayout.sampleKey(col("user_id")).as("k"))
+      .filter(col("k") < lit(slabHi))
+      .head().getLong(0)
+    val arrival = events.filter(col("user_id") === inUser).limit(1)
+      .withColumn("event_id", lit(95000000L))
+    val src = tmpDir("sampleidx-src")
+    arrival.coalesce(1).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(arrival.schema).parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sampleidx-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        SampleLayout.append(b, p, id, col("user_id"), Seq("ts"))
+      }
+      .start()
+    q.awaitTermination()
+    val got = SampleLayout.sampleScan(spark, p, 1, 8)
+      .filter(col("event_id") === 95000000L).count()
+    assert(got == 1L, "streamed in-slab arrival must be sampled")
   }
 
   test("ensure is idempotent; fraction bounds are enforced") {
