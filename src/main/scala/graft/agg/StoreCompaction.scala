@@ -60,21 +60,14 @@ private[agg] object StoreCompaction {
     }
   }
 
-  /** Write-temp + atomic rename — the pattern [[publishManifest]]
-    * uses, now shared with the watermark (review-caught: a
-    * truncate-in-place fs.create let a concurrent reader see an empty
-    * or torn marker — crashing readThrough, or worse, under-reading
-    * the watermark so append ACCEPTED a replay of a folded batch). */
+  /** Write-temp + atomic rename — shared [[graft.scale.Hdfs.atomicWrite]]
+    * (review-caught origin: a truncate-in-place fs.create let a
+    * concurrent reader see an empty or torn marker — crashing
+    * readThrough, or worse, under-reading the watermark so append
+    * ACCEPTED a replay of a folded batch). */
   private def atomicWrite(fs: FileSystem, target: Path,
-      content: String): Unit = {
-    val tmp = new Path(target.getParent, target.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      content: String): Unit =
+    graft.scale.Hdfs.atomicWrite(fs, target, content)
 
   private def writeThrough(fs: FileSystem, storePath: String,
       through: Long): Unit =

@@ -22,6 +22,20 @@ object Hdfs {
   def of(spark: SparkSession, path: Path): FileSystem =
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Write-temp + atomic rename: readers see either the old content
+    * or the new, never a torn write (POSIX rename replaces atomically;
+    * HDFS FileContext rename with OVERWRITE has the same contract).
+    * The pattern the store manifests/watermarks publish through. */
+  def atomicWrite(fs: FileSystem, target: Path, content: String): Unit = {
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** The build-once currency protocol every persisted store shares
     * (IVF index, MinHash signatures, int8 codes, LSH candidates,
     * bloom/gram skip layouts): the layout is current iff every

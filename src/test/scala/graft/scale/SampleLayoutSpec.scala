@@ -45,7 +45,9 @@ class SampleLayoutSpec extends SparkSpec {
       "of the layout where a time-sorted layout reads everything") {
     val hi = (slabHi - 1).toDouble
     val slabFrac = ZOrder.fileSurvivalFraction(
-      spark.read.parquet(s"$layout/base"), "sample_key", 0.0, hi)
+      spark.read.parquet(
+        SampleLayout.committedDirs(spark, layout): _*),
+      "sample_key", 0.0, hi)
     // the counterfactual: same data sorted by ts — sample keys
     // scatter, every file's [min, max] spans the probe slab
     val tsPath = tmpDir("sampleidx") + "/ts_sorted"
@@ -108,16 +110,36 @@ class SampleLayoutSpec extends SparkSpec {
     assert(sampledNew() == Seq(inUser),
       "markerless delta dir must stay invisible")
     fs.delete(new org.apache.hadoop.fs.Path(s"$p/b_9"), true)
-    // compact folds the delta into base and retires it, answers fixed
+    // compact folds the delta into the next generation and flips the
+    // manifest; answers are fixed. The folded delta dir SURVIVES this
+    // publish on disk (the in-flight readers' grace window) but is
+    // INVISIBLE — the crash-window shape the naive rewrite-then-
+    // delete double-counted
     val before = SampleLayout.sampleScan(spark, p, 1, 8)
       .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
-    SampleLayout.compact(spark, p, sortCols = Seq("ts"))
+    SampleLayout.compact(spark, p, files = 16, sortCols = Seq("ts"))
     val after = SampleLayout.sampleScan(spark, p, 1, 8)
       .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(after == before, "compaction changed sample answers")
+    assert(after == before,
+      "compaction changed sample answers (folded deltas still on " +
+        "disk must not double-count)")
+    // a replay of the already-folded batch lands BELOW the watermark:
+    // committed on disk, yet invisible — no double count
+    SampleLayout.append(batch, p, batchId = 1, col("user_id"),
+      Seq("ts"))
+    assert(SampleLayout.sampleScan(spark, p, 1, 8)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == before, "replayed folded batch must stay invisible")
+    // the NEXT fold garbage-collects everything the previous publish
+    // superseded
+    SampleLayout.compact(spark, p, files = 16, sortCols = Seq("ts"))
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(p))
-      .exists(_.getPath.getName.startsWith("b_")),
-      "compaction must retire delta dirs")
+      .exists(st => st.getPath.getName.startsWith("b_") ||
+        st.getPath.getName == "base_g0"),
+      "second fold must retire the superseded generation and deltas")
+    assert(SampleLayout.sampleScan(spark, p, 1, 8)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == before)
   }
 
   test("foreachBatch maintenance: a streamed in-slab arrival is " +
