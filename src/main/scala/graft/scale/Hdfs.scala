@@ -25,7 +25,16 @@ object Hdfs {
   /** Write-temp + atomic rename: readers see either the old content
     * or the new, never a torn write (POSIX rename replaces atomically;
     * HDFS FileContext rename with OVERWRITE has the same contract).
-    * The pattern the store manifests/watermarks publish through. */
+    * The pattern the store manifests/watermarks publish through.
+    *
+    * NOT atomic on object stores whose rename is copy+delete (s3a) —
+    * there a reader can transiently see a missing target mid-"flip"
+    * (and FileContext needs the AbstractFileSystem binding at all).
+    * The manifest readers built on this fail LOUDLY on a missing/torn
+    * manifest with a retry hint; deploying the manifest stores on
+    * such a filesystem needs a rename-atomic layer (HDFS, a
+    * consistency layer, or a posix-ish store) for flips to be truly
+    * invisible. */
   def atomicWrite(fs: FileSystem, target: Path, content: String): Unit = {
     val tmp = new Path(target.getParent, target.getName + ".tmp")
     val out = fs.create(tmp, true)

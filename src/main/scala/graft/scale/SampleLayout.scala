@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,14 +41,20 @@ import graft.ops.Sampling
   * manifest-with-grace scheme, reduced to this layout): the visible
   * view is `_manifest` = "gen through" — readers scan
   * `base_g<gen>` + committed deltas with id > through, resolved in
-  * ONE listing. [[compact]] lands the folded block as the INVISIBLE
-  * next generation, atomically flips the manifest (complete view ->
-  * complete view; a crash before the flip changes nothing, a crash
-  * after it leaves superseded dirs invisible — never double-counted),
-  * and deletes only dirs the PREVIOUS publish already superseded (the
-  * grace window for in-flight readers). A crashed append's markerless
-  * delta dir is invisible; replay Overwrites it idempotently. Single
-  * writer per store (stream OR batch owner), readers unrestricted.
+  * ONE glob. [[compact]] and [[write]] land their new base as the
+  * INVISIBLE next generation, atomically flip the manifest (complete
+  * view -> complete view; a crash before the flip changes nothing, a
+  * crash after it leaves superseded dirs invisible — never
+  * double-counted), and delete only dirs a PREVIOUS publish already
+  * superseded (the grace window for in-flight readers — one
+  * fold/rebuild cycle). A reader that out-sleeps the grace window
+  * fails LOUDLY (missing base -> error), never silently partially. A
+  * crashed append's markerless delta dir is invisible; replay
+  * Overwrites it idempotently, and a replay whose id the watermark
+  * already covers is REFUSED (its rows are in the folded base; a
+  * wiped checkpoint restarting ids at 0 must error, not silently
+  * land forever-invisible dirs). Single writer per store (stream OR
+  * batch owner), readers unrestricted.
   */
 object SampleLayout {
 
@@ -77,7 +83,7 @@ object SampleLayout {
     * its publish time (deltas at or below it are folded/superseded). */
   private[scale] final case class Manifest(gen: Long, through: Long)
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private def readManifest(fs: FileSystem,
       path: String): Option[Manifest] = {
     val m = manifestPath(path)
     if (!fs.exists(m)) None
@@ -86,13 +92,19 @@ object SampleLayout {
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      val Array(g, t) = txt.split(' ')
-      Some(Manifest(g.toLong, t.toLong))
+      txt.split(' ') match {
+        case Array(g, t) if g.toLongOption.isDefined &&
+            t.toLongOption.isDefined =>
+          Some(Manifest(g.toLong, t.toLong))
+        case _ => throw new IllegalStateException(
+          s"torn/malformed manifest at $m: '$txt' — on a filesystem " +
+            "without atomic rename (see Hdfs.atomicWrite) retry; " +
+            "otherwise restore or rebuild the layout")
+      }
     }
   }
 
-  private def publish(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      m: Manifest): Unit =
+  private def publish(fs: FileSystem, path: String, m: Manifest): Unit =
     Hdfs.atomicWrite(fs, manifestPath(path), s"${m.gen} ${m.through}")
 
   /** Key-sorted write of one frame into one dir. `id` = Some(col):
@@ -116,54 +128,119 @@ object SampleLayout {
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
-  /** (Re)build the layout from `df` — publishes a fresh generation 0
-    * after WIPING the store dir: a rebuild means the source changed,
-    * so any older base, stale deltas (derived from the pre-refresh
-    * source), and legacy pre-generation files are all superseded; a
-    * surviving stale dir would contaminate every later scan
-    * (review-caught). Batch-owner entrypoint — never run it against a
-    * store a stream is maintaining (single-writer discipline). */
+  /** Store dirs this layout ever owns under `path`. */
+  private def ownedDirs(fs: FileSystem, path: String): Seq[Path] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && {
+        val n = st.getPath.getName
+        n.startsWith("base_g") || n.startsWith("b_")
+      })
+      .map(_.getPath)
+  }
+
+  /** Grace GC: delete owned dirs invisible under `m` — everything a
+    * PREVIOUS publish superseded. Dirs superseded by the publish that
+    * follows this call survive one more cycle as the in-flight
+    * readers' grace window. */
+  private def gcSuperseded(fs: FileSystem, path: String,
+      m: Manifest): Unit =
+    ownedDirs(fs, path).foreach { p =>
+      val n = p.getName
+      val visible = n == s"base_g${m.gen}" ||
+        (n.startsWith("b_") &&
+          n.stripPrefix("b_").toLongOption.exists(_ > m.through))
+      if (!visible) fs.delete(p, true)
+    }
+
+  /** (Re)build the layout from `df` — reader-safe like [[compact]]:
+    * the fresh base lands as the INVISIBLE next generation, the
+    * manifest flips atomically (superseding every delta on disk —
+    * after a source refresh they are stale by definition), and only
+    * dirs a previous publish already superseded are deleted, so
+    * in-flight readers keep a complete view through the rebuild.
+    * Legacy pre-manifest loose files under `path` (never visible
+    * through any manifest) are removed immediately. Batch-owner
+    * entrypoint — never run it against a store a stream is
+    * maintaining (single-writer discipline). */
   def write(df: DataFrame, path: String, id: Column,
       sortCols: Seq[String] = Nil, files: Int = 16): Unit = {
     val fs = Hdfs.of(df.sparkSession, path)
-    fs.delete(new Path(path), true)
-    writeSorted(df, baseDir(path, 0L), Some(id), sortCols, files)
-    publish(fs, path, Manifest(0L, -1L))
+    val cur = readManifest(fs, path)
+    cur.foreach(gcSuperseded(fs, path, _))
+    // legacy pre-manifest layout: loose data files at the root —
+    // invisible to every manifest reader, delete so the store's
+    // footprint doesn't silently double after the upgrade
+    val root = new Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(st => st.isFile && st.getPath.getName != "_manifest" &&
+          st.getPath.getName != "_graft_meta")
+        .foreach(st => fs.delete(st.getPath, false))
+    val newGen = cur.map(_.gen + 1).getOrElse(0L)
+    val through = ownedDirs(fs, path).map(_.getName)
+      .filter(_.startsWith("b_"))
+      .flatMap(_.stripPrefix("b_").toLongOption)
+      .foldLeft(cur.map(_.through).getOrElse(-1L))(math.max)
+    writeSorted(df, baseDir(path, newGen), Some(id), sortCols, files)
+    publish(fs, path, Manifest(newGen, through))
   }
 
   /** Append a micro-batch as the batchId-keyed delta `b_<id>`, itself
     * key-sorted so slab pruning holds inside the batch at its own
     * file grain. Overwrite -> replay idempotent; the dir is visible
-    * only once its `_SUCCESS` marker lands AND its id sits above the
-    * manifest watermark (so a replay of an already-folded batch can
-    * never double-count). */
+    * only once its `_SUCCESS` marker lands. An id at or below the
+    * manifest watermark is REFUSED: its rows were folded into the
+    * base (a crash-window replay loses nothing), while a checkpoint
+    * wiped back to id 0 would otherwise land every new batch as a
+    * committed-but-invisible dir the next fold deletes — silent,
+    * unbounded data loss (review-caught). */
   def append(batch: DataFrame, path: String, batchId: Long,
-      id: Column, sortCols: Seq[String] = Nil, files: Int = 4): Unit =
+      id: Column, sortCols: Seq[String] = Nil, files: Int = 4): Unit = {
+    val fs = Hdfs.of(batch.sparkSession, path)
+    readManifest(fs, path).foreach(m =>
+      require(batchId > m.through,
+        s"sample layout $path: batch $batchId is at or below the " +
+          s"fold watermark ${m.through} — already folded (a replay " +
+          "loses nothing), or the stream's checkpoint was wiped and " +
+          "its ids restarted; re-point the checkpoint or rebuild the " +
+          "store"))
     writeSorted(batch, deltaDir(path, batchId), Some(id), sortCols,
       files)
+  }
 
-  /** ONE listing snapshot of the visible dirs under the current
-    * manifest: `base_g<gen>` + committed (`_SUCCESS`) deltas with
-    * id > through. A single glob resolves every commit marker in one
-    * metadata round trip (an exists() per delta is an N+1 on object
-    * stores). */
+  /** The dirs `m` admits, resolved in ONE glob (an exists() per delta
+    * is an N+1 on object stores). Throws if the base is missing — a
+    * reader that out-slept the grace window (its generation was
+    * GC'd) must fail loudly, never return a silently partial
+    * delta-only view (review-caught). */
+  private def visibleDirs(fs: FileSystem, path: String,
+      m: Manifest): Seq[String] = {
+    val marks = fs.globStatus(new Path(path, "{base_g*,b_*}/_SUCCESS"))
+    val dirs = (if (marks == null) Seq.empty[Path]
+      else marks.toSeq.map(_.getPath.getParent))
+      .filter { p =>
+        val n = p.getName
+        n == s"base_g${m.gen}" ||
+          (n.startsWith("b_") &&
+            n.stripPrefix("b_").toLongOption.exists(_ > m.through))
+      }
+      .map(_.toString)
+    if (!dirs.exists(_.endsWith(s"/base_g${m.gen}")))
+      throw new IllegalStateException(
+        s"sample layout $path: base_g${m.gen} is gone — the reader " +
+          "out-slept the grace window (two folds passed since its " +
+          "manifest read); re-resolve and retry")
+    dirs
+  }
+
   private[scale] def committedDirs(spark: SparkSession,
       path: String): Seq[String] = {
     val fs = Hdfs.of(spark, path)
     readManifest(fs, path) match {
       case None => Nil
-      case Some(Manifest(gen, through)) =>
-        val marks = fs.globStatus(
-          new Path(path, "{base_g*,b_*}/_SUCCESS"))
-        (if (marks == null) Seq.empty[Path]
-         else marks.toSeq.map(_.getPath.getParent))
-          .filter { p =>
-            val n = p.getName
-            n == s"base_g$gen" ||
-              (n.startsWith("b_") &&
-                n.stripPrefix("b_").toLongOption.exists(_ > through))
-          }
-          .map(_.toString)
+      case Some(m) => visibleDirs(fs, path, m)
     }
   }
 
@@ -184,42 +261,30 @@ object SampleLayout {
 
   /** Fold the visible deltas into the next base generation and flip
     * the manifest — reader-safe and crash-safe per the class-doc
-    * protocol: the fold lands invisible, the flip is atomic
-    * (complete view -> complete view), superseded dirs outlive the
-    * flip by one fold as the in-flight readers' grace window, and a
-    * crash anywhere leaves either the old complete view or the new
-    * one — never a double count (review-caught: the naive
-    * rewrite-then-delete double-counted every delta row if the
-    * deletes didn't run). `files`/`sortCols` have no defaults: the
-    * caller must restate the layout's parameters or the rewrite would
-    * silently drop the secondary sort while the ensure stamp still
-    * claims it (the Hdfs.ensureStamped failure mode). */
+    * protocol. The fold reads the view dirs directly: they are
+    * immutable until the NEXT publish's grace GC, and the new base is
+    * a fresh dir, so no staging is needed (review-caught: an earlier
+    * in-place rewrite both required staging and double-counted on a
+    * crash between rewrite and delete). `files`/`sortCols` have no
+    * defaults: the caller must restate the layout's parameters or the
+    * rewrite would silently drop the secondary sort while the ensure
+    * stamp still claims it (the Hdfs.ensureStamped failure mode). */
   def compact(spark: SparkSession, path: String, files: Int,
       sortCols: Seq[String]): Unit = {
     val fs = Hdfs.of(spark, path)
     val cur = readManifest(fs, path).getOrElse(
       throw new IllegalStateException(s"no manifest at $path"))
-    // ONE visible-view snapshot drives the whole fold (single writer:
-    // nothing else mutates the store between these steps)
-    val view = committedDirs(spark, path)
-    // grace GC: retire dirs the PREVIOUS publish already superseded
-    val live = view.map(new Path(_).getName).toSet
-    fs.listStatus(new Path(path)).toSeq.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        (n.startsWith("base_g") || n.startsWith("b_")) && !live(n)
-      }
-      .foreach(p => fs.delete(p, true))
+    gcSuperseded(fs, path, cur)
+    // ONE view snapshot drives the fold (single writer: nothing else
+    // mutates the store between these steps)
+    val view = visibleDirs(fs, path, cur)
     val deltas = view.filterNot(_.endsWith(s"/base_g${cur.gen}"))
     if (deltas.isEmpty) return
     val through = deltas
       .map(d => new Path(d).getName.stripPrefix("b_").toLong)
       .foldLeft(cur.through)(math.max)
-    // staged to sever lineage from the dirs the view replaces
-    val folded = Staging.materialize(
-      spark.read.parquet(view: _*), "sample-compact")
-    writeSorted(folded, baseDir(path, cur.gen + 1), None, sortCols,
-      files)
+    writeSorted(spark.read.parquet(view: _*),
+      baseDir(path, cur.gen + 1), None, sortCols, files)
     publish(fs, path, Manifest(cur.gen + 1, through))
   }
 

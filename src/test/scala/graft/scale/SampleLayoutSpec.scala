@@ -123,13 +123,18 @@ class SampleLayoutSpec extends SparkSpec {
     assert(after == before,
       "compaction changed sample answers (folded deltas still on " +
         "disk must not double-count)")
-    // a replay of the already-folded batch lands BELOW the watermark:
-    // committed on disk, yet invisible — no double count
-    SampleLayout.append(batch, p, batchId = 1, col("user_id"),
-      Seq("ts"))
+    // a replay of the already-folded batch is REFUSED loudly: its
+    // rows are in the folded base (a crash-window replay loses
+    // nothing), while silently landing it as a forever-invisible dir
+    // would also swallow a wiped-checkpoint stream restarting at id 0
+    val e = intercept[IllegalArgumentException] {
+      SampleLayout.append(batch, p, batchId = 1, col("user_id"),
+        Seq("ts"))
+    }
+    assert(e.getMessage.contains("watermark"), e.getMessage)
     assert(SampleLayout.sampleScan(spark, p, 1, 8)
       .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
-      == before, "replayed folded batch must stay invisible")
+      == before)
     // the NEXT fold garbage-collects everything the previous publish
     // superseded
     SampleLayout.compact(spark, p, files = 16, sortCols = Seq("ts"))
@@ -166,6 +171,18 @@ class SampleLayoutSpec extends SparkSpec {
     val got = SampleLayout.sampleScan(spark, p, 1, 8)
       .filter(col("event_id") === 95000000L).count()
     assert(got == 1L, "streamed in-slab arrival must be sampled")
+  }
+
+  test("a reader whose base generation is gone fails loudly — never " +
+      "a silently partial delta-only answer") {
+    val p = tmpDir("sampleidx-grace") + "/events"
+    SampleLayout.ensureEvents(events, p)
+    val fs = Hdfs.of(spark, p)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/base_g0"), true)
+    val e = intercept[IllegalStateException] {
+      SampleLayout.sampleScan(spark, p, 1, 8)
+    }
+    assert(e.getMessage.contains("grace window"), e.getMessage)
   }
 
   test("ensure is idempotent; fraction bounds are enforced") {
