@@ -91,8 +91,18 @@ private[agg] object StoreCompaction {
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      val Array(g, t) = txt.split(' ')
-      Some(Manifest(g.toLong, t.toLong))
+      // defensive parse (review-caught alongside the SampleLayout
+      // twin): a torn/malformed manifest must name the path, not die
+      // as a bare MatchError
+      txt.split(' ') match {
+        case Array(g, t) if g.toLongOption.isDefined &&
+            t.toLongOption.isDefined =>
+          Some(Manifest(g.toLong, t.toLong))
+        case _ => throw new IllegalStateException(
+          s"torn/malformed store manifest at $m: '$txt' — on a " +
+            "filesystem without atomic rename retry; otherwise " +
+            "restore the marker or recompact")
+      }
     }
   }
 

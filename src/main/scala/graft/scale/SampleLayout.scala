@@ -143,16 +143,24 @@ object SampleLayout {
   /** Grace GC: delete owned dirs invisible under `m` — everything a
     * PREVIOUS publish superseded. Dirs superseded by the publish that
     * follows this call survive one more cycle as the in-flight
-    * readers' grace window. */
+    * readers' grace window. Base generations delete FIRST: a reader
+    * whose glob lands mid-GC then fails the base-presence check
+    * loudly, instead of finding its base intact alongside a
+    * partially-deleted delta set — a silent undercount
+    * (review-caught ordering race; b_* sorts before base_g* in a raw
+    * listing). */
   private def gcSuperseded(fs: FileSystem, path: String,
-      m: Manifest): Unit =
-    ownedDirs(fs, path).foreach { p =>
+      m: Manifest): Unit = {
+    val (bases, deltas) = ownedDirs(fs, path)
+      .partition(_.getName.startsWith("base_g"))
+    (bases ++ deltas).foreach { p =>
       val n = p.getName
       val visible = n == s"base_g${m.gen}" ||
         (n.startsWith("b_") &&
           n.stripPrefix("b_").toLongOption.exists(_ > m.through))
       if (!visible) fs.delete(p, true)
     }
+  }
 
   /** (Re)build the layout from `df` — reader-safe like [[compact]]:
     * the fresh base lands as the INVISIBLE next generation, the
@@ -161,9 +169,12 @@ object SampleLayout {
     * dirs a previous publish already superseded are deleted, so
     * in-flight readers keep a complete view through the rebuild.
     * Legacy pre-manifest loose files under `path` (never visible
-    * through any manifest) are removed immediately. Batch-owner
-    * entrypoint — never run it against a store a stream is
-    * maintaining (single-writer discipline). */
+    * through any manifest) are removed immediately. Disk holds at
+    * most two generations: the base THIS publish supersedes lingers
+    * as grace until the next write/compact — a bounded 2x footprint
+    * on rebuild-only stores, the deliberate price of never yanking a
+    * reader's files. Batch-owner entrypoint — never run it against a
+    * store a stream is maintaining (single-writer discipline). */
   def write(df: DataFrame, path: String, id: Column,
       sortCols: Seq[String] = Nil, files: Int = 16): Unit = {
     val fs = Hdfs.of(df.sparkSession, path)
@@ -179,9 +190,15 @@ object SampleLayout {
           st.getPath.getName != "_graft_meta")
         .foreach(st => fs.delete(st.getPath, false))
     val newGen = cur.map(_.gen + 1).getOrElse(0L)
-    val through = ownedDirs(fs, path).map(_.getName)
-      .filter(_.startsWith("b_"))
-      .flatMap(_.stripPrefix("b_").toLongOption)
+    // watermark advances over COMMITTED deltas only: a crashed
+    // append's markerless dir was never visible, and its batch must
+    // stay replayable after the rebuild — folding its id would wedge
+    // the stream's legitimate replay behind the append watermark
+    // refusal (review-caught)
+    val marks = fs.globStatus(new Path(path, "b_*/_SUCCESS"))
+    val through = (if (marks == null) Seq.empty[Long]
+      else marks.toSeq.flatMap(
+        _.getPath.getParent.getName.stripPrefix("b_").toLongOption))
       .foldLeft(cur.map(_.through).getOrElse(-1L))(math.max)
     writeSorted(df, baseDir(path, newGen), Some(id), sortCols, files)
     publish(fs, path, Manifest(newGen, through))
@@ -248,7 +265,14 @@ object SampleLayout {
     * key falls in the [0, num/den * 2^32) slab. Exact integer
     * threshold arithmetic (num * 2^32 / den with num <= den, no
     * overflow for sane fractions) so Spark and any SQL oracle agree
-    * on the population bit-for-bit. Scale estimates by den/num. */
+    * on the population bit-for-bit. Scale estimates by den/num.
+    *
+    * The grace guarantee is RESOLVE-time: act on the returned frame
+    * within one fold cycle. A frame held across two folds loses its
+    * files to the grace GC and fails as a raw FileNotFoundException
+    * (or, under spark.sql.files.ignoreMissingFiles=true, an
+    * undercount — don't combine that setting with long-held frames
+    * over this store). */
   def sampleScan(spark: SparkSession, path: String, num: Long,
       den: Long): DataFrame = {
     require(num > 0 && num <= den && den <= (1L << 20),

@@ -185,6 +185,24 @@ class SampleLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("grace window"), e.getMessage)
   }
 
+  test("a crashed (markerless) delta's batch stays replayable across " +
+      "a rebuild — only COMMITTED ids advance the watermark") {
+    import org.apache.hadoop.fs.Path
+    val p = tmpDir("sampleidx-crashed") + "/events"
+    SampleLayout.ensureEvents(events, p)
+    val batch = events.limit(1).withColumn("event_id", lit(97000000L))
+    // simulate the crash: delta dir exists, commit marker does not
+    batch.write.mode("overwrite").parquet(s"$p/b_7")
+    val fs = Hdfs.of(spark, p)
+    fs.delete(new Path(s"$p/b_7/_SUCCESS"), false)
+    // rebuild (source refresh) — must NOT fold the uncommitted id 7
+    // into the watermark, or the stream's legitimate replay wedges
+    SampleLayout.write(events, p, col("user_id"), Seq("ts"), 16)
+    SampleLayout.append(batch, p, batchId = 7, col("user_id"),
+      Seq("ts"))
+    assert(SampleLayout.sampleScan(spark, p, 1, 8).count() > 0)
+  }
+
   test("ensure is idempotent; fraction bounds are enforced") {
     val fs = Hdfs.of(spark, layout)
     val marker = new org.apache.hadoop.fs.Path(s"$layout/_graft_meta")
