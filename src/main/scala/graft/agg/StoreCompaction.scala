@@ -149,13 +149,34 @@ private[agg] object StoreCompaction {
     * absorbed it. */
   def visibleBatchDirs(fs: FileSystem, storePath: String): Seq[String] = {
     val m = readManifest(fs, storePath)
-    def holdsData(dirName: String): Boolean =
-      try fs.listStatus(new Path(s"$storePath/$dirName")).exists { st =>
+    // ONE glob resolves data presence for every batch dir at once —
+    // the previous per-dir listStatus added one RPC per visible dir
+    // per read (the N+1 pattern the SampleLayout reader deliberately
+    // avoids) AND caught every Throwable, so a transient IO failure
+    // silently dropped a committed batch from the view (round-10
+    // ADVICE, medium). Only FileNotFoundException — the legitimate
+    // concurrent-GC race, a retired dir deleted between the listing
+    // and the stat — is tolerated (one bounded retry, then the
+    // vanished paths are genuinely gone); any other IOException
+    // propagates, keeping the store's fail-loud discipline.
+    def dataDirNamesOnce(): Set[String] = {
+      val stats = fs.globStatus(new Path(s"$storePath/batch=*/*"))
+      if (stats == null) Set.empty[String]
+      else stats.iterator.filter { st =>
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
-      } catch { case _: Throwable => false }
+      }.map(_.getPath.getParent.getName).toSet
+    }
+    val dataDirs =
+      try dataDirNamesOnce()
+      catch {
+        case _: java.io.FileNotFoundException =>
+          try dataDirNamesOnce()
+          catch { case _: java.io.FileNotFoundException =>
+            Set.empty[String] }
+      }
     listBatchDirs(fs, storePath).map(_.getPath.getName)
-      .filter(isVisible(_, m)).filter(holdsData).toSeq.sorted
+      .filter(isVisible(_, m)).filter(dataDirs).toSeq.sorted
       .map(n => s"$storePath/$n")
   }
 

@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Greedy byte-pair-encoding (BPE) subword tokenization — the token
+  * accounting a real training-data pipeline budgets in (packing
+  * windows, mixture shares, per-doc token counts), where the engine's
+  * other counters ([[TextAnalysis.tokenCount]]) are whitespace-word
+  * based (round-10 verdict, Missing #3).
+  *
+  * Spark-first shape, mirroring the PQ-codebook design
+  * ([[Pq]]/[[graft.ops.VectorIndex]]):
+  *
+  *  - TRAINING runs on the corpus's WORD HISTOGRAM, not the raw text —
+  *    the classic Sennrich formulation: one distributed
+  *    explode+groupBy pass produces (word, count), the driver keeps
+  *    the top-`vocabCap` rows (a BOUNDED collect: vocabulary-sized,
+  *    never corpus-sized — the same contract as the PQ training
+  *    sample), and the iterative pair-merge loop runs in driver
+  *    memory over that histogram. numMerges × Σ|word| driver work.
+  *  - ENCODING is a native Catalyst expression
+  *    ([[graft.functions.BpeTokenCount]]): the merge table rides ONE
+  *    broadcast (executor-resident, like the IVF centroids — never
+  *    plan literals), and the greedy lowest-rank-first merge loop
+  *    runs per word inside whole-stage codegen with an executor-wide
+  *    per-word memo (Zipf reuse makes the cache hit rate ~the corpus
+  *    type/token ratio).
+  *
+  * Word tokens stay the default everywhere ([[Curation.packChunks]],
+  * [[Sampling.mixtureSample]]'s `weight` column) so every existing
+  * oracle is untouched; BPE budgets opt in by passing this module's
+  * count as the precomputed `n_tok` / `weight` column.
+  *
+  * Determinism contract (the engine-wide rule): no RNG anywhere —
+  * histogram ties break on (count desc, word asc), merge-candidate
+  * ties on (count desc, pair lexicographic asc) — so the same corpus
+  * always trains the same merge table on any partitioning, and a
+  * replay/retry re-derives identical token counts.
+  */
+object Bpe {
+
+  /** Pair-key separator for the rank lookup: NUL, which can never
+    * occur inside a symbol (symbols are concatenations of word chars,
+    * and words come from a whitespace split of real text). */
+  final val Sep = "\u0000"
+
+  /** An ordered merge table: `merges(r)` is the symbol pair merged at
+    * rank `r` (lower rank = earlier merge = higher priority during
+    * encoding). Immutable + serializable; rides a broadcast. */
+  final case class Merges(pairs: Array[(String, String)])
+      extends Serializable {
+
+    /** rank lookup keyed `left + Sep + right` (NUL cannot occur
+      * inside a symbol: symbols are concatenations of word chars). */
+    @transient lazy val rankOf: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](pairs.length * 2)
+      var i = 0
+      while (i < pairs.length) {
+        m.put(pairs(i)._1 + Sep + pairs(i)._2, Integer.valueOf(i))
+        i += 1
+      }
+      m
+    }
+
+    /** Executor-wide per-word token-count memo. Bounded: past the cap
+      * the cache stops GROWING (lookups still hit) — never cleared, so
+      * a hot stream keeps its working set. */
+    @transient lazy val countCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val CacheCap = 1 << 16
+
+    /** Greedy BPE token count for one word: start from characters,
+      * repeatedly merge the adjacent pair with the LOWEST rank present
+      * (all its occurrences, left to right) until no adjacent pair is
+      * in the table. Standard GPT-2-style greedy inference. */
+    def countWord(word: String): Int = {
+      if (word.isEmpty) return 0
+      if (word.length == 1) return 1
+      val cached = countCache.get(word)
+      if (cached != null) return cached.intValue()
+      var syms = new Array[String](word.length)
+      var i = 0
+      while (i < word.length) { syms(i) = word.substring(i, i + 1); i += 1 }
+      var n = syms.length
+      var done = false
+      while (!done && n > 1) {
+        // lowest-rank adjacent pair present
+        var bestRank = Int.MaxValue
+        var j = 0
+        while (j < n - 1) {
+          val r = rankOf.get(syms(j) + Sep + syms(j + 1))
+          if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
+          j += 1
+        }
+        if (bestRank == Int.MaxValue) done = true
+        else {
+          val (a, b) = pairs(bestRank)
+          // merge every occurrence left-to-right (aaa + (a,a) -> [aa, a])
+          val out = new Array[String](n)
+          var w = 0
+          var k = 0
+          while (k < n) {
+            if (k < n - 1 && syms(k) == a && syms(k + 1) == b) {
+              out(w) = a + b; w += 1; k += 2
+            } else { out(w) = syms(k); w += 1; k += 1 }
+          }
+          syms = out
+          n = w
+        }
+      }
+      if (countCache.size < CacheCap)
+        countCache.put(word, Integer.valueOf(n))
+      n
+    }
+
+    /** Token count for a whole text: the SAME word split as
+      * [[TextAnalysis.tokens]] (lower(trim) on whitespace), each word
+      * encoded independently — BPE merges never cross a whitespace
+      * boundary, as in every production tokenizer. */
+    def countText(text: String): Long = {
+      val t = text.trim.toLowerCase(java.util.Locale.ROOT)
+      if (t.isEmpty) return 0L
+      var total = 0L
+      var start = 0
+      val len = t.length
+      var i = 0
+      while (i <= len) {
+        if (i == len || Character.isWhitespace(t.charAt(i))) {
+          if (i > start) total += countWord(t.substring(start, i))
+          start = i + 1
+        }
+        i += 1
+      }
+      total
+    }
+  }
+
+  /** Train a merge table from a word histogram (driver loop — the
+    * histogram is vocabulary-bounded by the caller). Stops early when
+    * the best pair's count drops below 2 (merging a count-1 pair
+    * memorizes one word and generalizes to nothing). */
+  def train(histogram: Seq[(String, Long)], numMerges: Int): Merges = {
+    // each distinct word as its symbol sequence + corpus count
+    var vocab: Array[(Array[String], Long)] = histogram.iterator
+      .filter(_._1.nonEmpty)
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val merges = Array.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.merge(k, java.lang.Long.valueOf(c), (x, y) =>
+            java.lang.Long.valueOf(x.longValue() + y.longValue()))
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        import scala.jdk.CollectionConverters._
+        // deterministic argmax: count desc, then pair lexicographic
+        val (best, bestCount) = counts.asScala.toSeq
+          .map { case (k, v) => (k, v.longValue()) }
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        if (bestCount < 2) done = true
+        else {
+          merges += best
+          val (a, b) = best
+          vocab = vocab.map { case (syms, c) =>
+            if (syms.length < 2) (syms, c)
+            else {
+              val out = Array.newBuilder[String]
+              var k = 0
+              while (k < syms.length) {
+                if (k < syms.length - 1 && syms(k) == a &&
+                    syms(k + 1) == b) {
+                  out += a + b; k += 2
+                } else { out += syms(k); k += 1 }
+              }
+              (out.result(), c)
+            }
+          }
+          m += 1
+        }
+      }
+    }
+    Merges(merges.result())
+  }
+
+  /** Distributed word histogram -> bounded driver collect -> [[train]].
+    * The collect is top-`vocabCap` rows of (word, count) — vocabulary-
+    * sized by construction (TakeOrdered, never a full-corpus sort),
+    * the module's one driver read. */
+  def trainOnCorpus(docs: DataFrame, textCol: String = "text",
+      numMerges: Int = 200, vocabCap: Int = 4096): Merges = {
+    val hist = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    train(hist, numMerges)
+  }
+
+  /** Driver-side memo of the trained-merges broadcast per
+    * (application, corpus source) — the registered queries re-derive
+    * merges per call otherwise (one histogram job each). Same keying
+    * discipline as Similarity's centroid memo. */
+  private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Broadcast[Merges]]()
+
+  def ensureMerges(spark: SparkSession, docs: DataFrame, key: String,
+      numMerges: Int = 200, vocabCap: Int = 4096): Broadcast[Merges] =
+    mergesCache.computeIfAbsent(
+      (spark.sparkContext.applicationId,
+        s"$key;m=$numMerges;v=$vocabCap"),
+      _ => spark.sparkContext.broadcast(
+        trainOnCorpus(docs, numMerges = numMerges, vocabCap = vocabCap)))
+
+  /** Column API: BPE token count of `text` under the broadcast merge
+    * table — a native codegen'd expression, zero UDFs. */
+  def bpe_token_count(text: Column, merges: Broadcast[Merges]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.BpeTokenCount(ColumnBridge.expression(text), merges))
+  }
+}

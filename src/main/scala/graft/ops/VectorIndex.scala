@@ -223,18 +223,55 @@ object VectorIndex {
     (String, String, String),
     org.apache.spark.broadcast.Broadcast[graft.functions.IvfPqBooks]]()
 
+  /** Remove one cache entry and destroy() its broadcast so retired
+    * codebooks leave executor memory immediately instead of waiting
+    * for block-manager pressure (round-10 ADVICE). destroy() is
+    * guarded: a dead application's broadcast throws on destroy, and
+    * dropping the reference is all that entry needs. */
+  private def evictEntry(key: (String, String, String)): Unit = {
+    val bc = encodeBooksCache.remove(key)
+    if (bc != null) { try bc.destroy() catch { case _: Throwable => () } }
+  }
+
   private def encodeBooksFor(spark: SparkSession, path: String,
       booksId: String)
       : org.apache.spark.broadcast.Broadcast[graft.functions.IvfPqBooks] = {
     if (encodeBooksCache.size > 64) {
+      import scala.jdk.CollectionConverters._
       // evict dead-application entries first (their broadcasts died
       // with their context; dropping the reference lets GC finish
       // the job) — a wholesale clear would also evict the HOT entry
       // mid-stream and force a pointless reload next batch
       // (review-caught)
       val liveApp = spark.sparkContext.applicationId
-      encodeBooksCache.keySet.removeIf(_._1 != liveApp)
-      if (encodeBooksCache.size > 64) encodeBooksCache.clear()
+      encodeBooksCache.keySet.asScala.toSeq.filter(_._1 != liveApp)
+        .foreach(evictEntry)
+      if (encodeBooksCache.size > 64) {
+        // next, same-app entries provably RETIRED: each index path has
+        // exactly one current books id (the `_books_id` marker), so
+        // any cached entry stamped with a different id belongs to a
+        // pre-refreshPq generation — evict + destroy it. One marker
+        // read per distinct cached path; eviction is rare by
+        // construction (64+ live entries). A concurrent encode still
+        // holding a retired broadcast fails loudly, and its output
+        // would have been demoted by the coverage check anyway.
+        // Previously this branch was a wholesale clear(), which
+        // evicted the hot entry mid-stream — the exact regression the
+        // dead-app pass above exists to avoid (round-10 ADVICE).
+        val liveKeys = encodeBooksCache.keySet.asScala.toSeq
+          .filter(_._1 == liveApp)
+        val currentIds = liveKeys.map(_._2).distinct.map { p =>
+          p -> (try currentBooksId(spark, p)
+                catch { case _: Throwable => None })
+        }.toMap
+        liveKeys.filter(k => !currentIds(k._2).contains(k._3))
+          .foreach(evictEntry)
+        if (encodeBooksCache.size > 64) {
+          // 64+ CURRENT same-app entries: a genuinely index-wide app;
+          // last resort stays a full clear, but with destroy()
+          encodeBooksCache.keySet.asScala.toSeq.foreach(evictEntry)
+        }
+      }
     }
     encodeBooksCache.computeIfAbsent(
       (spark.sparkContext.applicationId, path, booksId), _ => {

@@ -97,14 +97,18 @@ object TextSkipIndex {
     * batches; [[write]]'s full Overwrite subsumes all deltas on the
     * next rebuild. */
   def append(batch: DataFrame, path: String, batchId: Long,
-      textCol: String = "text", files: Int = 1,
-      expectedGrams: Long = 1L << 16, fpp: Double = 0.01): Unit = {
+      textCol: String = "text", sortCols: Seq[String] = Seq("doc_id"),
+      files: Int = 1, expectedGrams: Long = 1L << 16,
+      fpp: Double = 0.01): Unit = {
     val spark = batch.sparkSession
     val bData = s"${dataDir(path)}/b_$batchId"
     val bSidecar = s"${sidecarDir(path)}/b_$batchId"
     Hdfs.of(spark, bSidecar).delete(new Path(bSidecar), true)
-    batch.repartitionByRange(files, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
+    // same sortCols contract as write() (round-10 ADVICE: a hardcoded
+    // doc_id gave custom-sorted layouts deltas with a different
+    // physical order, and rejected frames write() accepted)
+    batch.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(bData)
     buildSidecar(spark, bData, bSidecar, textCol, expectedGrams, fpp)
   }

@@ -55,4 +55,52 @@ class BenchProtocolSpec extends AnyFunSuite {
     val e = entry(1.2, 1.0, 1.1)
     assert(e.median == 1.1 && e.min == 1.0 && e.max == 1.2)
   }
+
+  // ---- round-11 additions
+
+  private def entryWithFails(medians: (Double, Boolean)*): Bench.Entry =
+    Bench.Entry(medians.map { case (s, f) =>
+      Bench.Pass(s, 1.0, 0.0, 0.0, failed = f) }, 0.1)
+
+  test("failed passes are excluded from median/min/max; all-failed " +
+      "entries publish -1 sentinels") {
+    // a crashed pass's near-zero wall time must never deflate stats
+    val e = entryWithFails((0.01, true), (1.0, false), (1.2, false))
+    assert(e.median == 1.2 && e.min == 1.0 && e.max == 1.2)
+    assert(e.failedCount == 1 && !e.allFailed)
+    val dead = entryWithFails((0.01, true), (0.02, true))
+    assert(dead.allFailed && dead.median == -1.0 && dead.min == -1.0)
+  }
+
+  test("publishedOf never publishes an all-failed re-measure over a " +
+      "valid first reading, and always prefers a valid re-measure " +
+      "over an all-failed first") {
+    val first = entry(1.0, 1.1, 1.2)
+    val crashed = entryWithFails((0.01, true), (0.02, true), (0.01, true))
+    assert(Bench.publishedOf(first, Some(crashed)) eq first)
+    val deadFirst = entryWithFails((0.01, true), (0.02, true))
+    val valid = entry(2.0, 2.1, 2.2)
+    assert(Bench.publishedOf(deadFirst, Some(valid)) eq valid)
+  }
+
+  test("absolute suspects rule: armed AND committed AND median > 2x " +
+      "committed — the round-10 movers' exact escape path") {
+    val c = Bench.Committed("dedup_simhash")
+    assert(Bench.isAbsoluteSuspect("dedup_simhash", c * 2.01, true))
+    assert(!Bench.isAbsoluteSuspect("dedup_simhash", c * 1.9, true))
+    assert(!Bench.isAbsoluteSuspect("dedup_simhash", c * 100, false))
+    assert(!Bench.isAbsoluteSuspect("q1_pricing_summary", 999.0, true))
+    // the five round-10 inflation victims are all gated
+    assert(Seq("curation_repeated_spans", "dedup_ngram_jaccard",
+      "dedup_simhash", "agg_cms_state_rollup", "dict_get_nation")
+      .forall(Bench.Committed.contains))
+  }
+
+  test("cpu canary: deterministic fixed work, strictly positive time") {
+    // two runs of the fixed workload both complete and time > 0; the
+    // blackhole prevents DCE so the loop really runs
+    val a = Bench.cpuCanaryOnce()
+    val b = Bench.cpuCanaryOnce()
+    assert(a > 0.0 && b > 0.0)
+  }
 }
