@@ -249,6 +249,53 @@ object Multimodal {
     }
   }
 
+  /** Serialize 8-bit mono PCM samples as a RIFF/WAVE payload — the
+    * synthesis half of the [[WavDecoder]] round trip. Emits a real
+    * container: RIFF header, a LIST/INFO junk chunk (so a probe
+    * through this payload exercises the decoder's chunk-skipping
+    * path, not just the happy path), `fmt `, and the sample data with
+    * RIFF word-alignment padding. Pure function, `java.nio` only. */
+  def wavBytes(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    val n = samples.length
+    val pad = n & 1
+    val total = 12 + (8 + 4) + (8 + 16) + (8 + n + pad)
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(s: String): Unit =
+      b.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    ascii("RIFF"); b.putInt(total - 8); ascii("WAVE")
+    ascii("LIST"); b.putInt(4); ascii("INFO")
+    ascii("fmt "); b.putInt(16)
+    b.putShort(1) // PCM
+    b.putShort(1) // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate) // byte rate (1 ch x 8 bit)
+    b.putShort(1) // block align
+    b.putShort(8) // bits per sample
+    ascii("data"); b.putInt(n); b.put(samples)
+    if (pad == 1) b.put(0.toByte)
+    b.array()
+  }
+
+  /** A synthetic per-doc WAV table whose samples derive from doc_id
+    * ARITHMETIC — `sample(i) = (doc_id*31 + i*17) mod 256`, unsigned
+    * 8-bit PCM — so a SQL oracle can compute the decoded statistics
+    * without ever building bytes: if the engine's
+    * synthesize -> RIFF-parse -> sample-decode -> RMS pipeline
+    * hash-matches that oracle, the REAL codec path is value-preserving
+    * end-to-end (round-10 verdict #4: the first oracle-paired query
+    * through a non-stub decoder). Typed map, no UDF — the same
+    * Dataset boundary the other media stages use. */
+  def synthWavTable(spark: SparkSession, docs: DataFrame,
+      nSamples: Int = 64, sampleRate: Int = 8000): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val samples = Array.tabulate(nSamples)(i =>
+        ((id * 31 + i * 17) % 256).toByte)
+      MediaRecord(id, wavBytes(sampleRate, samples), "wav")
+    }.toDF()
+  }
+
   /** The decode stage: typed boundary + per-partition batch iteration,
     * exactly the shape a vectorized decoder (or native lib with
     * per-batch init cost) needs — per-partition setup happens once per

@@ -306,4 +306,51 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("claimed past the end"), e.getMessage)
   }
+
+  test("wavBytes -> WavDecoder round trip: header fields, frame " +
+      "count, and exact RMS recovered (incl. the LIST-skip path)") {
+    // samples chosen so the exact RMS is hand-computable: centered
+    // values c = sample - 128
+    val samples = Array[Byte](128.toByte, 0.toByte, 255.toByte,
+      192.toByte) // c = 0, -128, 127, 64
+    val payload = Multimodal.wavBytes(4000, samples)
+    // the synthesized container really has the LIST junk chunk the
+    // decoder must skip
+    assert(new String(payload, 12, 4, "US-ASCII") == "LIST")
+    val f = Multimodal.WavDecoder.decodeWav(
+      Multimodal.MediaRecord(3L, payload, "wav"))
+    assert(f.features(0) == 4000.0 && f.features(1) == 1.0 &&
+      f.features(2) == 4.0)
+    val expectedRms = math.sqrt(
+      (0.0 + 128.0 * 128 + 127.0 * 127 + 64.0 * 64) / 16384.0 / 4.0)
+    assert(f.features(3) == expectedRms)
+    // odd sample count pads to RIFF word alignment and still decodes
+    val odd = Multimodal.wavBytes(4000, Array[Byte](10, 20, 30))
+    assert(odd.length % 2 == 0)
+    assert(Multimodal.WavDecoder.decodeWav(
+      Multimodal.MediaRecord(4L, odd, "wav")).features(2) == 3.0)
+  }
+
+  test("synthWavTable samples follow the documented arithmetic " +
+      "(the contract the SQL oracle mirrors)") {
+    import spark.implicits._
+    val docs = Seq((0L, "x"), (5L, "y"), (123L, "z"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthWavTable(spark, docs, nSamples = 8,
+      sampleRate = 8000)
+    val rows = media.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media")).toMap
+    rows.foreach { case (id, payload) =>
+      val f = Multimodal.WavDecoder.decodeWav(
+        Multimodal.MediaRecord(id, payload, "wav"))
+      assert(f.features(0) == 8000.0 && f.features(2) == 8.0)
+      // decode the data chunk back out and check each sample value
+      val dataOff = payload.length - 8
+      (0 until 8).foreach { i =>
+        val got = payload(dataOff + i) & 0xff
+        assert(got == ((id * 31 + i * 17) % 256).toInt,
+          s"doc $id sample $i")
+      }
+    }
+  }
 }
