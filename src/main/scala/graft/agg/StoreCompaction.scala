@@ -126,10 +126,17 @@ private[agg] object StoreCompaction {
 
   /** Is `dirName` part of the view `manifest` admits? No manifest =
     * pre-scheme store: everything is visible (legacy behavior,
-    * including an old un-suffixed `batch=compacted`). */
+    * including an old un-suffixed `batch=compacted`) — EXCEPT a
+    * generation-suffixed `batch=compacted-<g>` block, which only this
+    * scheme produces: with no manifest on disk it can only be a
+    * FIRST fold's landed-but-unpublished block, and admitting it
+    * double-counts every batch it absorbed against the still-present
+    * batch dirs (found by the CommitCrashSpec sweep: crash between
+    * land and publish on a never-compacted store). */
   private def isVisible(dirName: String,
       manifest: Option[Manifest]): Boolean = manifest match {
-    case None => true
+    case None =>
+      dirName.stripPrefix("batch=compacted-").toLongOption.isEmpty
     case Some(Manifest(g, t)) =>
       dirName == s"batch=compacted-$g" || numericId(dirName).exists(_ > t)
   }
@@ -274,25 +281,34 @@ private[agg] object StoreCompaction {
     foldedDirs.map(p => new Path(p).getName).foreach(n =>
       numericId(n).foreach(id => maxId = math.max(maxId, id)))
 
-    // 1. land the folded block under its generation name — invisible
-    //    until the manifest flips (a crashed prior attempt at this
-    //    same generation is itself invisible: clear it first)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
-      "folded rows remain in the temp dir")
-
-    // 2. replay watermark BEFORE publish: a crash here only REFUSES a
-    //    replay (safe), never double-counts
-    writeThrough(fs, storePath, maxId)
-
-    // 3. ATOMIC PUBLISH: complete-view -> complete-view flip
-    publishManifest(fs, storePath, Manifest(newGen, maxId))
-
-    // 4. deferred retirement: delete only what was ALREADY invisible
-    //    before this publish — dirs superseded just now survive one
-    //    more fold as the in-flight readers' grace window
-    dirs.filter(st => staleBefore(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, true))
+    // the four-step protocol, run through the shared executor so the
+    // crash spec sweeps every inter-step window (CommitProtocol doc)
+    import graft.scale.CommitProtocol.{run, step}
+    run("store-fold", Seq(
+      // 1. land the folded block under its generation name — invisible
+      //    until the manifest flips (a crashed prior attempt at this
+      //    same generation is itself invisible: clear it first)
+      step("land-folded-block") {
+        if (fs.exists(dst)) fs.delete(dst, true)
+        require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed; " +
+          "folded rows remain in the temp dir")
+      },
+      // 2. replay watermark BEFORE publish: a crash here only REFUSES
+      //    a replay (safe), never double-counts
+      step("advance-watermark") {
+        writeThrough(fs, storePath, maxId)
+      },
+      // 3. ATOMIC PUBLISH: complete-view -> complete-view flip
+      step("publish-manifest") {
+        publishManifest(fs, storePath, Manifest(newGen, maxId))
+      },
+      // 4. deferred retirement: delete only what was ALREADY invisible
+      //    before this publish — dirs superseded just now survive one
+      //    more fold as the in-flight readers' grace window
+      step("retire-superseded") {
+        dirs.filter(st => staleBefore(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, true))
+      }))
   }
 
   /** Cast `folded` back to the raw batch schema so post-compact

@@ -303,12 +303,22 @@ object Bm25 {
     * batches whose stats landed. */
   def ingestBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
     val nRaw = batch.count()
-    val dl = writePostings(batch, s"${deltaDir(path)}/batch=$batchId",
-      SaveMode.Overwrite)
-    statsOf(dl).withColumn("n_raw", lit(nRaw))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"${deltaStatsDir(path)}/batch=$batchId")
+    import graft.scale.CommitProtocol.{run, step}
+    var dl: DataFrame = null
+    run("bm25-ingest", Seq(
+      step("write-postings-delta") {
+        dl = writePostings(batch, s"${deltaDir(path)}/batch=$batchId",
+          SaveMode.Overwrite)
+      },
+      // the stats dir is the batch's COMMIT marker: a crash between
+      // the two writes leaves the batch invisible; its replay
+      // overwrites both dirs
+      step("commit-stats") {
+        statsOf(dl).withColumn("n_raw", lit(nRaw))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"${deltaStatsDir(path)}/batch=$batchId")
+      }))
   }
 
   /** Batch ids whose ingest COMPLETED: both the postings dir and the
@@ -386,30 +396,43 @@ object Bm25 {
       case (delta, (nDocs, totalDl, nRaw)) =>
         val old = spark.read.parquet(s"$path/stats").collect().head
         val oldRows = metaRows(spark, path)
-        delta.write.mode(SaveMode.Append)
-          .partitionBy("bucket")
-          .parquet(s"$path/postings")
-        import spark.implicits._
-        Seq((old.getLong(0) + nDocs, old.getLong(1) + totalDl))
-          .toDF("n_docs", "total_dl")
-          .coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
-        writeMeta(spark, path, oldRows + nRaw)
-        val fs = graft.scale.Hdfs.of(spark, path)
-        ids.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"${deltaDir(path)}/$b"), true)
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"${deltaStatsDir(path)}/$b"), true)
-        }
-        // tidy the parent dirs ONLY if nothing landed mid-fold — a
-        // batch committing after the snapshot keeps its files and
-        // survives to the next compact
-        Seq(deltaDir(path), deltaStatsDir(path)).foreach { d =>
-          val p = new org.apache.hadoop.fs.Path(d)
-          if (fs.exists(p) && fs.listStatus(p).isEmpty)
-            fs.delete(p, true)
-        }
+        import graft.scale.CommitProtocol.{run, step}
+        run("bm25-compact", Seq(
+          step("append-postings-to-base") {
+            delta.write.mode(SaveMode.Append)
+              .partitionBy("bucket")
+              .parquet(s"$path/postings")
+          },
+          step("overwrite-stats") {
+            import spark.implicits._
+            Seq((old.getLong(0) + nDocs, old.getLong(1) + totalDl))
+              .toDF("n_docs", "total_dl")
+              .coalesce(1)
+              .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+          },
+          step("write-meta") {
+            writeMeta(spark, path, oldRows + nRaw)
+          },
+          // a crash before this step leaves the folded batches' dirs
+          // in place — the DETECTABLE state the maintenance contract
+          // keys on (check the delta dirs before retrying)
+          step("retire-delta-dirs") {
+            val fs = graft.scale.Hdfs.of(spark, path)
+            ids.foreach { b =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"${deltaDir(path)}/$b"), true)
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"${deltaStatsDir(path)}/$b"), true)
+            }
+            // tidy the parent dirs ONLY if nothing landed mid-fold — a
+            // batch committing after the snapshot keeps its files and
+            // survives to the next compact
+            Seq(deltaDir(path), deltaStatsDir(path)).foreach { d =>
+              val p = new org.apache.hadoop.fs.Path(d)
+              if (fs.exists(p) && fs.listStatus(p).isEmpty)
+                fs.delete(p, true)
+            }
+          }))
     }
   }
 

@@ -58,17 +58,26 @@ object VectorIngestPipeline {
       batchId: Long): Unit = {
     if (batch.isEmpty) return
     val assigned = VectorIndex.assignCells(batch, indexPath)
-    assigned
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell")
-      .parquet(s"${deltaDir(indexPath)}/batch=$batchId")
-    // re-read the landed batch rather than re-running the assignment
-    // (one extra narrow scan of a micro-batch vs recomputing the
-    // centroid probe; also guarantees codes cover EXACTLY the rows
-    // the float dir committed)
-    val landed = batch.sparkSession.read
-      .parquet(s"${deltaDir(indexPath)}/batch=$batchId")
-    VectorIndex.encodeDeltaBatch(landed, indexPath, batchId)
+    import graft.scale.CommitProtocol.{run, step}
+    run("ivf-ingest", Seq(
+      step("write-float-delta") {
+        assigned
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("cell")
+          .parquet(s"${deltaDir(indexPath)}/batch=$batchId")
+      },
+      // a crash between the two writes leaves floats-without-codes:
+      // the batch scores through the EXACT path until the replay
+      // recovers it (both dirs are batchId-keyed overwrites)
+      step("encode-code-delta") {
+        // re-read the landed batch rather than re-running the
+        // assignment (one extra narrow scan of a micro-batch vs
+        // recomputing the centroid probe; also guarantees codes cover
+        // EXACTLY the rows the float dir committed)
+        val landed = batch.sparkSession.read
+          .parquet(s"${deltaDir(indexPath)}/batch=$batchId")
+        VectorIndex.encodeDeltaBatch(landed, indexPath, batchId)
+      }))
   }
 
   /** Start the ingest stream over a JSON drop directory. The index
@@ -93,24 +102,38 @@ object VectorIngestPipeline {
     * append-store compactions). */
   def compactDeltas(spark: SparkSession, indexPath: String): Unit =
     VectorIndex.deltaBatches(spark, indexPath).foreach { delta =>
-      delta.select(col("vec_id"), col("embedding"), col("c_norm"),
-          col("cell"))
-        .write.mode(SaveMode.Append)
-        .partitionBy("cell")
-        .parquet(s"$indexPath/cells")
       val fs = graft.scale.Hdfs.of(spark, indexPath)
-      // code deltas die with their float batches (the folded rows get
-      // re-covered by the next refreshPq, which the grown base-count
-      // fingerprint forces). Deleted FIRST: a crash in between leaves
-      // floats without codes (exact-scored, correct), never codes
-      // without floats
-      fs.delete(new Path(VectorIndex.pqDeltaDir(indexPath)), true)
-      fs.delete(new Path(deltaDir(indexPath)), true)
-      val total = spark.read.parquet(s"$indexPath/cells").count()
-      val nCells = spark.read.parquet(s"$indexPath/centroids").count()
-      val out = fs.create(new Path(s"$indexPath/_graft_meta"), true)
-      try out.write(s"rows=$total;cells=$nCells"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      import graft.scale.CommitProtocol.{run, step}
+      run("ivf-compact", Seq(
+        // a crash after this step leaves the folded rows in BOTH base
+        // and delta — the DETECTABLE state the maintenance contract
+        // keys on (check the delta dirs before retrying)
+        step("append-deltas-to-base-cells") {
+          delta.select(col("vec_id"), col("embedding"), col("c_norm"),
+              col("cell"))
+            .write.mode(SaveMode.Append)
+            .partitionBy("cell")
+            .parquet(s"$indexPath/cells")
+        },
+        // code deltas die with their float batches (the folded rows
+        // get re-covered by the next refreshPq, which the grown
+        // base-count fingerprint forces). Deleted FIRST: a crash in
+        // between leaves floats without codes (exact-scored, correct),
+        // never codes without floats
+        step("delete-code-deltas") {
+          fs.delete(new Path(VectorIndex.pqDeltaDir(indexPath)), true)
+        },
+        step("delete-float-deltas") {
+          fs.delete(new Path(deltaDir(indexPath)), true)
+        },
+        step("refresh-meta") {
+          val total = spark.read.parquet(s"$indexPath/cells").count()
+          val nCells =
+            spark.read.parquet(s"$indexPath/centroids").count()
+          val out = fs.create(new Path(s"$indexPath/_graft_meta"), true)
+          try out.write(s"rows=$total;cells=$nCells"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }))
     }
 }

@@ -179,29 +179,38 @@ object SampleLayout {
       sortCols: Seq[String] = Nil, files: Int = 16): Unit = {
     val fs = Hdfs.of(df.sparkSession, path)
     val cur = readManifest(fs, path)
-    cur.foreach(gcSuperseded(fs, path, _))
-    // legacy pre-manifest layout: loose data files at the root —
-    // invisible to every manifest reader, delete so the store's
-    // footprint doesn't silently double after the upgrade
-    val root = new Path(path)
-    if (fs.exists(root))
-      fs.listStatus(root).toSeq
-        .filter(st => st.isFile && st.getPath.getName != "_manifest" &&
-          st.getPath.getName != "_graft_meta")
-        .foreach(st => fs.delete(st.getPath, false))
     val newGen = cur.map(_.gen + 1).getOrElse(0L)
-    // watermark advances over COMMITTED deltas only: a crashed
-    // append's markerless dir was never visible, and its batch must
-    // stay replayable after the rebuild — folding its id would wedge
-    // the stream's legitimate replay behind the append watermark
-    // refusal (review-caught)
-    val marks = fs.globStatus(new Path(path, "b_*/_SUCCESS"))
-    val through = (if (marks == null) Seq.empty[Long]
-      else marks.toSeq.flatMap(
-        _.getPath.getParent.getName.stripPrefix("b_").toLongOption))
-      .foldLeft(cur.map(_.through).getOrElse(-1L))(math.max)
-    writeSorted(df, baseDir(path, newGen), Some(id), sortCols, files)
-    publish(fs, path, Manifest(newGen, through))
+    import CommitProtocol.{run, step}
+    run("sample-write", Seq(
+      step("gc-superseded") {
+        cur.foreach(gcSuperseded(fs, path, _))
+        // legacy pre-manifest layout: loose data files at the root —
+        // invisible to every manifest reader, delete so the store's
+        // footprint doesn't silently double after the upgrade
+        val root = new Path(path)
+        if (fs.exists(root))
+          fs.listStatus(root).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName != "_manifest" &&
+              st.getPath.getName != "_graft_meta")
+            .foreach(st => fs.delete(st.getPath, false))
+      },
+      step("write-next-base") {
+        writeSorted(df, baseDir(path, newGen), Some(id), sortCols, files)
+      },
+      step("publish-manifest") {
+        // watermark advances over COMMITTED deltas only: a crashed
+        // append's markerless dir was never visible, and its batch
+        // must stay replayable after the rebuild — folding its id
+        // would wedge the stream's legitimate replay behind the
+        // append watermark refusal (review-caught)
+        val marks = fs.globStatus(new Path(path, "b_*/_SUCCESS"))
+        val through = (if (marks == null) Seq.empty[Long]
+          else marks.toSeq.flatMap(
+            _.getPath.getParent.getName.stripPrefix("b_").toLongOption))
+          .foldLeft(cur.map(_.through).getOrElse(-1L))(math.max)
+        publish(fs, path, Manifest(newGen, through))
+      }))
   }
 
   /** Append a micro-batch as the batchId-keyed delta `b_<id>`, itself
@@ -298,18 +307,32 @@ object SampleLayout {
     val fs = Hdfs.of(spark, path)
     val cur = readManifest(fs, path).getOrElse(
       throw new IllegalStateException(s"no manifest at $path"))
-    gcSuperseded(fs, path, cur)
-    // ONE view snapshot drives the fold (single writer: nothing else
-    // mutates the store between these steps)
-    val view = visibleDirs(fs, path, cur)
-    val deltas = view.filterNot(_.endsWith(s"/base_g${cur.gen}"))
-    if (deltas.isEmpty) return
-    val through = deltas
-      .map(d => new Path(d).getName.stripPrefix("b_").toLong)
-      .foldLeft(cur.through)(math.max)
-    writeSorted(spark.read.parquet(view: _*),
-      baseDir(path, cur.gen + 1), None, sortCols, files)
-    publish(fs, path, Manifest(cur.gen + 1, through))
+    import CommitProtocol.{run, step}
+    // crossing-step state: the view snapshot is taken inside the gc'd
+    // window (single writer: nothing else mutates the store between
+    // these steps) and drives both the fold and the publish
+    var deltas: Seq[String] = Nil
+    var through = cur.through
+    run("sample-compact", Seq(
+      step("gc-superseded") {
+        gcSuperseded(fs, path, cur)
+      },
+      // landing the next base is invisible until the manifest flips
+      step("write-next-base") {
+        val view = visibleDirs(fs, path, cur)
+        deltas = view.filterNot(_.endsWith(s"/base_g${cur.gen}"))
+        if (deltas.nonEmpty) {
+          through = deltas
+            .map(d => new Path(d).getName.stripPrefix("b_").toLong)
+            .foldLeft(cur.through)(math.max)
+          writeSorted(spark.read.parquet(view: _*),
+            baseDir(path, cur.gen + 1), None, sortCols, files)
+        }
+      },
+      step("publish-manifest") {
+        if (deltas.nonEmpty)
+          publish(fs, path, Manifest(cur.gen + 1, through))
+      }))
   }
 
   /** Build-once sample-keyed events layout for the registered query.

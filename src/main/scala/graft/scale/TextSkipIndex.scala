@@ -103,14 +103,26 @@ object TextSkipIndex {
     val spark = batch.sparkSession
     val bData = s"${dataDir(path)}/b_$batchId"
     val bSidecar = s"${sidecarDir(path)}/b_$batchId"
-    Hdfs.of(spark, bSidecar).delete(new Path(bSidecar), true)
-    // same sortCols contract as write() (round-10 ADVICE: a hardcoded
-    // doc_id gave custom-sorted layouts deltas with a different
-    // physical order, and rejected frames write() accepted)
-    batch.repartitionByRange(files, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(bData)
-    buildSidecar(spark, bData, bSidecar, textCol, expectedGrams, fpp)
+    import CommitProtocol.{run, step}
+    run("gramidx-append", Seq(
+      // the batch turns invisible: sidecar rows are the only route to
+      // a delta's files, so the data Overwrite below can never delete
+      // files a still-committed sidecar references by physical name
+      step("retract-sidecar") {
+        Hdfs.of(spark, bSidecar).delete(new Path(bSidecar), true)
+      },
+      // same sortCols contract as write() (round-10 ADVICE: a
+      // hardcoded doc_id gave custom-sorted layouts deltas with a
+      // different physical order, and rejected frames write()
+      // accepted)
+      step("write-data") {
+        batch.repartitionByRange(files, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(bData)
+      },
+      step("commit-sidecar") {
+        buildSidecar(spark, bData, bSidecar, textCol, expectedGrams, fpp)
+      }))
   }
 
   /** Data files whose bloom admits every gram of `needle` — the set
