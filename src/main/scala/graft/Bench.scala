@@ -296,10 +296,18 @@ object Bench {
     // ensure hits the stamp). `store_queries` maps each store to the
     // registered entries it serves.
     val storeBuilds = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val storeBuildFailed = scala.collection.mutable.ArrayBuffer[String]()
     def build(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
-      storeBuilds(name) = (System.nanoTime() - t0) / 1e9
+      // a failed ensure publishes a -1.0 sentinel + the name in
+      // store_build_failed instead of its elapsed time — otherwise the
+      // artifact asserts a build succeeded that the backed queries
+      // will re-pay (or re-fail) inside their timed passes
+      // (review-caught)
+      val ok = try { body; true } catch { case _: Throwable => false }
+      storeBuilds(name) =
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (!ok) storeBuildFailed += name
     }
     build("ivf")(graft.ops.VectorIndex.ensureIvf(
       Tables.embeddings(spark, sfDir), ivfPath))
@@ -334,8 +342,9 @@ object Bench {
     build("sample")(graft.scale.SampleLayout.ensureEvents(
       Tables.events(spark, sfDir), samplePath))
     val storeQueries: Map[String, Seq[String]] = Map(
-      "ivf" -> Seq("sim_cosine_ivf_indexed", "sim_cosine_ivfpq",
-        "retrieval_hybrid_indexed_batch", "retrieval_service_cap"),
+      "ivf" -> Seq("sim_cosine_ivf_indexed", "sim_cosine_ivf_full",
+        "sim_cosine_ivfpq", "retrieval_hybrid_indexed_batch",
+        "retrieval_service_cap"),
       "ivfpq" -> Seq("sim_cosine_ivfpq"),
       "sigs" -> Seq("dedup_incoming_store"),
       "bm25" -> Seq("retrieval_bm25_indexed", "retrieval_bm25_pruned",
@@ -475,8 +484,12 @@ object Bench {
     val elevated = results.toSeq
       .filter(e => isAbsoluteSuspect(e._1, e._2.median, pinsArmed))
       .map(_._1)
-    val failedQueries = results.toSeq
+    // failures are judged over EVERY measurement taken, not just the
+    // published entry — a clean re-measure must not erase the record
+    // of a first-pass crash (review-caught)
+    val failedQueries = (firstPass.toSeq ++ remeasured.toSeq)
       .filter(_._2.samples.exists(_.failed)).map(_._1)
+      .distinct.sorted
     val degraded = stillViolating.nonEmpty
     if (degraded || suspects.nonEmpty || failedQueries.nonEmpty) {
       System.err.println(
@@ -570,7 +583,7 @@ object Bench {
     // page cache (ioMB high), heap (gc high), or host load (loadavg)
     // without a re-run.
     val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), fileLine + "\n")
     println(line)

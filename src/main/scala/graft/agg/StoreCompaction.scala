@@ -179,8 +179,20 @@ private[agg] object StoreCompaction {
       catch {
         case _: java.io.FileNotFoundException =>
           try dataDirNamesOnce()
-          catch { case _: java.io.FileNotFoundException =>
-            Set.empty[String] }
+          catch {
+            case e: java.io.FileNotFoundException =>
+              // two FNFs back to back is no longer the transient GC
+              // race — fail loudly rather than return an empty view
+              // that silently drops every committed batch
+              // (review-caught: the first cut fell back to Set.empty,
+              // the exact store-wide silent undercount this rewrite
+              // exists to prevent)
+              throw new IllegalStateException(
+                s"store $storePath: batch-dir listing failed twice " +
+                  "with FileNotFoundException — not a transient " +
+                  "concurrent-GC race; refusing to return a " +
+                  "possibly-partial view", e)
+          }
       }
     listBatchDirs(fs, storePath).map(_.getPath.getName)
       .filter(isVisible(_, m)).filter(dataDirs).toSeq.sorted

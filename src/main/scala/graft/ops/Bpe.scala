@@ -49,6 +49,13 @@ object Bpe {
   /** An ordered merge table: `merges(r)` is the symbol pair merged at
     * rank `r` (lower rank = earlier merge = higher priority during
     * encoding). Immutable + serializable; rides a broadcast. */
+  /** The word separator shared with [[TextAnalysis.tokens]]'s Spark
+    * `split`: Java-regex `\s`, precompiled once. */
+  object Merges {
+    val WordSep: java.util.regex.Pattern =
+      java.util.regex.Pattern.compile("\\s+")
+  }
+
   final case class Merges(pairs: Array[(String, String)])
       extends Serializable {
 
@@ -115,22 +122,26 @@ object Bpe {
       n
     }
 
-    /** Token count for a whole text: the SAME word split as
-      * [[TextAnalysis.tokens]] (lower(trim) on whitespace), each word
-      * encoded independently — BPE merges never cross a whitespace
-      * boundary, as in every production tokenizer. */
+    /** Token count for a whole text: words are separated by the SAME
+      * character class as [[TextAnalysis.tokens]] — the Java-regex
+      * `\s` that Spark's `split` uses, NOT `Character.isWhitespace`
+      * (review-caught: the broader Unicode class split on characters
+      * like U+2028 that the training histogram treated as part of a
+      * word, so encoding diverged from the vocabulary training saw).
+      * Empty fragments contribute zero tokens, so a blank or
+      * whitespace-only text counts 0 — whereas word-based
+      * `tokenCount` counts its empty-string artifact token; the two
+      * counters are comparable on texts with at least one real word.
+      * BPE merges never cross a whitespace boundary, as in every
+      * production tokenizer. */
     def countText(text: String): Long = {
-      val t = text.trim.toLowerCase(java.util.Locale.ROOT)
+      val t = text.toLowerCase(java.util.Locale.ROOT)
       if (t.isEmpty) return 0L
       var total = 0L
-      var start = 0
-      val len = t.length
+      val parts = Merges.WordSep.split(t)
       var i = 0
-      while (i <= len) {
-        if (i == len || Character.isWhitespace(t.charAt(i))) {
-          if (i > start) total += countWord(t.substring(start, i))
-          start = i + 1
-        }
+      while (i < parts.length) {
+        total += countWord(parts(i))
         i += 1
       }
       total

@@ -260,12 +260,20 @@ object VectorIndex {
         // dead-app pass above exists to avoid (round-10 ADVICE).
         val liveKeys = encodeBooksCache.keySet.asScala.toSeq
           .filter(_._1 == liveApp)
+        // a FAILED marker read proves nothing — keep that path's
+        // entries (review-caught: collapsing the failure to None
+        // destroy()ed the genuinely-current hot broadcast under a
+        // transient FS error, killing in-flight encodes). A
+        // SUCCESSFUL read of None (PQ half gone) does evict.
         val currentIds = liveKeys.map(_._2).distinct.map { p =>
-          p -> (try currentBooksId(spark, p)
-                catch { case _: Throwable => None })
+          p -> scala.util.Try(currentBooksId(spark, p))
         }.toMap
-        liveKeys.filter(k => !currentIds(k._2).contains(k._3))
-          .foreach(evictEntry)
+        liveKeys.filter { k =>
+          currentIds(k._2) match {
+            case scala.util.Success(id) => !id.contains(k._3)
+            case scala.util.Failure(_) => false
+          }
+        }.foreach(evictEntry)
         if (encodeBooksCache.size > 64) {
           // 64+ CURRENT same-app entries: a genuinely index-wide app;
           // last resort stays a full clear, but with destroy()

@@ -254,8 +254,13 @@ object PipelineQueries {
     "sim_cosine_ivf_full" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val path = VectorIndex.ensureIvf(emb, VectorIndex.defaultPath(d))
+      // nProbe = the index's OWN centroid count, read from the layout
+      // (one footer-count job) — hardcoding the current numCells
+      // default would silently break the exact-by-construction claim
+      // if the default ever moved (review-caught)
+      val allCells = s.read.parquet(s"$path/centroids").count().toInt
       VectorIndex.queryIvf(s, path, emb.filter(col("vec_id") < 8), 10,
-          nProbe = 16)
+          nProbe = allCells)
         .select(col("query_id"), col("neighbor_id"), col("sim"),
           col("rank"))
         .orderBy(col("query_id"), col("rank"))

@@ -126,7 +126,11 @@ class BpeSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
     val bc = Bpe.ensureMerges(spark, docs, key = sf0001,
       numMerges = 64, vocabCap = 1024)
-    val bad = docs.select(
+    // bounds hold on texts with at least one real word — a blank doc
+    // counts 0 BPE tokens while word-tokenCount counts its
+    // empty-string artifact token (countText scaladoc)
+    val bad = docs.filter(trim(col("text")) =!= "")
+      .select(
         TextAnalysis.tokenCount(col("text")).as("words"),
         Bpe.bpe_token_count(col("text"), bc).as("bpe"),
         length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
