@@ -209,13 +209,21 @@ object GraftExtensions {
           constInt("gram_bloom_admits", args(2)))
       })
 
+  private[functions] val deflateRatioDescriptor =
+    (new FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (args: Seq[Expression]) => {
+        arity("deflate_ratio", 1, args)
+        DeflateRatio(args.head)
+      })
+
   private[functions] val descriptors = Seq(vecDotDescriptor,
     vecNormDescriptor, uniqUpToDescriptor, detSampleDescriptor,
     topKWeightedDescriptor, quantileStateDescriptor,
     quantileStateMergeDescriptor, quantileStateValueDescriptor,
     cmsStateDescriptor, cmsStateMergeDescriptor,
     cmsStateQueryDescriptor, gramBloomDescriptor,
-    gramBloomAdmitsDescriptor)
+    gramBloomAdmitsDescriptor, deflateRatioDescriptor)
 
   /** Register on an already-built session (tests, driver-owned
     * sessions where spark.sql.extensions can't be set). */

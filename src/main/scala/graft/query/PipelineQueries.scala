@@ -547,6 +547,19 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Compression-ratio quality signal (the Gopher/CCNet-family
+    // curation gate): DEFLATE bytes over raw bytes — repetitive or
+    // templated text compresses far below natural prose. Rows-only:
+    // the value is deterministic within a zlib build but not pinned
+    // across versions, so CompressSpec asserts order/range properties
+    // (repetitive << natural <= ~random) instead of exact bytes.
+    "text_compression_ratio" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          round(graft.functions.CompressFunctions
+            .deflate_ratio(col("text")), 4).as("deflate_ratio"))
+        .orderBy(col("doc_id"))),
+
     // Subword (greedy BPE) token counting — the unit a training
     // pipeline actually budgets in (round-10 verdict, Missing #3).
     // Merges train ONCE per corpus on the bounded word histogram

@@ -70,6 +70,28 @@ object SamplingQueries {
         .orderBy(col("lang"))
     }),
 
+    // The SAME mixture, budgeted in SUBWORD tokens (round-11: BPE
+    // closes the word-token simplification) — the unit a training mix
+    // is actually specified in. Identical sampler and thresholds
+    // machinery; only the weight column changes (mixtureSample's
+    // weight parameter IS the tokenizer seam). Not SQL-expressible
+    // (the merge loop) -> rows-only; BpeSpec pins the tokenizer and
+    // SamplingSpec pins the sampler, and the mixture share invariants
+    // are asserted differentially in SamplingSpec's BPE case.
+    "sample_mixture_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bc = graft.ops.Bpe.ensureMerges(s, docs, key = d)
+      val toks = Staging.materialize(
+        docs.select(col("lang"), col("doc_id"),
+          graft.ops.Bpe.bpe_token_count(col("text"), bc).as("n_tok")),
+        "mixture-bpe-toks")
+      Sampling.mixtureSample(toks, col("lang"), col("doc_id"),
+          col("n_tok"), MixTargets)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+        .orderBy(col("lang"))
+    }),
+
     // Temperature-scaled mixing (T=2): shares ∝ sqrt(natural weight) —
     // the multilingual rebalancing recipe, self-configured from corpus
     // stats instead of hand-set targets. Same staged-tokens discipline

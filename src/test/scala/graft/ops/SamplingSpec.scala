@@ -80,6 +80,41 @@ class SamplingSpec extends SparkSpec {
     assert(again == mix)
   }
 
+  test("mixtureSample under BPE weights: shares approach targets in " +
+      "SUBWORD-token mass, population equals a driver-weighted run") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val bc = Bpe.ensureMerges(spark, docs, key = sf0001,
+      numMerges = 64, vocabCap = 1024)
+    val tok = Bpe.bpe_token_count(col("text"), bc)
+    val targets = Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.15,
+      "de" -> 0.15, "fr" -> 0.1)
+    val kept = Sampling.mixtureSample(docs, col("lang"), col("doc_id"),
+      tok, targets)
+    val mix = kept.groupBy("lang").agg(sum(tok).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = mix.values.sum.toDouble
+    targets.foreach { case (d, s) =>
+      val realized = mix.getOrElse(d, 0L) / total
+      assert(math.abs(realized - s) <= 0.06,
+        s"$d realized $realized vs target $s (BPE mass)")
+    }
+    // differential: the sampler is a pure function of per-domain
+    // weight totals + ids, so feeding DRIVER-computed BPE counts
+    // (the independent countText path) must keep the same population
+    import spark.implicits._
+    val driverCounts = docs.select(col("doc_id"), col("lang"),
+        col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        bc.value.countText(r.getString(2)))).toSeq
+      .toDF("doc_id", "lang", "n_tok")
+    val keptIds = kept.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val driverIds = Sampling.mixtureSample(driverCounts, col("lang"),
+        col("doc_id"), col("n_tok"), targets)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds == driverIds)
+  }
+
   test("hashKey is overflow-safe over the full long domain and equals " +
       "the exact (id mod 2^32) * K mod 2^32 reference") {
     // the naive single multiply wraps negative above ~3.47e9 and

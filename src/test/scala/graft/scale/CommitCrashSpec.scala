@@ -245,8 +245,25 @@ class CommitCrashSpec extends SparkSpec {
     }
   }
 
+  // ---- 8. SampleLayout rebuild (write = gc + invisible base + flip)
+
+  private object SampleWrite extends CrashCase {
+    val name = "sample layout rebuild"
+    val op = "sample-write"
+    private def events = Tables.events(spark, sf0001)
+    def setup(dir: String): Unit =
+      SampleLayout.write(events, dir, col("user_id"), Seq("ts"),
+        files = 4)
+    // the mutation under sweep: a REBUILD over an existing layout —
+    // the next generation lands invisible, the manifest flips, the
+    // superseded base lingers one publish as grace
+    def mutate(dir: String): Unit = setup(dir)
+    def observe(dir: String): Seq[String] = SampleCompact.observe(dir)
+  }
+
   private val cases: Seq[CrashCase] = Seq(AggFold, SampleCompact,
-    GramReplay, Bm25Ingest, IvfIngest, Bm25Compact, IvfCompact)
+    SampleWrite, GramReplay, Bm25Ingest, IvfIngest, Bm25Compact,
+    IvfCompact)
 
   cases.foreach { c =>
     test(s"${c.name}: killed between every pair of steps, every " +
