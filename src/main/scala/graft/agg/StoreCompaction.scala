@@ -174,26 +174,33 @@ private[agg] object StoreCompaction {
         !n.startsWith("_") && !n.startsWith(".")
       }.map(_.getPath.getParent.getName).toSet
     }
-    val dataDirs =
-      try dataDirNamesOnce()
-      catch {
-        case _: java.io.FileNotFoundException =>
-          try dataDirNamesOnce()
-          catch {
-            case e: java.io.FileNotFoundException =>
-              // two FNFs back to back is no longer the transient GC
-              // race — fail loudly rather than return an empty view
-              // that silently drops every committed batch
-              // (review-caught: the first cut fell back to Set.empty,
-              // the exact store-wide silent undercount this rewrite
-              // exists to prevent)
-              throw new IllegalStateException(
-                s"store $storePath: batch-dir listing failed twice " +
-                  "with FileNotFoundException — not a transient " +
-                  "concurrent-GC race; refusing to return a " +
-                  "possibly-partial view", e)
-          }
+    // a fold's retire step deletes MANY dirs in a sequential loop, so
+    // several back-to-back globs can each hit a different mid-delete
+    // dir — retry with a short pause until the glob completes cleanly
+    // (bounded), then fail LOUDLY rather than return an empty view
+    // that silently drops every committed batch (two review rounds:
+    // the first cut fell back to Set.empty — a store-wide silent
+    // undercount; the second threw after exactly two attempts, which
+    // a healthy multi-dir GC sweep can legitimately outlast)
+    val dataDirs = {
+      var attempt = 0
+      var out: Option[Set[String]] = None
+      var last: java.io.FileNotFoundException = null
+      while (out.isEmpty && attempt < 6) {
+        try out = Some(dataDirNamesOnce())
+        catch {
+          case e: java.io.FileNotFoundException =>
+            last = e
+            attempt += 1
+            Thread.sleep(50L * attempt)
+        }
       }
+      out.getOrElse(throw new IllegalStateException(
+        s"store $storePath: batch-dir listing hit " +
+          s"FileNotFoundException on $attempt consecutive attempts — " +
+          "beyond any concurrent-GC sweep; refusing to return a " +
+          "possibly-partial view", last))
+    }
     listBatchDirs(fs, storePath).map(_.getPath.getName)
       .filter(isVisible(_, m)).filter(dataDirs).toSeq.sorted
       .map(n => s"$storePath/$n")

@@ -46,16 +46,14 @@ object Bpe {
     * and words come from a whitespace split of real text). */
   final val Sep = "\u0000"
 
+  /** The word separator shared with [[TextAnalysis.tokens]]'s Spark
+    * `split`: Java-regex `\s`, precompiled once. */
+  private[ops] val WordSep: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
+
   /** An ordered merge table: `merges(r)` is the symbol pair merged at
     * rank `r` (lower rank = earlier merge = higher priority during
     * encoding). Immutable + serializable; rides a broadcast. */
-  /** The word separator shared with [[TextAnalysis.tokens]]'s Spark
-    * `split`: Java-regex `\s`, precompiled once. */
-  object Merges {
-    val WordSep: java.util.regex.Pattern =
-      java.util.regex.Pattern.compile("\\s+")
-  }
-
   final case class Merges(pairs: Array[(String, String)])
       extends Serializable {
 
@@ -138,7 +136,7 @@ object Bpe {
       val t = text.toLowerCase(java.util.Locale.ROOT)
       if (t.isEmpty) return 0L
       var total = 0L
-      val parts = Merges.WordSep.split(t)
+      val parts = WordSep.split(t)
       var i = 0
       while (i < parts.length) {
         total += countWord(parts(i))

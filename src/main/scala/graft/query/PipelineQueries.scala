@@ -254,13 +254,14 @@ object PipelineQueries {
     "sim_cosine_ivf_full" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val path = VectorIndex.ensureIvf(emb, VectorIndex.defaultPath(d))
-      // nProbe = the index's OWN centroid count, read from the layout
-      // (one footer-count job) — hardcoding the current numCells
-      // default would silently break the exact-by-construction claim
-      // if the default ever moved (review-caught)
-      val allCells = s.read.parquet(s"$path/centroids").count().toInt
+      // probe EVERYTHING: CentroidTopCells clamps nProbe to the
+      // centroid count, so MaxValue means "all cells" against any
+      // layout with zero extra jobs — hardcoding the numCells default
+      // would silently break the exact-by-construction claim if the
+      // default moved, and counting the centroids table added a
+      // redundant read per pass (two review rounds)
       VectorIndex.queryIvf(s, path, emb.filter(col("vec_id") < 8), 10,
-          nProbe = allCells)
+          nProbe = Int.MaxValue)
         .select(col("query_id"), col("neighbor_id"), col("sim"),
           col("rank"))
         .orderBy(col("query_id"), col("rank"))

@@ -126,10 +126,12 @@ class BpeSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
     val bc = Bpe.ensureMerges(spark, docs, key = sf0001,
       numMerges = 64, vocabCap = 1024)
-    // bounds hold on texts with at least one real word — a blank doc
-    // counts 0 BPE tokens while word-tokenCount counts its
-    // empty-string artifact token (countText scaladoc)
-    val bad = docs.filter(trim(col("text")) =!= "")
+    // bounds hold on texts with at least one real word (any
+    // non-whitespace char — Spark trim strips only 0x20, so a
+    // tab-only doc would slip a trim-based guard); a blank doc counts
+    // 0 BPE tokens while word-tokenCount counts its empty-string
+    // artifact token (countText scaladoc)
+    val bad = docs.filter(col("text").rlike("\\S"))
       .select(
         TextAnalysis.tokenCount(col("text")).as("words"),
         Bpe.bpe_token_count(col("text"), bc).as("bpe"),
