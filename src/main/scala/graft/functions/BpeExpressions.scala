@@ -53,3 +53,48 @@ case class BpeTokenCount(child: Expression,
 
   override def prettyName: String = "bpe_token_count"
 }
+
+/** `bpe_tokens(text)`: the ordered subword tokens themselves (array
+  * of strings) — the emission sibling of [[BpeTokenCount]] for vocab
+  * builds and embedding prep. Same broadcast/codegen design;
+  * `size(bpe_tokens(t)) == bpe_token_count(t)` by construction
+  * (both route through the same per-word encoder — spec-pinned),
+  * and concatenating the tokens reproduces the lowercased text's
+  * words (lossless, spec-pinned). */
+case class BpeTokens(child: Expression,
+    merges: Broadcast[graft.ops.Bpe.Merges]) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType,
+      containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens expects string, got ${t.catalogString}")
+  }
+
+  /** Public so generated code can call it through the referenced
+    * expression object. */
+  def tokens(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      merges.value.encodeText(text.toString)
+        .map(s => UTF8String.fromString(s): Any))
+
+  override def nullSafeEval(v: Any): Any =
+    tokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTokens", this,
+      classOf[BpeTokens].getName)
+    val arrayData = "org.apache.spark.sql.catalyst.util.ArrayData"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($arrayData) $ref.tokens($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+
+  override def prettyName: String = "bpe_tokens"
+}

@@ -76,15 +76,15 @@ object Bpe {
       new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     val CacheCap = 1 << 16
 
-    /** Greedy BPE token count for one word: start from characters,
+    /** Greedy BPE encoding of one word: start from characters,
       * repeatedly merge the adjacent pair with the LOWEST rank present
       * (all its occurrences, left to right) until no adjacent pair is
-      * in the table. Standard GPT-2-style greedy inference. */
-    def countWord(word: String): Int = {
-      if (word.isEmpty) return 0
-      if (word.length == 1) return 1
-      val cached = countCache.get(word)
-      if (cached != null) return cached.intValue()
+      * in the table. Standard GPT-2-style greedy inference. LOSSLESS:
+      * the concatenation of the returned subwords is the input word
+      * (spec-pinned) — merges only ever join adjacent symbols. */
+    def encodeWord(word: String): Array[String] = {
+      if (word.isEmpty) return Array.empty
+      if (word.length == 1) return Array(word)
       var syms = new Array[String](word.length)
       var i = 0
       while (i < word.length) { syms(i) = word.substring(i, i + 1); i += 1 }
@@ -115,9 +115,39 @@ object Bpe {
           n = w
         }
       }
+      if (n == syms.length) syms else java.util.Arrays.copyOf(syms, n)
+    }
+
+    /** Subword count of one word — the hot counting path keeps its
+      * executor-wide memo (counts only: arrays would blow the cache's
+      * byte budget); uncached words pay one [[encodeWord]]. */
+    def countWord(word: String): Int = {
+      if (word.isEmpty) return 0
+      if (word.length == 1) return 1
+      val cached = countCache.get(word)
+      if (cached != null) return cached.intValue()
+      val n = encodeWord(word).length
       if (countCache.size < CacheCap)
         countCache.put(word, Integer.valueOf(n))
       n
+    }
+
+    /** All subword tokens of a text, in order — the same split and
+      * per-word encoding as [[countText]], so
+      * `encodeText(t).length == countText(t)` by construction. */
+    def encodeText(text: String): Array[String] = {
+      val t = text.toLowerCase(java.util.Locale.ROOT)
+      if (t.isEmpty) return Array.empty
+      val out = Array.newBuilder[String]
+      val parts = WordSep.split(t)
+      var i = 0
+      while (i < parts.length) {
+        val toks = encodeWord(parts(i))
+        var j = 0
+        while (j < toks.length) { out += toks(j); j += 1 }
+        i += 1
+      }
+      out.result()
     }
 
     /** Token count for a whole text: words are separated by the SAME
@@ -238,5 +268,14 @@ object Bpe {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(
       graft.functions.BpeTokenCount(ColumnBridge.expression(text), merges))
+  }
+
+  /** Column API: the ordered subword tokens of `text` — for vocab
+    * builds, embedding prep, and any consumer that needs the tokens
+    * themselves rather than their count. */
+  def bpe_tokens(text: Column, merges: Broadcast[Merges]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.BpeTokens(ColumnBridge.expression(text), merges))
   }
 }

@@ -577,6 +577,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Subword VOCABULARY usage: top-20 BPE tokens by corpus frequency
+    // — the tokenizer-QA view (which subwords dominate; a degenerate
+    // merge table shows up as char-level singletons here). bpe_tokens
+    // EMITS the subwords (the count expression's sibling); exact
+    // explode + map-side-combined count, same plan family as
+    // vocab_topk. Rows-only (the merge loop isn't SQL-expressible);
+    // BpeSpec pins emission == count and lossless reconstruction.
+    "vocab_topk_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bc = graft.ops.Bpe.ensureMerges(s, docs, key = d)
+      docs.select(explode(
+          graft.ops.Bpe.bpe_tokens(col("text"), bc)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)
+    }),
+
     // Sequence packing under a BPE-token budget: the same
     // prefix-sum-per-shard packing as curation_seq_packing, with the
     // budget measured in subword tokens (what the training window

@@ -142,6 +142,35 @@ class BpeSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("token EMISSION: lossless reconstruction, emission == count, " +
+      "expression == driver encoder") {
+    val docs = Tables.documents(spark, sf0001)
+    val bc = Bpe.ensureMerges(spark, docs, key = sf0001,
+      numMerges = 64, vocabCap = 1024)
+    // lossless: concatenating a word's subwords reproduces the word
+    val m = bc.value
+    Seq("low", "lowest", "banana", "aaa", "x", "unseenword").foreach { w =>
+      assert(m.encodeWord(w).mkString == w, s"lossy encode of '$w'")
+    }
+    // text-level: joined tokens == the lowercased text's words joined
+    val sample = docs.limit(50).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    sample.foreach { case (id, t) =>
+      val lower = t.toLowerCase(java.util.Locale.ROOT)
+      val words = lower.split("\\s+").filter(_.nonEmpty).mkString
+      assert(m.encodeText(t).mkString == words, s"doc $id lossy")
+      assert(m.encodeText(t).length.toLong == m.countText(t),
+        s"doc $id emission != count")
+    }
+    // the expression path agrees with the driver encoder
+    val viaExpr = docs.limit(50)
+      .select(col("doc_id"), Bpe.bpe_tokens(col("text"), bc).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    sample.foreach { case (id, t) =>
+      assert(viaExpr(id) == m.encodeText(t).toSeq, s"doc $id expr diverged")
+    }
+  }
+
   test("packing under a BPE budget: windows respect the budget and " +
       "chunk ids are consistent with offsets") {
     val docs = Tables.documents(spark, sf0001)
