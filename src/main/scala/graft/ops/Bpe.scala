@@ -118,15 +118,34 @@ object Bpe {
       if (n == syms.length) syms else java.util.Arrays.copyOf(syms, n)
     }
 
+    /** Executor-wide per-word TOKEN memo for the emission path —
+      * smaller cap than the count memo (entries hold subword arrays,
+      * not one int). Returned arrays are shared: callers must treat
+      * them as immutable (both in-repo consumers copy/iterate). */
+    @transient lazy val tokenCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    val TokenCacheCap = 1 << 14
+
+    private def encodeWordCached(word: String): Array[String] = {
+      if (word.length <= 1)
+        return if (word.isEmpty) Array.empty else Array(word)
+      val cached = tokenCache.get(word)
+      if (cached != null) return cached
+      val toks = encodeWord(word)
+      if (tokenCache.size < TokenCacheCap) tokenCache.put(word, toks)
+      toks
+    }
+
     /** Subword count of one word — the hot counting path keeps its
-      * executor-wide memo (counts only: arrays would blow the cache's
-      * byte budget); uncached words pay one [[encodeWord]]. */
+      * own executor-wide memo (counts only: an int per word); an
+      * uncached word pays one [[encodeWord]] through the token memo,
+      * so a count-then-emit workload encodes each distinct word once. */
     def countWord(word: String): Int = {
       if (word.isEmpty) return 0
       if (word.length == 1) return 1
       val cached = countCache.get(word)
       if (cached != null) return cached.intValue()
-      val n = encodeWord(word).length
+      val n = encodeWordCached(word).length
       if (countCache.size < CacheCap)
         countCache.put(word, Integer.valueOf(n))
       n
@@ -134,7 +153,10 @@ object Bpe {
 
     /** All subword tokens of a text, in order — the same split and
       * per-word encoding as [[countText]], so
-      * `encodeText(t).length == countText(t)` by construction. */
+      * `encodeText(t).length == countText(t)` by construction. Words
+      * encode through the token memo (review-caught: the first cut
+      * re-ran the merge loop per word OCCURRENCE, paying ~the corpus
+      * token/type ratio in redundant encodes on Zipf text). */
     def encodeText(text: String): Array[String] = {
       val t = text.toLowerCase(java.util.Locale.ROOT)
       if (t.isEmpty) return Array.empty
@@ -142,7 +164,7 @@ object Bpe {
       val parts = WordSep.split(t)
       var i = 0
       while (i < parts.length) {
-        val toks = encodeWord(parts(i))
+        val toks = encodeWordCached(parts(i))
         var j = 0
         while (j < toks.length) { out += toks(j); j += 1 }
         i += 1

@@ -152,22 +152,23 @@ class BpeSpec extends SparkSpec {
     Seq("low", "lowest", "banana", "aaa", "x", "unseenword").foreach { w =>
       assert(m.encodeWord(w).mkString == w, s"lossy encode of '$w'")
     }
-    // text-level: joined tokens == the lowercased text's words joined
-    val sample = docs.limit(50).select(col("doc_id"), col("text"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    sample.foreach { case (id, t) =>
+    // ONE collect feeds both views — limit without orderBy carries no
+    // determinism guarantee, so two separate limit(50) jobs could
+    // admit different rows (review-caught flake hazard)
+    val rows = docs.orderBy(col("doc_id")).limit(50)
+      .select(col("doc_id"), col("text"),
+        Bpe.bpe_tokens(col("text"), bc).as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    rows.foreach { case (id, t, viaExpr) =>
+      // text-level: joined tokens == the lowercased text's words joined
       val lower = t.toLowerCase(java.util.Locale.ROOT)
       val words = lower.split("\\s+").filter(_.nonEmpty).mkString
       assert(m.encodeText(t).mkString == words, s"doc $id lossy")
       assert(m.encodeText(t).length.toLong == m.countText(t),
         s"doc $id emission != count")
-    }
-    // the expression path agrees with the driver encoder
-    val viaExpr = docs.limit(50)
-      .select(col("doc_id"), Bpe.bpe_tokens(col("text"), bc).as("toks"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    sample.foreach { case (id, t) =>
-      assert(viaExpr(id) == m.encodeText(t).toSeq, s"doc $id expr diverged")
+      // the expression path agrees with the driver encoder
+      assert(viaExpr == m.encodeText(t).toSeq, s"doc $id expr diverged")
     }
   }
 
