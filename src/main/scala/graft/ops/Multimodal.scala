@@ -296,6 +296,68 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Serialize a 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) — the
+    * image sibling of [[wavBytes]], the synthesis half of the
+    * [[BmpDecoder]] round trip. `pixel(x, y)` returns (r, g, b) for
+    * TOP-DOWN coordinates; rows are written bottom-up as positive-
+    * height BMPs store them, so the decoder's walk exercises the real
+    * layout. Pure function, `java.nio` only. */
+  def bmpBytes(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, "bmpBytes: empty image")
+    val rowBytes = (3 * width + 3) & ~3
+    val total = 54 + rowBytes * height
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(total)
+    b.putInt(0) // reserved
+    b.putInt(54) // pixel offset
+    b.putInt(40) // BITMAPINFOHEADER size
+    b.putInt(width)
+    b.putInt(height) // positive = bottom-up row order
+    b.putShort(1) // planes
+    b.putShort(24) // bpp
+    b.putInt(0) // BI_RGB
+    b.putInt(rowBytes * height)
+    b.putInt(2835).putInt(2835) // 72 dpi
+    b.putInt(0).putInt(0) // palette
+    var row = height - 1 // bottom-up: last top-down row first
+    while (row >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, bl) = pixel(x, row)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+        x += 1
+      }
+      var pad = rowBytes - 3 * width
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    b.array()
+  }
+
+  /** A synthetic per-doc BMP table whose pixels derive from doc_id
+    * arithmetic — channel c at (x, y) is
+    * `(doc_id*K_c + x*3 + y*5) mod 256` with per-channel multipliers
+    * (7, 11, 13) — so a SQL oracle computes the decoded channel means
+    * without building bytes (the [[synthWavTable]] pattern for the
+    * IMAGE modality: a hash match proves the synthesize -> header
+    * parse -> bottom-up BGR walk -> mean pipeline value-preserving
+    * through the real codec). Integer channel sums are exact in both
+    * engines regardless of order. */
+  def synthBmpTable(spark: SparkSession, docs: DataFrame,
+      width: Int = 8, height: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRecord(id, bmpBytes(width, height, (x, y) => (
+        ((id * 7 + x * 3 + y * 5) % 256).toInt,
+        ((id * 11 + x * 3 + y * 5) % 256).toInt,
+        ((id * 13 + x * 3 + y * 5) % 256).toInt)), "bmp")
+    }.toDF()
+  }
+
   /** The decode stage: typed boundary + per-partition batch iteration,
     * exactly the shape a vectorized decoder (or native lib with
     * per-batch init cost) needs — per-partition setup happens once per

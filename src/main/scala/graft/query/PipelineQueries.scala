@@ -723,6 +723,35 @@ object PipelineQueries {
           round(element_at(col("features"), 4), 4).as("rms"))
         .orderBy(col("doc_id"))),
 
+    // The IMAGE sibling of multimodal_wav_stats: per-doc 24-bit BMPs
+    // synthesized from doc_id arithmetic (channel c at (x,y) =
+    // (doc_id*K_c + x*3 + y*5) mod 256, K = 7/11/13), decoded by the
+    // real BmpDecoder (header parse, bottom-up BGR row walk, padding),
+    // hash-gated against a DuckDB oracle that computes the channel
+    // statistics from the arithmetic alone. The compared values are
+    // the integer channel SUMS (mean x n is an exact integer-valued
+    // double: sum/32 times 32) — a rounded mean of the form k/32
+    // terminates at the 5th decimal, where round(.,4) hits the exact
+    // half case the engines disagree on (the window_gap_fill lesson).
+    "multimodal_bmp_stats" -> ((s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.synthBmpTable(s, Tables.documents(s, d)),
+          Multimodal.BmpDecoder)
+        .toDF()
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          (element_at(col("features"), 3) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_r"),
+          (element_at(col("features"), 4) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_g"),
+          (element_at(col("features"), 5) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_b"))
+        .orderBy(col("doc_id"))),
+
     // Frame sampling: every 2nd 64-byte frame of each payload — the
     // frame index/length accounting is oracle-checkable even though the
     // payload is opaque.
@@ -1172,6 +1201,21 @@ object PipelineQueries {
         |      FROM documents,
         |        LATERAL (SELECT unnest(range(64)) AS i) t) d
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // the decoded-BMP channel sums straight from the pixel arithmetic
+    // (integer sums — no rounding anywhere, see the query comment)
+    "multimodal_bmp_stats" ->
+      """SELECT p.doc_id,
+        | CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        | CAST(sum((p.doc_id * 7 + p.i * 3 + p.j * 5) % 256) AS BIGINT)
+        |   AS sum_r,
+        | CAST(sum((p.doc_id * 11 + p.i * 3 + p.j * 5) % 256) AS BIGINT)
+        |   AS sum_g,
+        | CAST(sum((p.doc_id * 13 + p.i * 3 + p.j * 5) % 256) AS BIGINT)
+        |   AS sum_b
+        |FROM (SELECT doc_id, x.i, y.j FROM documents,
+        |        LATERAL (SELECT unnest(range(8)) AS i) x,
+        |        LATERAL (SELECT unnest(range(4)) AS j) y) p
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |  CAST(least(64, octet_length(encode(text)) - i * 64) AS BIGINT)

@@ -331,6 +331,41 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(4L, odd, "wav")).features(2) == 3.0)
   }
 
+  test("bmpBytes -> BmpDecoder round trip: dimensions and exact " +
+      "channel means recovered through the bottom-up BGR layout") {
+    // asymmetric pixel function so a row-order or channel-order bug
+    // cannot cancel out: r grows with x, g with y, b constant
+    val payload = Multimodal.bmpBytes(3, 2,
+      (x, y) => (10 * x, 100 + y, 7))
+    val f = Multimodal.BmpDecoder.decodeBmp(
+      Multimodal.MediaRecord(5L, payload, "bmp"))
+    assert(f.features(0) == 3.0 && f.features(1) == 2.0)
+    // meanR over {0,10,20} x 2 rows = 10; meanG over {100,101} x 3 = 100.5
+    assert(f.features(2) == 10.0)
+    assert(f.features(3) == 100.5)
+    assert(f.features(4) == 7.0)
+    // row padding: width 3 -> 9 data bytes padded to 12 per row
+    assert(payload.length == 54 + 12 * 2)
+  }
+
+  test("synthBmpTable pixels follow the documented arithmetic " +
+      "(the contract the SQL oracle mirrors)") {
+    import spark.implicits._
+    val docs = Seq((0L, "x"), (9L, "y")).toDF("doc_id", "text")
+    val rows = Multimodal.synthBmpTable(spark, docs, 8, 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media"))
+    rows.foreach { case (id, payload) =>
+      val f = Multimodal.BmpDecoder.decodeBmp(
+        Multimodal.MediaRecord(id, payload, "bmp"))
+      def expectedMean(k: Long): Double =
+        (for (x <- 0 until 8; y <- 0 until 4)
+          yield ((id * k + x * 3 + y * 5) % 256).toDouble).sum / 32
+      assert(f.features(2) == expectedMean(7), s"doc $id meanR")
+      assert(f.features(3) == expectedMean(11), s"doc $id meanG")
+      assert(f.features(4) == expectedMean(13), s"doc $id meanB")
+    }
+  }
+
   test("synthWavTable samples follow the documented arithmetic " +
       "(the contract the SQL oracle mirrors)") {
     import spark.implicits._
