@@ -394,11 +394,68 @@ object Multimodal {
   final case class ResizedMedia(doc_id: Long, format: String,
       size: Int, payload: Array[Byte])
 
-  /** RESIZE STUB — stands in for an image resampler: average-pools the
-    * byte stream into exactly `target` cells (deterministic; empty
-    * payloads produce empty output). A real implementation replaces
-    * only this function body; the typed map stage around it is the
-    * production shape.
+  /** A REAL image resampler for the BMP format: nearest-neighbor
+    * resize of a 24-bit uncompressed BMP to `dstW x dstH`, emitted as
+    * a valid BMP again (via [[bmpBytes]]) — so the full
+    * decode -> transform -> re-encode chain runs on real container
+    * bytes, and the output feeds [[BmpDecoder]] (or any BMP consumer)
+    * unchanged. Source pixel for destination (x, y) is the standard
+    * floor mapping `(x*srcW/dstW, y*srcH/dstH)` in TOP-DOWN
+    * coordinates; the bottom-up row order and row padding of both
+    * source and destination are handled by the parse/serialize
+    * halves. Malformed payloads fail loudly with the doc id (the
+    * dead-letter hook), same as the decoders. */
+  def resizeBmpNearest(rec: MediaRecord, dstW: Int,
+      dstH: Int): ResizedMedia = {
+    require(dstW > 0 && dstH > 0, "resizeBmpNearest: empty target")
+    val bytes = rec.media
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 &&
+        bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      s"doc ${rec.doc_id}: not a BMP payload")
+    val pixelOff = b.getInt(10)
+    val srcW = b.getInt(18)
+    val heightRaw = b.getInt(22)
+    val bpp = b.getShort(28) & 0xffff
+    val compression = b.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"doc ${rec.doc_id}: only uncompressed 24-bit BMP supported")
+    val srcH = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    val rowBytesL = (3L * srcW + 3) & ~3L
+    require(srcW > 0 && srcH > 0 && pixelOff >= 54 &&
+        rowBytesL <= bytes.length &&
+        pixelOff + rowBytesL * srcH <= bytes.length,
+      s"doc ${rec.doc_id}: truncated or corrupt BMP")
+    val rowBytes = rowBytesL.toInt
+    // top-down (x, y) -> (r, g, b) regardless of stored row order
+    def pixel(sx: Int, sy: Int): (Int, Int, Int) = {
+      val row = if (topDown) sy else srcH - 1 - sy
+      val p = pixelOff + row * rowBytes + sx * 3
+      ((bytes(p + 2) & 0xff), (bytes(p + 1) & 0xff), (bytes(p) & 0xff))
+    }
+    val out = bmpBytes(dstW, dstH, (x, y) =>
+      pixel(x * srcW / dstW, y * srcH / dstH))
+    ResizedMedia(rec.doc_id, rec.format, out.length, out)
+  }
+
+  /** The BMP resize stage: same typed per-partition batch contract as
+    * [[extractFeatures]]. */
+  def resizeBmp(spark: SparkSession, media: DataFrame, dstW: Int,
+      dstH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(resizeBmpNearest(_, dstW, dstH))
+    }
+  }
+
+  /** RESIZE STUB — stands in for a format-agnostic resampler:
+    * average-pools the byte stream into exactly `target` cells
+    * (deterministic; empty payloads produce empty output). The
+    * format-aware real implementation is [[resizeBmpNearest]]; this
+    * stub remains for opaque payloads where only the plumbing shape
+    * matters.
     */
   def resizeStub(rec: MediaRecord, target: Int): ResizedMedia = {
     val n = rec.media.length

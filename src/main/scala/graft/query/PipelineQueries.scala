@@ -752,6 +752,37 @@ object PipelineQueries {
             element_at(col("features"), 2)).cast("long").as("sum_b"))
         .orderBy(col("doc_id"))),
 
+    // The full REAL-media chain, oracle-gated: synthesize 24-bit BMP
+    // -> nearest-neighbor resize 8x4 -> 4x2 (parse + resample +
+    // re-serialize, a second real container) -> decode the RESIZED
+    // bytes -> channel sums. The oracle computes the same sums from
+    // the pixel arithmetic at the sampled source coordinates
+    // (x*2, y*2) — a hash match proves decode, transform, re-encode,
+    // and decode-again all value-preserving. Integer sums, no
+    // rounding (the bmp_stats discipline).
+    "multimodal_bmp_resize" -> ((s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.resizeBmp(s,
+              Multimodal.synthBmpTable(s, Tables.documents(s, d)), 4, 2)
+            .toDF()
+            .select(col("doc_id"), col("payload").as("media"),
+              col("format")),
+          Multimodal.BmpDecoder)
+        .toDF()
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          (element_at(col("features"), 3) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_r"),
+          (element_at(col("features"), 4) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_g"),
+          (element_at(col("features"), 5) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_b"))
+        .orderBy(col("doc_id"))),
+
     // Frame sampling: every 2nd 64-byte frame of each payload — the
     // frame index/length accounting is oracle-checkable even though the
     // payload is opaque.
@@ -1215,6 +1246,22 @@ object PipelineQueries {
         |FROM (SELECT doc_id, x.i, y.j FROM documents,
         |        LATERAL (SELECT unnest(range(8)) AS i) x,
         |        LATERAL (SELECT unnest(range(4)) AS j) y) p
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // the resized-BMP channel sums from the pixel arithmetic at the
+    // nearest-neighbor-sampled source coordinates (dst (i, j) samples
+    // src (i*8/4, j*4/2) = (2i, 2j))
+    "multimodal_bmp_resize" ->
+      """SELECT p.doc_id,
+        | CAST(4 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+        | CAST(sum((p.doc_id * 7 + p.i*2*3 + p.j*2*5) % 256) AS BIGINT)
+        |   AS sum_r,
+        | CAST(sum((p.doc_id * 11 + p.i*2*3 + p.j*2*5) % 256) AS BIGINT)
+        |   AS sum_g,
+        | CAST(sum((p.doc_id * 13 + p.i*2*3 + p.j*2*5) % 256) AS BIGINT)
+        |   AS sum_b
+        |FROM (SELECT doc_id, x.i, y.j FROM documents,
+        |        LATERAL (SELECT unnest(range(4)) AS i) x,
+        |        LATERAL (SELECT unnest(range(2)) AS j) y) p
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,

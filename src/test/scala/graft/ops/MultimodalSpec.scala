@@ -348,6 +348,37 @@ class MultimodalSpec extends SparkSpec {
     assert(payload.length == 54 + 12 * 2)
   }
 
+  test("resizeBmpNearest: decode->resample->re-encode produces a " +
+      "valid BMP whose pixels are the floor-mapped source pixels") {
+    // asymmetric source so coordinate mapping errors can't cancel
+    val src = Multimodal.bmpBytes(8, 4,
+      (x, y) => (x * 10, y * 20, x + y))
+    val resized = Multimodal.resizeBmpNearest(
+      Multimodal.MediaRecord(6L, src, "bmp"), 4, 2)
+    assert(resized.size == resized.payload.length)
+    val f = Multimodal.BmpDecoder.decodeBmp(
+      Multimodal.MediaRecord(6L, resized.payload, "bmp"))
+    assert(f.features(0) == 4.0 && f.features(1) == 2.0)
+    // dst (x, y) samples src (2x, 2y): meanR over x in {0,2,4,6} = 30;
+    // meanG over y in {0,2} = 20; meanB = mean(2x + 2y) = 32/8 hand:
+    // values 2x+2y for x 0..3, y 0..1 doubled coords: {0,4,8,12}+{0,4}
+    val expB = (for (x <- 0 until 4; y <- 0 until 2)
+      yield (2 * x + 2 * y).toDouble).sum / 8
+    assert(f.features(2) == 30.0)
+    assert(f.features(3) == 20.0)
+    assert(f.features(4) == expB)
+    // identity resize reproduces the source pixels exactly
+    val same = Multimodal.resizeBmpNearest(
+      Multimodal.MediaRecord(6L, src, "bmp"), 8, 4)
+    assert(java.util.Arrays.equals(same.payload, src))
+    // corrupt input fails doc-tagged
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.resizeBmpNearest(
+        Multimodal.MediaRecord(9L, Array[Byte](1, 2, 3), "bmp"), 2, 2)
+    }
+    assert(e.getMessage.contains("doc 9"))
+  }
+
   test("synthBmpTable pixels follow the documented arithmetic " +
       "(the contract the SQL oracle mirrors)") {
     import spark.implicits._
