@@ -173,6 +173,57 @@ object Multimodal {
     }
   }
 
+  /** Parsed + fully validated 24-bit BMP header — ONE parser shared
+    * by [[BmpDecoder.decodeBmp]] and [[resizeBmpNearest]] so the two
+    * can never accept different payload sets (review-caught: the
+    * first resizer cut hand-copied the parse and immediately drifted,
+    * dropping the dibSize check). */
+  private[ops] final case class BmpHeader(pixelOff: Int, width: Int,
+      height: Int, topDown: Boolean, rowBytes: Int)
+
+  private[ops] def parseBmpHeader(rec: MediaRecord): BmpHeader = {
+    val bytes = rec.media
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 &&
+        bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      s"doc ${rec.doc_id}: not a BMP payload")
+    val pixelOff = b.getInt(10)
+    val dibSize = b.getInt(14)
+    require(dibSize >= 40,
+      s"doc ${rec.doc_id}: unsupported DIB header size $dibSize")
+    val width = b.getInt(18)
+    val heightRaw = b.getInt(22)
+    val bpp = b.getShort(28) & 0xffff
+    val compression = b.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"doc ${rec.doc_id}: only uncompressed 24-bit BMP supported " +
+        s"(bpp=$bpp compression=$compression)")
+    // negative height = top-down row order; bounds checking needs the
+    // magnitude
+    val height = math.abs(heightRaw)
+    // row stride in LONG: a corrupt header claiming width > ~715M
+    // overflows `width * 3 + 3` into a negative int, which would
+    // sail through the bounds require (negative total <= length)
+    // and die in the pixel loop as an untagged AIOOBE instead of
+    // the doc_id-tagged loud failure (review-caught)
+    val rowBytesL = (3L * width + 3) & ~3L // rows pad to 4-byte bounds
+    // pixelOff needs BOTH bounds: an unchecked low offset (0, or
+    // negative) would silently read header bytes as pixel data or
+    // crash with an untagged AIOOBE instead of the doc_id-tagged
+    // loud failure the dead-letter hook relies on (review-caught)
+    // rowBytesL is bounded against the buffer FIRST so the
+    // rowBytesL * height product below cannot overflow even Long
+    // (both factors then fit in 31 bits)
+    require(width > 0 && height > 0 && pixelOff >= 54 &&
+        rowBytesL <= bytes.length &&
+        pixelOff + rowBytesL * height <= bytes.length,
+      s"doc ${rec.doc_id}: truncated or corrupt BMP " +
+        s"(pixelOff=$pixelOff, ${width}x$height rows of " +
+        s"$rowBytesL bytes exceed the payload)")
+    BmpHeader(pixelOff, width, height, heightRaw < 0, rowBytesL.toInt)
+  }
+
   /** The IMAGE sibling of [[WavDecoder]]: a BMP (BITMAPFILEHEADER +
     * BITMAPINFOHEADER, uncompressed 24-bit BI_RGB) parser with no
     * dependencies beyond `java.nio` — bottom-up row order and the
@@ -189,51 +240,13 @@ object Multimodal {
 
     private[ops] def decodeBmp(rec: MediaRecord): MediaFeatures = {
       val bytes = rec.media
-      val b = java.nio.ByteBuffer.wrap(bytes)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      require(bytes.length >= 54 &&
-          bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
-        s"doc ${rec.doc_id}: not a BMP payload")
-      val pixelOff = b.getInt(10)
-      val dibSize = b.getInt(14)
-      require(dibSize >= 40,
-        s"doc ${rec.doc_id}: unsupported DIB header size $dibSize")
-      val width = b.getInt(18)
-      val heightRaw = b.getInt(22)
-      val bpp = b.getShort(28) & 0xffff
-      val compression = b.getInt(30)
-      require(bpp == 24 && compression == 0,
-        s"doc ${rec.doc_id}: only uncompressed 24-bit BMP supported " +
-          s"(bpp=$bpp compression=$compression)")
-      // negative height = top-down row order; row order doesn't change
-      // channel MEANS, but bounds checking needs the magnitude
-      val height = math.abs(heightRaw)
-      // row stride in LONG: a corrupt header claiming width > ~715M
-      // overflows `width * 3 + 3` into a negative int, which would
-      // sail through the bounds require (negative total <= length)
-      // and die in the pixel loop as an untagged AIOOBE instead of
-      // the doc_id-tagged loud failure (review-caught)
-      val rowBytesL = (3L * width + 3) & ~3L // rows pad to 4-byte bounds
-      // pixelOff needs BOTH bounds: an unchecked low offset (0, or
-      // negative) would silently read header bytes as pixel data or
-      // crash with an untagged AIOOBE instead of the doc_id-tagged
-      // loud failure the dead-letter hook relies on (review-caught)
-      // rowBytesL is bounded against the buffer FIRST so the
-      // rowBytesL * height product below cannot overflow even Long
-      // (both factors then fit in 31 bits)
-      require(width > 0 && height > 0 && pixelOff >= 54 &&
-          rowBytesL <= bytes.length &&
-          pixelOff + rowBytesL * height <= bytes.length,
-        s"doc ${rec.doc_id}: truncated or corrupt BMP " +
-          s"(pixelOff=$pixelOff, ${width}x$height rows of " +
-          s"$rowBytesL bytes exceed the payload)")
-      val rowBytes = rowBytesL.toInt // bounded by bytes.length now
+      val h = parseBmpHeader(rec)
       var rSum = 0L; var gSum = 0L; var bSum = 0L
       var row = 0
-      while (row < height) {
-        val base = pixelOff + row * rowBytes
+      while (row < h.height) {
+        val base = h.pixelOff + row * h.rowBytes
         var x = 0
-        while (x < width) {
+        while (x < h.width) {
           val p = base + x * 3 // BMP stores BGR
           bSum += bytes(p) & 0xff
           gSum += bytes(p + 1) & 0xff
@@ -242,9 +255,9 @@ object Multimodal {
         }
         row += 1
       }
-      val n = width.toLong * height
+      val n = h.width.toLong * h.height
       MediaFeatures(rec.doc_id, bytes.length, rec.format,
-        Array(width.toDouble, height.toDouble,
+        Array(h.width.toDouble, h.height.toDouble,
           rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n))
     }
   }
@@ -299,15 +312,26 @@ object Multimodal {
   /** Serialize a 24-bit uncompressed BMP (BITMAPFILEHEADER +
     * BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) — the
     * image sibling of [[wavBytes]], the synthesis half of the
-    * [[BmpDecoder]] round trip. `pixel(x, y)` returns (r, g, b) for
-    * TOP-DOWN coordinates; rows are written bottom-up as positive-
-    * height BMPs store them, so the decoder's walk exercises the real
-    * layout. Pure function, `java.nio` only. */
+    * [[BmpDecoder]] round trip. `pixel(x, y)` returns the PACKED
+    * 0xRRGGBB channels for TOP-DOWN coordinates (a primitive Int so
+    * the per-pixel loop allocates nothing — a tuple callback boxed
+    * three Integers per pixel, review-caught); rows are written
+    * bottom-up as positive-height BMPs store them, so the decoder's
+    * walk exercises the real layout. Dimensions are validated in
+    * LONG (the same overflow class the decoder guards): an image
+    * whose byte size exceeds a single array fails loudly up front
+    * instead of wrapping into a corrupt header or a mid-write
+    * BufferOverflow. Pure function, `java.nio` only. */
   def bmpBytes(width: Int, height: Int,
-      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      pixel: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, "bmpBytes: empty image")
-    val rowBytes = (3 * width + 3) & ~3
-    val total = 54 + rowBytes * height
+    val rowBytesL = (3L * width + 3) & ~3L
+    val totalL = 54L + rowBytesL * height
+    require(totalL <= Int.MaxValue,
+      s"bmpBytes: ${width}x$height exceeds a single BMP payload " +
+        s"($totalL bytes)")
+    val rowBytes = rowBytesL.toInt
+    val total = totalL.toInt
     val b = java.nio.ByteBuffer.allocate(total)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.put('B'.toByte).put('M'.toByte)
@@ -327,8 +351,10 @@ object Multimodal {
     while (row >= 0) {
       var x = 0
       while (x < width) {
-        val (r, g, bl) = pixel(x, row)
-        b.put(bl.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+        val rgb = pixel(x, row)
+        b.put(rgb.toByte) // B (low byte)
+          .put((rgb >> 8).toByte) // G
+          .put((rgb >> 16).toByte) // R — BGR on disk
         x += 1
       }
       var pad = rowBytes - 3 * width
@@ -337,6 +363,11 @@ object Multimodal {
     }
     b.array()
   }
+
+  /** Pack (r, g, b) channel values into the 0xRRGGBB Int
+    * [[bmpBytes]] consumes (low 8 bits of each channel). */
+  def packRgb(r: Int, g: Int, b: Int): Int =
+    ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
 
   /** A synthetic per-doc BMP table whose pixels derive from doc_id
     * arithmetic — channel c at (x, y) is
@@ -351,7 +382,7 @@ object Multimodal {
       width: Int = 8, height: Int = 4): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
-      MediaRecord(id, bmpBytes(width, height, (x, y) => (
+      MediaRecord(id, bmpBytes(width, height, (x, y) => packRgb(
         ((id * 7 + x * 3 + y * 5) % 256).toInt,
         ((id * 11 + x * 3 + y * 5) % 256).toInt,
         ((id * 13 + x * 3 + y * 5) % 256).toInt)), "bmp")
@@ -409,34 +440,22 @@ object Multimodal {
       dstH: Int): ResizedMedia = {
     require(dstW > 0 && dstH > 0, "resizeBmpNearest: empty target")
     val bytes = rec.media
-    val b = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(bytes.length >= 54 &&
-        bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
-      s"doc ${rec.doc_id}: not a BMP payload")
-    val pixelOff = b.getInt(10)
-    val srcW = b.getInt(18)
-    val heightRaw = b.getInt(22)
-    val bpp = b.getShort(28) & 0xffff
-    val compression = b.getInt(30)
-    require(bpp == 24 && compression == 0,
-      s"doc ${rec.doc_id}: only uncompressed 24-bit BMP supported")
-    val srcH = math.abs(heightRaw)
-    val topDown = heightRaw < 0
-    val rowBytesL = (3L * srcW + 3) & ~3L
-    require(srcW > 0 && srcH > 0 && pixelOff >= 54 &&
-        rowBytesL <= bytes.length &&
-        pixelOff + rowBytesL * srcH <= bytes.length,
-      s"doc ${rec.doc_id}: truncated or corrupt BMP")
-    val rowBytes = rowBytesL.toInt
-    // top-down (x, y) -> (r, g, b) regardless of stored row order
-    def pixel(sx: Int, sy: Int): (Int, Int, Int) = {
-      val row = if (topDown) sy else srcH - 1 - sy
-      val p = pixelOff + row * rowBytes + sx * 3
-      ((bytes(p + 2) & 0xff), (bytes(p + 1) & 0xff), (bytes(p) & 0xff))
+    // the SAME validated parse as BmpDecoder — the two paths can
+    // never accept different payload sets (review-caught drift)
+    val h = parseBmpHeader(rec)
+    // top-down (x, y) -> packed 0xRRGGBB regardless of stored order
+    def pixel(sx: Int, sy: Int): Int = {
+      val row = if (h.topDown) sy else h.height - 1 - sy
+      val p = h.pixelOff + row * h.rowBytes + sx * 3
+      packRgb(bytes(p + 2) & 0xff, bytes(p + 1) & 0xff, bytes(p) & 0xff)
     }
+    // coordinate mapping in LONG: x * srcW wraps negative past
+    // x ~ 2^31/srcW on extreme upscales, turning the floor map into
+    // a negative index and an untagged AIOOBE (review-caught — the
+    // overflow class every parser here guards)
     val out = bmpBytes(dstW, dstH, (x, y) =>
-      pixel(x * srcW / dstW, y * srcH / dstH))
+      pixel((x.toLong * h.width / dstW).toInt,
+        (y.toLong * h.height / dstH).toInt))
     ResizedMedia(rec.doc_id, rec.format, out.length, out)
   }
 

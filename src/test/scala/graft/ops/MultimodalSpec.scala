@@ -336,7 +336,7 @@ class MultimodalSpec extends SparkSpec {
     // asymmetric pixel function so a row-order or channel-order bug
     // cannot cancel out: r grows with x, g with y, b constant
     val payload = Multimodal.bmpBytes(3, 2,
-      (x, y) => (10 * x, 100 + y, 7))
+      (x, y) => Multimodal.packRgb(10 * x, 100 + y, 7))
     val f = Multimodal.BmpDecoder.decodeBmp(
       Multimodal.MediaRecord(5L, payload, "bmp"))
     assert(f.features(0) == 3.0 && f.features(1) == 2.0)
@@ -352,7 +352,7 @@ class MultimodalSpec extends SparkSpec {
       "valid BMP whose pixels are the floor-mapped source pixels") {
     // asymmetric source so coordinate mapping errors can't cancel
     val src = Multimodal.bmpBytes(8, 4,
-      (x, y) => (x * 10, y * 20, x + y))
+      (x, y) => Multimodal.packRgb(x * 10, y * 20, x + y))
     val resized = Multimodal.resizeBmpNearest(
       Multimodal.MediaRecord(6L, src, "bmp"), 4, 2)
     assert(resized.size == resized.payload.length)
