@@ -81,12 +81,61 @@ object Bench {
     * elevated after the re-measure is published in `elevated` with
     * its CPU-canary telemetry instead of silently standing. */
   val Committed: Map[String, Double] = Map(
+    // round-10/11 movers (original absolute-rule members)
     "curation_repeated_spans" -> 1.02,
     "dedup_ngram_jaccard" -> 0.84,
     "dedup_simhash" -> 0.99,
     "agg_cms_state_rollup" -> 0.14,
-    "dict_get_nation" -> 0.20)
-  val AbsoluteFactor = 2.0
+    "dict_get_nation" -> 0.20,
+    // round-12 extension (round-11 VERDICT #1): the ENTIRE expensive
+    // tail — every query whose healthy-window median exceeded ~0.55 s
+    // — now carries a committed median, seeded from the 69.9 s / 163
+    // round-11 closing record (git fee0a5a, canary 0.096/0.104, CPU
+    // canary 0.010/0.012). The three r11 weak marks evaded the rule
+    // for lack of a committed value or because 1.74x < the old 2x
+    // gate; with the tail covered and the gate at 1.5x, an elevation
+    // like any of them is re-measured and surfaced with telemetry.
+    "retrieval_service_cap" -> 4.81,
+    "pipeline_pretraining_corpus" -> 2.08,
+    "pipeline_corpus_curation" -> 1.75,
+    "dedup_components_lsh" -> 1.35,
+    "curation_boilerplate" -> 1.33,
+    "retrieval_hybrid_rrf_batch" -> 1.28,
+    "dedup_components_oracle" -> 1.27,
+    "sim_cosine_ivfpq" -> 1.21,
+    "q21_waiting_supplier" -> 1.21,
+    "retrieval_hybrid_indexed_batch" -> 1.18,
+    "curation_decontaminate" -> 1.13,
+    "q2_min_cost_supplier" -> 1.08,
+    "q10_returned_items" -> 0.96,
+    "retrieval_bm25_batch" -> 0.95,
+    "retrieval_hybrid_rrf" -> 0.94,
+    "dedup_edit_sim_oracle" -> 0.90,
+    "dedup_drop_neardups" -> 0.90,
+    "topk_weighted_parts" -> 0.86,
+    "q8_market_share" -> 0.85,
+    "dedup_incoming_store" -> 0.84,
+    "q7_nation_volume" -> 0.83,
+    "q9_product_profit" -> 0.80,
+    "q18_large_orders" -> 0.79,
+    "sample_quality_buckets" -> 0.72,
+    "retrieval_bm25" -> 0.70,
+    "q4_priority_checking" -> 0.64,
+    "q5_regional_revenue" -> 0.64,
+    "dedup_semantic_cells" -> 0.63,
+    "retrieval_bm25_indexed_batch" -> 0.62,
+    "sim_cosine_ivf_indexed" -> 0.61,
+    "text_unigram_loglik" -> 0.58,
+    "retrieval_bm25_pruned" -> 0.58,
+    "curation_cut_spans" -> 0.57,
+    "q20_excess_supplier" -> 0.56,
+    "text_token_skip_search" -> 0.56)
+  /** 1.5x (was 2.0x, round-11 VERDICT #1: curation_repeated_spans at
+    * 1.74x over its committed median with BOTH canaries healthy slid
+    * under the 2x gate three rounds running). Same-code run-to-run
+    * spread at healthy canaries is <1.3x; 1.5x leaves margin over
+    * that while catching the sub-2x drift the old gate missed. */
+  val AbsoluteFactor = 1.5
 
   /** Armed at the committed scale only, like [[Pins]]. */
   def isAbsoluteSuspect(name: String, median: Double,
@@ -99,8 +148,12 @@ object Bench {
   // in the CPU-bound string-tokenization phase (regex split + per-
   // token/gram hashing) and the canary read healthy throughout. This
   // loop is that phase in miniature: regex word split + XXH64 over
-  // tokens + a rolling 4-gram hash pass — the Dedup/TextAnalysis/
-  // Curation hot loop — over a fixed seeded corpus. Its seconds track
+  // tokens + a per-character rolling-hash pass (one hashLong per
+  // position, chained through the previous hash; the j+4 bound only
+  // skips the last 3 chars — round-11 ADVICE: this is NOT a 4-char-
+  // window hash, and as a fixed canary it doesn't need to be) — the
+  // Dedup/TextAnalysis/Curation hot loop — over a fixed seeded
+  // corpus. Its seconds track
   // the host's effective CPU speed for string work; an elevated CPU
   // canary with a healthy Spark canary = CPU-phase host contention.
 

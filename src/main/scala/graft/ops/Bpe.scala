@@ -41,10 +41,20 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Pair-key separator for the rank lookup: NUL, which can never
-    * occur inside a symbol (symbols are concatenations of word chars,
-    * and words come from a whitespace split of real text). */
+  /** Pair-key separator for the rank lookup. NUL is the rarest byte
+    * in real text but CAN survive a `\s+` split (it is not regex
+    * whitespace), so the separator alone does not make the key
+    * unambiguous — [[pairKey]] prefixes the left symbol's LENGTH,
+    * which does: the length fixes the split point regardless of the
+    * symbols' contents (round-11 ADVICE: ("a<NUL>","b") and
+    * ("a","<NUL>b") collided under plain concatenation, letting the
+    * encoder apply a merge that was never trained). */
   final val Sep = "\u0000"
+
+  /** Unambiguous rank-lookup key for a symbol pair: the left length
+    * fixes the split point, so no two distinct pairs share a key. */
+  @inline private[ops] def pairKey(a: String, b: String): String =
+    a.length.toString + Sep + a + b
 
   /** The word separator shared with [[TextAnalysis.tokens]]'s Spark
     * `split`: Java-regex `\s`, precompiled once. */
@@ -57,13 +67,13 @@ object Bpe {
   final case class Merges(pairs: Array[(String, String)])
       extends Serializable {
 
-    /** rank lookup keyed `left + Sep + right` (NUL cannot occur
-      * inside a symbol: symbols are concatenations of word chars). */
+    /** rank lookup keyed [[Bpe.pairKey]] — length-prefixed, so keys
+      * are unambiguous even for symbols containing NUL or Sep. */
     @transient lazy val rankOf: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](pairs.length * 2)
       var i = 0
       while (i < pairs.length) {
-        m.put(pairs(i)._1 + Sep + pairs(i)._2, Integer.valueOf(i))
+        m.put(Bpe.pairKey(pairs(i)._1, pairs(i)._2), Integer.valueOf(i))
         i += 1
       }
       m
@@ -95,7 +105,7 @@ object Bpe {
         var bestRank = Int.MaxValue
         var j = 0
         while (j < n - 1) {
-          val r = rankOf.get(syms(j) + Sep + syms(j + 1))
+          val r = rankOf.get(Bpe.pairKey(syms(j), syms(j + 1)))
           if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
           j += 1
         }
@@ -266,7 +276,19 @@ object Bpe {
       .orderBy(col("c").desc, col("w"))
       .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    train(hist, numMerges)
+    // Re-lowercase the collected words with Locale.ROOT and re-merge:
+    // the Spark `lower()` above can fall back to default-locale
+    // String.toLowerCase for non-ASCII, while countText/encodeText
+    // lowercase with Locale.ROOT — on a tr/az-locale JVM the two
+    // disagree on dotted/dotless I, silently splitting the trained
+    // vocabulary from the words the encoder sees (round-11 ADVICE).
+    // Deterministic merge order: (count desc, word asc), the same
+    // tie-break contract as the histogram itself.
+    val rooted = hist
+      .map { case (w, c) => (w.toLowerCase(java.util.Locale.ROOT), c) }
+      .groupBy(_._1).map { case (w, ws) => (w, ws.map(_._2).sum) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }
+    train(rooted, numMerges)
   }
 
   /** Driver-side memo of the trained-merges broadcast per

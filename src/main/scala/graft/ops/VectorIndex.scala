@@ -276,8 +276,20 @@ object VectorIndex {
         }.foreach(evictEntry)
         if (encodeBooksCache.size > 64) {
           // 64+ CURRENT same-app entries: a genuinely index-wide app;
-          // last resort stays a full clear, but with destroy()
-          encodeBooksCache.keySet.asScala.toSeq.foreach(evictEntry)
+          // last resort is still a full eviction, but destroy() only
+          // entries PROVABLY retired by the marker read above —
+          // destroying the genuinely-current hot entry would fail an
+          // in-flight encode holding it with 'Broadcast destroyed'
+          // (round-11 ADVICE). Current or unproven (failed-read)
+          // entries get a plain reference drop; GC finishes the job.
+          encodeBooksCache.keySet.asScala.toSeq.foreach { k =>
+            val provablyRetired = currentIds.get(k._2).exists {
+              case scala.util.Success(id) => !id.contains(k._3)
+              case scala.util.Failure(_)  => false
+            }
+            if (provablyRetired) evictEntry(k)
+            else encodeBooksCache.remove(k)
+          }
         }
       }
     }

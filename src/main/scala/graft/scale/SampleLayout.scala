@@ -180,6 +180,23 @@ object SampleLayout {
     val fs = Hdfs.of(df.sparkSession, path)
     val cur = readManifest(fs, path)
     val newGen = cur.map(_.gen + 1).getOrElse(0L)
+    // Snapshot the committed-delta watermark BEFORE the (long) base
+    // write: an append that commits while write-next-base is running
+    // is NOT in `df`, so folding its id into `through` would hide the
+    // batch and refuse its replay (round-11 ADVICE — the glob had
+    // drifted into the publish step). A crash-replay of this run
+    // recomputes the snapshot, so the invariant "ids folded <= ids
+    // present in the base written after the snapshot" holds per
+    // attempt. Under the strict single-writer discipline the snapshot
+    // equals the publish-time view; under a racing appender it is
+    // conservative — the mid-write batch stays visible + replayable.
+    val throughSnap = {
+      val marks = fs.globStatus(new Path(path, "b_*/_SUCCESS"))
+      (if (marks == null) Seq.empty[Long]
+       else marks.toSeq.flatMap(
+         _.getPath.getParent.getName.stripPrefix("b_").toLongOption))
+        .foldLeft(cur.map(_.through).getOrElse(-1L))(math.max)
+    }
     import CommitProtocol.{run, step}
     run("sample-write", Seq(
       step("gc-superseded") {
@@ -199,17 +216,13 @@ object SampleLayout {
         writeSorted(df, baseDir(path, newGen), Some(id), sortCols, files)
       },
       step("publish-manifest") {
-        // watermark advances over COMMITTED deltas only: a crashed
-        // append's markerless dir was never visible, and its batch
-        // must stay replayable after the rebuild — folding its id
+        // watermark advances over deltas COMMITTED AT THE PRE-WRITE
+        // SNAPSHOT only (see throughSnap above): a crashed append's
+        // markerless dir was never visible, and a batch that commits
+        // mid-rebuild is not in the new base — folding either id
         // would wedge the stream's legitimate replay behind the
-        // append watermark refusal (review-caught)
-        val marks = fs.globStatus(new Path(path, "b_*/_SUCCESS"))
-        val through = (if (marks == null) Seq.empty[Long]
-          else marks.toSeq.flatMap(
-            _.getPath.getParent.getName.stripPrefix("b_").toLongOption))
-          .foldLeft(cur.map(_.through).getOrElse(-1L))(math.max)
-        publish(fs, path, Manifest(newGen, through))
+        // append watermark refusal (review-caught + round-11 ADVICE)
+        publish(fs, path, Manifest(newGen, throughSnap))
       }))
   }
 

@@ -83,17 +83,28 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.publishedOf(deadFirst, Some(valid)) eq valid)
   }
 
-  test("absolute suspects rule: armed AND committed AND median > 2x " +
-      "committed — the round-10 movers' exact escape path") {
+  test("absolute suspects rule: armed AND committed AND median > " +
+      "AbsoluteFactor x committed — the round-10/11 movers' escape " +
+      "paths are both closed") {
+    assert(Bench.AbsoluteFactor == 1.5) // round-11 VERDICT #1 pin
     val c = Bench.Committed("dedup_simhash")
-    assert(Bench.isAbsoluteSuspect("dedup_simhash", c * 2.01, true))
-    assert(!Bench.isAbsoluteSuspect("dedup_simhash", c * 1.9, true))
+    assert(Bench.isAbsoluteSuspect("dedup_simhash", c * 1.51, true))
+    assert(!Bench.isAbsoluteSuspect("dedup_simhash", c * 1.4, true))
     assert(!Bench.isAbsoluteSuspect("dedup_simhash", c * 100, false))
     assert(!Bench.isAbsoluteSuspect("q1_pricing_summary", 999.0, true))
     // the five round-10 inflation victims are all gated
     assert(Seq("curation_repeated_spans", "dedup_ngram_jaccard",
       "dedup_simhash", "agg_cms_state_rollup", "dict_get_nation")
       .forall(Bench.Committed.contains))
+    // round-11 escapees: the three weak marks + the one unattributed
+    // spread all carry committed medians now
+    assert(Seq("curation_repeated_spans", "text_unigram_loglik",
+      "retrieval_service_cap", "dedup_components_lsh")
+      .forall(Bench.Committed.contains))
+    // curation_repeated_spans' exact round-11 escape: 1.774 vs 1.02
+    // committed = 1.74x slid under the old 2x gate — caught at 1.5x
+    assert(Bench.isAbsoluteSuspect("curation_repeated_spans", 1.774,
+      true))
   }
 
   test("cpu canary: deterministic fixed work, strictly positive time") {

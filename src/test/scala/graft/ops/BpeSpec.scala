@@ -27,7 +27,7 @@ class BpeSpec extends SparkSpec {
     def step(syms: List[String]): List[String] = {
       val ranked = syms.zip(syms.drop(1)).zipWithIndex
         .flatMap { case ((a, b), i) =>
-          Option(m.rankOf.get(a + Bpe.Sep + b)).map(r => (r.intValue(), i))
+          Option(m.rankOf.get(Bpe.pairKey(a, b))).map(r => (r.intValue(), i))
         }
       if (ranked.isEmpty) syms
       else {
@@ -88,6 +88,23 @@ class BpeSpec extends SparkSpec {
       val w = randWord(1 + rnd.nextInt(12))
       assert(m.countWord(w) == refCount(w, m), s"mismatch on '$w'")
     }
+  }
+
+  test("NUL inside a symbol cannot alias a different trained pair " +
+      "(length-prefixed pair keys, round-11 ADVICE)") {
+    // distinct pairs whose plain concatenation with a NUL separator
+    // collides: ("a<NUL>","b") and ("a","<NUL>b") both flatten to
+    // a<NUL><NUL>b. The length prefix disambiguates.
+    val N = 0.toChar.toString // NUL, built without a source escape
+    assert(Bpe.pairKey("a" + N, "b") != Bpe.pairKey("a", N + "b"))
+    // behavior: trained merges are (NUL,b) then ("a<NUL>","b") — the
+    // word a<NUL>b first merges (NUL,b), leaving adjacency
+    // ("a","<NUL>b") which was NEVER trained. The old concatenated
+    // key aliased it to ("a<NUL>","b") rank 1 and wrongly merged to
+    // one token; the keyed lookup stops at two.
+    val m = Bpe.Merges(Array((N, "b"), ("a" + N, "b")))
+    assert(m.encodeWord("a" + N + "b").toSeq == Seq("a", N + "b"))
+    assert(m.countWord("a" + N + "b") == 2)
   }
 
   test("training is deterministic") {
