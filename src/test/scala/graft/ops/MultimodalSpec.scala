@@ -397,6 +397,112 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pngBytes -> PngDecoder round trip: exact channel means " +
+      "through the real DEFLATE compress/decompress cycle") {
+    // asymmetric pixel function so channel or coordinate swaps can't
+    // cancel (the bmpBytes round-trip discipline)
+    val payload = Multimodal.pngBytes(3, 2,
+      (x, y) => Multimodal.packRgb(10 * x, 100 + y, 7))
+    // a real PNG container: magic bytes
+    assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
+      payload(2) == 'N'.toByte && payload(3) == 'G'.toByte)
+    val f = Multimodal.PngDecoder.decodePng(
+      Multimodal.MediaRecord(5L, payload, "png"))
+    assert(f.features(0) == 3.0 && f.features(1) == 2.0)
+    assert(f.features(2) == 10.0)
+    assert(f.features(3) == 100.5)
+    assert(f.features(4) == 7.0)
+  }
+
+  test("PngDecoder fails loudly and doc-tagged on non-image and " +
+      "corrupt payloads") {
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.PngDecoder.decodePng(
+        Multimodal.MediaRecord(7L, "not an image".getBytes, "png"))
+    }
+    assert(e1.getMessage.contains("doc 7"))
+    // valid magic, corrupt body: ImageIO throws IIOException -> tagged
+    val broken = Multimodal.pngBytes(4, 4, (_, _) => 0x123456)
+      .take(24) // truncate inside the IHDR chunk
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.PngDecoder.decodePng(
+        Multimodal.MediaRecord(8L, broken, "png"))
+    }
+    assert(e2.getMessage.contains("doc 8"))
+  }
+
+  test("resizePngNearest: inflate->resample->re-deflate produces a " +
+      "valid PNG whose pixels are the floor-mapped source pixels") {
+    val src = Multimodal.pngBytes(8, 4,
+      (x, y) => Multimodal.packRgb(x * 10, y * 20, x + y))
+    val resized = Multimodal.resizePngNearest(
+      Multimodal.MediaRecord(6L, src, "png"), 4, 2)
+    assert(resized.size == resized.payload.length)
+    val f = Multimodal.PngDecoder.decodePng(
+      Multimodal.MediaRecord(6L, resized.payload, "png"))
+    assert(f.features(0) == 4.0 && f.features(1) == 2.0)
+    val expB = (for (x <- 0 until 4; y <- 0 until 2)
+      yield (2 * x + 2 * y).toDouble).sum / 8
+    assert(f.features(2) == 30.0)
+    assert(f.features(3) == 20.0)
+    assert(f.features(4) == expB)
+    // identity resize: pixel-exact (payload bytes may differ — the
+    // encoder's filter choices are its own — but decoded pixels match)
+    val same = Multimodal.resizePngNearest(
+      Multimodal.MediaRecord(6L, src, "png"), 8, 4)
+    val a = Multimodal.readPngPixels(
+      Multimodal.MediaRecord(6L, same.payload, "png"))
+    val b = Multimodal.readPngPixels(
+      Multimodal.MediaRecord(6L, src, "png"))
+    assert(a.rgb.toSeq == b.rgb.toSeq)
+  }
+
+  test("synthPngTable pixels follow the documented arithmetic " +
+      "(K = 17/19/23 — the contract the SQL oracle mirrors)") {
+    import spark.implicits._
+    val docs = Seq((0L, "x"), (9L, "y")).toDF("doc_id", "text")
+    val rows = Multimodal.synthPngTable(spark, docs, 8, 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media"))
+    rows.foreach { case (id, payload) =>
+      val f = Multimodal.PngDecoder.decodePng(
+        Multimodal.MediaRecord(id, payload, "png"))
+      def expectedMean(k: Long): Double =
+        (for (x <- 0 until 8; y <- 0 until 4)
+          yield ((id * k + x * 3 + y * 5) % 256).toDouble).sum / 32
+      assert(f.features(2) == expectedMean(17), s"doc $id meanR")
+      assert(f.features(3) == expectedMean(19), s"doc $id meanG")
+      assert(f.features(4) == expectedMean(23), s"doc $id meanB")
+    }
+  }
+
+  test("MixedRealDecoder routes by format, fails loudly on unknown " +
+      "formats, and never falls back to a stub") {
+    import spark.implicits._
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(spark,
+        Multimodal.synthMixedTable(spark, docs),
+        Multimodal.MixedRealDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.size == 4)
+    // even docs decoded as 8x4 images, odd as 64-frame audio
+    Seq(0L, 2L).foreach { id =>
+      assert(out(id).format == "png")
+      assert(out(id).features(0) == 8.0 && out(id).features(1) == 4.0)
+    }
+    Seq(1L, 3L).foreach { id =>
+      assert(out(id).format == "wav")
+      assert(out(id).features(0) == 8000.0 &&
+        out(id).features(2) == 64.0)
+    }
+    val e = intercept[Exception] {
+      Multimodal.MixedRealDecoder.decodeBatch(Iterator(
+        Multimodal.MediaRecord(11L, Array[Byte](1), "gif"))).toList
+    }
+    assert(e.getMessage.contains("doc 11") &&
+      e.getMessage.contains("gif"))
+  }
+
   test("synthWavTable samples follow the documented arithmetic " +
       "(the contract the SQL oracle mirrors)") {
     import spark.implicits._
