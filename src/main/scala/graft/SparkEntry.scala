@@ -33,4 +33,14 @@ object SparkEntry {
       TemporalQueries.oracles ++ ReshapeQueries.oracles ++
       SamplingQueries.oracles ++ CurationQueries.oracles ++
       AnalyticsQueries.oracles
+
+  /** The full oracle surface for one sf dir: the static map plus the
+    * session-dynamic BPE oracles, which exist only after the queries
+    * have trained a merge table for `sfDir` (Verify dumps this AFTER
+    * running every query, so the BPE rows are hash-gated in the
+    * driver's DuckDB compare — round-11 verdict #2). Callers that
+    * never ran the queries get the static map back unchanged. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    oracleSql ++ PipelineQueries.dynamicOracles(sfDir) ++
+      SamplingQueries.dynamicOracles(sfDir)
 }

@@ -298,13 +298,32 @@ object Bpe {
   private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Broadcast[Merges]]()
 
+  /** Driver-side snapshot of every trained merge table by ensure key —
+    * the dynamic-oracle hook: after Verify runs the registered BPE
+    * queries, it exports the exact trained table into a DuckDB
+    * recursive-CTE replay of the greedy encode ([[graft.query
+    * .BpeOracle]]), moving the BPE rows from rows-only to hash-gated
+    * (round-11 verdict #2). Driver memory only; bounded like the
+    * cache (one small table per corpus key). */
+  private val trainedSnapshots =
+    new java.util.concurrent.ConcurrentHashMap[String, Merges]()
+
+  /** The merge table trained for `key` in this session, if any. */
+  def snapshotFor(key: String, numMerges: Int = 200,
+      vocabCap: Int = 4096): Option[Merges] =
+    Option(trainedSnapshots.get(s"$key;m=$numMerges;v=$vocabCap"))
+
   def ensureMerges(spark: SparkSession, docs: DataFrame, key: String,
       numMerges: Int = 200, vocabCap: Int = 4096): Broadcast[Merges] =
     mergesCache.computeIfAbsent(
       (spark.sparkContext.applicationId,
         s"$key;m=$numMerges;v=$vocabCap"),
-      _ => spark.sparkContext.broadcast(
-        trainOnCorpus(docs, numMerges = numMerges, vocabCap = vocabCap)))
+      _ => {
+        val m = trainOnCorpus(docs, numMerges = numMerges,
+          vocabCap = vocabCap)
+        trainedSnapshots.put(s"$key;m=$numMerges;v=$vocabCap", m)
+        spark.sparkContext.broadcast(m)
+      })
 
   /** Column API: BPE token count of `text` under the broadcast merge
     * table — a native codegen'd expression, zero UDFs. */

@@ -74,10 +74,10 @@ object SamplingQueries {
     // closes the word-token simplification) — the unit a training mix
     // is actually specified in. Identical sampler and thresholds
     // machinery; only the weight column changes (mixtureSample's
-    // weight parameter IS the tokenizer seam). Not SQL-expressible
-    // (the merge loop) -> rows-only; BpeSpec pins the tokenizer and
-    // SamplingSpec pins the sampler, and the mixture share invariants
-    // are asserted differentially in SamplingSpec's BPE case.
+    // weight parameter IS the tokenizer seam). HASH-GATED since round
+    // 12 (dynamicOracles: the mixture oracle over BpeOracle-replayed
+    // counts); SamplingSpec additionally pins the sampler and the
+    // mixture share invariants differentially in its BPE case.
     "sample_mixture_bpe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val bc = graft.ops.Bpe.ensureMerges(s, docs, key = d)
@@ -130,6 +130,36 @@ object SamplingQueries {
     "en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.1)
 
   private val hash = "(doc_id * 2654435761) % 4294967296"
+
+  /** Session-dynamic oracle for the BPE-budgeted mixture (round-11
+    * verdict #2): the sample_mixture_lang oracle with every word-count
+    * expression swapped to the replayed BPE counts — same targets,
+    * same Knuth-hash admission, same floor-to-grid double math. Empty
+    * when no merge table was trained for `sfDir`. */
+  def dynamicOracles(sfDir: String): Map[String, String] =
+    BpeOracle.forKey(sfDir).map { m =>
+      val targetValues = MixTargets.toSeq.sortBy(_._1)
+        .map { case (l, s) => s"('$l', $s)" }.mkString(", ")
+      Map("sample_mixture_bpe" ->
+        s"""WITH RECURSIVE
+           |${BpeOracle.encCtes(m)},
+           |targets(lang, share) AS (VALUES $targetValues),
+           |tok AS (SELECT d.lang, sum(b.n) AS w
+           |        FROM documents d JOIN bpec b USING (doc_id)
+           |        GROUP BY d.lang),
+           |tmin AS (SELECT min(w / share) AS t
+           |         FROM tok JOIN targets USING (lang)),
+           |thr AS (SELECT lang,
+           |    CAST(floor(least(1.0, share * t / w) * 1048576 + 1e-6)
+           |      AS BIGINT) AS thr
+           |  FROM tok JOIN targets USING (lang) CROSS JOIN tmin)
+           |SELECT d.lang, count(*) AS n_docs,
+           |  CAST(sum(b.n) AS BIGINT) AS n_tok
+           |FROM documents d JOIN bpec b USING (doc_id)
+           |  JOIN thr USING (lang)
+           |WHERE $hash % 1048576 < thr.thr
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+    }.getOrElse(Map.empty)
 
   val oracles: Map[String, String] = Map(
     "sample_split_8020" ->

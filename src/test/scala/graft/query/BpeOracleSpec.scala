@@ -1,0 +1,41 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.ops.Bpe
+
+/** Pins the dynamic-oracle plumbing: the soundness guard that refuses
+  * to emit a replay for symbols that would break the wrapped-string
+  * encoding, and the snapshot-keyed availability contract (no trained
+  * table -> no oracle -> rows-only fallback, never a wrong oracle).
+  * The replay's VALUE correctness is gated end-to-end by the driver's
+  * DuckDB compare (and locally by tools/check_oracle.py) — this spec
+  * covers only what that compare cannot see: the refusal paths.
+  */
+class BpeOracleSpec extends SparkSpec {
+
+  test("safe() rejects symbols that would break the wrapped replay") {
+    assert(BpeOracle.safe(Bpe.Merges(Array(("a", "b"), ("ab", "c")))))
+    assert(!BpeOracle.safe(Bpe.Merges(Array.empty))) // nothing trained
+    assert(!BpeOracle.safe(Bpe.Merges(Array(("a|", "b"))))) // separator
+    assert(!BpeOracle.safe(Bpe.Merges(Array(("a'", "b"))))) // SQL quote
+    assert(!BpeOracle.safe(Bpe.Merges(Array(("a b", "c"))))) // space
+    assert(!BpeOracle.safe(
+      Bpe.Merges(Array((0.toChar.toString, "b"))))) // control char
+    assert(!BpeOracle.safe(
+      Bpe.Merges(Array(("\ud83d", "\ude00"))))) // surrogate halves
+  }
+
+  test("forKey is None for untrained keys; Some (with the exported " +
+      "VALUES) once the session trained that corpus") {
+    assert(BpeOracle.forKey("/no/such/dir").isEmpty)
+    val docs = graft.Tables.documents(spark, sf0001)
+    Bpe.ensureMerges(spark, docs, key = sf0001)
+    val m = Bpe.snapshotFor(sf0001)
+    assert(m.nonEmpty && m.get.pairs.nonEmpty)
+    assert(BpeOracle.forKey(sf0001).nonEmpty)
+    val sql = BpeOracle.encCtes(m.get)
+    val (a, b) = m.get.pairs.head
+    assert(sql.contains(s"(0, '$a', '$b')"))
+    assert(sql.contains(s"e.r < ${m.get.pairs.length}"))
+  }
+}
