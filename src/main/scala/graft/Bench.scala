@@ -284,7 +284,8 @@ object Bench {
   }
 
   case class Entry(samples: Seq[Pass], canarySec: Double,
-      cpuCanarySec: Double = 0.0) {
+      cpuCanarySec: Double = 0.0,
+      phases: Map[String, Seq[Double]] = Map.empty) {
     /** Passes that completed — the only ones statistics come from. */
     def valid: Seq[Pass] = samples.filterNot(_.failed)
     def allFailed: Boolean = valid.isEmpty
@@ -473,16 +474,37 @@ object Bench {
     // is now evidence, not noise. Min/max are kept in the artifact file
     // so a reader can see each query's spread.
     val passes = 3
+    // Per-pass phase attribution (round-11 verdict #1/#4): for the two
+    // high-variance entries, each published pass is followed by one
+    // timed run of each sub-phase (the query's own halves), so a
+    // same-window spread like r11's 3.8-9.2 s on retrieval_service_cap
+    // decomposes into the phase that moved. Phase seconds ride the
+    // artifact's `phases` field; they are NEVER added to the query's
+    // published time or the total.
+    val phaseProbes = graft.query.PipelineQueries.phaseProbes
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Entry = {
       val canary = runCanary()
       val cpuCanary = cpuCanaryOnce()
+      val probes = phaseProbes.getOrElse(name, Seq.empty)
+      val phaseTimes = scala.collection.mutable.LinkedHashMap[
+        String, Vector[Double]]()
       val samples = (0 until passes).map { _ =>
-        timedPass { fn(spark, sfDir).count(); () }
+        val p = timedPass { fn(spark, sfDir).count(); () }
+        probes.foreach { case (pname, pfn) =>
+          val t0 = System.nanoTime()
+          // a crashed phase probe records -1 and never fails the entry
+          val ok = try { pfn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          phaseTimes(pname) =
+            phaseTimes.getOrElse(pname, Vector.empty) :+ sec
+        }
+        p
       }
       clearSessionState(spark)
-      Entry(samples, canary, cpuCanary)
+      Entry(samples, canary, cpuCanary, phaseTimes.toMap)
     }
 
     val firstPass = scala.collection.mutable.LinkedHashMap[String, Entry]()
@@ -626,6 +648,16 @@ object Bench {
       cpuCanaryBaseline, cpuCanaryNow, _.cpuCanarySec)
     def strArr(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-pass phase attribution for the probed entries (round-11
+    // verdict #1/#4): {"<query>":{"<phase>":[s1,s2,s3],...},...}
+    val phasesJson = results.toSeq.sortBy(_._1)
+      .filter(_._2.phases.nonEmpty)
+      .map { case (k, v) =>
+        "\"" + k + "\":" + v.phases.toSeq
+          .map { case (p, xs) =>
+            "\"" + p + "\":[" + xs.map(fmt).mkString(",") + "]"
+          }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary":$canaryStats,"cpu_canary":$cpuCanaryStats,"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"remeasured":${remeasured.size},"sf":"$sfDir"}"""
     // Artifact file carries the per-query spread (min/max over the 3
@@ -636,7 +668,7 @@ object Bench {
     // page cache (ioMB high), heap (gc high), or host load (loadavg)
     // without a re-run.
     val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"phases":$phasesJson,"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), fileLine + "\n")
     println(line)

@@ -104,11 +104,26 @@ object RetrievalPipeline {
     */
   def hybridTopKBatch(spark: SparkSession, bmPath: String,
       ivfPath: String, queries: DataFrame, k: Int, perList: Int = 20,
-      nProbe: Int = 4): DataFrame = {
-    import spark.implicits._
-    val lex = Bm25.scoreTopKIndexedBatch(spark, bmPath,
+      nProbe: Int = 4): DataFrame =
+    Rrf.fuseBatch(Seq(
+      lexicalHalf(spark, bmPath, queries, perList),
+      denseHalf(spark, ivfPath, queries, perList, nProbe)), k)
+
+  /** The batch's lexical half alone — exposed (beside [[denseHalf]])
+    * so the bench can time each phase of `retrieval_service_cap` per
+    * pass and publish the split in the artifact (round-11 verdict #4:
+    * a 2.4x same-window spread on the most expensive entry was
+    * unattributable without a bisect). */
+  def lexicalHalf(spark: SparkSession, bmPath: String,
+      queries: DataFrame, perList: Int): DataFrame =
+    Bm25.scoreTopKIndexedBatch(spark, bmPath,
         queries.select(col("query_id"), col("terms")), perList)
       .select(col("query_id"), col("doc_id"), col("rank"))
+
+  /** The batch's dense half alone — see [[lexicalHalf]]. */
+  def denseHalf(spark: SparkSession, ivfPath: String,
+      queries: DataFrame, perList: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
     val qrows = queries.select(col("query_id"), col("embedding"))
       .limit(Bm25.MaxBatchQueries + 1).collect()
     require(qrows.length <= Bm25.MaxBatchQueries,
@@ -127,13 +142,11 @@ object RetrievalPipeline {
     val qvecs = qrows.zipWithIndex.map { case (r, i) =>
       (SyntheticBase + i, r.getSeq[Float](1))
     }.toSeq.toDF("vec_id", "embedding")
-    val dense = VectorIndex.queryIvf(spark, ivfPath, qvecs, perList,
-        nProbe)
+    VectorIndex.queryIvf(spark, ivfPath, qvecs, perList, nProbe)
       .select(col("query_id").as("qvec_id"),
         col("neighbor_id").as("doc_id"), col("rank"))
       .join(broadcast(idMap), Seq("qvec_id"))
       .select(col("query_id"), col("doc_id"), col("rank"))
-    Rrf.fuseBatch(Seq(lex, dense), k)
   }
 
   /** Base for synthetic dense-probe ids in [[hybridTopKBatch]].

@@ -453,34 +453,11 @@ object PipelineQueries {
     // and the per-query windows grow. Serving-stack correctness is
     // oracle-gated by retrieval_hybrid_indexed_batch; this entry
     // measures the shape at the cap (rows-only, deterministic).
-    "retrieval_service_cap" -> ((s, d) => {
-      import s.implicits._
-      val bmPath = Bm25.defaultPath(d)
-      Bm25.ensurePostings(Tables.documents(s, d), bmPath)
-      val emb = Tables.embeddings(s, d)
-      val ivfPath = VectorIndex.defaultPath(d)
-      VectorIndex.ensureIvf(emb, ivfPath)
-      // query batch: one hybrid query per corpus embedding under the
-      // cap (bounded collect, <= 1024 x 64 floats), terms rotating
-      // over mid-frequency corpus vocabulary so the lexical probe
-      // exercises many postings buckets
-      val pool = Vector("window", "merge", "spark", "join", "scan",
-        "key", "hash", "filter", "batch", "sort", "group", "column",
-        "stream", "vector", "query", "table")
-      val queries = emb.filter(col("vec_id") < 1024)
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map { r =>
-          val i = r.getLong(0)
-          val terms = Seq(pool((i % 16).toInt),
-            pool(((i / 16) % 16).toInt),
-            pool(((i / 256) % 16).toInt)).distinct
-          (f"q$i%04d", terms, r.getSeq[Float](1))
-        }.toSeq.toDF("query_id", "terms", "embedding")
+    "retrieval_service_cap" -> ((s, d) =>
       graft.pipeline.RetrievalPipeline
-        .hybridTopKBatch(s, bmPath, ivfPath, queries, 10)
-        .orderBy(col("query_id"), col("rank"))
-    }),
+        .hybridTopKBatch(s, Bm25.defaultPath(d),
+          VectorIndex.defaultPath(d), serviceCapBatch(s, d), 10)
+        .orderBy(col("query_id"), col("rank"))),
 
     // Hybrid retrieval: BM25 top-20 and dense cosine top-20 (query =
     // doc 0's embedding) merged by reciprocal-rank fusion — the
@@ -973,6 +950,57 @@ object PipelineQueries {
       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The service-cap query batch: one hybrid query per corpus
+    * embedding under the MaxBatchQueries cap (bounded collect,
+    * <= 1024 x 64 floats), terms rotating over mid-frequency corpus
+    * vocabulary so the lexical probe exercises many postings buckets.
+    * Ensures both persisted layouts (stamped no-ops when current).
+    * Shared by the registered query and the bench's phase probes so
+    * all three time the identical batch. */
+  private[graft] def serviceCapBatch(s: SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    Bm25.ensurePostings(Tables.documents(s, d), Bm25.defaultPath(d))
+    val emb = Tables.embeddings(s, d)
+    VectorIndex.ensureIvf(emb, VectorIndex.defaultPath(d))
+    val pool = Vector("window", "merge", "spark", "join", "scan",
+      "key", "hash", "filter", "batch", "sort", "group", "column",
+      "stream", "vector", "query", "table")
+    emb.filter(col("vec_id") < 1024)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val i = r.getLong(0)
+        val terms = Seq(pool((i % 16).toInt),
+          pool(((i / 16) % 16).toInt),
+          pool(((i / 256) % 16).toInt)).distinct
+        (f"q$i%04d", terms, r.getSeq[Float](1))
+      }.toSeq.toDF("query_id", "terms", "embedding")
+  }
+
+  /** Per-pass phase probes for the bench's attribution telemetry
+    * (round-11 verdict #1/#4): each entry maps a registered
+    * high-variance query to its sub-phase frames, timed once per
+    * published pass and emitted as the artifact's `phases` field — so
+    * an inflated or high-spread pass decomposes into the phase that
+    * moved without a bisect. The probes are the query's OWN halves
+    * (same helpers, same batch), not approximations. */
+  def phaseProbes: Map[String,
+      Seq[(String, (SparkSession, String) => DataFrame)]] = Map(
+    "retrieval_service_cap" -> Seq(
+      "lexical" -> ((s, d) => graft.pipeline.RetrievalPipeline
+        .lexicalHalf(s, Bm25.defaultPath(d), serviceCapBatch(s, d), 20)),
+      "dense" -> ((s, d) => graft.pipeline.RetrievalPipeline
+        .denseHalf(s, VectorIndex.defaultPath(d), serviceCapBatch(s, d),
+          20, nProbe = 4))),
+    "dedup_components_lsh" -> Seq(
+      // candidate scan + exact verify; the registered query's
+      // remainder is the pointer-doubling closure
+      "verify" -> ((s, d) => Similarity.verifyCandidates(
+        Similarity.ensureLshCandidates(Tables.embeddings(s, d),
+          lshCandPath(d)),
+        Tables.embeddings(s, d), cosineT))))
 
   /** Session-dynamic oracles (round-11 verdict #2): once the BPE
     * queries have trained their merge table for `sfDir`, export it

@@ -107,6 +107,20 @@ class BenchProtocolSpec extends AnyFunSuite {
       true))
   }
 
+  test("phase probes cover the two high-variance entries, and every " +
+      "probed name is a registered query") {
+    val probes = graft.query.PipelineQueries.phaseProbes
+    assert(probes.contains("retrieval_service_cap"))
+    assert(probes("retrieval_service_cap").map(_._1) ==
+      Seq("lexical", "dense"))
+    assert(probes.contains("dedup_components_lsh"))
+    // a probe on an unregistered name would silently never run
+    assert(probes.keySet.subsetOf(graft.SparkEntry.queries.keySet))
+    // probed entries must also carry committed medians — the probe
+    // exists to attribute an absolute-rule firing
+    assert(probes.keySet.forall(Bench.Committed.contains))
+  }
+
   test("cpu canary: deterministic fixed work, strictly positive time") {
     // two runs of the fixed workload both complete and time > 0; the
     // blackhole prevents DCE so the loop really runs
