@@ -427,6 +427,59 @@ object StreamBench {
     emit(s"""{"metric":"stream_topk_terms_per_sec",""" +
       s""""value":$topkRate,"unit":"terms/sec","terms":$nTerms,""" +
       s""""seconds":$topkSec}""")
+
+    // Streaming MEDIA ingest: base64 payloads (8x4 PNG for even ids,
+    // 64-sample WAV for odd — the real codecs, incl. the DEFLATE
+    // round trip) through MediaPipeline in 5 micro-batches; 2% corrupt
+    // payloads exercise the dead-letter path on every batch. The
+    // metric prices base64 decode + full codec decode + the two
+    // batchId-keyed delta writes per batch.
+    val msrc = s"$root/media_src"
+    Files.createDirectories(Paths.get(msrc))
+    val nMedia = nEvents / 20
+    val perMediaFile = nMedia / nFiles
+    val b64 = java.util.Base64.getEncoder
+    id = 0
+    (0 until nFiles).foreach { f =>
+      val sb = new StringBuilder(perMediaFile * 256)
+      (0 until perMediaFile).foreach { _ =>
+        val docId = id.toLong
+        val (payload, fmt) =
+          if (id % 50 == 49) ("garbage-payload".getBytes, "png")
+          else if (id % 2 == 0)
+            (graft.ops.Multimodal.pngBytes(8, 4,
+              (x, y) => graft.ops.Multimodal.packRgb(
+                ((docId * 17 + x * 3 + y * 5) % 256).toInt,
+                ((docId * 19 + x * 3 + y * 5) % 256).toInt,
+                ((docId * 23 + x * 3 + y * 5) % 256).toInt)), "png")
+          else (graft.ops.Multimodal.wavBytes(8000,
+            Array.tabulate(64)(i =>
+              ((docId * 31 + i * 17) % 256).toByte)), "wav")
+        sb.append(s"""{"doc_id":$docId,"media_b64":"""")
+          .append(b64.encodeToString(payload))
+          .append(s"""","format":"$fmt"}""").append('\n')
+        id += 1
+      }
+      Files.writeString(
+        Paths.get(msrc).resolve(f"part-$f%04d.json"), sb.toString)
+    }
+    val mediaSec = timed {
+      graft.pipeline.MediaPipeline.start(spark, msrc,
+          s"$root/media_store", s"$root/media_ck",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .awaitTermination()
+    }
+    val mediaOk = graft.pipeline.MediaPipeline
+      .stats(spark, s"$root/media_store").count()
+    val mediaBad = graft.pipeline.MediaPipeline
+      .rejects(spark, s"$root/media_store").count()
+    require(mediaOk + mediaBad == nMedia && mediaBad > 0,
+      s"media ingest implausible: ok=$mediaOk bad=$mediaBad of $nMedia")
+    val mediaRate = nMedia / mediaSec
+    emit(s"""{"metric":"stream_media_docs_per_sec",""" +
+      s""""value":$mediaRate,"unit":"docs/sec","docs":$nMedia,""" +
+      s""""seconds":$mediaSec,"decoded":$mediaOk,""" +
+      s""""dead_lettered":$mediaBad}""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("STREAM_BENCH.json"),
       emitted.mkString("[", ",\n ", "]") + "\n")

@@ -580,6 +580,40 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions(decoder.decodeBatch _)
   }
 
+  /** Outcome row of the dead-letter decode: exactly one of `features`
+    * / `error` is set. */
+  final case class MediaOutcome(doc_id: Long, format: String,
+      n_bytes: Int, features: Option[Array[Double]],
+      error: Option[String])
+
+  /** The DEAD-LETTER wrapper every decoder's loud-failure contract
+    * promises a hook for: decode each record, route throwers to an
+    * error row (doc-tagged message) instead of failing the task — the
+    * streaming-ingest discipline (EventSource's corrupt-record path,
+    * applied to media). Records decode one at a time through the
+    * batch contract (`Iterator.single`); the pure-JVM codecs here
+    * carry no per-batch init cost, and a decoder that does would keep
+    * its init outside this wrapper. Narrow, same batch shape as
+    * [[extractFeatures]]. */
+  def extractFeaturesOrDeadLetter(spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder): Dataset[MediaOutcome] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        try {
+          val f = decoder.decodeBatch(Iterator.single(rec)).next()
+          MediaOutcome(rec.doc_id, rec.format, f.n_bytes,
+            Some(f.features), None)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            MediaOutcome(rec.doc_id, rec.format,
+              if (rec.media == null) 0 else rec.media.length, None,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   /** One sampled frame of a media payload. */
   final case class MediaFrame(doc_id: Long, frame_idx: Int,
       frame: Array[Byte])

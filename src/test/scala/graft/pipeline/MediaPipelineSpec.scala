@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Multimodal
+
+/** Streaming media-ingest contract: arriving base64 payloads decode
+  * through the real codecs per micro-batch (stats equal a direct batch
+  * decode of the same payloads), corrupt/unknown payloads dead-letter
+  * with doc-tagged errors instead of failing the stream, and a
+  * same-checkpoint restart re-ingests nothing (exactly-once via
+  * batchId-keyed overwrites).
+  */
+class MediaPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(id: Long): Array[Byte] =
+    Multimodal.pngBytes(8, 4, (x, y) => Multimodal.packRgb(
+      ((id * 17 + x * 3 + y * 5) % 256).toInt,
+      ((id * 19 + x * 3 + y * 5) % 256).toInt,
+      ((id * 23 + x * 3 + y * 5) % 256).toInt))
+
+  private def wav(id: Long): Array[Byte] =
+    Multimodal.wavBytes(8000,
+      Array.tabulate(64)(i => ((id * 31 + i * 17) % 256).toByte))
+
+  private def line(id: Long, bytes: Array[Byte], fmt: String): String =
+    s"""{"doc_id":$id,"media_b64":"${Base64.getEncoder
+      .encodeToString(bytes)}","format":"$fmt"}"""
+
+  test("decode-per-batch == direct decode; corrupt and unknown " +
+      "payloads dead-letter doc-tagged; restart ingests nothing new") {
+    val src = tmpDir("media-src")
+    val store = tmpDir("media-store")
+    val ckpt = tmpDir("media-ckpt")
+    val good = (0L until 10L).map(id =>
+      if (id % 2 == 0) line(id, png(id), "png")
+      else line(id, wav(id), "wav"))
+    val bad = Seq(
+      line(100L, "not a png at all".getBytes, "png"), // corrupt body
+      line(101L, wav(101L), "gif")) // no decoder for the format
+    Files.write(Paths.get(src, "f0.json"),
+      (good.take(5) ++ bad).mkString("\n").getBytes)
+    Files.write(Paths.get(src, "f1.json"),
+      good.drop(5).mkString("\n").getBytes)
+
+    MediaPipeline.start(spark, src, store, ckpt)
+      .awaitTermination(120000)
+
+    val stats = MediaPipeline.stats(spark, store)
+      .select(col("doc_id"), col("format"), col("features"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getSeq[Double](2))).toMap
+    assert(stats.size == 10)
+    // differential: the streamed stats equal a direct batch decode
+    val direct = Multimodal.extractFeatures(spark,
+        (0L until 10L).map(id =>
+          if (id % 2 == 0) Multimodal.MediaRecord(id, png(id), "png")
+          else Multimodal.MediaRecord(id, wav(id), "wav")).toDF(),
+        Multimodal.MixedRealDecoder)
+      .collect().map(f => f.doc_id -> (f.format, f.features.toSeq)).toMap
+    assert(stats == direct)
+
+    val rejects = MediaPipeline.rejects(spark, store)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("error")).toMap
+    assert(rejects.keySet == Set(100L, 101L))
+    assert(rejects(100L).contains("doc 100"))
+    assert(rejects(101L).contains("doc 101") &&
+      rejects(101L).contains("gif"))
+
+    // same-checkpoint restart: nothing re-ingests, nothing duplicates
+    MediaPipeline.start(spark, src, store, ckpt)
+      .awaitTermination(120000)
+    assert(MediaPipeline.stats(spark, store).count() == 10)
+    assert(MediaPipeline.rejects(spark, store).count() == 2)
+  }
+
+  test("a replayed micro-batch overwrites itself (batchId-keyed)") {
+    val store = tmpDir("media-replay")
+    val batch = Seq((1L, Base64.getEncoder.encodeToString(wav(1L)),
+      "wav")).toDF("doc_id", "media_b64", "format")
+    MediaPipeline.ingestBatch(batch, store, batchId = 7L)
+    MediaPipeline.ingestBatch(batch, store, batchId = 7L) // replay
+    assert(MediaPipeline.stats(spark, store).count() == 1)
+  }
+
+  test("an empty store reads as empty frames, not a schema error") {
+    val store = tmpDir("media-empty")
+    assert(MediaPipeline.stats(spark, store).count() == 0)
+    assert(MediaPipeline.rejects(spark, store).count() == 0)
+  }
+}
