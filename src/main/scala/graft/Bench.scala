@@ -52,6 +52,21 @@ import org.apache.spark.sql.SparkSession
   *    ensure cost is timed into the artifact with a store→queries
   *    map, so an ensure-backed query's inflation is attributable to
   *    build vs probe without a bisect.
+  *
+  * Round-12 additions (the round-11 verdict's #1/#4: three weak marks
+  * evaded the absolute rule — two had no committed median, one sat at
+  * 1.74x under the 2x gate — and the two high-variance entries had no
+  * in-artifact attribution):
+  *
+  *  - [[Committed]] extended to the ENTIRE expensive tail (40
+  *    entries, seeded from the 69.9 s healthy-window record) and
+  *    [[AbsoluteFactor]] tightened to 1.5x.
+  *  - per-pass PHASE attribution ([[graft.query.PipelineQueries
+  *    .phaseProbes]]): each published pass of
+  *    `retrieval_service_cap` / `dedup_components_lsh` is followed by
+  *    one timed run of each sub-phase (the query's own halves); the
+  *    seconds land in the artifact's `phases` field and are never
+  *    added to the published time or total.
   */
 object Bench {
 

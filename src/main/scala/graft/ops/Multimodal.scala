@@ -456,10 +456,20 @@ object Multimodal {
     require(img != null,
       s"doc ${rec.doc_id}: not a decodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
-    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
-      s"doc ${rec.doc_id}: degenerate image dimensions ${w}x$h")
+    // MaxPixels: unlike BMP (where claimed dimensions are bounded by
+    // the payload length), a tiny compressed PNG can claim arbitrary
+    // dimensions — a decompression bomb whose pixel buffer OOMs the
+    // executor instead of failing loudly (review-caught). 2^26 px
+    // (256 MB of packed ints) is far above any curation-pipeline
+    // thumbnail and far below task-killing allocations.
+    require(w > 0 && h > 0 && w.toLong * h <= MaxPixels,
+      s"doc ${rec.doc_id}: image dimensions ${w}x$h out of bounds " +
+        s"(max $MaxPixels pixels)")
     PngPixels(w, h, img.getRGB(0, 0, w, h, null, 0, w))
   }
+
+  /** Pixel-count cap for compressed-image decode (see above). */
+  val MaxPixels: Long = 1L << 26
 
   /** Serialize pixels as a PNG via ImageIO — the synthesis half of the
     * [[PngDecoder]] round trip, [[bmpBytes]]'s compressed-format

@@ -46,8 +46,15 @@ object MediaPipeline {
   def ingestBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val media = batch.select(col("doc_id"),
-      unbase64(col("media_b64")).as("media"), col("format"))
+    // Malformed WIRE rows (null doc_id / format — a truncated or
+    // schema-drifted JSON line) dead-letter as doc_id -1 instead of
+    // NPE-ing the typed conversion and killing the batch
+    // (review-caught); a null payload with a valid doc_id flows into
+    // the decoder's own doc-tagged failure path.
+    val media = batch.select(
+      coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+      unbase64(col("media_b64")).as("media"),
+      coalesce(col("format"), lit("?")).as("format"))
     val outcomes = Multimodal
       .extractFeaturesOrDeadLetter(spark, media,
         Multimodal.MixedRealDecoder)
@@ -107,14 +114,14 @@ object MediaPipeline {
   private def readDeltas(spark: SparkSession, dir: String,
       schema: StructType): DataFrame = {
     val fs = graft.scale.Hdfs.of(spark, dir)
-    val root = new org.apache.hadoop.fs.Path(dir)
+    // ONE glob for the committed markers — an exists() per batch dir
+    // is an N+1 on object stores (the visibleDirs lesson;
+    // review-caught here too)
+    val marks = fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "batch=*/_SUCCESS"))
     val committed =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("batch=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
+      if (marks == null) Seq.empty
+      else marks.toSeq.map(_.getPath.getParent.toString)
     if (committed.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(committed: _*)

@@ -89,6 +89,26 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.stats(spark, store).count() == 1)
   }
 
+  test("malformed wire rows (null doc_id/format/payload) dead-letter " +
+      "instead of killing the batch") {
+    val store = tmpDir("media-nulls")
+    val rows = Seq(
+      (Some(5L), Some(Base64.getEncoder.encodeToString(wav(5L))),
+        Some("wav")), // good
+      (None, Some("AAAA"), Some("png")), // null doc_id
+      (Some(6L), None, Some("png")), // null payload
+      (Some(7L), Some("AAAA"), None)) // null format
+      .toDF("doc_id", "media_b64", "format")
+    MediaPipeline.ingestBatch(rows, store, batchId = 0L)
+    assert(MediaPipeline.stats(spark, store)
+      .select("doc_id").as[Long].collect().toSeq == Seq(5L))
+    val rej = MediaPipeline.rejects(spark, store)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("error")).toMap
+    assert(rej.keySet == Set(-1L, 6L, 7L))
+    assert(rej(7L).contains("'?'")) // the null-format sentinel
+  }
+
   test("an empty store reads as empty frames, not a schema error") {
     val store = tmpDir("media-empty")
     assert(MediaPipeline.stats(spark, store).count() == 0)

@@ -261,9 +261,46 @@ class CommitCrashSpec extends SparkSpec {
     def observe(dir: String): Seq[String] = SampleCompact.observe(dir)
   }
 
+  // ---- 9. Media ingest (stats + rejects, batchId-keyed overwrites)
+
+  private object MediaIngest extends CrashCase {
+    val name = "media ingest batch"
+    val op = "media-ingest"
+    private def batchDf = {
+      val b64 = java.util.Base64.getEncoder
+      def png(id: Long) = b64.encodeToString(
+        graft.ops.Multimodal.pngBytes(4, 2, (x, y) =>
+          graft.ops.Multimodal.packRgb(
+            ((id * 17 + x) % 256).toInt, ((id * 19 + y) % 256).toInt,
+            ((id * 23 + x + y) % 256).toInt)))
+      def wav(id: Long) = b64.encodeToString(
+        graft.ops.Multimodal.wavBytes(8000,
+          Array.tabulate(16)(i => ((id * 31 + i * 17) % 256).toByte)))
+      Seq((0L, png(0L), "png"), (1L, wav(1L), "wav"),
+        (2L, png(2L), "png"),
+        (9L, b64.encodeToString("corrupt".getBytes), "png"))
+        .toDF("doc_id", "media_b64", "format")
+    }
+    def setup(dir: String): Unit = () // ingest into an empty store
+    def mutate(dir: String): Unit =
+      graft.pipeline.MediaPipeline.ingestBatch(batchDf, dir, 3L)
+    def observe(dir: String): Seq[String] =
+      (graft.pipeline.MediaPipeline.stats(spark, dir)
+        .select("doc_id").collect().map(r => s"s${r.getLong(0)}") ++
+        graft.pipeline.MediaPipeline.rejects(spark, dir)
+          .select("doc_id").collect().map(r => s"r${r.getLong(0)}"))
+        .toSeq.sorted
+    // a crash between the two writes leaves the stats delta committed
+    // and the rejects delta absent — a complete consistent view of a
+    // PARTIALLY landed batch; the checkpoint replay overwrites both
+    override def acceptable(dir: String, after: Seq[String],
+        got: Seq[String]): Boolean =
+      got == after || got == after.filter(_.startsWith("s"))
+  }
+
   private val cases: Seq[CrashCase] = Seq(AggFold, SampleCompact,
     SampleWrite, GramReplay, Bm25Ingest, IvfIngest, Bm25Compact,
-    IvfCompact)
+    IvfCompact, MediaIngest)
 
   cases.foreach { c =>
     test(s"${c.name}: killed between every pair of steps, every " +
