@@ -841,6 +841,46 @@ object PipelineQueries {
             element_at(col("features"), 2)).cast("long").as("sum_b"))
         .orderBy(col("doc_id"))),
 
+    // Media QUALITY GATE — the curation story for the binary modality:
+    // decode through the real mixed codec stack, keep only payloads
+    // whose decoded statistic falls in a per-modality quality band
+    // (images: total channel sum in [9000, 15000] — the near-black /
+    // near-white rejection a vision pipeline runs before a model;
+    // audio: centered-sample energy in [330000, 360000] — clipped or
+    // near-silent takes rejected), then join the survivors back to the
+    // documents table for their curation metadata. Bands keep 148/250
+    // images and 160/250 clips at sf0.01 — both gates genuinely
+    // discriminate. At scale: decode narrow, gate pushed before the
+    // join, doc_id equi-join.
+    "multimodal_quality_gate" -> ((s, d) => {
+      val decoded = Multimodal.extractFeatures(s,
+          Multimodal.synthMixedTable(s, Tables.documents(s, d)),
+          Multimodal.MixedRealDecoder)
+        .toDF()
+        .select(col("doc_id"), col("format"),
+          when(col("format") === "png",
+            ((element_at(col("features"), 3) +
+              element_at(col("features"), 4) +
+              element_at(col("features"), 5)) *
+              element_at(col("features"), 1) *
+              element_at(col("features"), 2)).cast("long"))
+            .otherwise(round(
+              pow(element_at(col("features"), 4), 2) * 16384 * 64)
+              .cast("long"))
+            .as("checksum"))
+      decoded
+        .filter(
+          (col("format") === "png" &&
+            col("checksum").between(9000L, 15000L)) ||
+          (col("format") === "wav" &&
+            col("checksum").between(330000L, 360000L)))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("format"), col("lang"),
+          col("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling: every 2nd 64-byte frame of each payload — the
     // frame index/length accounting is oracle-checkable even though the
     // payload is opaque.
@@ -1468,6 +1508,33 @@ object PipelineQueries {
         |          LATERAL (SELECT unnest(range(64)) AS i) t) w
         |  WHERE w.doc_id % 2 = 1 GROUP BY w.doc_id
         |) ORDER BY doc_id""".stripMargin,
+    // the quality gate straight from the arithmetic: per-modality
+    // checksum bands, survivors joined back for curation metadata
+    "multimodal_quality_gate" ->
+      """WITH cs AS (
+        |  SELECT p.doc_id, 'png' AS format,
+        |    CAST(sum((p.doc_id * 17 + p.i * 3 + p.j * 5) % 256
+        |           + (p.doc_id * 19 + p.i * 3 + p.j * 5) % 256
+        |           + (p.doc_id * 23 + p.i * 3 + p.j * 5) % 256)
+        |      AS BIGINT) AS checksum
+        |  FROM (SELECT doc_id, x.i, y.j FROM documents,
+        |          LATERAL (SELECT unnest(range(8)) AS i) x,
+        |          LATERAL (SELECT unnest(range(4)) AS j) y) p
+        |  WHERE p.doc_id % 2 = 0 GROUP BY p.doc_id
+        |  UNION ALL
+        |  SELECT w.doc_id, 'wav' AS format,
+        |    CAST(sum(w.c * w.c) AS BIGINT) AS checksum
+        |  FROM (SELECT doc_id,
+        |          ((doc_id * 31 + t.i * 17) % 256) - 128 AS c
+        |        FROM documents,
+        |          LATERAL (SELECT unnest(range(64)) AS i) t) w
+        |  WHERE w.doc_id % 2 = 1 GROUP BY w.doc_id)
+        |SELECT cs.doc_id, cs.format, d.lang, cs.checksum
+        |FROM cs JOIN documents d ON d.doc_id = cs.doc_id
+        |WHERE (cs.format = 'png' AND cs.checksum BETWEEN 9000 AND 15000)
+        |   OR (cs.format = 'wav' AND
+        |       cs.checksum BETWEEN 330000 AND 360000)
+        |ORDER BY cs.doc_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |  CAST(least(64, octet_length(encode(text)) - i * 64) AS BIGINT)

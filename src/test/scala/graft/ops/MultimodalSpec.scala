@@ -475,6 +475,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PngDecoder converts non-RGB color models (grayscale, " +
+      "palette) through the same bulk sRGB path ImageIO uses") {
+    import java.awt.image.BufferedImage
+    def encodeAndCheck(img: BufferedImage, id: Long): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      val f = Multimodal.PngDecoder.decodePng(
+        Multimodal.MediaRecord(id, out.toByteArray, "png"))
+      // expected channel means from the SOURCE image's own sRGB view
+      // (the same ColorModel conversion the decoder's bulk getRGB
+      // applies — gray/palette spaces are not identity-mapped, so the
+      // contract is conversion parity, not raw-sample parity)
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      def mean(shift: Int) =
+        px.map(p => (p >> shift) & 0xff).sum.toDouble / px.length
+      assert(f.features(0) == w && f.features(1) == h)
+      assert(f.features(2) == mean(16), s"id $id meanR")
+      assert(f.features(3) == mean(8), s"id $id meanG")
+      assert(f.features(4) == mean(0), s"id $id meanB")
+    }
+    val gray = new BufferedImage(6, 3, BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 3).foreach(y => (0 until 6).foreach(x =>
+      gray.getRaster.setSample(x, y, 0, (x * 40 + y * 10) % 256)))
+    encodeAndCheck(gray, 21L)
+    val indexed = new BufferedImage(5, 4,
+      BufferedImage.TYPE_BYTE_INDEXED) // default 216-color palette
+    (0 until 4).foreach(y => (0 until 5).foreach(x =>
+      indexed.setRGB(x, y, Multimodal.packRgb(x * 51, y * 51, 102))))
+    encodeAndCheck(indexed, 22L)
+  }
+
   test("MixedRealDecoder routes by format, fails loudly on unknown " +
       "formats, and never falls back to a stub") {
     import spark.implicits._
