@@ -418,7 +418,8 @@ object Bench {
       "sigs" -> Seq("dedup_incoming_store"),
       "bm25" -> Seq("retrieval_bm25_indexed", "retrieval_bm25_pruned",
         "retrieval_bm25_indexed_batch", "retrieval_hybrid_indexed_batch",
-        "retrieval_service_cap"),
+        "retrieval_service_cap", "retrieval_bm25_cached_batch",
+        "retrieval_service_cap_cached"),
       "int8" -> Seq("sim_cosine_topk_int8"),
       "lsh" -> Seq("embedding_neardup_lsh", "dedup_components_lsh"),
       "bloom" -> Seq("events_bloom_skip_lookup"),

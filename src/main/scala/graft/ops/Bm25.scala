@@ -325,7 +325,7 @@ object Bm25 {
     * stats dir carry a _SUCCESS marker. A postings dir without its
     * stats (ingest crashed mid-batch; its replay will rewrite both) is
     * invisible to readers and to compaction. */
-  private def completeBatchIds(spark: SparkSession,
+  private[ops] def completeBatchIds(spark: SparkSession,
       path: String): Seq[String] = {
     val fs = graft.scale.Hdfs.of(spark, path)
     def done(root: String): Set[String] = {

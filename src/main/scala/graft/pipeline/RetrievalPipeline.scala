@@ -109,6 +109,24 @@ object RetrievalPipeline {
       lexicalHalf(spark, bmPath, queries, perList),
       denseHalf(spark, ivfPath, queries, perList, nProbe)), k)
 
+  /** [[hybridTopKBatch]] with the lexical half served through the
+    * persisted per-termset RESULT CACHE ([[graft.ops.Bm25ResultCache]]
+    * — the ClickHouse query-cache analog): repeated termsets across
+    * serving batches skip BM25 scoring entirely; values are
+    * bit-identical to the uncached batch by the cache's differential
+    * contract, so fusion output equals [[hybridTopKBatch]] exactly
+    * (spec-pinned). The dense half is uncached: IVF probes are already
+    * partition-pruned scans with no per-termset reuse structure. */
+  def hybridTopKBatchCached(spark: SparkSession, bmPath: String,
+      ivfPath: String, memoPath: String, queries: DataFrame, k: Int,
+      perList: Int = 20, nProbe: Int = 4): DataFrame =
+    Rrf.fuseBatch(Seq(
+      graft.ops.Bm25ResultCache.scoreTopKCachedBatch(spark, bmPath,
+          memoPath, queries.select(col("query_id"), col("terms")),
+          perList)
+        .select(col("query_id"), col("doc_id"), col("rank")),
+      denseHalf(spark, ivfPath, queries, perList, nProbe)), k)
+
   /** The batch's lexical half alone — exposed (beside [[denseHalf]])
     * so the bench can time each phase of `retrieval_service_cap` per
     * pass and publish the split in the artifact (round-11 verdict #4:

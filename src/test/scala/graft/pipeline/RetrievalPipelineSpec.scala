@@ -169,6 +169,22 @@ class RetrievalPipelineSpec extends SparkSpec {
       s"expected cell pruning on base AND delta scans:\n$plan")
   }
 
+  test("retrieval_service_cap_cached (registered) equals the " +
+      "uncached cap entry exactly, cold and warm — the result " +
+      "cache's serving differential") {
+    def canon(name: String): Seq[String] =
+      graft.SparkEntry.queries(name)(spark, sf0001)
+        .collect()
+        .map(r => s"${r.getString(0)}|${r.getLong(1)}|${
+          r.getDouble(2)}|${r.getLong(3)}")
+        .toSeq.sorted
+    val uncached = canon("retrieval_service_cap")
+    val cold = canon("retrieval_service_cap_cached") // misses populate
+    val warm = canon("retrieval_service_cap_cached") // hits serve
+    assert(cold == uncached)
+    assert(warm == uncached)
+  }
+
   test("retrieval_service_cap (registered) equals independent " +
       "per-query hybrid probes on sampled queries — the cap entry's " +
       "differential gate") {

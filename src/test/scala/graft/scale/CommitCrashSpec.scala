@@ -298,9 +298,42 @@ class CommitCrashSpec extends SparkSpec {
       got == after || got == after.filter(_.startsWith("s"))
   }
 
+  // ---- 10. BM25 result-cache memo GC (delete-old + rewrite-survivors)
+
+  private object MemoCompact extends CrashCase {
+    val name = "bm25 memo compact"
+    val op = "bm25-memo-compact"
+    private val ts = Seq("key", "join")
+    private def idx(dir: String) = s"$dir/idx"
+    private def memo(dir: String) = s"$dir/memo"
+    private def qs = Seq(("q", ts)).toDF("query_id", "terms")
+    def setup(dir: String): Unit = {
+      graft.ops.Bm25.ensurePostings(docs, idx(dir))
+      // populate the memo: one live termset + one that GC will drop
+      graft.ops.Bm25ResultCache.scoreTopKCachedBatch(spark, idx(dir),
+        memo(dir), qs, 5).count()
+      graft.ops.Bm25ResultCache.scoreTopKCachedBatch(spark, idx(dir),
+        memo(dir), Seq(("s", Seq("spark"))).toDF("query_id", "terms"),
+        5).count()
+    }
+    def mutate(dir: String): Unit =
+      graft.ops.Bm25ResultCache.compact(spark, idx(dir), memo(dir),
+        liveTermsets = Seq(ts), k = 5)
+    // the cache is answer-NEUTRAL: every crash window (memo empty,
+    // memo partial, memo compacted) must return the identical scored
+    // answer — hits replay memoized exact results, misses recompute
+    def observe(dir: String): Seq[String] =
+      graft.ops.Bm25ResultCache.scoreTopKCachedBatch(spark, idx(dir),
+          memo(dir), qs, 5)
+        .collect()
+        .map(r => s"${r.getString(0)}|${r.getLong(1)}|${
+          r.getDouble(2)}|${r.getLong(3)}")
+        .toSeq.sorted
+  }
+
   private val cases: Seq[CrashCase] = Seq(AggFold, SampleCompact,
     SampleWrite, GramReplay, Bm25Ingest, IvfIngest, Bm25Compact,
-    IvfCompact, MediaIngest)
+    IvfCompact, MediaIngest, MemoCompact)
 
   cases.foreach { c =>
     test(s"${c.name}: killed between every pair of steps, every " +
