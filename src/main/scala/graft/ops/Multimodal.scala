@@ -590,6 +590,118 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions(decoder.decodeBatch _)
   }
 
+  /** Format-dispatching PIXEL decode — the raw-pixel sibling of
+    * [[MixedRealDecoder]] for stages that need the image itself
+    * (perceptual hashing, resampling), not summary statistics. Same
+    * loud doc-tagged failure contract. */
+  private[ops] def decodePixelsAny(rec: MediaRecord): PngPixels =
+    rec.format match {
+      case "png" => readPngPixels(rec)
+      case "bmp" =>
+        val h = parseBmpHeader(rec)
+        val bytes = rec.media
+        val out = new Array[Int](h.width * h.height)
+        var y = 0
+        while (y < h.height) {
+          val row = if (h.topDown) y else h.height - 1 - y
+          val base = h.pixelOff + row * h.rowBytes
+          var x = 0
+          while (x < h.width) {
+            val p = base + x * 3
+            out(y * h.width + x) = packRgb(bytes(p + 2) & 0xff,
+              bytes(p + 1) & 0xff, bytes(p) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        PngPixels(h.width, h.height, out)
+      case other => throw new IllegalArgumentException(
+        s"doc ${rec.doc_id}: no pixel decoder for format '$other'")
+    }
+
+  /** Difference-hash (dHash) PERCEPTUAL fingerprint as a 64-char bit
+    * string: sample a 9x8 grid by the floor mapping (the
+    * [[resizeBmpNearest]] coordinate rule), compare horizontal
+    * neighbors on the channel-SUM gray (monotone-equivalent to luma
+    * for comparisons, and integer-exact in any engine), one bit per
+    * comparison ordered (row, then column). Scale-invariant by
+    * construction for integer upscales (the grid samples the same
+    * source texels), and container-invariant because it hashes DECODED
+    * pixels — a BMP original and a PNG re-encode/upscale of the same
+    * image fingerprint identically, which byte-level dedup can never
+    * see. The standard image-dedup primitive of training-data
+    * pipelines. */
+  def dHashBits(px: PngPixels): String = {
+    def gray(i: Int, j: Int): Int = {
+      val x = (i.toLong * px.width / 9).toInt
+      val y = (j.toLong * px.height / 8).toInt
+      val p = px.rgb(y * px.width + x)
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        sb.append(if (gray(i + 1, j) > gray(i, j)) '1' else '0')
+        i += 1
+      }
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** One decoded-pixel fingerprint row. */
+  final case class MediaHash(doc_id: Long, format: String, phash: String)
+
+  /** The perceptual-hash stage: decode pixels (any supported format)
+    * and dHash them — narrow, typed, per-partition like every decode
+    * stage here. */
+  def perceptualHashes(spark: SparkSession,
+      media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(rec =>
+        MediaHash(rec.doc_id, rec.format, dHashBits(decodePixelsAny(rec))))
+    }
+  }
+
+  /** Synthesis arithmetic for the perceptual-dedup tables: a
+    * middle-square mix (Knuth multiply alone is LINEAR in its input —
+    * neighboring pixels would differ by a k-independent constant and
+    * every doc would share a handful of gradient hashes; squaring
+    * breaks the linearity) kept inside exact BIGINT range on both
+    * engines: a < 2^31, so a*a < 2^62. The SQL oracle replays this
+    * expression verbatim ([[graft.query.PipelineQueries]]). */
+  def synthCell(k: Long, x: Int, y: Int, salt: Int): Int = {
+    val a = (k * 2654435761L + x * 1299721L + y * 7907L +
+      salt * 104729L) % 2147483648L
+    (((a * a) / 65536L % 4294967296L) / 16777216L).toInt
+  }
+
+  /** Perceptual-dedup table: even doc_ids carry an 8x4 BMP of their
+    * own image; odd doc_ids carry a 16x8 PNG UPSCALE of their
+    * PARTNER's image (the re-crawled, rescaled, re-encoded copy every
+    * image pipeline must deduplicate). dHash is invariant across the
+    * pair: the 9x8 grid's floor mapping samples the identical source
+    * texels at both scales (i*8/9 == (i*16/9)/2 pointwise — checked,
+    * not assumed), so phash(2k) == phash(2k+1) by construction while
+    * byte-level fingerprints differ in every byte. */
+  def synthPhashTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val k = d - (d % 2)
+      if (d % 2 == 0)
+        MediaRecord(d, bmpBytes(8, 4, (x, y) => packRgb(
+          synthCell(k, x, y, 0), synthCell(k, x, y, 1),
+          synthCell(k, x, y, 2))), "bmp")
+      else
+        MediaRecord(d, pngBytes(16, 8, (x, y) => packRgb(
+          synthCell(k, x / 2, y / 2, 0), synthCell(k, x / 2, y / 2, 1),
+          synthCell(k, x / 2, y / 2, 2))), "png")
+    }.toDF()
+  }
+
   /** Outcome row of the dead-letter decode: exactly one of `features`
     * / `error` is set. */
   final case class MediaOutcome(doc_id: Long, format: String,

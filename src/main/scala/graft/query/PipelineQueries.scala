@@ -926,6 +926,41 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PERCEPTUAL image fingerprints through two real codecs: even
+    // docs are 8x4 BMP originals, odd docs 16x8 PNG upscales of their
+    // partner's image — the re-crawled/rescaled/re-encoded copies an
+    // image pipeline must deduplicate, invisible to any byte-level
+    // fingerprint. The dHash bit string is hash-gated against a
+    // DuckDB replay of the same grid/gray arithmetic, so decode (both
+    // formats), the floor-mapped 9x8 sampling, and the comparison
+    // bits are all value-exact end to end.
+    "multimodal_phash" -> ((s, d) =>
+      Multimodal.perceptualHashes(s,
+          Multimodal.synthPhashTable(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("phash"))
+        .orderBy(col("doc_id"))),
+
+    // Image DEDUP on the perceptual fingerprints: pairs of docs whose
+    // decoded images fingerprint identically — every planted
+    // (bmp original, png upscale) pair plus the honest perceptual
+    // collisions of low-resolution gradients (330 pairs over 500 docs
+    // at sf0.01: 250 planted + 80 collisions; both engines compute
+    // the pairs from their OWN dHash, so the sets match exactly). One
+    // shuffle on the 64-bit-equivalent hash — the exact-dedup plan
+    // shape, never all-pairs.
+    "dedup_image_phash" -> ((s, d) => {
+      val h = Multimodal.perceptualHashes(s,
+          Multimodal.synthPhashTable(s, Tables.documents(s, d)))
+        .toDF().select(col("doc_id"), col("phash"))
+      val a = h.select(col("phash"), col("doc_id").as("doc_a"))
+      val b = h.select(col("phash"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("phash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Frame sampling: every 2nd 64-byte frame of each payload — the
     // frame index/length accounting is oracle-checkable even though the
     // payload is opaque.
@@ -1128,7 +1163,51 @@ object PipelineQueries {
              |ORDER BY lang, doc_id""".stripMargin)
     }.getOrElse(Map.empty)
 
+  /** SQL replay of [[Multimodal.synthCell]]'s channel-sum gray at
+    * source coordinates (u, v) of image k — generated, not
+    * hand-copied, so the three salt terms can't drift. All
+    * intermediates stay in BIGINT (a < 2^31 -> a*a < 2^62), floor
+    * division and % on non-negative values agree across engines. */
+  private def phashGraySql(k: String, u: String, v: String): String =
+    (0 to 2).map { salt =>
+      val a = s"((($k) * 2654435761 + ($u) * 1299721 + ($v) * 7907 + " +
+        s"$salt * 104729) % 2147483648)"
+      s"(((($a * $a) // 65536) % 4294967296) // 16777216)"
+    }.mkString("(", " + ", ")")
+
+  /** The dHash CTE both phash oracles share: per-doc 64-char bit
+    * string from the SAME 9x8 floor-mapped grid the engine samples —
+    * both doc parities reduce to identical source texels (the
+    * synthPhashTable invariance), so k = doc_id - doc_id % 2 and the
+    * 8x4 source grid serve every row. */
+  private def phashCte: String = {
+    val v = "(h.j // 2)"
+    val g1 = phashGraySql("d.k", "((g.i * 8) // 9)", v)
+    val g2 = phashGraySql("d.k", "(((g.i + 1) * 8) // 9)", v)
+    s"""g AS (SELECT unnest(range(8)) AS i),
+       |h AS (SELECT unnest(range(8)) AS j),
+       |ph AS (
+       |  SELECT d.doc_id, d.format,
+       |    string_agg(CASE WHEN $g2 > $g1 THEN '1' ELSE '0' END,
+       |               '' ORDER BY h.j, g.i) AS phash
+       |  FROM (SELECT doc_id, doc_id - doc_id % 2 AS k,
+       |          CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END
+       |            AS format
+       |        FROM documents) d, g, h
+       |  GROUP BY d.doc_id, d.format)""".stripMargin
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "multimodal_phash" ->
+      s"""WITH $phashCte
+         |SELECT doc_id, format, phash FROM ph
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_image_phash" ->
+      s"""WITH $phashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM ph a JOIN ph b
+         |  ON a.phash = b.phash AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "retrieval_bm25" -> bm25OracleSql,
     "retrieval_bm25_indexed" -> bm25OracleSql,
     "retrieval_bm25_pruned" -> bm25OracleSqlFor(Bm25PrunedTerms, 10),

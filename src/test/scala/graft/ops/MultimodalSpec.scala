@@ -535,6 +535,40 @@ class MultimodalSpec extends SparkSpec {
       e.getMessage.contains("gif"))
   }
 
+  test("dHash is invariant across container format AND integer " +
+      "upscale: a BMP original and its 16x8 PNG upscale fingerprint " +
+      "identically; different images differ") {
+    def bmpOf(k: Long) = Multimodal.MediaRecord(k,
+      Multimodal.bmpBytes(8, 4, (x, y) => Multimodal.packRgb(
+        Multimodal.synthCell(k, x, y, 0),
+        Multimodal.synthCell(k, x, y, 1),
+        Multimodal.synthCell(k, x, y, 2))), "bmp")
+    def pngOf(k: Long) = Multimodal.MediaRecord(k + 1,
+      Multimodal.pngBytes(16, 8, (x, y) => Multimodal.packRgb(
+        Multimodal.synthCell(k, x / 2, y / 2, 0),
+        Multimodal.synthCell(k, x / 2, y / 2, 1),
+        Multimodal.synthCell(k, x / 2, y / 2, 2))), "png")
+    val hashes = Seq(0L, 2L, 4L, 42L, 128L).map { k =>
+      val hb = Multimodal.dHashBits(Multimodal.decodePixelsAny(bmpOf(k)))
+      val hp = Multimodal.dHashBits(Multimodal.decodePixelsAny(pngOf(k)))
+      assert(hb == hp, s"cross-format fingerprint diverged for k=$k")
+      assert(hb.length == 64 && hb.forall(c => c == '0' || c == '1'))
+      // byte-level fingerprints CANNOT pair these (different
+      // containers, different dimensions) — the capability gap
+      // perceptual hashing exists for
+      assert(!java.util.Arrays.equals(bmpOf(k).media, pngOf(k).media))
+      hb
+    }
+    assert(hashes.distinct.size == hashes.size,
+      "test images too degenerate to distinguish")
+    // unknown format fails doc-tagged, same dead-letter contract
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodePixelsAny(
+        Multimodal.MediaRecord(9L, Array[Byte](1), "gif"))
+    }
+    assert(e.getMessage.contains("doc 9"))
+  }
+
   test("synthWavTable samples follow the documented arithmetic " +
       "(the contract the SQL oracle mirrors)") {
     import spark.implicits._
