@@ -480,6 +480,60 @@ object StreamBench {
       s""""value":$mediaRate,"unit":"docs/sec","docs":$nMedia,""" +
       s""""seconds":$mediaSec,"decoded":$mediaOk,""" +
       s""""dead_lettered":$mediaBad}""")
+
+    // Two-tier variant: the same stream with the perceptual-dedup
+    // tier on — 10% of image arrivals are PNG 2x upscales of an
+    // earlier BMP (the re-crawl byte-level dedup can't see). The
+    // metric prices dHash + the self-excluding store probe + the two
+    // extra delta writes per batch on top of the base decode.
+    val msrc2 = s"$root/media2_src"
+    Files.createDirectories(Paths.get(msrc2))
+    id = 0
+    (0 until nFiles).foreach { f =>
+      val sb = new StringBuilder(perMediaFile * 256)
+      (0 until perMediaFile).foreach { _ =>
+        val docId = id.toLong
+        def pix(k: Long, div: Int)(x: Int, y: Int): Int =
+          graft.ops.Multimodal.packRgb(
+            graft.ops.Multimodal.synthCell(k, x / div, y / div, 0),
+            graft.ops.Multimodal.synthCell(k, x / div, y / div, 1),
+            graft.ops.Multimodal.synthCell(k, x / div, y / div, 2))
+        val (payload, fmt) =
+          if (id % 50 == 49) ("garbage-payload".getBytes, "png")
+          else if (id % 10 == 9) // planted re-crawl: upscale of id-1
+            (graft.ops.Multimodal.pngBytes(16, 8,
+              pix(docId - 1, 2)), "png")
+          else if (id % 2 == 0)
+            (graft.ops.Multimodal.bmpBytes(8, 4, pix(docId, 1)), "bmp")
+          else (graft.ops.Multimodal.wavBytes(8000,
+            Array.tabulate(64)(i =>
+              ((docId * 31 + i * 17) % 256).toByte)), "wav")
+        sb.append(s"""{"doc_id":$docId,"media_b64":"""")
+          .append(b64.encodeToString(payload))
+          .append(s"""","format":"$fmt"}""").append('\n')
+        id += 1
+      }
+      Files.writeString(
+        Paths.get(msrc2).resolve(f"part-$f%04d.json"), sb.toString)
+    }
+    val media2Sec = timed {
+      graft.pipeline.MediaPipeline.start(spark, msrc2,
+          s"$root/media2_store", s"$root/media2_ck",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          phashDedup = true)
+        .awaitTermination()
+    }
+    val media2Kept = graft.pipeline.MediaPipeline
+      .stats(spark, s"$root/media2_store").count()
+    val media2Dups = graft.pipeline.MediaPipeline
+      .dups(spark, s"$root/media2_store").count()
+    require(media2Dups > 0 && media2Kept + media2Dups < nMedia,
+      s"media dedup implausible: kept=$media2Kept dups=$media2Dups")
+    val media2Rate = nMedia / media2Sec
+    emit(s"""{"metric":"stream_media_dedup_docs_per_sec",""" +
+      s""""value":$media2Rate,"unit":"docs/sec","docs":$nMedia,""" +
+      s""""seconds":$media2Sec,"kept":$media2Kept,""" +
+      s""""dups":$media2Dups}""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("STREAM_BENCH.json"),
       emitted.mkString("[", ",\n ", "]") + "\n")

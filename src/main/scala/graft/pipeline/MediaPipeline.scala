@@ -37,13 +37,30 @@ object MediaPipeline {
   def statsDir(path: String): String = s"$path/media_stats"
   def rejectsDir(path: String): String = s"$path/media_rejects"
 
+  def dupsDir(path: String): String = s"$path/media_dups"
+  def phashStoreDir(path: String): String = s"$path/media_phash"
+
   /** One micro-batch: base64 -> binary, dead-letter decode through
     * [[Multimodal.MixedRealDecoder]], split into stats + rejects, two
     * batchId-keyed overwrite writes on one CommitProtocol run. The
     * decoded frame is a micro-batch — staged once via localCheckpoint
-    * so the two sinks don't re-decode (the stage-narrow-frames rule:
-    * the staged rows are stats-sized, payloads are already dropped). */
-  def ingestBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
+    * so the sinks don't re-decode (the stage-narrow-frames rule: the
+    * staged rows are stats-sized, payloads are already dropped).
+    *
+    * With `phashDedup` on (the image twin of CurationPipeline's
+    * near-dup tier): decodable IMAGE payloads additionally fingerprint
+    * through [[Multimodal.dHashBits]]; a fingerprint already in the
+    * persisted store — or carried by a lower doc_id in the SAME batch
+    * — routes the row to the dups delta instead of stats, and fresh
+    * fingerprints append to the store. The store probe broadcasts the
+    * ARRIVING batch's hashes, never shuffling the store (the
+    * SignatureStore discipline); per-batch work scales with arrivals
+    * only. Audio has no perceptual raster — wav rows always pass as
+    * fresh. All four writes are batchId-keyed overwrites on one
+    * CommitProtocol run, so a checkpoint replay of any crash window
+    * re-lands the batch identically. */
+  def ingestBatch(batch: DataFrame, path: String, batchId: Long,
+      phashDedup: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     // Malformed WIRE rows (null doc_id / format — a truncated or
@@ -59,39 +76,114 @@ object MediaPipeline {
       .extractFeaturesOrDeadLetter(spark, media,
         Multimodal.MixedRealDecoder)
       .toDF()
-      .localCheckpoint(true) // decode ONCE for both sinks
+      .localCheckpoint(true) // decode ONCE for all sinks
     try {
       import graft.scale.CommitProtocol.{run, step}
-      run("media-ingest", Seq(
-        step("write-stats-delta") {
-          outcomes.filter(col("error").isNull)
-            .select(col("doc_id"), col("format"), col("n_bytes"),
-              col("features"))
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"${statsDir(path)}/batch=$batchId")
-        },
-        step("write-rejects-delta") {
-          outcomes.filter(col("error").isNotNull)
-            .select(col("doc_id"), col("format"), col("n_bytes"),
-              col("error"))
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"${rejectsDir(path)}/batch=$batchId")
-        }))
+      if (!phashDedup)
+        run("media-ingest", Seq(
+          step("write-stats-delta") {
+            outcomes.filter(col("error").isNull)
+              .select(col("doc_id"), col("format"), col("n_bytes"),
+                col("features"))
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"${statsDir(path)}/batch=$batchId")
+          },
+          step("write-rejects-delta") {
+            writeRejects(outcomes, path, batchId)
+          }))
+      else {
+        // fingerprint the decodable IMAGE rows (a second narrow pass
+        // over the micro-batch; payload bytes never leave their
+        // partition). Corrupt rows are already in `outcomes.error`,
+        // so the hash pass only ever sees payloads that decode.
+        val okImages = media.join(
+          outcomes.filter(col("error").isNull &&
+              col("format").isin("bmp", "png"))
+            .select(col("doc_id")),
+          Seq("doc_id"))
+        val hashed = Multimodal.perceptualHashes(spark, okImages)
+          .toDF() // (doc_id, format, phash)
+          .localCheckpoint(true) // hash ONCE for dup split + append
+        try {
+          // SELF-EXCLUDING store probe: a checkpoint replay of this
+          // batch must not see its OWN previous append — a crash after
+          // append-phash-store would otherwise reroute the batch's
+          // fresh rows as dups on replay, breaking replay idempotence
+          // (caught by the CommitCrashSpec sweep, exactly the window
+          // it exists for). Appends are batchId-keyed, so exclusion
+          // is exact.
+          val store = readDeltas(spark, phashStoreDir(path),
+            phashSchema, excludeBatch = Some(batchId))
+          // store-side probe: semi join against the BROADCAST batch
+          // hashes — the store scan stays where it is, nothing store-
+          // sized shuffles
+          val hitHashes = store.join(
+            broadcast(hashed.select(col("phash")).distinct()),
+            Seq("phash"), "left_semi").distinct()
+          val keeper = hashed.groupBy(col("phash"))
+            .agg(min(col("doc_id")).as("keep_id"))
+          val dupRows = hashed
+            .join(broadcast(hitHashes), Seq("phash"), "left_semi")
+            .unionByName(hashed.join(keeper, Seq("phash"))
+              .filter(col("doc_id") =!= col("keep_id"))
+              .drop("keep_id"))
+            .select(col("doc_id"), col("format"), col("phash"))
+            .distinct()
+            .localCheckpoint(true) // consumed by three steps below
+          try {
+            run("media-ingest-dedup", Seq(
+              step("write-stats-delta") {
+                outcomes.filter(col("error").isNull)
+                  .join(dupRows.select(col("doc_id")), Seq("doc_id"),
+                    "left_anti")
+                  .select(col("doc_id"), col("format"), col("n_bytes"),
+                    col("features"))
+                  .write.mode(SaveMode.Overwrite)
+                  .parquet(s"${statsDir(path)}/batch=$batchId")
+              },
+              step("write-rejects-delta") {
+                writeRejects(outcomes, path, batchId)
+              },
+              step("write-dups-delta") {
+                dupRows.write.mode(SaveMode.Overwrite)
+                  .parquet(s"${dupsDir(path)}/batch=$batchId")
+              },
+              step("append-phash-store") {
+                // the batch's KEPT fingerprints (one per new phash)
+                hashed.join(keeper, Seq("phash"))
+                  .filter(col("doc_id") === col("keep_id"))
+                  .join(broadcast(hitHashes), Seq("phash"), "left_anti")
+                  .select(col("phash"))
+                  .write.mode(SaveMode.Overwrite)
+                  .parquet(s"${phashStoreDir(path)}/batch=$batchId")
+              }))
+          } finally dupRows.unpersist(false)
+        } finally hashed.unpersist(false)
+      }
     } finally outcomes.unpersist(false) // staged blocks die with the
     // batch, not with the stream (SketchPipeline discipline)
   }
 
+  private def writeRejects(outcomes: DataFrame, path: String,
+      batchId: Long): Unit =
+    outcomes.filter(col("error").isNotNull)
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("error"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${rejectsDir(path)}/batch=$batchId")
+
   /** Start the ingest stream over a JSON drop directory. */
   def start(spark: SparkSession, srcDir: String, path: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      phashDedup: Boolean = false): StreamingQuery =
     spark.readStream.schema(mediaSchema).json(srcDir)
       .writeStream
       .queryName("media-ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, path, batchId)
+        ingestBatch(batch, path, batchId, phashDedup)
       }
       .start()
 
@@ -111,8 +203,19 @@ object MediaPipeline {
       StructField("n_bytes", IntegerType),
       StructField("error", StringType))))
 
+  private val phashSchema = StructType(Seq(
+    StructField("phash", StringType)))
+
+  /** Perceptual duplicates routed by the dedup tier. */
+  def dups(spark: SparkSession, path: String): DataFrame =
+    readDeltas(spark, dupsDir(path), StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("format", StringType),
+      StructField("phash", StringType))))
+
   private def readDeltas(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
+      schema: StructType,
+      excludeBatch: Option[Long] = None): DataFrame = {
     val fs = graft.scale.Hdfs.of(spark, dir)
     // ONE glob for the committed markers — an exists() per batch dir
     // is an N+1 on object stores (the visibleDirs lesson;
@@ -121,7 +224,10 @@ object MediaPipeline {
       new org.apache.hadoop.fs.Path(dir, "batch=*/_SUCCESS"))
     val committed =
       if (marks == null) Seq.empty
-      else marks.toSeq.map(_.getPath.getParent.toString)
+      else marks.toSeq.map(_.getPath.getParent)
+        .filter(p => !excludeBatch.map(b => s"batch=$b")
+          .contains(p.getName))
+        .map(_.toString)
     if (committed.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(committed: _*)

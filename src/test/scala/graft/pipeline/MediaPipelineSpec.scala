@@ -109,6 +109,64 @@ class MediaPipelineSpec extends SparkSpec {
     assert(rej(7L).contains("'?'")) // the null-format sentinel
   }
 
+  test("phash dedup tier: cross-batch AND within-batch perceptual " +
+      "duplicates route to the dups delta; audio always passes; " +
+      "restart ingests nothing") {
+    import graft.ops.Multimodal
+    def bmpOf(id: Long, k: Long) = line(id,
+      Multimodal.bmpBytes(8, 4, (x, y) => Multimodal.packRgb(
+        Multimodal.synthCell(k, x, y, 0),
+        Multimodal.synthCell(k, x, y, 1),
+        Multimodal.synthCell(k, x, y, 2))), "bmp")
+    def pngUp(id: Long, k: Long) = line(id,
+      Multimodal.pngBytes(16, 8, (x, y) => Multimodal.packRgb(
+        Multimodal.synthCell(k, x / 2, y / 2, 0),
+        Multimodal.synthCell(k, x / 2, y / 2, 1),
+        Multimodal.synthCell(k, x / 2, y / 2, 2))), "png")
+    val src = tmpDir("mediadup-src")
+    val store = tmpDir("mediadup-store")
+    val ckpt = tmpDir("mediadup-ckpt")
+    // batch boundary rides the file boundary under AvailableNow +
+    // maxFilesPerTrigger default? AvailableNow may group both files
+    // into one batch — within/cross-batch split is asserted by doc_id
+    // outcome, which is identical either way: lower id keeps, the
+    // rest dup (the tier's contract is order-deterministic).
+    Files.write(Paths.get(src, "f0.json"), Seq(
+      bmpOf(0L, 0L), // fresh image
+      bmpOf(2L, 20L), // fresh image
+      line(1L, wav(1L), "wav")) // audio: never deduped
+      .mkString("\n").getBytes)
+    Files.write(Paths.get(src, "f1.json"), Seq(
+      pngUp(10L, 0L), // re-encoded 2x upscale of doc 0 -> dup
+      bmpOf(12L, 40L), // fresh
+      bmpOf(14L, 40L), // same image again -> dup of 12
+      line(13L, wav(13L), "wav"))
+      .mkString("\n").getBytes)
+    MediaPipeline.start(spark, src, store, ckpt, phashDedup = true)
+      .awaitTermination(120000)
+    val kept = MediaPipeline.stats(spark, store)
+      .select("doc_id").as[Long].collect().toSet
+    val dups = MediaPipeline.dups(spark, store)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("phash")).toMap
+    assert(kept == Set(0L, 1L, 2L, 12L, 13L))
+    assert(dups.keySet == Set(10L, 14L))
+    // the dup rows carry the fingerprint that matched doc 0's image
+    val expected = Multimodal.perceptualHashes(spark,
+        Seq(Multimodal.MediaRecord(0L, Multimodal.bmpBytes(8, 4,
+          (x, y) => Multimodal.packRgb(
+            Multimodal.synthCell(0L, x, y, 0),
+            Multimodal.synthCell(0L, x, y, 1),
+            Multimodal.synthCell(0L, x, y, 2))), "bmp")).toDF())
+      .collect().head.phash
+    assert(dups(10L) == expected)
+    // same-checkpoint restart: nothing re-ingests
+    MediaPipeline.start(spark, src, store, ckpt, phashDedup = true)
+      .awaitTermination(120000)
+    assert(MediaPipeline.stats(spark, store).count() == 5)
+    assert(MediaPipeline.dups(spark, store).count() == 2)
+  }
+
   test("an empty store reads as empty frames, not a schema error") {
     val store = tmpDir("media-empty")
     assert(MediaPipeline.stats(spark, store).count() == 0)

@@ -298,6 +298,65 @@ class CommitCrashSpec extends SparkSpec {
       got == after || got == after.filter(_.startsWith("s"))
   }
 
+  // ---- 9b. Media ingest with the phash-dedup tier (4 steps)
+
+  private object MediaDedupIngest extends CrashCase {
+    val name = "media ingest dedup batch"
+    val op = "media-ingest-dedup"
+    private val b64 = java.util.Base64.getEncoder
+    private def img(k: Long, up: Boolean): String =
+      if (!up) b64.encodeToString(graft.ops.Multimodal.bmpBytes(8, 4,
+        (x, y) => graft.ops.Multimodal.packRgb(
+          graft.ops.Multimodal.synthCell(k, x, y, 0),
+          graft.ops.Multimodal.synthCell(k, x, y, 1),
+          graft.ops.Multimodal.synthCell(k, x, y, 2))))
+      else b64.encodeToString(graft.ops.Multimodal.pngBytes(16, 8,
+        (x, y) => graft.ops.Multimodal.packRgb(
+          graft.ops.Multimodal.synthCell(k, x / 2, y / 2, 0),
+          graft.ops.Multimodal.synthCell(k, x / 2, y / 2, 1),
+          graft.ops.Multimodal.synthCell(k, x / 2, y / 2, 2))))
+    def setup(dir: String): Unit =
+      // batch 0 seeds the phash store with image k=0
+      graft.pipeline.MediaPipeline.ingestBatch(
+        Seq((0L, img(0L, up = false), "bmp"))
+          .toDF("doc_id", "media_b64", "format"),
+        dir, 0L, phashDedup = true)
+    def mutate(dir: String): Unit =
+      // batch 1: a cross-batch dup (upscale of k=0), a fresh image,
+      // a within-batch dup of it, and a corrupt payload — every sink
+      // receives rows, so every crash window is distinguishable
+      graft.pipeline.MediaPipeline.ingestBatch(
+        Seq((10L, img(0L, up = true), "png"),
+          (12L, img(4L, up = false), "bmp"),
+          (14L, img(4L, up = true), "png"),
+          (9L, java.util.Base64.getEncoder
+            .encodeToString("junk".getBytes), "png"))
+          .toDF("doc_id", "media_b64", "format"),
+        dir, 1L, phashDedup = true)
+    def observe(dir: String): Seq[String] =
+      (graft.pipeline.MediaPipeline.stats(spark, dir)
+        .select("doc_id").collect().map(r => s"s${r.getLong(0)}") ++
+        graft.pipeline.MediaPipeline.rejects(spark, dir)
+          .select("doc_id").collect().map(r => s"r${r.getLong(0)}") ++
+        graft.pipeline.MediaPipeline.dups(spark, dir)
+          .select("doc_id").collect().map(r => s"d${r.getLong(0)}"))
+        .toSeq.sorted
+    // steps land in order (stats, rejects, dups, store append), each
+    // batchId-keyed: every crash window shows a stage-prefix of the
+    // committed batch — and the checkpoint replay overwrites all four
+    override def acceptable(dir: String, after: Seq[String],
+        got: Seq[String]): Boolean = {
+      val s = after.filter(_.startsWith("s"))
+      val r = after.filter(_.startsWith("r"))
+      // the injected crash fires AFTER a step's write is durable, so
+      // the observable windows are: stats only, stats+rejects,
+      // stats+rejects+dups (== after; the store append is not in the
+      // observation, its loss only re-admits a future dup until the
+      // replay heals it)
+      Seq(s.sorted, (s ++ r).sorted, after).exists(_ == got)
+    }
+  }
+
   // ---- 10. BM25 result-cache memo GC (delete-old + rewrite-survivors)
 
   private object MemoCompact extends CrashCase {
@@ -333,7 +392,7 @@ class CommitCrashSpec extends SparkSpec {
 
   private val cases: Seq[CrashCase] = Seq(AggFold, SampleCompact,
     SampleWrite, GramReplay, Bm25Ingest, IvfIngest, Bm25Compact,
-    IvfCompact, MediaIngest, MemoCompact)
+    IvfCompact, MediaIngest, MediaDedupIngest, MemoCompact)
 
   cases.foreach { c =>
     test(s"${c.name}: killed between every pair of steps, every " +
