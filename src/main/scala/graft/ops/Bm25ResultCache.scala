@@ -78,6 +78,11 @@ object Bm25ResultCache {
     require(qrows.length <= Bm25.MaxBatchQueries,
       s"bm25 cached batch: query set exceeds the " +
         s"${Bm25.MaxBatchQueries} bounded-collect cap")
+    // same loud NULL-terms contract as the uncached batch (parity:
+    // without it the canonicalization NPEs with no query id attached)
+    qrows.foreach(r => require(!r.isNullAt(1),
+      s"bm25 cached batch: query '${r.getString(0)}' has a NULL " +
+        "terms array"))
     // the SAME canonicalization as the uncached batch: union-of-terms
     // per repeated query_id, distinct+sorted termset, one
     // representative per distinct termset

@@ -96,10 +96,13 @@ object MediaPipeline {
         // over the micro-batch; payload bytes never leave their
         // partition). Corrupt rows are already in `outcomes.error`,
         // so the hash pass only ever sees payloads that decode.
+        // distinct ids on the join's right side: a duplicated wire
+        // doc_id would otherwise MULTIPLY hash rows (n media rows x n
+        // outcome rows for the same id — review-caught)
         val okImages = media.join(
           outcomes.filter(col("error").isNull &&
               col("format").isin("bmp", "png"))
-            .select(col("doc_id")),
+            .select(col("doc_id")).distinct(),
           Seq("doc_id"))
         val hashed = Multimodal.perceptualHashes(spark, okImages)
           .toDF() // (doc_id, format, phash)
