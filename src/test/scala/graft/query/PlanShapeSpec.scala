@@ -59,7 +59,12 @@ class PlanShapeSpec extends SparkSpec {
     * corpus sits BELOW the cap, so the gate's evaluated count reads
     * as corpus-sized; the bound that matters is the cap, enforced by
     * a loud require in the batch entrypoints. */
-  private val capBoundedBroadcast = Set("retrieval_service_cap")
+  private val capBoundedBroadcast = Set("retrieval_service_cap",
+    // the cached variant's hinted sides are the same cap-bounded
+    // frames (id map, rep mapping) plus the memo-key mappings — all
+    // <= MaxBatchQueries rows by the same loud require; the memo
+    // SCAN itself is unhinted and stays on the probe side
+    "retrieval_service_cap_cached")
 
   test("no quadratic join in any registered non-oracle query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
