@@ -144,7 +144,12 @@ object Bench {
     "retrieval_bm25_pruned" -> 0.58,
     "curation_cut_spans" -> 0.57,
     "q20_excess_supplier" -> 0.56,
-    "text_token_skip_search" -> 0.56)
+    "text_token_skip_search" -> 0.56,
+    // round-12 additions, seeded from the 68.9 s / 172 closing window
+    // (canary 0.087/0.096, CPU canary 0.010/0.011, zero suspects)
+    "retrieval_service_cap_cached" -> 1.46,
+    "dedup_image_phash" -> 0.55,
+    "multimodal_png_resize" -> 0.55)
   /** 1.5x (was 2.0x, round-11 VERDICT #1: curation_repeated_spans at
     * 1.74x over its committed median with BOTH canaries healthy slid
     * under the 2x gate three rounds running). Same-code run-to-run
