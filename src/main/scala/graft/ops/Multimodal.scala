@@ -654,6 +654,67 @@ object Multimodal {
   /** One decoded-pixel fingerprint row. */
   final case class MediaHash(doc_id: Long, format: String, phash: String)
 
+  /** [[dHashBits]] packed into two 32-bit words (kept non-negative in
+    * Longs so XOR/popcount agree bit-for-bit with any engine's BIGINT
+    * arithmetic): `hi` holds rows j 0..3 at bit j*8+i, `lo` rows
+    * 4..7 at (j-4)*8+i. The split exists for the SQL oracle — a
+    * single 64-bit pack would put bit 63 in the sign position. */
+  def dHashWords(px: PngPixels): (Long, Long) = {
+    val bits = dHashBits(px)
+    var hi = 0L; var lo = 0L
+    var idx = 0
+    while (idx < 64) {
+      if (bits.charAt(idx) == '1') {
+        if (idx < 32) hi |= 1L << idx else lo |= 1L << (idx - 32)
+      }
+      idx += 1
+    }
+    (hi, lo)
+  }
+
+  /** One two-word fingerprint row (the hamming-arithmetic form). */
+  final case class MediaHashWords(doc_id: Long, hi: Long, lo: Long)
+
+  /** The two-word fingerprint stage — same contract as
+    * [[perceptualHashes]], emitting the hamming-ready form. */
+  def perceptualHashWords(spark: SparkSession,
+      media: DataFrame): Dataset[MediaHashWords] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val (hi, lo) = dHashWords(decodePixelsAny(rec))
+        MediaHashWords(rec.doc_id, hi, lo)
+      }
+    }
+  }
+
+  /** NEAR-dup variant of [[synthPhashTable]]: the odd doc's PNG
+    * upscale additionally PERTURBS its partner's source texel (0, 0)
+    * (all three channels shifted by +128 mod 256) — a small visual
+    * edit whose dHash lands within hamming 2 of the original (the
+    * only comparisons that see texel (0,0) are bit i=1 of rows
+    * j=0,1; bit i=0 compares the texel with itself), so exact-match
+    * dedup misses the pair and hamming-tolerant dedup must find it. */
+  def synthPhashNearTable(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val k = d - (d % 2)
+      if (d % 2 == 0)
+        MediaRecord(d, bmpBytes(8, 4, (x, y) => packRgb(
+          synthCell(k, x, y, 0), synthCell(k, x, y, 1),
+          synthCell(k, x, y, 2))), "bmp")
+      else {
+        def ch(x: Int, y: Int, s: Int): Int = {
+          val c = synthCell(k, x / 2, y / 2, s)
+          if (x / 2 == 0 && y / 2 == 0) (c + 128) % 256 else c
+        }
+        MediaRecord(d, pngBytes(16, 8, (x, y) =>
+          packRgb(ch(x, y, 0), ch(x, y, 1), ch(x, y, 2))), "png")
+      }
+    }.toDF()
+  }
+
   /** The perceptual-hash stage: decode pixels (any supported format)
     * and dHash them — narrow, typed, per-partition like every decode
     * stage here. */

@@ -961,6 +961,46 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // HAMMING-TOLERANT perceptual near-dup — the production pHash
+    // regime (re-crawls arrive EDITED: recompressed, rescaled,
+    // slightly retouched, so exact fingerprint equality misses them).
+    // The corpus plants a visual edit on every odd doc (its partner's
+    // image with one source texel shifted), keeping each planted pair
+    // within hamming 2. The plan is the banded-pigeonhole shape, not
+    // all-pairs: 4 x 16-bit bands — any two hashes within hamming 3
+    // differ in at most 3 bands, so they SHARE at least one band and
+    // surface as a candidate (recall 1 by construction, which is what
+    // makes the row oracle-pairable); candidates verify with two
+    // 32-bit popcounts. One shuffle on (band, value); candidate
+    // volume scales with band collisions, never n^2.
+    "dedup_image_phash_near" -> ((s, d) => {
+      val h = Multimodal.perceptualHashWords(s,
+          Multimodal.synthPhashNearTable(s, Tables.documents(s, d)))
+        .toDF()
+      val bands = h.select(col("doc_id"), col("hi"), col("lo"),
+        explode(array(
+          struct(lit(0).as("b"), (col("hi") % 65536).as("v")),
+          struct(lit(1).as("b"), (col("hi") / 65536).cast("long").as("v")),
+          struct(lit(2).as("b"), (col("lo") % 65536).as("v")),
+          struct(lit(3).as("b"), (col("lo") / 65536).cast("long").as("v"))
+        )).as("band"))
+        .select(col("doc_id"), col("hi"), col("lo"),
+          col("band.b").as("b"), col("band.v").as("v"))
+      val a = bands.select(col("b"), col("v"), col("doc_id").as("doc_a"),
+        col("hi").as("hi_a"), col("lo").as("lo_a"))
+      val b = bands.select(col("b"), col("v"), col("doc_id").as("doc_b"),
+        col("hi").as("hi_b"), col("lo").as("lo_b"))
+      a.join(b, Seq("b", "v"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+            bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct() // a pair can share several bands
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Frame sampling: every 2nd 64-byte frame of each payload — the
     // frame index/length accounting is oracle-checkable even though the
     // payload is opaque.
@@ -1197,7 +1237,54 @@ object PipelineQueries {
        |  GROUP BY d.doc_id, d.format)""".stripMargin
   }
 
+  /** The perturbed-gray expression of the NEAR corpus: odd (edited)
+    * docs shift all three channels of source texel (0, 0) by +128
+    * mod 256; everything else is [[phashGraySql]]'s arithmetic. */
+  private def phashNearGraySql(k: String, u: String, v: String,
+      pert: String): String = {
+    val cells = (0 to 2).map { salt =>
+      val a = s"((($k) * 2654435761 + ($u) * 1299721 + ($v) * 7907 + " +
+        s"$salt * 104729) % 2147483648)"
+      s"(((($a * $a) // 65536) % 4294967296) // 16777216)"
+    }
+    val plain = cells.mkString("(", " + ", ")")
+    val edited = cells.map(c => s"(($c + 128) % 256)")
+      .mkString("(", " + ", ")")
+    s"(CASE WHEN $pert AND ($u) = 0 AND ($v) = 0 THEN $edited " +
+      s"ELSE $plain END)"
+  }
+
+  /** Two-word dHash CTE over the NEAR corpus (`phw(doc_id, hi, lo)`). */
+  private def phashNearCte: String = {
+    val v = "(h.j // 2)"
+    val g1 = phashNearGraySql("d.k", "((g.i * 8) // 9)", v, "d.pert")
+    val g2 = phashNearGraySql("d.k", "(((g.i + 1) * 8) // 9)", v,
+      "d.pert")
+    s"""g AS (SELECT unnest(range(8)) AS i),
+       |h AS (SELECT unnest(range(8)) AS j),
+       |phw AS (
+       |  SELECT d.doc_id,
+       |    sum(CASE WHEN h.j < 4 AND $g2 > $g1
+       |        THEN (CAST(1 AS BIGINT) << (h.j * 8 + g.i))
+       |        ELSE 0 END) AS hi,
+       |    sum(CASE WHEN h.j >= 4 AND $g2 > $g1
+       |        THEN (CAST(1 AS BIGINT) << ((h.j - 4) * 8 + g.i))
+       |        ELSE 0 END) AS lo
+       |  FROM (SELECT doc_id, doc_id - doc_id % 2 AS k,
+       |          doc_id % 2 = 1 AS pert FROM documents) d, g, h
+       |  GROUP BY d.doc_id)""".stripMargin
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "dedup_image_phash_near" ->
+      s"""WITH $phashNearCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+         |    AS BIGINT) AS hamming
+         |FROM phw a JOIN phw b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+         |  <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_phash" ->
       s"""WITH $phashCte
          |SELECT doc_id, format, phash FROM ph

@@ -569,6 +569,42 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("doc 9"))
   }
 
+  test("hamming-banded near-dup equals the quadratic hamming join " +
+      "(pigeonhole recall 1 at t=3); planted edits land within " +
+      "hamming 2 and exact equality misses them") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 100)
+    val words = Multimodal.perceptualHashWords(spark,
+        Multimodal.synthPhashNearTable(spark, docs))
+      .collect().map(w => w.doc_id -> (w.hi, w.lo)).toMap
+    // planted pairs: hamming in (0, 2] mostly nonzero — the edit
+    // flips at most the two comparisons that see texel (0,0)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    val planted = (0L until 100L by 2).map(k =>
+      ham(words(k), words(k + 1)))
+    assert(planted.forall(_ <= 2))
+    assert(planted.exists(_ > 0),
+      "every planted edit hashed identically — the near regime is " +
+        "not being exercised")
+    // the registered banded query == the quadratic join, exactly
+    val got = graft.SparkEntry.queries("dedup_image_phash_near")(
+        spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val all = Multimodal.perceptualHashWords(spark,
+        Multimodal.synthPhashNearTable(spark,
+          graft.Tables.documents(spark, sf0001)))
+      .collect()
+    val quad = (for {
+      a <- all; b <- all if a.doc_id < b.doc_id
+      h = ham((a.hi, a.lo), (b.hi, b.lo)) if h <= 3
+    } yield (a.doc_id, b.doc_id, h.toLong)).toSet
+    assert(got == quad)
+  }
+
   test("synthWavTable samples follow the documented arithmetic " +
       "(the contract the SQL oracle mirrors)") {
     import spark.implicits._
