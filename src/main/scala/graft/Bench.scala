@@ -149,7 +149,8 @@ object Bench {
     // (canary 0.087/0.096, CPU canary 0.010/0.011, zero suspects)
     "retrieval_service_cap_cached" -> 1.46,
     "dedup_image_phash" -> 0.55,
-    "multimodal_png_resize" -> 0.55)
+    "multimodal_png_resize" -> 0.55,
+    "dedup_image_phash_near" -> 0.74)
   /** 1.5x (was 2.0x, round-11 VERDICT #1: curation_repeated_spans at
     * 1.74x over its committed median with BOTH canaries healthy slid
     * under the 2x gate three rounds running). Same-code run-to-run
