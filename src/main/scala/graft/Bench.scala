@@ -150,7 +150,30 @@ object Bench {
     "retrieval_service_cap_cached" -> 1.46,
     "dedup_image_phash" -> 0.55,
     "multimodal_png_resize" -> 0.55,
-    "dedup_image_phash_near" -> 0.74)
+    "dedup_image_phash_near" -> 0.74,
+    // round-13 extension (round-12 VERDICT #3): every query that has
+    // moved >= 3x between any two driver windows now carries a
+    // committed median REGARDLESS of absolute cost — setop_intersect
+    // (0.28 -> 1.59 on unchanged code) and q19_bundle_revenue
+    // (0.25 -> 1.12) evaded the absolute rule for lack of a baseline
+    // because they sit under the old ~0.55 s tail threshold. Values
+    // from the same 68.9 s zero-suspect closing window; movers list
+    // from the BENCH_r*.json history (r9-r12 stable-code windows)
+    // plus the r12 driver suspects that had no medians.
+    "setop_intersect" -> 0.276,
+    "setop_except" -> 0.25,
+    "q19_bundle_revenue" -> 0.245,
+    "json_props_extract" -> 0.312,
+    "vocab_topk" -> 0.249,
+    "vocab_topk_bpe" -> 0.177,
+    "q11_important_parts" -> 0.454,
+    "retention_cohort" -> 0.233,
+    "text_ngram_skip_search" -> 0.291,
+    "sample_stratified_lang" -> 0.137,
+    "sample_split_8020" -> 0.138,
+    "sample_epoch_order" -> 0.135,
+    "window_rank_family" -> 0.331,
+    "sim_cosine_lsh" -> 0.285)
   /** 1.5x (was 2.0x, round-11 VERDICT #1: curation_repeated_spans at
     * 1.74x over its committed median with BOTH canaries healthy slid
     * under the 2x gate three rounds running). Same-code run-to-run
@@ -240,6 +263,17 @@ object Bench {
     * re-measure the same bad environment. */
   def canaryRecoveredAt(canaryNow: Double, baseline: Double): Boolean =
     canaryNow <= baseline * 1.5
+
+  /** Bounded wait-for-recovery before the suspects re-measure
+    * (round-12 VERDICT #1): up to 5 x 45 s of sleep-and-re-probe when
+    * suspects exist but a canary is still elevated at end-of-run —
+    * one reading gave up on transient contention (r12: 7 suspects, 0
+    * remeasured off a single 1.7x CPU-canary blip). ~4 min worst case,
+    * paid only on degraded-window runs; the attempt count is published
+    * as `recovery_attempts` so an unremeasured artifact carries proof
+    * the window never recovered. */
+  val MaxRecoveryAttempts = 5
+  val RecoveryWaitMs = 45000L
 
   /** Of two same-bits measurements, publish the lower median — the
     * one not paying the transient environment cost. An all-failed
@@ -556,12 +590,36 @@ object Bench {
     // baseline — publishing the baseline as "end" on suspect-free
     // runs would fabricate exactly the signal the field exists for
     // (review-caught)
-    val canaryNow = runCanary()
-    val cpuCanaryNow = cpuCanaryOnce()
+    var canaryNow = runCanary()
+    var cpuCanaryNow = cpuCanaryOnce()
     // re-measuring inside a window that is still degraded in EITHER
-    // phase would re-measure the same bad environment
-    val canaryRecovered = canaryRecoveredAt(canaryNow, canaryBaseline) &&
-      canaryRecoveredAt(cpuCanaryNow, cpuCanaryBaseline)
+    // phase would re-measure the same bad environment — but ONE
+    // end-of-run reading is not a verdict on the window (round-12:
+    // 7 suspects, 0 remeasured, because a transient 1.7x CPU-canary
+    // blip at exactly the end-of-run probe closed the gate for good).
+    // Bounded wait-for-recovery (round-12 VERDICT #1): when suspects
+    // exist and either canary is elevated, sleep and re-probe up to
+    // [[MaxRecoveryAttempts]] times; publish the attempt count so an
+    // unremeasured artifact PROVES the window never recovered instead
+    // of leaving it ambiguous.
+    def recoveredNow(): Boolean =
+      canaryRecoveredAt(canaryNow, canaryBaseline) &&
+        canaryRecoveredAt(cpuCanaryNow, cpuCanaryBaseline)
+    var recoveryAttempts = 0
+    while (suspects.nonEmpty && !recoveredNow() &&
+        recoveryAttempts < MaxRecoveryAttempts) {
+      recoveryAttempts += 1
+      System.err.println(
+        s"[bench] canary degraded (spark ${f"$canaryNow%.3f"}s vs " +
+          s"${f"$canaryBaseline%.3f"}s, cpu ${f"$cpuCanaryNow%.3f"}s " +
+          s"vs ${f"$cpuCanaryBaseline%.3f"}s); waiting " +
+          s"${RecoveryWaitMs / 1000}s for recovery " +
+          s"(attempt $recoveryAttempts/$MaxRecoveryAttempts)")
+      Thread.sleep(RecoveryWaitMs)
+      canaryNow = runCanary()
+      cpuCanaryNow = cpuCanaryOnce()
+    }
+    val canaryRecovered = recoveredNow()
     val remeasured =
       if (suspects.nonEmpty && canaryRecovered) {
         System.gc(); Thread.sleep(2000)
@@ -593,7 +651,8 @@ object Bench {
         s"[bench] canary baseline=${f"$canaryBaseline%.3f"}s " +
           s"end=${f"$canaryNow%.3f"}s cpu baseline=" +
           s"${f"$cpuCanaryBaseline%.3f"}s end=${f"$cpuCanaryNow%.3f"}s " +
-          s"recovered=$canaryRecovered; " +
+          s"recovered=$canaryRecovered " +
+          s"recovery_attempts=$recoveryAttempts; " +
           s"suspects=${suspects.size} remeasured=${remeasured.size} " +
           s"pin_violations=${stillViolating.mkString(",")} " +
           s"elevated=${elevated.mkString(",")} " +
@@ -681,7 +740,7 @@ object Bench {
           }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary":$canaryStats,"cpu_canary":$cpuCanaryStats,"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"remeasured":${remeasured.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary":$canaryStats,"cpu_canary":$cpuCanaryStats,"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"remeasured":${remeasured.size},"recovery_attempts":$recoveryAttempts,"sf":"$sfDir"}"""
     // Artifact file carries the per-query spread (min/max over the 3
     // passes, chronological per-pass loadavg), per-pass GC seconds and
     // actual-disk-read MB, the per-entry canary series, and the pin /
@@ -690,7 +749,7 @@ object Bench {
     // page cache (ioMB high), heap (gc high), or host load (loadavg)
     // without a re-run.
     val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"phases":$phasesJson,"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"phases":$phasesJson,"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"recovery_attempts":$recoveryAttempts,"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), fileLine + "\n")
     println(line)

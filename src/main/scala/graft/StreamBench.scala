@@ -436,8 +436,13 @@ object StreamBench {
     // batchId-keyed delta writes per batch.
     val msrc = s"$root/media_src"
     Files.createDirectories(Paths.get(msrc))
-    val nMedia = nEvents / 20
-    val perMediaFile = nMedia / nFiles
+    // derive nMedia from what is actually WRITTEN (perMediaFile*nFiles
+    // rows), not nEvents/20 directly — for nEvents where nEvents/20 is
+    // not a multiple of nFiles the old claim over-counted and the
+    // mediaOk+mediaBad reconciliation below failed spuriously
+    // (round-12 ADVICE)
+    val perMediaFile = nEvents / 20 / nFiles
+    val nMedia = perMediaFile * nFiles
     val b64 = java.util.Base64.getEncoder
     id = 0
     (0 until nFiles).foreach { f =>

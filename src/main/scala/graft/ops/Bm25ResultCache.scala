@@ -92,7 +92,17 @@ object Bm25ResultCache {
       .map { case (qid, rows) =>
         (qid, rows.flatMap(_._2).distinct.sorted)
       }.toSeq
-    val repOf: Map[Seq[String], String] = canon.groupBy(_._2)
+    // same loud empty-batch contract as the uncached path
+    // (Bm25.scoreTopKIndexedBatch's `pairs.nonEmpty` — the documented
+    // same-contract promise covers this edge too; round-12 ADVICE)
+    require(canon.exists(_._2.nonEmpty), "bm25 batch: no query terms")
+    // an EMPTY termset alongside nonempty ones contributes no term
+    // pairs on the uncached path (zero output rows for its query_id);
+    // keep it out of the hit/miss partition here or a miss sub-batch
+    // containing only it would trip the uncached require — parity on
+    // both sides of the edge
+    val repOf: Map[Seq[String], String] = canon.filter(_._2.nonEmpty)
+      .groupBy(_._2)
       .map { case (ts, qs) => (ts, qs.map(_._1).min) }
     val stamp = indexStamp(spark, path)
     val keyOf: Map[String, String] = repOf
@@ -144,11 +154,10 @@ object Bm25ResultCache {
       case (Some(h), Some(m)) => h.unionByName(m)
       case (Some(h), None) => h
       case (None, Some(m)) => m
-      case (None, None) =>
-        return Seq.empty[(String, Long, Double, Long)]
-          .toDF("query_id", "doc_id", "score", "rank")
+      case (None, None) => throw new IllegalStateException(
+        "unreachable: empty batch rejected by the no-query-terms require")
     }
-    val mapping = canon
+    val mapping = canon.filter(_._2.nonEmpty)
       .map { case (qid, ts) => (repOf(ts), qid) }
       .toDF("rep_id", "query_id")
     repScored
@@ -194,12 +203,17 @@ object Bm25ResultCache {
 
   /** Memo GC: drop entries whose stamp is no longer the CURRENT
     * index's — stale keys can never hit again (the stamp is in the
-    * key), they are pure dead weight. Rewrites the survivors as one
-    * fresh batch then deletes the old dirs; maintenance op, no reader
-    * or writer in flight (the compaction contract every store here
-    * shares). Current keys are not enumerable from the memo alone, so
-    * the caller passes the live termset universe it cares about; keys
-    * outside it are dropped. */
+    * key), they are pure dead weight. Writes the survivors to a FRESH
+    * batch id FIRST, then deletes the superseded dirs (round-12
+    * ADVICE: the delete-first order silently emptied the whole memo on
+    * a crash between the steps — destroying exactly the warm entries
+    * the GC exists to preserve). A crash between the new order's steps
+    * leaves survivors transiently duplicated across old+new batches;
+    * the hit path's distinct() collapses them and a re-run finishes
+    * the delete. Maintenance op, no reader or writer in flight (the
+    * compaction contract every store here shares). Current keys are
+    * not enumerable from the memo alone, so the caller passes the live
+    * termset universe it cares about; keys outside it are dropped. */
   def compact(spark: SparkSession, path: String, memoPath: String,
       liveTermsets: Seq[Seq[String]], k: Int): Unit = {
     val stamp = indexStamp(spark, path)
@@ -207,20 +221,25 @@ object Bm25ResultCache {
       .map(ts => tsKey(ts.distinct.sorted, k, stamp))
     val memo = readMemo(spark, memoPath)
     val keep = memo.filter(col("ts_key").isin(live: _*)).distinct()
-      .localCheckpoint(true) // materialize BEFORE deleting its source
     val fs = graft.scale.Hdfs.of(spark, memoPath)
+    // snapshot the superseded dirs BEFORE writing, so the fresh batch
+    // is never in its own delete list
+    val marks = fs.globStatus(
+      new org.apache.hadoop.fs.Path(memoPath, "batch=*/_SUCCESS"))
+    val oldDirs =
+      if (marks == null) Seq.empty
+      else marks.toSeq.map(_.getPath.getParent)
+    val next = oldDirs
+      .flatMap(_.getName.stripPrefix("batch=").toLongOption)
+      .foldLeft(-1L)(math.max) + 1L
     import graft.scale.CommitProtocol.{run, step}
     run("bm25-memo-compact", Seq(
-      step("delete-old-batches") {
-        val marks = fs.globStatus(
-          new org.apache.hadoop.fs.Path(memoPath, "batch=*/_SUCCESS"))
-        if (marks != null) marks.foreach(m =>
-          fs.delete(m.getPath.getParent, true))
-      },
       step("write-survivors") {
         keep.write.mode(SaveMode.Overwrite)
-          .parquet(s"$memoPath/batch=0")
+          .parquet(s"$memoPath/batch=$next")
+      },
+      step("delete-superseded") {
+        oldDirs.foreach(d => fs.delete(d, true))
       }))
-    keep.unpersist(false)
   }
 }

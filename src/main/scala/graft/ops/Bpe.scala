@@ -306,12 +306,33 @@ object Bpe {
     * (round-11 verdict #2). Driver memory only; bounded like the
     * cache (one small table per corpus key). */
   private val trainedSnapshots =
-    new java.util.concurrent.ConcurrentHashMap[String, Merges]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Merges, Boolean)]()
+
+  /** Characters that break the SQL replay's separator-wrapped string
+    * arithmetic ([[graft.query.BpeOracle]]): the separator itself, a
+    * quote, whitespace/control chars, surrogate halves (the encoder
+    * segments UTF-16 units; DuckDB `(.)` matches codepoints). Checked
+    * on BOTH the trained symbols (BpeOracle.safe) and, since round 13,
+    * every distinct corpus word — the replay wraps ALL corpus words,
+    * not just the trained top-`vocabCap`, so a standalone `'|'` token
+    * in the corpus would break the `||` separator-count arithmetic
+    * even though every trained symbol is clean (round-12 ADVICE). */
+  private val ReplayUnsafeChar = "[\\x00-\\x20|'\\uD800-\\uDFFF]"
 
   /** The merge table trained for `key` in this session, if any. */
   def snapshotFor(key: String, numMerges: Int = 200,
       vocabCap: Int = 4096): Option[Merges] =
     Option(trainedSnapshots.get(s"$key;m=$numMerges;v=$vocabCap"))
+      .map(_._1)
+
+  /** [[snapshotFor]] gated on CORPUS replay-safety: Some only when no
+    * distinct corpus word contained a [[ReplayUnsafeChar]] at training
+    * time. The SQL-oracle entry point — an unsafe corpus keeps its BPE
+    * rows honestly rows-only instead of risking a false hash mismatch. */
+  def replaySnapshotFor(key: String, numMerges: Int = 200,
+      vocabCap: Int = 4096): Option[Merges] =
+    Option(trainedSnapshots.get(s"$key;m=$numMerges;v=$vocabCap"))
+      .collect { case (m, corpusSafe) if corpusSafe => m }
 
   def ensureMerges(spark: SparkSession, docs: DataFrame, key: String,
       numMerges: Int = 200, vocabCap: Int = 4096): Broadcast[Merges] =
@@ -321,7 +342,16 @@ object Bpe {
       _ => {
         val m = trainOnCorpus(docs, numMerges = numMerges,
           vocabCap = vocabCap)
-        trainedSnapshots.put(s"$key;m=$numMerges;v=$vocabCap", m)
+        // one bounded existence probe (limit-1 job, stops at the first
+        // offender) per session per corpus key — paid once here, at
+        // the same moment the corpus is scanned for the histogram, so
+        // the oracle dump stays a pure driver-side string build
+        val corpusSafe = docs
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "" && col("w").rlike(ReplayUnsafeChar))
+          .isEmpty
+        trainedSnapshots.put(s"$key;m=$numMerges;v=$vocabCap",
+          (m, corpusSafe))
         spark.sparkContext.broadcast(m)
       })
 

@@ -727,6 +727,39 @@ object Multimodal {
     }
   }
 
+  /** Outcome row of the dead-letter hash pass: exactly one of `phash`
+    * / `error` is set. `n_bytes` carries the payload length so an
+    * error row can land in the same rejects sink as a decode failure. */
+  final case class MediaHashOutcome(doc_id: Long, format: String,
+      n_bytes: Int, phash: Option[String], error: Option[String])
+
+  /** [[perceptualHashes]] under the dead-letter contract: a payload
+    * whose pixel decode throws routes to an error row instead of
+    * failing the task. A streaming dedup tier needs this even though
+    * its input is pre-filtered to decodable images by doc_id — a
+    * duplicated WIRE doc_id (one decodable png plus a corrupt or
+    * audio payload under the same id) re-attaches the bad payload to
+    * the decodable id, and an unguarded hash pass would fail the
+    * micro-batch forever on checkpoint replay (review-caught; the
+    * [[extractFeaturesOrDeadLetter]] discipline applied here). */
+  def perceptualHashesOrDeadLetter(spark: SparkSession,
+      media: DataFrame): Dataset[MediaHashOutcome] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        try MediaHashOutcome(rec.doc_id, rec.format,
+          if (rec.media == null) 0 else rec.media.length,
+          Some(dHashBits(decodePixelsAny(rec))), None)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            MediaHashOutcome(rec.doc_id, rec.format,
+              if (rec.media == null) 0 else rec.media.length, None,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   /** Synthesis arithmetic for the perceptual-dedup tables: a
     * middle-square mix (Knuth multiply alone is LINEAR in its input —
     * neighboring pixels would differ by a k-independent constant and

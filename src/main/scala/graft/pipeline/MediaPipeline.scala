@@ -94,19 +94,26 @@ object MediaPipeline {
       else {
         // fingerprint the decodable IMAGE rows (a second narrow pass
         // over the micro-batch; payload bytes never leave their
-        // partition). Corrupt rows are already in `outcomes.error`,
-        // so the hash pass only ever sees payloads that decode.
-        // distinct ids on the join's right side: a duplicated wire
-        // doc_id would otherwise MULTIPLY hash rows (n media rows x n
-        // outcome rows for the same id — review-caught)
+        // partition). distinct ids on the join's right side: a
+        // duplicated wire doc_id would otherwise MULTIPLY hash rows
+        // (n media rows x n outcome rows for the same id —
+        // review-caught). The same duplicated-id wire shape can also
+        // re-attach a NON-decodable payload (corrupt bytes, or a wav)
+        // to a decodable id, so the hash pass runs under the
+        // dead-letter contract too: a throwing payload routes to the
+        // rejects delta instead of failing the micro-batch forever on
+        // checkpoint replay (review-caught).
         val okImages = media.join(
           outcomes.filter(col("error").isNull &&
               col("format").isin("bmp", "png"))
             .select(col("doc_id")).distinct(),
           Seq("doc_id"))
-        val hashed = Multimodal.perceptualHashes(spark, okImages)
-          .toDF() // (doc_id, format, phash)
+        val hashOut = Multimodal
+          .perceptualHashesOrDeadLetter(spark, okImages)
+          .toDF() // (doc_id, format, n_bytes, phash, error)
           .localCheckpoint(true) // hash ONCE for dup split + append
+        val hashed = hashOut.filter(col("error").isNull)
+          .select(col("doc_id"), col("format"), col("phash"))
         try {
           // SELF-EXCLUDING store probe: a checkpoint replay of this
           // batch must not see its OWN previous append — a crash after
@@ -145,7 +152,17 @@ object MediaPipeline {
                   .parquet(s"${statsDir(path)}/batch=$batchId")
               },
               step("write-rejects-delta") {
-                writeRejects(outcomes, path, batchId)
+                // feature-pass rejects PLUS hash-pass rejects (the
+                // duplicated-id payloads above; a payload can appear
+                // in both when both passes threw on it — honest
+                // per-pass accounting, the sink is a log)
+                writeRejects(outcomes
+                  .select(col("doc_id"), col("format"),
+                    col("n_bytes"), col("error"))
+                  .unionByName(hashOut
+                    .select(col("doc_id"), col("format"),
+                      col("n_bytes"), col("error"))),
+                  path, batchId)
               },
               step("write-dups-delta") {
                 dupRows.write.mode(SaveMode.Overwrite)
@@ -161,7 +178,7 @@ object MediaPipeline {
                   .parquet(s"${phashStoreDir(path)}/batch=$batchId")
               }))
           } finally dupRows.unpersist(false)
-        } finally hashed.unpersist(false)
+        } finally hashOut.unpersist(false)
       }
     } finally outcomes.unpersist(false) // staged blocks die with the
     // batch, not with the stream (SketchPipeline discipline)

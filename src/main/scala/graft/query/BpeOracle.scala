@@ -24,16 +24,17 @@ import graft.ops.Bpe
   * reference on the same trap cases; this replay is a THIRD
   * implementation, in a different engine and paradigm.
   *
-  * Soundness guard: the wrapped-string replay is exact only while no
-  * symbol contains the separator `|`, a quote, or whitespace/control
-  * characters — [[safeFor]] refuses to emit an oracle otherwise and
-  * the affected queries simply stay rows-only (never a wrong oracle).
-  * The corpus words here are whitespace-split lowercased text, so the
-  * guard passes on every test corpus; a surrogate-pair (astral-plane)
-  * word could also diverge (the trainer segments UTF-16 units, RE2
-  * `(.)` matches codepoints) and is excluded by the same guard since
-  * surrogate halves are below U+E000 but above space — explicitly
-  * checked via isSurrogate.
+  * Soundness guard, BOTH sides: the wrapped-string replay is exact
+  * only while no SYMBOL and no distinct CORPUS WORD contains the
+  * separator `|`, a quote, whitespace/control characters, or a
+  * surrogate half (the trainer segments UTF-16 units, DuckDB `(.)`
+  * matches codepoints). [[safe]] checks the trained symbols;
+  * [[Bpe.replaySnapshotFor]] carries the corpus-side verdict (probed
+  * once at training time — the replay wraps EVERY distinct corpus
+  * word, so a standalone `'|'` token would break the `||`
+  * separator-count arithmetic even with a clean symbol table;
+  * round-12 ADVICE). Either failing keeps the affected queries
+  * rows-only — never a wrong oracle.
   */
 object BpeOracle {
 
@@ -46,9 +47,12 @@ object BpeOracle {
     }
 
   /** The trained table for `sfDir`'s default-parameter corpus, iff a
-    * sound replay can be emitted for it. */
+    * sound replay can be emitted for it: trained symbols clean
+    * ([[safe]]) AND every distinct corpus word clean
+    * ([[Bpe.replaySnapshotFor]] — the replay wraps ALL corpus words,
+    * so the corpus side needs the same guard; round-12 ADVICE). */
   def forKey(sfDir: String): Option[Bpe.Merges] =
-    Bpe.snapshotFor(sfDir).filter(safe)
+    Bpe.replaySnapshotFor(sfDir).filter(safe)
 
   /** The shared WITH-clause body (callers prepend `WITH RECURSIVE`):
     *  - `merges(r, a, b)`: the exported table, rank-ordered

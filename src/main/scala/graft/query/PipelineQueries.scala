@@ -448,16 +448,12 @@ object PipelineQueries {
     // are the rows-only sim_cosine_ivf* family; probe ids are the
     // real vec_ids so self-exclusion matches the oracle.
     "retrieval_hybrid_indexed_batch" -> ((s, d) => {
-      import s.implicits._
       val bmPath = Bm25.defaultPath(d)
       Bm25.ensurePostings(Tables.documents(s, d), bmPath)
       val emb = Tables.embeddings(s, d)
       val ivfPath = graft.ops.VectorIndex.defaultPath(d)
       graft.ops.VectorIndex.ensureIvf(emb, ivfPath)
-      val qs = Seq(
-        ("kj", Seq("key", "join", "scan")),
-        ("sp", Seq("spark", "part")),
-        ("wm", Seq("window", "merge"))).toDF("query_id", "terms")
+      val qs = hybridBatchQs(s)
       val lex = Bm25.scoreTopKIndexedBatch(s, bmPath, qs, 20)
         .select(col("query_id"), col("doc_id"), col("rank"))
       val qid = when(col("qvec") === 0L, "kj")
@@ -1139,8 +1135,20 @@ object PipelineQueries {
       }.toSeq.toDF("query_id", "terms", "embedding")
   }
 
+  /** The 3-query hybrid batch shared by the registered
+    * `retrieval_hybrid_indexed_batch` query and its phase probes, so
+    * both time the identical input. */
+  private def hybridBatchQs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("kj", Seq("key", "join", "scan")),
+      ("sp", Seq("spark", "part")),
+      ("wm", Seq("window", "merge"))).toDF("query_id", "terms")
+  }
+
   /** Per-pass phase probes for the bench's attribution telemetry
-    * (round-11 verdict #1/#4): each entry maps a registered
+    * (round-11 verdict #1/#4; extended to the two round-12 elevated
+    * entries per round-12 verdict #2): each entry maps a registered
     * high-variance query to its sub-phase frames, timed once per
     * published pass and emitted as the artifact's `phases` field — so
     * an inflated or high-spread pass decomposes into the phase that
@@ -1148,6 +1156,30 @@ object PipelineQueries {
     * (same helpers, same batch), not approximations. */
   def phaseProbes: Map[String,
       Seq[(String, (SparkSession, String) => DataFrame)]] = Map(
+    // r12's biggest unexplained number (1.07-7.13 same-window spread):
+    // decompose into the stamped ensure re-checks (store staleness
+    // probes landing inside a timed pass were the prime suspect), the
+    // bucket-pruned postings probe, and the IVF probe
+    "retrieval_hybrid_indexed_batch" -> Seq(
+      "ensure_check" -> ((s, d) => {
+        Bm25.ensurePostings(Tables.documents(s, d), Bm25.defaultPath(d))
+        VectorIndex.ensureIvf(Tables.embeddings(s, d),
+          VectorIndex.defaultPath(d))
+        s.range(1).toDF()
+      }),
+      "lexical" -> ((s, d) => Bm25.scoreTopKIndexedBatch(s,
+        Bm25.defaultPath(d), hybridBatchQs(s), 20)),
+      "dense" -> ((s, d) => VectorIndex.queryIvf(s,
+        VectorIndex.defaultPath(d),
+        Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 1L, 2L)),
+        20, nProbe = 16))),
+    // third round on the weak list: split the narrow CPU-bound
+    // fingerprint pass from the banded candidate join (the verify
+    // remainder = published - candidates)
+    "dedup_simhash" -> Seq(
+      "fingerprint" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
+      "band_candidates" -> ((s, d) =>
+        Dedup.simHashCandidates(Tables.documents(s, d)))),
     "retrieval_service_cap" -> Seq(
       "lexical" -> ((s, d) => graft.pipeline.RetrievalPipeline
         .lexicalHalf(s, Bm25.defaultPath(d), serviceCapBatch(s, d), 20)),

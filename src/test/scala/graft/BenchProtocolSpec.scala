@@ -107,18 +107,44 @@ class BenchProtocolSpec extends AnyFunSuite {
       true))
   }
 
-  test("phase probes cover the two high-variance entries, and every " +
+  test("phase probes cover the four high-variance entries, and every " +
       "probed name is a registered query") {
     val probes = graft.query.PipelineQueries.phaseProbes
     assert(probes.contains("retrieval_service_cap"))
     assert(probes("retrieval_service_cap").map(_._1) ==
       Seq("lexical", "dense"))
     assert(probes.contains("dedup_components_lsh"))
+    // round-12 verdict #2: the two r12 elevated entries carry probes
+    assert(probes("retrieval_hybrid_indexed_batch").map(_._1) ==
+      Seq("ensure_check", "lexical", "dense"))
+    assert(probes("dedup_simhash").map(_._1) ==
+      Seq("fingerprint", "band_candidates"))
     // a probe on an unregistered name would silently never run
     assert(probes.keySet.subsetOf(graft.SparkEntry.queries.keySet))
     // probed entries must also carry committed medians — the probe
     // exists to attribute an absolute-rule firing
     assert(probes.keySet.forall(Bench.Committed.contains))
+  }
+
+  // ---- round-13 additions
+
+  test("recovery wait is bounded and real: <= ~4 min worst case, and " +
+      "the sub-0.55s movers all carry committed medians now") {
+    assert(Bench.MaxRecoveryAttempts == 5)
+    assert(Bench.RecoveryWaitMs >= 30000L && Bench.RecoveryWaitMs <= 60000L)
+    // round-12 VERDICT #3: the proven >=3x movers below the old tail
+    // threshold are gated regardless of absolute cost
+    assert(Seq("setop_intersect", "q19_bundle_revenue",
+      "json_props_extract", "vocab_topk", "vocab_topk_bpe",
+      "q11_important_parts", "setop_except", "retention_cohort",
+      "text_ngram_skip_search", "sample_stratified_lang",
+      "sample_split_8020", "sample_epoch_order", "window_rank_family",
+      "sim_cosine_lsh").forall(Bench.Committed.contains))
+    // every committed name must be a registered query — a typo'd
+    // entry would silently never gate
+    assert(Bench.Committed.keySet.subsetOf(
+      graft.SparkEntry.queries.keySet))
+    assert(Bench.Pins.keySet.subsetOf(graft.SparkEntry.queries.keySet))
   }
 
   test("cpu canary: deterministic fixed work, strictly positive time") {

@@ -92,5 +92,44 @@ class Bm25ResultCacheSpec extends SparkSpec {
     assert(canon(Bm25ResultCache.scoreTopKCachedBatch(spark, path,
         memo, qs, 5)) ==
       canon(Bm25.scoreTopKIndexedBatch(spark, path, qs, 5)))
+    // write-survivors-first (round-12 ADVICE): the survivors landed in
+    // a FRESH batch dir, the superseded dirs are gone — so a crash
+    // between compact's steps can only ever duplicate, never empty
+    val dirs = new java.io.File(memo).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs.nonEmpty && !dirs.exists(d =>
+        d.stripPrefix("batch=").toLong <= 1L),
+      s"survivors must land in a fresh batch id, got $dirs")
+  }
+
+  test("empty batch and no-terms batch throw the uncached path's " +
+      "require; an empty termset ALONGSIDE real ones contributes no " +
+      "rows on either path (contract parity, round-12 ADVICE)") {
+    val path = tmpDir("bm25-rc-empty")
+    val memo = tmpDir("bm25-rc-empty-memo")
+    Bm25.ensurePostings(docs, path)
+    val empty = Seq.empty[(String, Seq[String])]
+      .toDF("query_id", "terms")
+    val e1 = intercept[IllegalArgumentException] {
+      Bm25ResultCache.scoreTopKCachedBatch(spark, path, memo, empty, 5)
+    }
+    assert(e1.getMessage.contains("no query terms"))
+    val noTerms = Seq(("q", Seq.empty[String]))
+      .toDF("query_id", "terms")
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25ResultCache.scoreTopKCachedBatch(spark, path, memo, noTerms, 5)
+    }
+    assert(e2.getMessage.contains("no query terms"))
+    // mixed: the empty-termset query id yields zero rows, the real one
+    // scores — identical on cached and uncached paths, warm or cold
+    val mixed = Seq(("q", Seq.empty[String]), ("r", Seq("key", "join")))
+      .toDF("query_id", "terms")
+    val truth = canon(Bm25.scoreTopKIndexedBatch(spark, path, mixed, 5))
+    val cold = canon(
+      Bm25ResultCache.scoreTopKCachedBatch(spark, path, memo, mixed, 5))
+    val warm = canon(
+      Bm25ResultCache.scoreTopKCachedBatch(spark, path, memo, mixed, 5))
+    assert(cold == truth && warm == truth)
+    assert(!truth.exists(_.startsWith("q|")))
   }
 }

@@ -167,6 +167,62 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.dups(spark, store).count() == 2)
   }
 
+  test("phash dedup tier: a duplicated wire doc_id re-attaching a " +
+      "non-decodable payload to a decodable id dead-letters the bad " +
+      "payload instead of failing the micro-batch forever") {
+    // round-12 ADVICE (medium): the decodable-ids join pulls EVERY
+    // media row with that doc_id into the hash pass — one decodable
+    // png plus a corrupt body and a wav under the SAME id means the
+    // hash pass sees payloads decodePixelsAny throws on. The stream
+    // must finish (checkpoint replay of a thrown batch retries the
+    // same data forever), the good png must be kept + fingerprinted,
+    // and the throwing payloads must land in rejects.
+    val src = tmpDir("mediadupid-src")
+    val store = tmpDir("mediadupid-store")
+    val ckpt = tmpDir("mediadupid-ckpt")
+    // doc 2 uses the middle-square synthCell pattern: the plain
+    // linear-gradient png(id) images all share ONE dHash (monotone in
+    // x regardless of id — the documented linearity trap), which
+    // would make doc 2 a perceptual dup of doc 0 here
+    val png2 = Multimodal.pngBytes(8, 4, (x, y) => Multimodal.packRgb(
+      Multimodal.synthCell(40L, x, y, 0),
+      Multimodal.synthCell(40L, x, y, 1),
+      Multimodal.synthCell(40L, x, y, 2)))
+    Files.write(Paths.get(src, "f0.json"), Seq(
+      line(0L, png(0L), "png"), // decodable image
+      line(0L, "not a png at all".getBytes, "png"), // corrupt, same id
+      line(0L, wav(0L), "wav"), // no pixel decoder, same id
+      line(2L, png2, "png")) // an unrelated fresh image
+      .mkString("\n").getBytes)
+    val q = MediaPipeline.start(spark, src, store, ckpt,
+      phashDedup = true)
+    assert(q.awaitTermination(120000),
+      "stream did not finish: the hash pass failed the micro-batch")
+    // the good png and the wav both feature-decode (stats keeps both
+    // payload rows of id 0 that decoded); the corrupt body rejects
+    // from the feature pass; the wav ALSO rejects from the hash pass
+    // (no pixel decoder) without killing the batch
+    val stats = MediaPipeline.stats(spark, store)
+      .select("doc_id", "format").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(stats == Set((0L, "png"), (0L, "wav"), (2L, "png")))
+    val rejects = MediaPipeline.rejects(spark, store)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("format"), r.getAs[String]("error")))
+    // corrupt png body: feature-pass reject AND hash-pass reject
+    // (both passes threw on it — per-pass accounting); wav payload:
+    // hash-pass reject only
+    assert(rejects.exists { case (id, f, e) =>
+      id == 0L && f == "wav" && e.contains("no pixel decoder") })
+    assert(rejects.exists { case (id, f, _) => id == 0L && f == "png" })
+    // both pngs fingerprinted (distinct images -> both kept, no dups)
+    assert(MediaPipeline.dups(spark, store).count() == 0)
+    // replay idempotence holds through the dead-letter path too
+    MediaPipeline.start(spark, src, store, ckpt, phashDedup = true)
+      .awaitTermination(120000)
+    assert(MediaPipeline.stats(spark, store).count() == 3)
+  }
+
   test("an empty store reads as empty frames, not a schema error") {
     val store = tmpDir("media-empty")
     assert(MediaPipeline.stats(spark, store).count() == 0)

@@ -38,4 +38,32 @@ class BpeOracleSpec extends SparkSpec {
     assert(sql.contains(s"(0, '$a', '$b')"))
     assert(sql.contains(s"e.r < ${m.get.pairs.length}"))
   }
+
+  test("forKey refuses a corpus whose WORDS would break the replay, " +
+      "even when every trained symbol is clean (round-12 ADVICE)") {
+    import spark.implicits._
+    // a standalone '|' token survives the \s+ split but never enters
+    // the trained top-vocab symbols — the replay would still wrap it,
+    // and its '||'-count arithmetic would read 2 tokens where the
+    // encoder reads 1 (a false hash-gate failure, not a wrong answer)
+    val key = "mem:bpe-unsafe-corpus"
+    val docs = Seq(
+      (1L, "the quick fox | jumps the fox"),
+      (2L, "the lazy dog naps the dog"))
+      .toDF("doc_id", "text")
+    Bpe.ensureMerges(spark, docs, key = key)
+    val snap = Bpe.snapshotFor(key)
+    assert(snap.nonEmpty && BpeOracle.safe(snap.get),
+      "trained symbols should be clean here — the corpus is the problem")
+    assert(Bpe.replaySnapshotFor(key).isEmpty)
+    assert(BpeOracle.forKey(key).isEmpty)
+    // a clean corpus with the same shape stays oracle-eligible
+    val cleanKey = "mem:bpe-clean-corpus"
+    Bpe.ensureMerges(spark, Seq(
+      (1L, "the quick fox jumps the fox"),
+      (2L, "the lazy dog naps the dog")).toDF("doc_id", "text"),
+      key = cleanKey)
+    assert(Bpe.replaySnapshotFor(cleanKey).nonEmpty)
+    assert(BpeOracle.forKey(cleanKey).nonEmpty)
+  }
 }

@@ -357,7 +357,9 @@ class CommitCrashSpec extends SparkSpec {
     }
   }
 
-  // ---- 10. BM25 result-cache memo GC (delete-old + rewrite-survivors)
+  // ---- 10. BM25 result-cache memo GC (write-survivors-first, then
+  // delete-superseded — round-12 ADVICE flipped the order so no crash
+  // window can empty the memo)
 
   private object MemoCompact extends CrashCase {
     val name = "bm25 memo compact"
