@@ -512,6 +512,117 @@ object Multimodal {
     }.toDF()
   }
 
+  /** The LOSSY-format sibling of [[PngDecoder]]: JPEG through the same
+    * JDK ImageIO stack (zero new dependencies) — the modality that
+    * dominates every real crawl. Same
+    * `features = [width, height, meanR, meanG, meanB]` shape, same
+    * shared validated read path (ImageIO sniffs the container, the
+    * decompression-bomb guard applies unchanged). UNLIKE WAV/BMP/PNG,
+    * JPEG decode output is NOT bit-portable across decoder builds (DCT
+    * + quantization round-trip), so this codec's registered query is
+    * honestly rows-only; its correctness gate is a TOLERANCE
+    * differential in MultimodalSpec (decoded per-channel means within
+    * epsilon of the synthesis values) plus the perceptual-dedup pin
+    * (a JPEG re-encode dHashes within hamming 3 of its source — the
+    * re-crawl case the lossy modality exists to exercise). */
+  object JpegDecoder extends MediaDecoder {
+    override def decodeBatch(
+        records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      records.map(decodeJpeg)
+
+    private[ops] def decodeJpeg(rec: MediaRecord): MediaFeatures = {
+      val px = readPngPixels(rec) // shared ImageIO path, sniffs JPEG
+      val (w, h) = (px.width, px.height)
+      var rSum = 0L; var gSum = 0L; var bSum = 0L
+      var i = 0
+      while (i < px.rgb.length) {
+        val p = px.rgb(i)
+        rSum += (p >> 16) & 0xff
+        gSum += (p >> 8) & 0xff
+        bSum += p & 0xff
+        i += 1
+      }
+      val n = w.toLong * h
+      MediaFeatures(rec.doc_id, rec.media.length, rec.format,
+        Array(w.toDouble, h.toDouble,
+          rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n))
+    }
+  }
+
+  /** Serialize pixels as a baseline JPEG at an EXPLICIT quality — the
+    * lossy half of the [[JpegDecoder]] round trip. Same `pixel(x, y)`
+    * contract as [[pngBytes]]/[[bmpBytes]]. Quality is pinned (never
+    * the writer default) so the synthesis<->decode tolerance specs
+    * gate one fixed operating point. */
+  def jpegBytes(width: Int, height: Int, pixel: (Int, Int) => Int,
+      quality: Float = 0.85f): Array[Byte] = {
+    require(width > 0 && height > 0, "jpegBytes: empty image")
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+      y += 1
+    }
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    require(writers.hasNext, "jpegBytes: no JPEG writer") // never on a JDK
+    val writer = writers.next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream(256 + width * height)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null),
+        params)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Photographic-ish synthesis for the LOSSY modality: smooth
+    * per-doc triangle-wave ramps (period 16 px, amplitude 96 over a
+    * per-doc base) — low-frequency content JPEG's DCT quantization
+    * preserves closely, unlike the synthCell white-noise texture,
+    * while still giving every doc a distinct, non-degenerate dHash
+    * (the ramps fold, so neighbor comparisons change sign across the
+    * image). Channel value at (x, y):
+    * `50 + base_c(id) + tri(x + phaseX_c(id)) + tri(y + phaseY_c(id))/2`
+    * with per-doc, per-channel base [0, 40) and phases — all values in
+    * [50, 233], no clipping, exactly reproducible by any engine's
+    * integer arithmetic (the tolerance spec recomputes them). The base
+    * term exists because the tri means are phase-INVARIANT over the
+    * full periods a 32x16 image spans — without it every doc would
+    * share one channel mean and the quality gate could not
+    * discriminate. */
+  def jpegSynthChannel(id: Long, x: Int, y: Int, salt: Int): Int = {
+    def tri(t: Long): Int = {
+      val m = ((t % 16) + 16) % 16
+      (if (m < 8) m * 12 else (16 - m) * 12).toInt // 0..96 fold
+    }
+    50 + ((id * 13 + salt * 29) % 40).toInt +
+      tri(x + (id * 7 + salt * 5) % 16) +
+      tri(y + (id * 11 + salt * 3) % 16) / 2
+  }
+
+  /** A synthetic per-doc JPEG table — the [[synthPngTable]] pattern
+    * through the LOSSY container, at 32x16 so the image spans multiple
+    * 8x8 DCT blocks. Decode output is decoder-build-local, so no SQL
+    * oracle; MultimodalSpec's tolerance differential is the gate. */
+  def synthJpegTable(spark: SparkSession, docs: DataFrame,
+      width: Int = 32, height: Int = 16): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRecord(id, jpegBytes(width, height, (x, y) => packRgb(
+        jpegSynthChannel(id, x, y, 0),
+        jpegSynthChannel(id, x, y, 1),
+        jpegSynthChannel(id, x, y, 2))), "jpeg")
+    }.toDF()
+  }
+
   /** Nearest-neighbor resize of a PNG, re-encoded as PNG — the
     * compressed-format sibling of [[resizeBmpNearest]]: the full
     * inflate -> resample -> deflate chain on real container bytes.
@@ -553,6 +664,7 @@ object Multimodal {
           case "wav" => WavDecoder.decodeWav(rec)
           case "bmp" => BmpDecoder.decodeBmp(rec)
           case "png" => PngDecoder.decodePng(rec)
+          case "jpg" | "jpeg" => JpegDecoder.decodeJpeg(rec)
           case other => throw new IllegalArgumentException(
             s"doc ${rec.doc_id}: no real decoder for format '$other'")
         }
@@ -596,7 +708,7 @@ object Multimodal {
     * loud doc-tagged failure contract. */
   private[ops] def decodePixelsAny(rec: MediaRecord): PngPixels =
     rec.format match {
-      case "png" => readPngPixels(rec)
+      case "png" | "jpg" | "jpeg" => readPngPixels(rec)
       case "bmp" =>
         val h = parseBmpHeader(rec)
         val bytes = rec.media

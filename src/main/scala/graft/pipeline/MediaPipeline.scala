@@ -105,7 +105,7 @@ object MediaPipeline {
         // checkpoint replay (review-caught).
         val okImages = media.join(
           outcomes.filter(col("error").isNull &&
-              col("format").isin("bmp", "png"))
+              col("format").isin("bmp", "png", "jpg", "jpeg"))
             .select(col("doc_id")).distinct(),
           Seq("doc_id"))
         val hashOut = Multimodal

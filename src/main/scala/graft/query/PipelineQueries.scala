@@ -194,8 +194,11 @@ object PipelineQueries {
     // ONCE (ensure-style, like the IVF/signature stores), and the query
     // scans tinyint codes (4x fewer bytes at 100 TB, where ANN cost is
     // reading embeddings), dequantizing on the fly inside codegen.
-    // Quantization error perturbs 4-decimal sims -> rows-only; recall
-    // vs the float path is pinned at 1.0 on this data in SimilaritySpec.
+    // HASH-GATED since round 13: the oracle replays the
+    // quantize->dequantize round trip from the raw embeddings
+    // (simTopKInt8OracleSql — exact integer arithmetic + IEEE divides
+    // reproduce bit-identical reconstructed floats); recall vs the
+    // float path additionally pinned at 1.0 in SimilaritySpec.
     "sim_cosine_topk_int8" -> ((s, d) => {
       val path = sys.props("java.io.tmpdir") + "/graft_int8_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
@@ -854,6 +857,33 @@ object PipelineQueries {
             element_at(col("features"), 2)).cast("long").as("sum_b"))
         .orderBy(col("doc_id"))),
 
+    // The LOSSY modality through the real JPEG codec (round-12
+    // verdict #4): synthesize photographic-ish triangle-wave ramps,
+    // encode baseline JPEG at pinned quality, decode, emit per-doc
+    // dimensions + channel sums. ROWS-ONLY by design: DCT decode
+    // output is not bit-portable across decoder builds, so the gate
+    // is MultimodalSpec's tolerance differential (means within
+    // epsilon of synthesis) + the dHash lossy re-encode pin — never
+    // a hash row that would break on a JDK upgrade.
+    "multimodal_jpeg_stats" -> ((s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.synthJpegTable(s, Tables.documents(s, d)),
+          Multimodal.JpegDecoder)
+        .toDF()
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          (element_at(col("features"), 3) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_r"),
+          (element_at(col("features"), 4) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_g"),
+          (element_at(col("features"), 5) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_b"))
+        .orderBy(col("doc_id"))),
+
     // The full real-media chain through the COMPRESSED codec:
     // synthesize PNG -> inflate + resample + re-deflate (a second
     // real PNG container) -> decode the resized bytes -> channel
@@ -1054,6 +1084,42 @@ object PipelineQueries {
       |   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |     CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
       | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      | WHERE q.vec_id < 8)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** [[simTopKOracleSql]] over an INDEPENDENTLY recomputed
+    * quantize→dequantize round trip (round-12 verdict #6): symmetric
+    * per-vector int8 is exact integer arithmetic plus one IEEE divide,
+    * so DuckDB can replay it from the raw embeddings parquet — never
+    * from the persisted codes the Spark side reads (the dHash/BPE
+    * independent-recomputation pattern). Bit-parity notes: both
+    * engines compute q_scale = max|x|/127 and x/q_scale in double
+    * (IEEE-identical), both round halves away from zero (Spark
+    * HALF_UP == DuckDB round(), probed), and both dequantize as
+    * CAST(code * q_scale AS REAL) — so the reconstructed float arrays
+    * are bit-identical and the cosine/rank pipeline is the already
+    * hash-gated brute-force oracle's. */
+  private val simTopKInt8OracleSql: String =
+    """WITH sc AS (SELECT vec_id,
+      |  list_max(list_transform(embedding,
+      |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS q_scale
+      | FROM embeddings),
+      |deq AS (SELECT e.vec_id,
+      |  CASE WHEN s.q_scale = 0
+      |   THEN list_transform(e.embedding, x -> CAST(0.0 AS REAL))
+      |   ELSE list_transform(e.embedding, x ->
+      |     CAST(round(CAST(x AS DOUBLE) / s.q_scale) * s.q_scale
+      |       AS REAL))
+      |  END AS embedding
+      | FROM embeddings e JOIN sc s USING (vec_id))
+      |SELECT query_id, neighbor_id, sim, rank FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |    CAST(c.embedding AS DOUBLE[])), 4) AS sim,
+      |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |     CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
+      | FROM deq q JOIN deq c ON q.vec_id != c.vec_id
       | WHERE q.vec_id < 8)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
@@ -1581,6 +1647,10 @@ object PipelineQueries {
     // spec-gated (round-10 verdict #2)
     "sim_cosine_ivf_full" -> simTopKOracleSql,
     "sim_cosine_lsh_exhaustive" -> simTopKOracleSql,
+    // the persisted-int8 path replays quantize->dequantize in SQL
+    // (round-12 verdict #6): one more layout hash-gated, not just
+    // spec-gated
+    "sim_cosine_topk_int8" -> simTopKInt8OracleSql,
     "text_token_count" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens

@@ -627,4 +627,150 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- JPEG: the lossy modality (round-12 verdict #4). DCT decode
+  // output is not bit-portable across decoder builds, so the gates
+  // here are TOLERANCE differentials against the synthesis values —
+  // never the integer-sum hash trick the lossless codecs use.
+
+  test("jpegBytes -> JpegDecoder: decoded per-channel means within " +
+      "epsilon of the synthesis values; dimensions exact") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val decoded = Multimodal.extractFeatures(spark,
+        Multimodal.synthJpegTable(spark, docs), Multimodal.JpegDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(decoded.size == 40)
+    (0L until 40L).foreach { id =>
+      val f = decoded(id)
+      assert(f.features(0) == 32.0 && f.features(1) == 16.0,
+        s"doc $id dimensions survived the lossy round trip")
+      // synthesis truth, recomputed independently of the codec
+      val n = 32 * 16
+      val truth = (0 until 3).map { c =>
+        (for (y <- 0 until 16; x <- 0 until 32)
+          yield Multimodal.jpegSynthChannel(id, x, y, c)).sum.toDouble / n
+      }
+      (0 until 3).foreach { c =>
+        val got = f.features(2 + c)
+        assert(math.abs(got - truth(c)) <= 2.0,
+          s"doc $id channel $c: decoded mean $got vs synthesis " +
+            s"${truth(c)} — outside the 2.0 tolerance")
+      }
+    }
+  }
+
+  test("JPEG payloads route through MixedRealDecoder and the shared " +
+      "pixel path; corrupt JPEG fails loudly doc-tagged") {
+    import spark.implicits._
+    val rec = Multimodal.MediaRecord(7L,
+      Multimodal.jpegBytes(16, 16, (x, y) => Multimodal.packRgb(
+        Multimodal.jpegSynthChannel(7L, x, y, 0),
+        Multimodal.jpegSynthChannel(7L, x, y, 1),
+        Multimodal.jpegSynthChannel(7L, x, y, 2))), "jpeg")
+    val viaMixed = Multimodal.extractFeatures(spark,
+        Seq(rec).toDF(), Multimodal.MixedRealDecoder).collect().head
+    assert(viaMixed.features(0) == 16.0 && viaMixed.features(1) == 16.0)
+    // "jpg" tag routes identically
+    val viaJpg = Multimodal.extractFeatures(spark,
+        Seq(rec.copy(format = "jpg")).toDF(),
+        Multimodal.MixedRealDecoder).collect().head
+    assert(viaJpg.features.toSeq == viaMixed.features.toSeq)
+    val boom = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark,
+        Seq(Multimodal.MediaRecord(9L,
+          "not a jpeg".getBytes, "jpeg")).toDF(),
+        Multimodal.MixedRealDecoder).collect()
+    }
+    assert(boom.getMessage.contains("doc 9"))
+  }
+
+  test("quality gate discriminates on the JPEG modality: the image " +
+      "channel-sum band keeps some decoded JPEGs and rejects others") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val stats = Multimodal.extractFeatures(spark,
+        Multimodal.synthJpegTable(spark, docs), Multimodal.JpegDecoder)
+      .toDF()
+      .select(col("doc_id"),
+        ((element_at(col("features"), 3) +
+          element_at(col("features"), 4) +
+          element_at(col("features"), 5)) *
+          element_at(col("features"), 1) *
+          element_at(col("features"), 2)).as("channel_sum"))
+    // band chosen around the triangle-ramp population's spread —
+    // what matters is that the gate GENUINELY discriminates (some
+    // pass, some fail), proving the decode feeds a usable statistic
+    val total = stats.count()
+    val kept = stats.filter(col("channel_sum")
+      .between(190000.0, 220000.0)).count()
+    assert(total == 60 && kept > 0 && kept < total,
+      s"gate must discriminate: kept $kept of $total")
+  }
+
+  test("dHash is robust to JPEG re-encode (the lossy re-crawl): " +
+      "planted re-encodes land within hamming 3, the banded " +
+      "pigeonhole finds every pair, and byte dedup sees nothing") {
+    import Multimodal.{MediaRecord, dHashWords, decodePixelsAny}
+    // Per-doc 8x8-block-constant GRAYSCALE images at 72x64 — the
+    // dHash 9x8 sample grid lands exactly one pixel per block
+    // (x_i = 72i/9 = 8i, y_j = 64j/8 = 8j), adjacent blocks are
+    // FORCED to distinct levels >= 68 counts apart (204 on the gray
+    // sum), and flat blocks survive JPEG as a DC-only coefficient
+    // with ~±3/channel error — so every one of the 64 comparisons
+    // carries a margin JPEG quantization cannot flip. This is the
+    // honest robustness claim: dHash survives lossy re-encode when
+    // neighbor contrasts are decisive (natural images), not on
+    // white-noise textures where comparisons are coin flips.
+    val levels = Array(30, 98, 166, 234)
+    def blockLevel(id: Long, bi: Int, bj: Int): Int = {
+      // a constrained walk along each block row: the next level is
+      // always one of the 3 OTHER levels — no adjacent ties
+      var idx = (Multimodal.synthCell(id, 0, bj, 1) % 4 + 4) % 4
+      var i = 0
+      while (i < bi) {
+        idx = (idx + 1 + (Multimodal.synthCell(id, i + 1, bj, 1) % 3
+          + 3) % 3) % 4
+        i += 1
+      }
+      levels(idx)
+    }
+    val recs = (0L until 20L).flatMap { k =>
+      def px(x: Int, y: Int) = {
+        val v = blockLevel(k, x / 8, y / 8)
+        Multimodal.packRgb(v, v, v)
+      }
+      Seq(
+        MediaRecord(2 * k, Multimodal.bmpBytes(72, 64, px), "bmp"),
+        MediaRecord(2 * k + 1, Multimodal.jpegBytes(72, 64, px), "jpeg"))
+    }
+    val words = recs.map(r => r.doc_id ->
+      dHashWords(decodePixelsAny(r))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    (0L until 20L).foreach { k =>
+      val d = ham(words(2 * k), words(2 * k + 1))
+      assert(d <= 3, s"pair $k: JPEG re-encode drifted to hamming $d")
+    }
+    // distinct docs stay far apart — the tolerance isn't vacuous
+    val cross = for (i <- 0L until 20L; j <- (i + 1) until 20L)
+      yield ham(words(2 * i), words(2 * j))
+    assert(cross.count(_ <= 3) == 0,
+      "distinct synth docs must not collide within the tolerance")
+    // the 4x16-bit pigeonhole (the dedup_image_phash_near plan) has
+    // recall 1 for hamming <= 3 BY CONSTRUCTION: <= 3 differing bits
+    // touch <= 3 of the 4 bands, so at least one band matches
+    (0L until 20L).foreach { k =>
+      val (ahi, alo) = words(2 * k); val (bhi, blo) = words(2 * k + 1)
+      val bandsA = Seq(ahi & 0xffff, ahi >>> 16, alo & 0xffff, alo >>> 16)
+      val bandsB = Seq(bhi & 0xffff, bhi >>> 16, blo & 0xffff, blo >>> 16)
+      assert(bandsA.zip(bandsB).exists { case (x, y) => x == y },
+        s"pair $k must share a band")
+    }
+    // byte-level dedup can never see these pairs
+    recs.grouped(2).foreach { case Seq(a, b) =>
+      assert(!java.util.Arrays.equals(a.media, b.media))
+    }
+  }
 }

@@ -223,6 +223,33 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.stats(spark, store).count() == 3)
   }
 
+  test("phash dedup tier covers the JPEG modality: jpeg rows " +
+      "fingerprint through the shared pixel path, and a re-sent " +
+      "identical jpeg routes to the dups delta") {
+    val src = tmpDir("mediajpeg-src")
+    val store = tmpDir("mediajpeg-store")
+    val ckpt = tmpDir("mediajpeg-ckpt")
+    val jpeg = Multimodal.jpegBytes(32, 16, (x, y) => Multimodal.packRgb(
+      Multimodal.jpegSynthChannel(3L, x, y, 0),
+      Multimodal.jpegSynthChannel(3L, x, y, 1),
+      Multimodal.jpegSynthChannel(3L, x, y, 2)))
+    val other = Multimodal.jpegBytes(32, 16, (x, y) => Multimodal.packRgb(
+      Multimodal.jpegSynthChannel(9L, x, y, 0),
+      Multimodal.jpegSynthChannel(9L, x, y, 1),
+      Multimodal.jpegSynthChannel(9L, x, y, 2)))
+    Files.write(Paths.get(src, "f0.json"), Seq(
+      line(0L, jpeg, "jpeg"),
+      line(1L, jpeg, "jpg"), // identical bytes, alternate tag -> dup
+      line(2L, other, "jpeg")) // distinct image -> kept
+      .mkString("\n").getBytes)
+    MediaPipeline.start(spark, src, store, ckpt, phashDedup = true)
+      .awaitTermination(120000)
+    assert(MediaPipeline.stats(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 2L))
+    assert(MediaPipeline.dups(spark, store)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("an empty store reads as empty frames, not a schema error") {
     val store = tmpDir("media-empty")
     assert(MediaPipeline.stats(spark, store).count() == 0)
