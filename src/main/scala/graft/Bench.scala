@@ -173,7 +173,11 @@ object Bench {
     "sample_split_8020" -> 0.138,
     "sample_epoch_order" -> 0.135,
     "window_rank_family" -> 0.331,
-    "sim_cosine_lsh" -> 0.285)
+    "sim_cosine_lsh" -> 0.285,
+    // round-13's own >0.55 s addition, seeded from the 68.6 s / 174
+    // healthy window (canary 0.089/0.094, CPU 0.010/0.011, the
+    // round's one suspect auto-remeasured and re-landed)
+    "multimodal_jpeg_stats" -> 0.59)
   /** 1.5x (was 2.0x, round-11 VERDICT #1: curation_repeated_spans at
     * 1.74x over its committed median with BOTH canaries healthy slid
     * under the 2x gate three rounds running). Same-code run-to-run
