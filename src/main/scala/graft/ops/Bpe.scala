@@ -310,14 +310,29 @@ object Bpe {
 
   /** Characters that break the SQL replay's separator-wrapped string
     * arithmetic ([[graft.query.BpeOracle]]): the separator itself, a
-    * quote, whitespace/control chars, surrogate halves (the encoder
-    * segments UTF-16 units; DuckDB `(.)` matches codepoints). Checked
-    * on BOTH the trained symbols (BpeOracle.safe) and, since round 13,
+    * quote, whitespace/control chars, and anything outside the BMP —
+    * the encoder segments UTF-16 UNITS while DuckDB `(.)` matches
+    * CODEPOINTS, so a supplementary character is 2 symbols to the
+    * encoder and 1 to the replay. Under `rlike` (which also matches
+    * codepoints) a VALID astral char never matches the bare surrogate
+    * range, so the class names the supplementary plane explicitly;
+    * the surrogate range still catches LONE halves (review-caught —
+    * the first draft only caught the lone-half case). Checked on BOTH
+    * the trained symbols (BpeOracle.safe, a char-level Scala loop
+    * where isSurrogate does cover both cases) and, since round 13,
     * every distinct corpus word — the replay wraps ALL corpus words,
     * not just the trained top-`vocabCap`, so a standalone `'|'` token
     * in the corpus would break the `||` separator-count arithmetic
     * even though every trained symbol is clean (round-12 ADVICE). */
-  private val ReplayUnsafeChar = "[\\x00-\\x20|'\\uD800-\\uDFFF]"
+  private val ReplayUnsafeChar =
+    "[\\x00-\\x20|'\\uD800-\\uDFFF\\x{10000}-\\x{10FFFF}]"
+
+  /** The one character Java's `\s+` split treats as whitespace but
+    * RE2/DuckDB's does not (vertical tab U+000B): a raw text containing
+    * it produces DIFFERENT word sets on the two engines, which the
+    * token-level probe can never see — Spark has already split the
+    * offender away by the time tokens exist (review-caught). */
+  private val SplitDivergentChar = "\\x0B"
 
   /** The merge table trained for `key` in this session, if any. */
   def snapshotFor(key: String, numMerges: Int = 200,
@@ -345,10 +360,14 @@ object Bpe {
         // one bounded existence probe (limit-1 job, stops at the first
         // offender) per session per corpus key — paid once here, at
         // the same moment the corpus is scanned for the histogram, so
-        // the oracle dump stays a pure driver-side string build
+        // the oracle dump stays a pure driver-side string build. Two
+        // conditions: an unsafe char in any post-split word, OR the
+        // split-divergent char in the RAW text (Java-vs-RE2 \s
+        // disagreement — invisible at token level by construction)
         val corpusSafe = docs
-          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
-          .filter(col("w") =!= "" && col("w").rlike(ReplayUnsafeChar))
+          .filter(col("text").rlike(SplitDivergentChar) ||
+            exists(TextAnalysis.tokens(col("text")),
+              w => w =!= "" && w.rlike(ReplayUnsafeChar)))
           .isEmpty
         trainedSnapshots.put(s"$key;m=$numMerges;v=$vocabCap",
           (m, corpusSafe))

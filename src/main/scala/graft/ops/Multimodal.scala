@@ -411,23 +411,30 @@ object Multimodal {
         records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
       records.map(decodePng)
 
-    private[ops] def decodePng(rec: MediaRecord): MediaFeatures = {
-      val px = readPngPixels(rec)
-      val (w, h) = (px.width, px.height)
-      var rSum = 0L; var gSum = 0L; var bSum = 0L
-      var i = 0
-      while (i < px.rgb.length) {
-        val p = px.rgb(i)
-        rSum += (p >> 16) & 0xff
-        gSum += (p >> 8) & 0xff
-        bSum += p & 0xff
-        i += 1
-      }
-      val n = w.toLong * h
-      MediaFeatures(rec.doc_id, rec.media.length, rec.format,
-        Array(w.toDouble, h.toDouble,
-          rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n))
+    private[ops] def decodePng(rec: MediaRecord): MediaFeatures =
+      imageStats(rec)
+  }
+
+  /** ONE channel-stats pass shared by every ImageIO-backed decoder
+    * ([[PngDecoder]], [[JpegDecoder]]): decode through the validated
+    * read path, emit `[width, height, meanR, meanG, meanB]`. A fix to
+    * the stats computation lands once, for every container format. */
+  private[ops] def imageStats(rec: MediaRecord): MediaFeatures = {
+    val px = readPngPixels(rec)
+    val (w, h) = (px.width, px.height)
+    var rSum = 0L; var gSum = 0L; var bSum = 0L
+    var i = 0
+    while (i < px.rgb.length) {
+      val p = px.rgb(i)
+      rSum += (p >> 16) & 0xff
+      gSum += (p >> 8) & 0xff
+      bSum += p & 0xff
+      i += 1
     }
+    val n = w.toLong * h
+    MediaFeatures(rec.doc_id, rec.media.length, rec.format,
+      Array(w.toDouble, h.toDouble,
+        rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n))
   }
 
   /** Decoded PNG pixels: packed sRGB ints, row-major top-down. */
@@ -530,23 +537,8 @@ object Multimodal {
         records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
       records.map(decodeJpeg)
 
-    private[ops] def decodeJpeg(rec: MediaRecord): MediaFeatures = {
-      val px = readPngPixels(rec) // shared ImageIO path, sniffs JPEG
-      val (w, h) = (px.width, px.height)
-      var rSum = 0L; var gSum = 0L; var bSum = 0L
-      var i = 0
-      while (i < px.rgb.length) {
-        val p = px.rgb(i)
-        rSum += (p >> 16) & 0xff
-        gSum += (p >> 8) & 0xff
-        bSum += p & 0xff
-        i += 1
-      }
-      val n = w.toLong * h
-      MediaFeatures(rec.doc_id, rec.media.length, rec.format,
-        Array(w.toDouble, h.toDouble,
-          rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n))
-    }
+    private[ops] def decodeJpeg(rec: MediaRecord): MediaFeatures =
+      imageStats(rec) // shared ImageIO path sniffs the container
   }
 
   /** Serialize pixels as a baseline JPEG at an EXPLICIT quality — the

@@ -143,9 +143,15 @@ object MediaPipeline {
           try {
             run("media-ingest-dedup", Seq(
               step("write-stats-delta") {
+                // exclude dups by (doc_id, format), not doc_id alone:
+                // under a duplicated wire doc_id, a legitimately
+                // decoded NON-image payload (e.g. a wav) sharing the
+                // id of a perceptual-dup image must keep its stats
+                // row — a doc_id-only anti silently dropped it
+                // (review-caught)
                 outcomes.filter(col("error").isNull)
-                  .join(dupRows.select(col("doc_id")), Seq("doc_id"),
-                    "left_anti")
+                  .join(dupRows.select(col("doc_id"), col("format")),
+                    Seq("doc_id", "format"), "left_anti")
                   .select(col("doc_id"), col("format"), col("n_bytes"),
                     col("features"))
                   .write.mode(SaveMode.Overwrite)

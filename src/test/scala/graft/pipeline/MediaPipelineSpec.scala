@@ -223,6 +223,42 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.stats(spark, store).count() == 3)
   }
 
+  test("phash dedup tier: a decoded wav sharing a duplicated wire " +
+      "doc_id with a perceptual-dup image keeps its stats row " +
+      "(dup exclusion is by doc_id AND format)") {
+    // review-caught: the stats anti-join on doc_id alone silently
+    // dropped the wav's legitimate stats row when its id's png
+    // routed to the dups delta
+    val store = tmpDir("mediadupwav-store")
+    def pngOf(k: Long) = Base64.getEncoder.encodeToString(
+      Multimodal.pngBytes(8, 4, (x, y) => Multimodal.packRgb(
+        Multimodal.synthCell(k, x, y, 0),
+        Multimodal.synthCell(k, x, y, 1),
+        Multimodal.synthCell(k, x, y, 2))))
+    import org.apache.spark.sql.functions.col
+    // batch 0 plants image k=0's fingerprint in the phash store
+    MediaPipeline.ingestBatch(
+      Seq((10L, pngOf(0L), "png")).toDF("doc_id", "media_b64", "format"),
+      store, batchId = 0L, phashDedup = true)
+    // batch 1: id 0 carries BOTH a dup png (same image as doc 10)
+    // and a valid wav — the png must dup, the wav must stay in stats
+    MediaPipeline.ingestBatch(
+      Seq(
+        (0L, pngOf(0L), "png"),
+        (0L, Base64.getEncoder.encodeToString(wav(0L)), "wav"))
+        .toDF("doc_id", "media_b64", "format"),
+      store, batchId = 1L, phashDedup = true)
+    val stats = MediaPipeline.stats(spark, store)
+      .select("doc_id", "format").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(stats == Set((10L, "png"), (0L, "wav")),
+      s"wav stats row must survive the dup exclusion, got $stats")
+    val dups = MediaPipeline.dups(spark, store)
+      .select("doc_id", "format").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(dups == Set((0L, "png")))
+  }
+
   test("phash dedup tier covers the JPEG modality: jpeg rows " +
       "fingerprint through the shared pixel path, and a re-sent " +
       "identical jpeg routes to the dups delta") {

@@ -66,4 +66,33 @@ class BpeOracleSpec extends SparkSpec {
     assert(Bpe.replaySnapshotFor(cleanKey).nonEmpty)
     assert(BpeOracle.forKey(cleanKey).nonEmpty)
   }
+
+  test("the corpus guard also refuses the two engine-divergence " +
+      "classes invisible to a lone-surrogate check: supplementary " +
+      "chars (UTF-16 units vs codepoints) and U+000B (Java-vs-RE2 " +
+      "whitespace split)") {
+    import spark.implicits._
+    // a VALID astral char: one codepoint to DuckDB's (.), two UTF-16
+    // units to the encoder — rlike matches codepoints, so the bare
+    // surrogate range never sees it (review-caught)
+    val astralKey = "mem:bpe-astral-corpus"
+    Bpe.ensureMerges(spark, Seq(
+      (1L, "the quick a" + new String(Character.toChars(0x1D569)) +
+        "b fox the fox"),
+      (2L, "the lazy dog naps the dog")).toDF("doc_id", "text"),
+      key = astralKey)
+    assert(Bpe.replaySnapshotFor(astralKey).isEmpty,
+      "supplementary-plane corpus word must stay rows-only")
+    // U+000B: Java \s+ splits it away (the probe's tokens never
+    // contain it) but RE2/DuckDB \s+ does NOT split on it — the two
+    // engines build different word sets, so the guard must read the
+    // RAW text (review-caught)
+    val vtabKey = "mem:bpe-vtab-corpus"
+    Bpe.ensureMerges(spark, Seq(
+      (1L, "the quick fox" + 0x0B.toChar + "jumps the fox"),
+      (2L, "the lazy dog naps the dog")).toDF("doc_id", "text"),
+      key = vtabKey)
+    assert(Bpe.replaySnapshotFor(vtabKey).isEmpty,
+      "split-divergent raw text must stay rows-only")
+  }
 }
