@@ -641,6 +641,31 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize of a JPEG, re-encoded as JPEG at the
+    * pinned quality — the LOSSY sibling of [[resizePngNearest]]: the
+    * full decode -> resample -> re-encode chain with a DCT
+    * quantization step on each side. Same floor mapping, same loud
+    * doc-tagged failure contract, same shared validated read path. */
+  def resizeJpegNearest(rec: MediaRecord, dstW: Int,
+      dstH: Int): ResizedMedia = {
+    require(dstW > 0 && dstH > 0, "resizeJpegNearest: empty target")
+    val px = readPngPixels(rec) // ImageIO sniffs the JPEG container
+    val out = jpegBytes(dstW, dstH, (x, y) =>
+      px.rgb(((y.toLong * px.height / dstH) * px.width +
+        (x.toLong * px.width / dstW)).toInt) & 0xffffff)
+    ResizedMedia(rec.doc_id, rec.format, out.length, out)
+  }
+
+  /** The JPEG resize stage: same typed per-partition batch contract as
+    * [[resizePng]]. */
+  def resizeJpeg(spark: SparkSession, media: DataFrame, dstW: Int,
+      dstH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(resizeJpegNearest(_, dstW, dstH))
+    }
+  }
+
   /** Format-dispatching REAL decoder: routes each record to the
     * matching real codec by its `format` metadata column — the shape a
     * production mixed-modality table needs (one decode stage, many

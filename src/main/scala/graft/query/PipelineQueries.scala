@@ -884,6 +884,37 @@ object PipelineQueries {
             element_at(col("features"), 2)).cast("long").as("sum_b"))
         .orderBy(col("doc_id"))),
 
+    // The full real-media chain through the LOSSY codec: synthesize
+    // JPEG -> decode + nearest-neighbor resample + re-encode (a
+    // second DCT quantization) -> decode the resized bytes -> channel
+    // sums. ROWS-ONLY like every JPEG row (decoder-build-local
+    // output); MultimodalSpec's tolerance differential gates the
+    // chain against the synthesis values at the sampled (2i, 2j)
+    // coordinates.
+    "multimodal_jpeg_resize" -> ((s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.resizeJpeg(s,
+              Multimodal.synthJpegTable(s, Tables.documents(s, d)),
+              16, 8)
+            .toDF()
+            .select(col("doc_id"), col("payload").as("media"),
+              col("format")),
+          Multimodal.JpegDecoder)
+        .toDF()
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          (element_at(col("features"), 3) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_r"),
+          (element_at(col("features"), 4) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_g"),
+          (element_at(col("features"), 5) *
+            element_at(col("features"), 1) *
+            element_at(col("features"), 2)).cast("long").as("sum_b"))
+        .orderBy(col("doc_id"))),
+
     // The full real-media chain through the COMPRESSED codec:
     // synthesize PNG -> inflate + resample + re-deflate (a second
     // real PNG container) -> decode the resized bytes -> channel

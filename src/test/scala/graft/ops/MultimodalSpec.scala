@@ -708,6 +708,41 @@ class MultimodalSpec extends SparkSpec {
       s"gate must discriminate: kept $kept of $total")
   }
 
+  test("resizeJpegNearest: decode -> resample -> re-encode chain " +
+      "keeps channel means within tolerance of the synthesis values " +
+      "at the sampled coordinates; dimensions exact") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val resized = Multimodal.resizeJpeg(spark,
+        Multimodal.synthJpegTable(spark, docs), 16, 8)
+      .toDF()
+      .select(col("doc_id"), col("payload").as("media"), col("format"))
+    val decoded = Multimodal.extractFeatures(spark, resized,
+        Multimodal.JpegDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(decoded.size == 20)
+    (0L until 20L).foreach { id =>
+      val f = decoded(id)
+      assert(f.features(0) == 16.0 && f.features(1) == 8.0,
+        s"doc $id resized dimensions")
+      // truth: the synthesis values at the floor-mapped source
+      // coordinates (2x, 2y) — two DCT quantization steps sit
+      // between this and the decoded result, hence the wider band
+      val n = 16 * 8
+      val truth = (0 until 3).map { c =>
+        (for (y <- 0 until 8; x <- 0 until 16)
+          yield Multimodal.jpegSynthChannel(id, 2 * x, 2 * y, c))
+          .sum.toDouble / n
+      }
+      (0 until 3).foreach { c =>
+        val got = f.features(2 + c)
+        assert(math.abs(got - truth(c)) <= 4.0,
+          s"doc $id channel $c: resized-decoded mean $got vs " +
+            s"synthesis-at-sampled-coords ${truth(c)} — outside 4.0")
+      }
+    }
+  }
+
   test("dHash is robust to JPEG re-encode (the lossy re-crawl): " +
       "planted re-encodes land within hamming 3, the banded " +
       "pigeonhole finds every pair, and byte dedup sees nothing") {
