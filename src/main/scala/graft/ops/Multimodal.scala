@@ -93,6 +93,38 @@ object Multimodal {
       records.map(decodeWav)
 
     private[ops] def decodeWav(rec: MediaRecord): MediaFeatures = {
+      val w = parseWavInfo(rec)
+      val bytes = rec.media
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var acc = 0.0
+      var i = 0
+      while (i < w.n) {
+        val s =
+          if (w.bits == 16)
+            b.getShort(w.dataOff + i * 2).toDouble / 32768.0
+          else ((bytes(w.dataOff + i) & 0xff) - 128).toDouble / 128.0
+        acc += s * s
+        i += 1
+      }
+      val rms = if (w.n == 0) 0.0 else math.sqrt(acc / w.n)
+      MediaFeatures(rec.doc_id, bytes.length, rec.format,
+        Array(w.sampleRate.toDouble, w.channels.toDouble,
+          (w.n / w.channels).toDouble, rms))
+    }
+  }
+
+  /** Parsed + fully validated RIFF/WAVE layout — ONE chunk walk shared
+    * by [[WavDecoder.decodeWav]] (RMS statistics) and
+    * [[audioFingerprint]] (perceptual dedup), the [[BmpHeader]]
+    * discipline: a second hand-copied walk would immediately drift on
+    * the validation set (that is exactly how the first resizer cut
+    * lost the dibSize check). `n` is the clamped SAMPLE count (all
+    * channels interleaved — divide by `channels` for frames). */
+  private[ops] final case class WavInfo(sampleRate: Int, channels: Int,
+      bits: Int, dataOff: Int, n: Int)
+
+  private[ops] def parseWavInfo(rec: MediaRecord): WavInfo = {
       val bytes = rec.media
       val b = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -161,20 +193,7 @@ object Multimodal {
           else ""))
       val perSample = bits / 8
       val n = math.min(dataLen, bytes.length - dataOff) / perSample
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val s =
-          if (bits == 16) b.getShort(dataOff + i * 2).toDouble / 32768.0
-          else ((bytes(dataOff + i) & 0xff) - 128).toDouble / 128.0
-        acc += s * s
-        i += 1
-      }
-      val rms = if (n == 0) 0.0 else math.sqrt(acc / n)
-      MediaFeatures(rec.doc_id, bytes.length, rec.format,
-        Array(sampleRate.toDouble, channels.toDouble,
-          (n / channels).toDouble, rms))
-    }
+      WavInfo(sampleRate, channels, bits, dataOff, n)
   }
 
   /** Parsed + fully validated 24-bit BMP header — ONE parser shared
@@ -856,6 +875,109 @@ object Multimodal {
     }
   }
 
+  /** Audio fingerprint geometry: frames of [[AudioFpFrameLen]] samples,
+    * at most [[AudioFpMaxFrames]] frames fingerprinted — the comparison
+    * count is then <= 63, so the packed fingerprint never reaches the
+    * Long sign bit and XOR/equality agree with any engine's BIGINT
+    * arithmetic (the [[dHashWords]] lesson applied up front). */
+  val AudioFpFrameLen = 8
+  val AudioFpMaxFrames = 64
+
+  /** One audio fingerprint row. */
+  final case class AudioHash(doc_id: Long, format: String, afp: Long)
+
+  /** The AUDIO sibling of [[dHashBits]]: a gain-invariant
+    * energy-delta-sign fingerprint over decoded PCM. Frame f's energy
+    * is the exact integer sum of centered-sample squares; bit f of the
+    * fingerprint is set iff `E(f+1) > E(f)`. Uniform gain scales every
+    * energy by the same positive factor, so every comparison — strict
+    * or tied — is preserved EXACTLY: a re-encoded copy at a different
+    * volume (the audio analog of the rescaled re-crawl) fingerprints
+    * identically while differing in every payload byte. Like dHash on
+    * JPEG, robustness to LOSSY transforms is conditional on decisive
+    * deltas: adjacent frames with near-tied energies are coin flips
+    * under resampling noise, which is why the dedup tier treats this
+    * as a candidate fingerprint, not a proof of identity.
+    *
+    * 8-bit mono PCM only (the synthesis regime; a 16-bit extension is
+    * the same loop over getShort) — anything else fails loudly with
+    * the doc-tagged message the dead-letter hook relies on. */
+  def audioFingerprint(rec: MediaRecord): Long = {
+    val w = parseWavInfo(rec)
+    require(w.bits == 8 && w.channels == 1,
+      s"doc ${rec.doc_id}: audio fingerprint supports 8-bit mono PCM " +
+        s"only (bits=${w.bits} ch=${w.channels})")
+    val bytes = rec.media
+    val nFrames = math.min(w.n / AudioFpFrameLen, AudioFpMaxFrames)
+    val energy = new Array[Long](math.max(nFrames, 0))
+    var f = 0
+    while (f < nFrames) {
+      var e = 0L
+      var j = 0
+      while (j < AudioFpFrameLen) {
+        val c = (bytes(w.dataOff + f * AudioFpFrameLen + j) & 0xff) - 128
+        e += c.toLong * c
+        j += 1
+      }
+      energy(f) = e
+      f += 1
+    }
+    var fp = 0L
+    f = 0
+    while (f < nFrames - 1) {
+      if (energy(f + 1) > energy(f)) fp |= 1L << f
+      f += 1
+    }
+    fp
+  }
+
+  /** The audio-fingerprint stage — same typed per-partition contract
+    * as [[perceptualHashes]]. */
+  def audioFingerprints(spark: SparkSession,
+      media: DataFrame): Dataset[AudioHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(rec => AudioHash(rec.doc_id, rec.format,
+        audioFingerprint(rec)))
+    }
+  }
+
+  /** Synthesis arithmetic for the audio-dedup table: the same
+    * middle-square mix as [[synthCell]] (a Knuth multiply alone is
+    * linear — neighboring samples would differ by a doc-independent
+    * constant and every doc would share a handful of fingerprints),
+    * reduced to a HALF-RANGE centered value t in [-64, 63]. Both
+    * parities of a planted pair derive from t: the original's centered
+    * sample is `2t` (even, so the copy's halving is exact), the
+    * gain-0.5 copy's is `t`. The SQL oracle replays this expression
+    * verbatim ([[graft.query.PipelineQueries]]). */
+  def synthAudioCell(k: Long, i: Int): Int = {
+    val a = (k * 2654435761L + i * 1299721L + 7907L) % 2147483648L
+    val v = (((a * a) / 65536L) % 4294967296L) / 16777216L
+    (v / 2L).toInt - 64
+  }
+
+  /** Audio perceptual-dedup table: even doc_ids carry 264 samples of
+    * 8-bit mono PCM synthesized from [[synthAudioCell]]; odd doc_ids
+    * carry their PARTNER's signal at exactly half gain (centered
+    * samples halved — exact, because the original's are even). 264
+    * samples = 33 frames = a 32-comparison fingerprint, and
+    * [[audioFingerprint]]'s gain invariance makes afp(2k) == afp(2k+1)
+    * BY CONSTRUCTION while the payloads differ in every non-silent
+    * byte — the volume-normalized re-encode byte dedup cannot see. */
+  def synthAudioFpTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val k = d - (d % 2)
+      val samples = Array.tabulate(264) { i =>
+        val t = synthAudioCell(k, i)
+        val c = if (d % 2 == 0) 2 * t else t
+        (128 + c).toByte
+      }
+      MediaRecord(d, wavBytes(8000, samples), "wav")
+    }.toDF()
+  }
+
   /** Outcome row of the dead-letter hash pass: exactly one of `phash`
     * / `error` is set. `n_bytes` carries the payload length so an
     * error row can land in the same rejects sink as a decode failure. */
@@ -978,6 +1100,61 @@ object Multimodal {
         .filter(_._2 % stride == 0)
         .map { case (f, i) => MediaFrame(rec.doc_id, i, f) }
     }
+  }
+
+  /** Video-clip synthesis geometry: clips are fixed-frame-size
+    * concatenations of uncompressed BMP frames (the MJPEG layout — a
+    * real demuxer replaces the fixed-size split; the per-frame decode,
+    * fingerprint, and join shapes stay). Even docs carry
+    * [[ClipFrames]] 8x4 frames; odd docs carry their PARTNER's frames
+    * 1.. as 16x8 upscales — a TRIMMED and RESCALED re-upload: the
+    * whole-payload hash differs, every frame byte differs, the frame
+    * count differs, yet the surviving frames dHash identically (the
+    * proven cross-scale invariance). */
+  val ClipFrames = 4
+  /** 8x4 24-bit BMP byte size: 54-byte headers + 4 rows of 24. */
+  val ClipFrameBytesSmall = 150
+  /** 16x8 24-bit BMP byte size: 54-byte headers + 8 rows of 48. */
+  val ClipFrameBytesLarge = 438
+
+  /** The clip table: per-frame images derive from [[synthCell]] with
+    * image key `m = (doc_id - doc_id % 2) * ClipFrames + frame` —
+    * both parities of a pair reduce to the same source texels, which
+    * is what lets a SQL oracle replay every frame hash. */
+  def synthClipTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val k = d - (d % 2)
+      def frameImg(f: Int, scale: Int): Array[Byte] = {
+        val m = k * ClipFrames + f
+        val dim = (8 * scale, 4 * scale)
+        bmpBytes(dim._1, dim._2, (x, y) => packRgb(
+          synthCell(m, x / scale, y / scale, 0),
+          synthCell(m, x / scale, y / scale, 1),
+          synthCell(m, x / scale, y / scale, 2)))
+      }
+      val frames =
+        if (d % 2 == 0) (0 until ClipFrames).map(frameImg(_, 1))
+        else (1 until ClipFrames).map(frameImg(_, 2)) // trimmed intro
+      MediaRecord(d, frames.reduce(_ ++ _), "clip")
+    }.toDF()
+  }
+
+  /** Per-frame perceptual fingerprints of a clip table: fixed-size
+    * frame split (size by parity — a real demuxer reads it from the
+    * container header) -> BMP decode -> dHash. Narrow end to end:
+    * frames never leave their payload's partition, fingerprint
+    * parallelism == input partitions. */
+  def clipFrameHashes(spark: SparkSession, clips: DataFrame): DataFrame = {
+    import spark.implicits._
+    clips.as[MediaRecord].flatMap { rec =>
+      val fb = if (rec.doc_id % 2 == 0) ClipFrameBytesSmall
+        else ClipFrameBytesLarge
+      rec.media.grouped(fb).zipWithIndex.map { case (f, i) =>
+        (rec.doc_id, i,
+          dHashBits(decodePixelsAny(MediaRecord(rec.doc_id, f, "bmp"))))
+      }
+    }.toDF("doc_id", "frame_idx", "phash")
   }
 
   /** Resized payload with its new fixed size. */

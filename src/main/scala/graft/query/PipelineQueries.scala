@@ -1058,6 +1058,70 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // AUDIO perceptual fingerprints through the real WAV codec: a
+    // gain-invariant energy-delta-sign fingerprint (bit f = frame
+    // f+1's exact integer energy exceeds frame f's) over synthesized
+    // 8-bit PCM. Hash-gated against a DuckDB replay of the synthesis
+    // arithmetic — the container walk, sample decode, frame energy
+    // sums, and comparison bits are all value-exact end to end.
+    "multimodal_audio_fp" -> ((s, d) =>
+      Multimodal.audioFingerprints(s,
+          Multimodal.synthAudioFpTable(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("afp"))
+        .orderBy(col("doc_id"))),
+
+    // Audio DEDUP on the perceptual fingerprints — the volume
+    // -normalized re-encode regime: odd docs carry their partner's
+    // signal at exactly half gain, so every payload byte differs
+    // (byte-level dedup is blind) while the energy-delta fingerprint
+    // is IDENTICAL by gain invariance. Both engines compute pairs
+    // from their OWN fingerprints, so planted pairs and any honest
+    // fingerprint collisions match exactly. One shuffle on the
+    // 64-bit fingerprint — the exact-dedup plan shape, never
+    // all-pairs.
+    "dedup_audio_fp" -> ((s, d) => {
+      val h = Multimodal.audioFingerprints(s,
+          Multimodal.synthAudioFpTable(s, Tables.documents(s, d)))
+        .toDF().select(col("doc_id"), col("afp"))
+      val a = h.select(col("afp"), col("doc_id").as("doc_a"))
+      val b = h.select(col("afp"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("afp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // VIDEO clip near-dup on per-frame perceptual fingerprints — the
+    // trimmed + rescaled re-upload regime: odd docs carry their
+    // partner's clip minus the intro frame, every surviving frame a
+    // 2x upscale (whole-payload hash, per-frame bytes, and even the
+    // frame COUNT all differ; the frame dHashes are identical). Two
+    // clips pair when they share >= 2 frame fingerprints, after a
+    // stop-frame cap drops any fingerprint appearing in > 64 clips
+    // (title cards and black frames would explode the pair join the
+    // way stop-words explode postings — the Bm25 max-score lesson
+    // applied to frames). Shuffles: fingerprint distinct + the
+    // frame-hash equi-join + the pair count — candidate volume scales
+    // with capped per-fingerprint collisions, never clips^2.
+    "dedup_video_near" -> ((s, d) => {
+      val fh = Multimodal.clipFrameHashes(s,
+          Multimodal.synthClipTable(s, Tables.documents(s, d)))
+        .select(col("doc_id"), col("phash")).distinct()
+      val rare = fh.groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") <= 64)
+      val kept = fh.join(rare.select("phash"), Seq("phash"), "left_semi")
+      val a = kept.select(col("phash"), col("doc_id").as("doc_a"))
+      val b = kept.select(col("phash"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("phash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).cast("long").as("shared_frames"))
+        .filter(col("shared_frames") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Frame sampling: every 2nd 64-byte frame of each payload — the
     // frame index/length accounting is oracle-checkable even though the
     // payload is opaque.
@@ -1404,7 +1468,84 @@ object PipelineQueries {
        |  GROUP BY d.doc_id)""".stripMargin
   }
 
+  /** SQL replay of [[Multimodal.synthAudioCell]] + the frame-energy
+    * fingerprint — generated, not hand-copied, so the synthesis
+    * constants can't drift. All intermediates stay in BIGINT
+    * (a < 2^31 -> a*a < 2^62; energies < 2^18; the fingerprint's top
+    * bit is 31), and every value is non-negative until the final
+    * centered subtraction, so `//` and `%` agree across engines.
+    * `en` carries per-(doc, frame) exact integer energies; `afp`
+    * packs the 32 adjacent-frame comparisons. */
+  private def audioFpCte: String = {
+    val i = "(f.f * 8 + s.j)"
+    val a = s"((d.k * 2654435761 + $i * 1299721 + 7907) % 2147483648)"
+    val t = s"((((($a * $a) // 65536) % 4294967296) // 16777216) // 2 - 64)"
+    val c = s"(d.gain * $t)"
+    s"""f AS (SELECT unnest(range(33)) AS f),
+       |s AS (SELECT unnest(range(8)) AS j),
+       |en AS (
+       |  SELECT d.doc_id, f.f, sum($c * $c) AS e
+       |  FROM (SELECT doc_id, doc_id - doc_id % 2 AS k,
+       |          CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS gain
+       |        FROM documents) d, f, s
+       |  GROUP BY d.doc_id, f.f),
+       |afp AS (
+       |  SELECT a.doc_id, CAST(sum(CASE WHEN b.e > a.e
+       |      THEN (CAST(1 AS BIGINT) << a.f) ELSE 0 END) AS BIGINT)
+       |      AS afp
+       |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |  GROUP BY a.doc_id)""".stripMargin
+  }
+
+  /** Per-(clip, frame) dHash replay for the video-clip corpus: both
+    * parities of a pair reduce to source texels of image
+    * `m = (doc_id - doc_id % 2) * ClipFrames + frame` (the odd clip's
+    * 2x upscale floor-maps back — the [[phashCte]] invariance), and
+    * the odd clip drops frame 0 (the trimmed intro). The stop-frame
+    * cap and the >= 2 shared-fingerprint threshold replay the
+    * registered plan's arithmetic verbatim. */
+  private def clipCte: String = {
+    val v = "(h.j // 2)"
+    val g1 = phashGraySql("fr.m", "((g.i * 8) // 9)", v)
+    val g2 = phashGraySql("fr.m", "(((g.i + 1) * 8) // 9)", v)
+    s"""g AS (SELECT unnest(range(8)) AS i),
+       |h AS (SELECT unnest(range(8)) AS j),
+       |fr AS (SELECT d.doc_id,
+       |         (d.doc_id - d.doc_id % 2) * 4 + f.f AS m
+       |       FROM documents d, (SELECT unnest(range(4)) AS f) f
+       |       WHERE d.doc_id % 2 = 0 OR f.f >= 1),
+       |cfp AS (
+       |  SELECT fr.doc_id, fr.m,
+       |    string_agg(CASE WHEN $g2 > $g1 THEN '1' ELSE '0' END,
+       |               '' ORDER BY h.j, g.i) AS phash
+       |  FROM fr, g, h
+       |  GROUP BY fr.doc_id, fr.m),
+       |cu AS (SELECT DISTINCT doc_id, phash FROM cfp),
+       |crare AS (SELECT phash FROM cu GROUP BY phash
+       |          HAVING count(*) <= 64),
+       |ck AS (SELECT cu.doc_id, cu.phash FROM cu
+       |       JOIN crare USING (phash))""".stripMargin
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "dedup_video_near" ->
+      s"""WITH $clipCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS shared_frames
+         |FROM ck a JOIN ck b
+         |  ON a.phash = b.phash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "multimodal_audio_fp" ->
+      s"""WITH $audioFpCte
+         |SELECT doc_id, 'wav' AS format, afp FROM afp
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_audio_fp" ->
+      s"""WITH $audioFpCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM afp a JOIN afp b
+         |  ON a.afp = b.afp AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_image_phash_near" ->
       s"""WITH $phashNearCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -808,4 +808,94 @@ class MultimodalSpec extends SparkSpec {
       assert(!java.util.Arrays.equals(a.media, b.media))
     }
   }
+
+  test("audioFingerprint: hand-computed energy-delta bits — strict " +
+      "comparisons, ties give 0, container walk through wavBytes") {
+    def wavOf(id: Long, samples: Array[Byte]) =
+      Multimodal.MediaRecord(id, Multimodal.wavBytes(8000, samples),
+        "wav")
+    // frame energies 0 then 8*2^2=32: one rising comparison -> bit 0
+    val rising = Array.fill(8)(128.toByte) ++ Array.fill(8)(130.toByte)
+    assert(Multimodal.audioFingerprint(wavOf(1L, rising)) == 1L)
+    // falling and tied energies both leave the bit clear (strict >)
+    assert(Multimodal.audioFingerprint(wavOf(2L, rising.reverse)) == 0L)
+    assert(Multimodal.audioFingerprint(
+      wavOf(3L, Array.fill(16)(130.toByte))) == 0L)
+    // three strictly rising frames -> bits 0 and 1
+    val three = Array.fill(8)(128.toByte) ++
+      Array.fill(8)(130.toByte) ++ Array.fill(8)(136.toByte)
+    assert(Multimodal.audioFingerprint(wavOf(4L, three)) == 3L)
+    // non-mono input fails loudly with the doc-tagged message the
+    // dead-letter contract relies on (hand-built stereo fmt chunk)
+    val stereo = Multimodal.wavBytes(8000, Array.fill(16)(128.toByte))
+    stereo(22 + 12) = 2 // channels field inside 'fmt ' (RIFF+LIST+fmt)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.audioFingerprint(
+        Multimodal.MediaRecord(7L, stereo, "wav"))
+    }
+    assert(e.getMessage.contains("doc 7"))
+  }
+
+  test("audio fingerprint is gain-invariant: planted half-gain copies " +
+      "fingerprint identically through the real WAV container while " +
+      "the payloads differ — the volume-normalized re-encode byte " +
+      "dedup cannot see") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 100)
+    val tbl = Multimodal.synthAudioFpTable(spark, docs)
+    val fps = Multimodal.audioFingerprints(spark, tbl)
+      .collect().map(h => h.doc_id -> h.afp).toMap
+    (0L until 100L by 2).foreach { k =>
+      assert(fps(k) == fps(k + 1),
+        s"planted half-gain pair ($k, ${k + 1}) diverged")
+    }
+    // the corpus actually exercises the bits (not one degenerate
+    // fingerprint), and every fingerprint respects the BIGINT-parity
+    // contract: 32 comparison bits, never the Long sign position
+    assert(fps.values.toSeq.distinct.size > 10,
+      "fingerprints too degenerate to mean anything")
+    assert(fps.values.forall(v => v >= 0L && v < (1L << 32)))
+    val recs = tbl.as[Multimodal.MediaRecord].collect()
+      .map(r => r.doc_id -> r.media).toMap
+    (0L until 100L by 2).foreach { k =>
+      assert(!java.util.Arrays.equals(recs(k), recs(k + 1)),
+        s"pair ($k, ${k + 1}) should differ at the byte level")
+    }
+  }
+
+  test("clip near-dup: a trimmed + rescaled re-upload shares its " +
+      "surviving frame fingerprints with the original — frame count, " +
+      "frame bytes, and whole-payload hash all differ, the dHashes " +
+      "survive") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 40)
+    val fh = Multimodal.clipFrameHashes(spark,
+        Multimodal.synthClipTable(spark, docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+    (0L until 40L by 2).foreach { k =>
+      val orig = fh(k).sortBy(_._2).map(_._3).toSeq
+      val trimmed = fh(k + 1).sortBy(_._2).map(_._3).toSeq
+      assert(orig.length == 4 && trimmed.length == 3,
+        s"clip $k frame counts diverged from the synthesis contract")
+      assert(trimmed == orig.drop(1),
+        s"clip ${k + 1} should fingerprint as its partner's frames " +
+          "1..3 (dHash invariance across the 2x upscale)")
+    }
+    // the registered query surfaces every planted pair (>= 2 shared
+    // distinct fingerprints; == 3 unless frames collide intra-clip)
+    val got = graft.SparkEntry.queries("dedup_video_near")(
+        spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val nDocs = Tables.documents(spark, sf0001).count()
+    (0L until nDocs by 2).foreach { k =>
+      val sf = got.get((k, k + 1))
+      assert(sf.exists(_ >= 2L),
+        s"planted clip pair ($k, ${k + 1}) missing from the " +
+          s"registered near-dup result (got $sf)")
+    }
+  }
 }
