@@ -1361,6 +1361,11 @@ object PipelineQueries {
     * Empty (rows-only fallback, never a wrong oracle) when nothing
     * was trained for this sfDir or a symbol would break the replay. */
   def dynamicOracles(sfDir: String): Map[String, String] =
+    bpeDynamicOracles(sfDir) ++
+      SimHashOracle.forCorpus(sfDir)
+        .map(sql => Map("dedup_simhash" -> sql)).getOrElse(Map.empty)
+
+  private def bpeDynamicOracles(sfDir: String): Map[String, String] =
     BpeOracle.forKey(sfDir).map { m =>
       val ctes = BpeOracle.encCtes(m)
       Map(
