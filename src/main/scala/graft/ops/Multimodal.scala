@@ -942,6 +942,33 @@ object Multimodal {
     }
   }
 
+  /** The audio twin of [[perceptualHashesOrDeadLetter]] for the
+    * streaming dedup tier: wav rows fingerprint through
+    * [[audioFingerprint]], rendered into the tier's shared
+    * fingerprint namespace as `afp:<value>` — structurally disjoint
+    * from the 64-char dHash bit strings, so one store serves both
+    * modalities with no cross-modality collision possible. Same
+    * dead-letter contract: a throwing payload (corrupt container, a
+    * non-wav re-attached by a duplicated wire doc_id) routes to an
+    * error row instead of failing the micro-batch. */
+  def audioHashesOrDeadLetter(spark: SparkSession,
+      media: DataFrame): Dataset[MediaHashOutcome] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        try MediaHashOutcome(rec.doc_id, rec.format,
+          if (rec.media == null) 0 else rec.media.length,
+          Some("afp:" + audioFingerprint(rec)), None)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            MediaHashOutcome(rec.doc_id, rec.format,
+              if (rec.media == null) 0 else rec.media.length, None,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   /** Synthesis arithmetic for the audio-dedup table: the same
     * middle-square mix as [[synthCell]] (a Knuth multiply alone is
     * linear — neighboring samples would differ by a doc-independent

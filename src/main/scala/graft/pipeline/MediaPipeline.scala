@@ -55,8 +55,11 @@ object MediaPipeline {
     * fingerprints append to the store. The store probe broadcasts the
     * ARRIVING batch's hashes, never shuffling the store (the
     * SignatureStore discipline); per-batch work scales with arrivals
-    * only. Audio has no perceptual raster — wav rows always pass as
-    * fresh. All four writes are batchId-keyed overwrites on one
+    * only. Decodable AUDIO rows fingerprint too (round 13): the
+    * gain-invariant energy-delta hash lands in the same store as
+    * `afp:`-prefixed rows — a re-encoded copy at a different volume
+    * dups against its original exactly like a rescaled image re-crawl
+    * does. All four writes are batchId-keyed overwrites on one
     * CommitProtocol run, so a checkpoint replay of any crash window
     * re-lands the batch identically. */
   def ingestBatch(batch: DataFrame, path: String, batchId: Long,
@@ -108,9 +111,21 @@ object MediaPipeline {
               col("format").isin("bmp", "png", "jpg", "jpeg"))
             .select(col("doc_id")).distinct(),
           Seq("doc_id"))
+        // the AUDIO side of the tier: decodable wav rows fingerprint
+        // through the gain-invariant energy-delta hash (`afp:` rows
+        // in the same store — the namespace is structurally disjoint
+        // from image dHash bit strings, so one probe serves both
+        // modalities). Same dead-letter discipline as the image pass.
+        val okAudio = media.join(
+          outcomes.filter(col("error").isNull &&
+              col("format") === "wav")
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"))
         val hashOut = Multimodal
           .perceptualHashesOrDeadLetter(spark, okImages)
           .toDF() // (doc_id, format, n_bytes, phash, error)
+          .unionByName(Multimodal
+            .audioHashesOrDeadLetter(spark, okAudio).toDF())
           .localCheckpoint(true) // hash ONCE for dup split + append
         val hashed = hashOut.filter(col("error").isNull)
           .select(col("doc_id"), col("format"), col("phash"))

@@ -37,25 +37,7 @@ import graft.ops.TextAnalysis
   */
 object SimHashOracle {
 
-  private val M = "18446744073709551616::UHUGEINT"
-  private val P1 = "11400714785074694791::UHUGEINT"
-  private val P2 = "14029467366897019727::UHUGEINT"
-  private val P3 = "1609587929392839161::UHUGEINT"
-  private val P4 = "9650029242287828579::UHUGEINT"
-  private val P5 = "2870177450012600261::UHUGEINT"
-
-  private def mul(a: String, b: String) = s"((($a) * ($b)) % $M)"
-  private def add(a: String, b: String) = s"((($a) + ($b)) % $M)"
-  private def xor(a: String, b: String) =
-    s"xor(($a)::UHUGEINT, ($b)::UHUGEINT)"
-  private def shr(x: String, n: Int) =
-    s"(($x) // ${java.math.BigInteger.ONE.shiftLeft(n)}::UHUGEINT)"
-  /** rotl mod 2^64: the shifted-out top bits and the shifted-up low
-    * bits occupy disjoint ranges, so `+` is `|` and the sum stays
-    * below 2^64. */
-  private def rotl(x: String, r: Int) =
-    s"(((($x) * ${java.math.BigInteger.ONE.shiftLeft(r)}::UHUGEINT) % $M)" +
-      s" + (($x) // ${java.math.BigInteger.ONE.shiftLeft(64 - r)}::UHUGEINT))"
+  import SqlU64._
 
   /** Little-endian lane of `n` bytes at 0-based offset expression
     * `off` over column `s` — `ord` is the byte value because the
@@ -65,13 +47,6 @@ object SimHashOracle {
       s"(ord(substr(s, ($off) + ${k + 1}, 1))::UHUGEINT * " +
         s"${java.math.BigInteger.ONE.shiftLeft(8 * k)}::UHUGEINT)"
     }.mkString("(", " + ", ")")
-
-  private def round8(h: String, ln: String) =
-    add(mul(rotl(xor(h, mul(rotl(mul(ln, P2), 31), P1)), 27), P1), P4)
-  private def round4(h: String, ln: String) =
-    add(mul(rotl(xor(h, mul(ln, P1)), 23), P2), P3)
-  private def round1(h: String, byte: String) =
-    mul(rotl(xor(h, mul(s"($byte)::UHUGEINT", P5)), 11), P1)
 
   /** The xxHash64(seed 42) CTE chain over the distinct shingle
     * strings `u(doc_id, s)` must provide — ends in `xh(s, h)` with

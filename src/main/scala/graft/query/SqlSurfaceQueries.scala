@@ -219,9 +219,13 @@ object SqlSurfaceQueries {
     // Mergeable FREQUENCY states (Count-Min), same shape as the
     // quantile rollup above: states built per fine key, rolled up to
     // the coarse key by the sketch's own (elementwise-exact) merge,
-    // then probed for fixed part keys. Deterministic (fixed hash) but
-    // the state layout is engine-specific -> rows-only; accuracy,
-    // merge exactness, and store replay are pinned by CountMinSpec /
+    // then probed for fixed part keys. HASH-GATED since round 13:
+    // unlike GK (order-dependent) and DataSketches HLL (library
+    // internals), every CMS operation is deterministic integer
+    // arithmetic over replayable hashes, so the DuckDB oracle
+    // recomputes xxhash64(long) + splitmix64 slots + min-of-sums
+    // independently (cmsOracleSql below); accuracy, merge exactness,
+    // and store replay remain pinned by CountMinSpec /
     // CountMinStoreSpec.
     "agg_cms_state_rollup" -> ((s, d) => {
       val states = Tables.lineitem(s, d)
@@ -431,7 +435,48 @@ object SqlSurfaceQueries {
         .orderBy(col("source")))
   )
 
+  /** DuckDB replay of the Count-Min rollup (the round-13 sketch-state
+    * conversion to hash-gated): per-key xxHash64(seed 42) of the LONG
+    * key ([[SqlU64.hashLong]] — the same canonicalization
+    * `CountMinState.hashed` applies), row remix via splitmix64 of
+    * `h + i * GoldenGamma`, power-of-two slot (unsigned mod 2048 ==
+    * Java floorMod on the signed value), and the point estimate as
+    * the min over rows of the exact integer collision-count sums.
+    * Building per-(rf, ls) then merging per rf is elementwise
+    * addition, so the replay builds per rf directly — identical
+    * counters by associativity. Static SQL: the hash is over LONGs,
+    * every operation is total, no corpus-side guard needed. */
+  private def cmsOracleSql: String = {
+    import SqlU64._
+    val gg = "11400714819323198485::UHUGEINT" // 0x9E3779B97F4A7C15
+    def slot(h: String, i: String) =
+      s"(${splitmix64(add(h, mul(i, gg)))} % 2048::UHUGEINT)"
+    val probeCols = (1 to 5).map { k =>
+      s"  max(CASE WHEN probe = $k THEN e END)::BIGINT AS freq_part_$k"
+    }.mkString(",\n")
+    s"""WITH pk AS (SELECT l_returnflag, l_partkey, count(*) AS cnt
+       |            FROM lineitem GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT l_partkey AS v FROM lineitem
+       |         UNION SELECT unnest(range(1, 6)) AS v),
+       |kh AS (SELECT x.v, ${hashLong("x.v")} AS h FROM keys x),
+       |r AS (SELECT unnest(range(4)) AS i),
+       |ks AS (SELECT kh.v, r.i, ${slot("kh.h", "r.i::UHUGEINT")} AS s
+       |       FROM kh, r),
+       |m AS (SELECT pk.l_returnflag, b.v AS probe, a.i,
+       |        sum(CASE WHEN a.s = b.s THEN pk.cnt ELSE 0 END) AS c
+       |      FROM pk JOIN ks a ON a.v = pk.l_partkey
+       |        JOIN (SELECT * FROM ks WHERE v BETWEEN 1 AND 5) b
+       |          ON b.i = a.i
+       |      GROUP BY 1, 2, 3),
+       |est AS (SELECT l_returnflag, probe, min(c) AS e FROM m
+       |        GROUP BY 1, 2)
+       |SELECT l_returnflag,
+       |$probeCols
+       |FROM est GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "agg_cms_state_rollup" -> cmsOracleSql,
     "join_bloom_prune" ->
       """SELECT l_returnflag, count(*) AS n_items,
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)

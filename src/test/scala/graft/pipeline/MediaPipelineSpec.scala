@@ -110,7 +110,8 @@ class MediaPipelineSpec extends SparkSpec {
   }
 
   test("phash dedup tier: cross-batch AND within-batch perceptual " +
-      "duplicates route to the dups delta; audio always passes; " +
+      "duplicates route to the dups delta; distinct-signal audio " +
+      "stays fresh; " +
       "restart ingests nothing") {
     import graft.ops.Multimodal
     def bmpOf(id: Long, k: Long) = line(id,
@@ -134,7 +135,7 @@ class MediaPipelineSpec extends SparkSpec {
     Files.write(Paths.get(src, "f0.json"), Seq(
       bmpOf(0L, 0L), // fresh image
       bmpOf(2L, 20L), // fresh image
-      line(1L, wav(1L), "wav")) // audio: never deduped
+      line(1L, wav(1L), "wav")) // audio: distinct signal, fresh
       .mkString("\n").getBytes)
     Files.write(Paths.get(src, "f1.json"), Seq(
       pngUp(10L, 0L), // re-encoded 2x upscale of doc 0 -> dup
@@ -257,6 +258,42 @@ class MediaPipelineSpec extends SparkSpec {
       .select("doc_id", "format").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(dups == Set((0L, "png")))
+  }
+
+  test("the dedup tier fingerprints AUDIO too: a half-gain re-encode " +
+      "routes to the dups delta against its original (every payload " +
+      "byte differs); a distinct signal stays fresh") {
+    val store = tmpDir("mediadupaudio-store")
+    def gainWav(base: Long, half: Boolean): String = {
+      val samples = Array.tabulate(264) { i =>
+        val t = Multimodal.synthAudioCell(base, i)
+        (128 + (if (half) t else 2 * t)).toByte
+      }
+      Base64.getEncoder.encodeToString(
+        Multimodal.wavBytes(8000, samples))
+    }
+    // batch 0: the original (full gain) plants its afp in the store
+    MediaPipeline.ingestBatch(
+      Seq((0L, gainWav(0L, half = false), "wav"))
+        .toDF("doc_id", "media_b64", "format"),
+      store, batchId = 0L, phashDedup = true)
+    // batch 1: the volume-normalized re-encode must dup cross-batch;
+    // an unrelated signal must stay fresh
+    MediaPipeline.ingestBatch(
+      Seq((1L, gainWav(0L, half = true), "wav"),
+          (2L, gainWav(2L, half = false), "wav"))
+        .toDF("doc_id", "media_b64", "format"),
+      store, batchId = 1L, phashDedup = true)
+    val kept = MediaPipeline.stats(spark, store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L),
+      s"original + distinct signal must keep their stats rows: $kept")
+    val dups = MediaPipeline.dups(spark, store).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("phash"))
+      .toMap
+    assert(dups.keySet == Set(1L))
+    assert(dups(1L).startsWith("afp:"),
+      "the audio fingerprint namespace must be modality-tagged")
   }
 
   test("phash dedup tier covers the JPEG modality: jpeg rows " +
