@@ -41,6 +41,13 @@ object SparkEntry {
     * driver's DuckDB compare — round-11 verdict #2). Callers that
     * never ran the queries get the static map back unchanged. */
   def oracleSqlFor(sfDir: String): Map[String, String] =
-    oracleSql ++ PipelineQueries.dynamicOracles(sfDir) ++
-      SamplingQueries.dynamicOracles(sfDir)
+    oracleSqlFor(sfDir, None)
+
+  /** As [[oracleSqlFor]], with `only` short-circuiting the dynamic
+    * providers whose keys are excluded — they run Spark probe jobs,
+    * which would defeat Verify's single-query fast path. */
+  def oracleSqlFor(sfDir: String,
+      only: Option[Set[String]]): Map[String, String] =
+    oracleSql ++ PipelineQueries.dynamicOracles(sfDir, only) ++
+      SamplingQueries.dynamicOracles(sfDir, only)
 }

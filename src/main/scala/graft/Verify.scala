@@ -48,7 +48,7 @@ object Verify {
     } + "\""
     // oracleSqlFor, not oracleSql: the dynamic BPE oracles exist only
     // now that the queries above have trained this sfDir's merge table
-    val json = SparkEntry.oracleSqlFor(sfDir)
+    val json = SparkEntry.oracleSqlFor(sfDir, only)
       .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

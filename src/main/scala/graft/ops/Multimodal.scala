@@ -942,6 +942,17 @@ object Multimodal {
     }
   }
 
+  /** [[audioFingerprint]] for the dedup tier's routing decision:
+    * `None` for a VALID container outside the fingerprintable regime
+    * (16-bit or multi-channel PCM — the row is good audio that simply
+    * cannot dedup yet, so it must pass as fresh, not dead-letter);
+    * throws only on an actually-undecodable payload. */
+  private[ops] def audioFingerprintOpt(rec: MediaRecord): Option[Long] = {
+    val w = parseWavInfo(rec)
+    if (w.bits == 8 && w.channels == 1) Some(audioFingerprint(rec))
+    else None
+  }
+
   /** The audio twin of [[perceptualHashesOrDeadLetter]] for the
     * streaming dedup tier: wav rows fingerprint through
     * [[audioFingerprint]], rendered into the tier's shared
@@ -950,20 +961,25 @@ object Multimodal {
     * modalities with no cross-modality collision possible. Same
     * dead-letter contract: a throwing payload (corrupt container, a
     * non-wav re-attached by a duplicated wire doc_id) routes to an
-    * error row instead of failing the micro-batch. */
+    * error row. A valid container OUTSIDE the fingerprintable regime
+    * (16-bit / multi-channel) emits NO row at all — the doc keeps its
+    * stats row and passes as fresh; routing good audio to the
+    * corrupt-payload sink would be a false corruption signal
+    * (review-caught). */
   def audioHashesOrDeadLetter(spark: SparkSession,
       media: DataFrame): Dataset[MediaHashOutcome] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      it.map { rec =>
-        try MediaHashOutcome(rec.doc_id, rec.format,
-          if (rec.media == null) 0 else rec.media.length,
-          Some("afp:" + audioFingerprint(rec)), None)
+      it.flatMap { rec =>
+        try audioFingerprintOpt(rec).map(fp =>
+          MediaHashOutcome(rec.doc_id, rec.format,
+            if (rec.media == null) 0 else rec.media.length,
+            Some("afp:" + fp), None))
         catch {
           case scala.util.control.NonFatal(e) =>
-            MediaHashOutcome(rec.doc_id, rec.format,
+            Some(MediaHashOutcome(rec.doc_id, rec.format,
               if (rec.media == null) 0 else rec.media.length, None,
-              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
         }
       }
     }

@@ -1361,9 +1361,26 @@ object PipelineQueries {
     * Empty (rows-only fallback, never a wrong oracle) when nothing
     * was trained for this sfDir or a symbol would break the replay. */
   def dynamicOracles(sfDir: String): Map[String, String] =
-    bpeDynamicOracles(sfDir) ++
-      SimHashOracle.forCorpus(sfDir)
-        .map(sql => Map("dedup_simhash" -> sql)).getOrElse(Map.empty)
+    dynamicOracles(sfDir, None)
+
+  /** `only` short-circuits providers whose keys are all excluded:
+    * the SimHash provider probes the corpus with Spark jobs, so
+    * computing it for a single-query Verify fast path that filters
+    * it away afterwards would defeat the fast path (review-caught). */
+  def dynamicOracles(sfDir: String,
+      only: Option[Set[String]]): Map[String, String] = {
+    def want(keys: String*) = only.forall(o => keys.exists(o))
+    val bpe =
+      if (want("text_token_count_bpe", "vocab_topk_bpe",
+          "curation_pack_bpe")) bpeDynamicOracles(sfDir)
+      else Map.empty[String, String]
+    val simhash =
+      if (want("dedup_simhash"))
+        SimHashOracle.forCorpus(sfDir)
+          .map(sql => Map("dedup_simhash" -> sql)).getOrElse(Map.empty)
+      else Map.empty[String, String]
+    bpe ++ simhash
+  }
 
   private def bpeDynamicOracles(sfDir: String): Map[String, String] =
     BpeOracle.forKey(sfDir).map { m =>

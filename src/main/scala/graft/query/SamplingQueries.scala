@@ -137,7 +137,12 @@ object SamplingQueries {
     * same Knuth-hash admission, same floor-to-grid double math. Empty
     * when no merge table was trained for `sfDir`. */
   def dynamicOracles(sfDir: String): Map[String, String] =
-    BpeOracle.forKey(sfDir).map { m =>
+    dynamicOracles(sfDir, None)
+
+  def dynamicOracles(sfDir: String,
+      only: Option[Set[String]]): Map[String, String] =
+    if (!only.forall(_("sample_mixture_bpe"))) Map.empty
+    else BpeOracle.forKey(sfDir).map { m =>
       val targetValues = MixTargets.toSeq.sortBy(_._1)
         .map { case (l, s) => s"('$l', $s)" }.mkString(", ")
       Map("sample_mixture_bpe" ->

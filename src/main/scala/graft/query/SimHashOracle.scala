@@ -131,8 +131,13 @@ object SimHashOracle {
         col("text").rlike("[^\\x20-\\x7E\\t\\n\\r\\f]"))
       .limit(1).count()
     if (badChars != 0) return false
+    // tokens materialized BEFORE shinglesFromTokens — the inline
+    // `shingles(text)` convenience path re-runs the \s+ split once
+    // per shingle position inside the transform lambda (the
+    // documented 40+ s-at-5000-docs pathology; review-caught here)
     val r = docs
-      .select(TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(TextAnalysis.shinglesFromTokens(col("toks"), 3).as("sh"))
       .select(size(col("sh")).as("n"), explode(col("sh")).as("s"))
       .agg(max(col("n")).as("max_n"),
         max(octet_length(col("s"))).as("max_len"))

@@ -296,6 +296,23 @@ class MediaPipelineSpec extends SparkSpec {
       "the audio fingerprint namespace must be modality-tagged")
   }
 
+  test("a VALID 16-bit wav outside the fingerprintable regime " +
+      "passes as fresh — stats row kept, NO reject row (good audio " +
+      "must never hit the corrupt-payload sink)") {
+    val store = tmpDir("media16bit-store")
+    val w = Multimodal.wavBytes(8000, Array.fill(16)(130.toByte))
+    w(46) = 16 // bits-per-sample field inside 'fmt '
+    MediaPipeline.ingestBatch(
+      Seq((5L, Base64.getEncoder.encodeToString(w), "wav"))
+        .toDF("doc_id", "media_b64", "format"),
+      store, batchId = 0L, phashDedup = true)
+    assert(MediaPipeline.stats(spark, store)
+      .select("doc_id").as[Long].collect().toSet == Set(5L))
+    assert(MediaPipeline.rejects(spark, store).count() == 0,
+      "a decodable 16-bit wav must not dead-letter")
+    assert(MediaPipeline.dups(spark, store).count() == 0)
+  }
+
   test("phash dedup tier covers the JPEG modality: jpeg rows " +
       "fingerprint through the shared pixel path, and a re-sent " +
       "identical jpeg routes to the dups delta") {
