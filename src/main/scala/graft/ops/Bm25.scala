@@ -85,6 +85,57 @@ object Bm25 {
     score(tf, df, lengths, corpusStats, k, k1, b)
   }
 
+  /** Exact-PHRASE-constrained BM25 (the Lucene PhraseQuery shape):
+    * only documents containing the query terms CONSECUTIVELY are
+    * candidates, ranked by standard BM25 over the phrase's terms with
+    * CORPUS-WIDE statistics (df/avgdl/N are the same values the
+    * unconstrained query sees — the constraint gates candidacy, it
+    * does not re-weigh evidence; restricting df to matches would
+    * inflate idf exactly when the phrase is common).
+    *
+    * Phrase containment is token-level, not substring-level:
+    * ` needle ` searched in the space-joined normalized token stream
+    * with sentinel padding, so "scan" never matches inside
+    * "rescanned" and the gate stays one codegen'd `instr` in the
+    * scan — no positional index and no per-term position join chain
+    * (L-1 self-joins for an L-word phrase). ONE wide text pass serves
+    * lengths AND the gate (the phrase flag rides the staged lengths
+    * frame), so the text read count stays at scoreTopK's two,
+    * PlanShapeSpec-pinned. At index scale the same gate composes
+    * with [[graft.scale.TextSkipIndex]]'s gram blooms (prune files
+    * first, gate survivors); the direct path here is the
+    * oracle-anchored form.
+    */
+  def scoreTopKPhrase(docs: DataFrame, phrase: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(phrase.nonEmpty, "bm25 phrase: empty phrase")
+    val needle = " " + phrase.mkString(" ") + " "
+    val lengths0 = graft.scale.Staging.materialize(docs
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= "")).cast("long")
+          .as("dl"),
+        (instr(concat(lit(" "),
+          concat_ws(" ", filter(tokens(col("text")), t => t =!= "")),
+          lit(" ")), needle) > 0).as("phrase_ok"))
+      .filter(col("dl") > 0), "bm25-phrase-lengths")
+    val lengths = lengths0.select(col("doc_id"), col("dl"))
+    val corpusStats = lengths
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .na.fill(0L)
+    val tf0 = graft.scale.Staging.materialize(docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")), "bm25-phrase-tf")
+    // df from the UNRESTRICTED term frame (corpus-wide statistics);
+    // only candidacy is phrase-gated
+    val df = tf0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = tf0.join(
+      lengths0.filter(col("phrase_ok")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    score(tf, df, lengths, corpusStats, k, k1, b)
+  }
+
   /** Batch retrieval: MANY queries against one corpus pass — the
     * production shape (a retrieval service scores query batches, not
     * one query per scan). `queries` is (query_id, terms array<string>);

@@ -1200,6 +1200,33 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "phash")
   }
 
+  /** Clip near-dup pairing over per-frame fingerprints
+    * (`(doc_id, frame_idx, phash)` rows): clips sharing >=
+    * `minShared` DISTINCT fingerprints pair, AFTER the stop-frame
+    * cap drops any fingerprint appearing in more than
+    * `maxDocsPerFrame` clips. The cap is the scale guard, not a
+    * tuning knob: a title card or black frame shared by millions of
+    * clips would make the equi-join's output quadratic in that
+    * fingerprint's clip count (the frame-domain stop-word — the BM25
+    * max-score lesson applied to frames); dropping it costs recall
+    * only on pairs whose ONLY evidence is a near-universal frame,
+    * which is exactly the evidence that means nothing. */
+  def clipNearDupPairs(frameHashes: DataFrame, minShared: Int = 2,
+      maxDocsPerFrame: Int = 64): DataFrame = {
+    val fh = frameHashes.select(col("doc_id"), col("phash")).distinct()
+    val rare = fh.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxDocsPerFrame)
+    val kept = fh.join(rare.select("phash"), Seq("phash"), "left_semi")
+    val a = kept.select(col("phash"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("phash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("phash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
   /** Resized payload with its new fixed size. */
   final case class ResizedMedia(doc_id: Long, format: String,
       size: Int, payload: Array[Byte])

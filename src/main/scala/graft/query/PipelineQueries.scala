@@ -31,6 +31,9 @@ object PipelineQueries {
     * pruning exists for (certificate engages at every tested SF with
     * at least k 'dup' docs; smaller fixtures fall back, still exact). */
   private val Bm25PrunedTerms = Seq("dup", "scan", "merge")
+  /** Phrase for the exact-phrase BM25 query — chosen for nonzero,
+    * k-exceeding match counts at every test sf (43/22/310 docs). */
+  private val Bm25PhraseTerms = Seq("window", "join")
   private val cosineT = 0.4 // demo threshold: testdata max pair sim ~0.51
 
   /** Input cap for the two deliberately-quadratic `_oracle` anchors:
@@ -339,6 +342,16 @@ object PipelineQueries {
     // filtered-explode pass, df/avgdl broadcasts, distributed top-k.
     "retrieval_bm25" -> ((s, d) =>
       Bm25.scoreTopK(Tables.documents(s, d), Bm25QueryTerms, 20)
+        .orderBy(col("rank"))),
+
+    // Exact-phrase retrieval (the Lucene PhraseQuery shape): only
+    // docs containing the terms CONSECUTIVELY are candidates, ranked
+    // by BM25 with corpus-wide statistics — the constraint gates
+    // candidacy, it never re-weighs evidence. The gate is one
+    // codegen'd instr over the sentinel-padded normalized token
+    // stream riding the lengths pass (text reads stay at two).
+    "retrieval_bm25_phrase" -> ((s, d) =>
+      Bm25.scoreTopKPhrase(Tables.documents(s, d), Bm25PhraseTerms, 10)
         .orderBy(col("rank"))),
 
     // Batch retrieval: three queries share ONE corpus pass (the
@@ -1104,23 +1117,11 @@ object PipelineQueries {
     // applied to frames). Shuffles: fingerprint distinct + the
     // frame-hash equi-join + the pair count — candidate volume scales
     // with capped per-fingerprint collisions, never clips^2.
-    "dedup_video_near" -> ((s, d) => {
-      val fh = Multimodal.clipFrameHashes(s,
-          Multimodal.synthClipTable(s, Tables.documents(s, d)))
-        .select(col("doc_id"), col("phash")).distinct()
-      val rare = fh.groupBy(col("phash"))
-        .agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") <= 64)
-      val kept = fh.join(rare.select("phash"), Seq("phash"), "left_semi")
-      val a = kept.select(col("phash"), col("doc_id").as("doc_a"))
-      val b = kept.select(col("phash"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("phash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).cast("long").as("shared_frames"))
-        .filter(col("shared_frames") >= 2)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "dedup_video_near" -> ((s, d) =>
+      Multimodal.clipNearDupPairs(
+          Multimodal.clipFrameHashes(s,
+            Multimodal.synthClipTable(s, Tables.documents(s, d))))
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Frame sampling: every 2nd 64-byte frame of each payload — the
     // frame index/length accounting is oracle-checkable even though the
@@ -1159,6 +1160,41 @@ object PipelineQueries {
       |        + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))),
       |      4) AS score
       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+      |    AS rank
+      |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** The phrase-constrained variant of [[bm25OracleSqlFor]]: same
+    * corpus-wide statistics (df from the UNRESTRICTED tf frame), with
+    * candidacy gated to docs whose sentinel-padded normalized token
+    * stream contains the consecutive phrase — the same token-level
+    * containment the engine's codegen'd instr gate computes. */
+  private def bm25PhraseOracleSqlFor(phrase: Seq[String],
+      k: Int): String = {
+    val inList = phrase.distinct.map(t => s"'$t'").mkString(", ")
+    val needle = " " + phrase.mkString(" ") + " "
+    s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+      |    '[^a-z]+')) AS term FROM documents),
+      |wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+      |ph AS (SELECT doc_id FROM documents
+      |  WHERE instr(' ' || array_to_string(list_filter(
+      |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''),
+      |    ' ') || ' ', '$needle') > 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
+      |  WHERE term IN ($inList) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25
+      |        + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))),
+      |      4) AS score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  WHERE tf.doc_id IN (SELECT doc_id FROM ph)
       |  GROUP BY tf.doc_id)
       |SELECT doc_id, score,
       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
@@ -1588,6 +1624,8 @@ object PipelineQueries {
          |  ON a.phash = b.phash AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     "retrieval_bm25" -> bm25OracleSql,
+    "retrieval_bm25_phrase" ->
+      bm25PhraseOracleSqlFor(Bm25PhraseTerms, 10),
     "retrieval_bm25_indexed" -> bm25OracleSql,
     "retrieval_bm25_pruned" -> bm25OracleSqlFor(Bm25PrunedTerms, 10),
     "retrieval_bm25_batch" ->

@@ -383,4 +383,34 @@ class Bm25Spec extends SparkSpec {
         s"trial $trial: query=$q k=$k")
     }
   }
+
+  test("scoreTopKPhrase: consecutive-token candidacy (no substring " +
+      "or non-adjacent matches), scores equal the unconstrained BM25 " +
+      "scores — the gate never re-weighs evidence") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha window join beta"),   // phrase present
+      (1L, "window beta join alpha"),   // both terms, not adjacent
+      (2L, "window join window join"),  // phrase twice
+      (3L, "the windowjoin compound"),  // fused token: no match
+      (4L, "window joiner trap"),       // prefix-token trap: no match
+      (5L, "no relevant terms here")
+    ).toDF("doc_id", "text")
+    val got = Bm25.scoreTopKPhrase(docs, Seq("window", "join"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(0L, 2L),
+      s"phrase candidacy must be exact consecutive tokens: $got")
+    // corpus-wide statistics: a candidate's phrase-gated score is
+    // EXACTLY its unconstrained score over the same terms
+    val full = Bm25.scoreTopK(docs, Seq("window", "join"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) =>
+      assert(full(id) == s, s"doc $id: phrase score $s != full ${full(id)}")
+    }
+    // empty phrase fails loudly like the other entrypoints
+    val e = intercept[IllegalArgumentException] {
+      Bm25.scoreTopKPhrase(docs, Nil, 10)
+    }
+    assert(e.getMessage.contains("empty phrase"))
+  }
 }

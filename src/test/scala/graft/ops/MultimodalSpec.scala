@@ -898,4 +898,29 @@ class MultimodalSpec extends SparkSpec {
           s"registered near-dup result (got $sf)")
     }
   }
+
+  test("the stop-frame cap actually fires: a fingerprint shared by " +
+      "more than maxDocsPerFrame clips contributes NO pairs (the " +
+      "title-card/black-frame join explosion), while genuine " +
+      "multi-frame overlap still pairs") {
+    import spark.implicits._
+    // 100 clips all share the 'title card' fingerprint T; clips 0/1
+    // additionally share two genuine fingerprints
+    val rows =
+      (0L until 100L).map(d => (d, 0, "T")) ++
+        Seq((0L, 1, "g1"), (0L, 2, "g2"), (1L, 1, "g1"), (1L, 2, "g2"))
+    val fh = rows.toDF("doc_id", "frame_idx", "phash")
+    val got = Multimodal.clipNearDupPairs(fh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // without the cap the title card alone yields C(100,2) = 4950
+    // candidate pairs; with it, only the genuine pair survives
+    assert(got == Map((0L, 1L) -> 2L),
+      s"expected exactly the genuine pair, got ${got.size} pairs")
+    // and at a cap that admits the hot frame, the pairs reappear —
+    // the cap is the ONLY thing standing between this corpus and n^2
+    val uncapped = Multimodal.clipNearDupPairs(fh,
+      minShared = 1, maxDocsPerFrame = 1000)
+    assert(uncapped.count() == 4950) // C(100,2) — the explosion
+  }
 }

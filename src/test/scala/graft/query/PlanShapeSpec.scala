@@ -44,6 +44,9 @@ class PlanShapeSpec extends SparkSpec {
     Set("sim_cosine_topk", "sim_cosine_topk_int8", "join_cross_dims",
       "text_unigram_loglik", "q22_dormant_customers",
       "q11_important_parts", "retrieval_bm25", "retrieval_bm25_indexed",
+      // the phrase variant shares scoreTopK's 1-row stats attach; its
+      // phrase gate itself is a doc_id equi-semi-join
+      "retrieval_bm25_phrase",
       "retrieval_hybrid_indexed_batch",
       "retrieval_bm25_batch", "retrieval_bm25_indexed_batch",
       "sample_quality_buckets", "retrieval_hybrid_rrf",
@@ -329,7 +332,10 @@ class PlanShapeSpec extends SparkSpec {
   test("batch retrieval reads documents.text at most twice per run " +
       "(tf explode + lengths; the dense side never)") {
     for (name <- Seq("retrieval_bm25", "retrieval_bm25_batch",
-        "retrieval_hybrid_rrf_batch")) {
+        "retrieval_hybrid_rrf_batch",
+        // the phrase gate rides the staged lengths pass, so the
+        // phrase-constrained query holds the same two-scan contract
+        "retrieval_bm25_phrase")) {
       val n = countColumnScans("documents", "text") {
         SparkEntry.queries(name)(spark, sf0001).collect()
       }
