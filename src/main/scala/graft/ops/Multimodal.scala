@@ -1200,6 +1200,65 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "phash")
   }
 
+  /** NEAR-dup variant of [[synthAudioFpTable]]: the odd doc's
+    * half-gain copy additionally SILENCES its first frame (the
+    * clipped/edited intro — an ad stinger cut, a fade-in trim). Only
+    * the f=0 energy changes, and f=0 energy feeds exactly ONE
+    * comparison (bit 0), so the pair lands within hamming 1 BY
+    * CONSTRUCTION while exact fingerprint equality misses it
+    * whenever the edit flips that comparison. */
+  def synthAudioNearTable(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val k = d - (d % 2)
+      val samples = Array.tabulate(264) { i =>
+        val t = synthAudioCell(k, i)
+        val c =
+          if (d % 2 == 0) 2 * t
+          else if (i < AudioFpFrameLen) 0 // silenced intro frame
+          else t
+        (128 + c).toByte
+      }
+      MediaRecord(d, wavBytes(8000, samples), "wav")
+    }.toDF()
+  }
+
+  /** Hamming-tolerant audio near-dup over `(doc_id, afp)` rows via
+    * pigeonhole banding — the [[dHashWords]] near-dup plan on the
+    * 32-bit audio fingerprint: split into `maxDist + 1` bit bands, so
+    * any two fingerprints within `maxDist` differ in at most
+    * `maxDist` bands and SHARE at least one (recall 1 by
+    * construction); candidates verify with one popcount. One shuffle
+    * on (band, value), never all-pairs. */
+  def audioFpNearPairs(fps: DataFrame, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist < 32, "audio near: bad maxDist")
+    val bands = maxDist + 1
+    val width = 32 / bands
+    val bandCols = (0 until bands).map { i =>
+      val lo = i * width
+      val w = if (i == bands - 1) 32 - lo else width
+      struct(lit(i).as("b"),
+        shiftrightunsigned(col("afp"), lo)
+          .bitwiseAND(lit((1L << w) - 1)).as("v"))
+    }
+    val e = fps.select(col("doc_id"), col("afp"),
+        explode(array(bandCols: _*)).as("bv"))
+      .select(col("doc_id"), col("afp"),
+        col("bv.b").as("b"), col("bv.v").as("v"))
+    val a = e.select(col("b"), col("v"), col("doc_id").as("doc_a"),
+      col("afp").as("fp_a"))
+    val bSide = e.select(col("b"), col("v"), col("doc_id").as("doc_b"),
+      col("afp").as("fp_b"))
+    a.join(bSide, Seq("b", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct() // a pair can share several bands
+  }
+
   /** Clip near-dup pairing over per-frame fingerprints
     * (`(doc_id, frame_idx, phash)` rows): clips sharing >=
     * `minShared` DISTINCT fingerprints pair, AFTER the stop-frame

@@ -1105,6 +1105,22 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // HAMMING-TOLERANT audio near-dup — the edited-copy regime (a
+    // trimmed/silenced intro over a volume change): the corpus
+    // silences the first frame of every odd doc's half-gain copy, so
+    // only bit 0 of the fingerprint can flip (hamming <= 1 by
+    // construction) and EXACT fingerprint equality misses the pair
+    // whenever it does. Pigeonhole bands over the 32-bit
+    // fingerprint: within hamming 2, at least one of 3 bands is
+    // shared — recall 1 by construction, which is what makes the row
+    // oracle-pairable. One shuffle on (band, value), never all-pairs.
+    "dedup_audio_fp_near" -> ((s, d) =>
+      Multimodal.audioFpNearPairs(
+          Multimodal.audioFingerprints(s,
+              Multimodal.synthAudioNearTable(s, Tables.documents(s, d)))
+            .toDF().select(col("doc_id"), col("afp")))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // VIDEO clip near-dup on per-frame perceptual fingerprints — the
     // trimmed + rescaled re-upload regime: odd docs carry their
     // partner's clip minus the intro frame, every surviving frame a
@@ -1534,11 +1550,23 @@ object PipelineQueries {
     * centered subtraction, so `//` and `%` agree across engines.
     * `en` carries per-(doc, frame) exact integer energies; `afp`
     * packs the 32 adjacent-frame comparisons. */
-  private def audioFpCte: String = {
+  private def audioFpCte: String =
+    audioFpCteWith(t => s"(d.gain * $t)")
+
+  /** The NEAR corpus's replay: odd docs silence frame 0 of their
+    * half-gain copy (c = 0 there), everything else is the exact
+    * corpus's arithmetic — one shared skeleton so the two replays
+    * cannot drift. */
+  private def audioFpNearCte: String =
+    audioFpCteWith(t =>
+      s"(CASE WHEN d.doc_id % 2 = 1 AND f.f = 0 THEN 0" +
+        s" ELSE d.gain * $t END)")
+
+  private def audioFpCteWith(cOf: String => String): String = {
     val i = "(f.f * 8 + s.j)"
     val a = s"((d.k * 2654435761 + $i * 1299721 + 7907) % 2147483648)"
     val t = s"((((($a * $a) // 65536) % 4294967296) // 16777216) // 2 - 64)"
-    val c = s"(d.gain * $t)"
+    val c = cOf(t)
     s"""f AS (SELECT unnest(range(33)) AS f),
        |s AS (SELECT unnest(range(8)) AS j),
        |en AS (
@@ -1586,6 +1614,13 @@ object PipelineQueries {
   }
 
   private val oraclesBase: Map[String, String] = Map(
+    "dedup_audio_fp_near" ->
+      s"""WITH $audioFpNearCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+         |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.afp, b.afp)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_video_near" ->
       s"""WITH $clipCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

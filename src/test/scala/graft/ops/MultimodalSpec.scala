@@ -899,6 +899,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio near-dup: a silenced-intro half-gain edit lands within " +
+      "hamming 1 (only bit 0 can flip); exact equality misses some " +
+      "planted pairs; the banded query equals the quadratic join") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val fps = Multimodal.audioFingerprints(spark,
+        Multimodal.synthAudioNearTable(spark, docs))
+      .collect().map(h => h.doc_id -> h.afp).toMap
+    val nDocs = docs.count()
+    val planted = (0L until nDocs by 2).map(k =>
+      java.lang.Long.bitCount(fps(k) ^ fps(k + 1)))
+    assert(planted.forall(_ <= 1),
+      "a silenced intro frame feeds exactly one comparison")
+    assert(planted.exists(_ > 0),
+      "every planted edit fingerprinted identically — the near " +
+        "regime is not being exercised")
+    // the registered banded plan == the quadratic join, exactly
+    val got = graft.SparkEntry.queries("dedup_audio_fp_near")(
+        spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val quad = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    assert(got == quad, s"banded ${got.size} vs quadratic ${quad.size}")
+  }
+
   test("the stop-frame cap actually fires: a fingerprint shared by " +
       "more than maxDocsPerFrame clips contributes NO pairs (the " +
       "title-card/black-frame join explosion), while genuine " +
