@@ -1008,15 +1008,24 @@ object Multimodal {
     * [[audioFingerprint]]'s gain invariance makes afp(2k) == afp(2k+1)
     * BY CONSTRUCTION while the payloads differ in every non-silent
     * byte — the volume-normalized re-encode byte dedup cannot see. */
-  def synthAudioFpTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def synthAudioFpTable(spark: SparkSession, docs: DataFrame): DataFrame =
+    synthAudioTableWith(spark, docs) { (d, k, i) =>
+      val t = synthAudioCell(k, i)
+      if (d % 2 == 0) 2 * t else t
+    }
+
+  /** ONE synthesis skeleton for the audio corpora (exact + near):
+    * `centered(d, k, i)` returns the centered sample — sample count,
+    * partner keying, and container serialization live here once, so
+    * the two corpora cannot drift (the audioFpCteWith discipline on
+    * the Scala side; review-caught). */
+  private def synthAudioTableWith(spark: SparkSession, docs: DataFrame)(
+      centered: (Long, Long, Int) => Int): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { d =>
       val k = d - (d % 2)
-      val samples = Array.tabulate(264) { i =>
-        val t = synthAudioCell(k, i)
-        val c = if (d % 2 == 0) 2 * t else t
-        (128 + c).toByte
-      }
+      val samples = Array.tabulate(264)(i =>
+        (128 + centered(d, k, i)).toByte)
       MediaRecord(d, wavBytes(8000, samples), "wav")
     }.toDF()
   }
@@ -1208,36 +1217,34 @@ object Multimodal {
     * CONSTRUCTION while exact fingerprint equality misses it
     * whenever the edit flips that comparison. */
   def synthAudioNearTable(spark: SparkSession,
-      docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { d =>
-      val k = d - (d % 2)
-      val samples = Array.tabulate(264) { i =>
-        val t = synthAudioCell(k, i)
-        val c =
-          if (d % 2 == 0) 2 * t
-          else if (i < AudioFpFrameLen) 0 // silenced intro frame
-          else t
-        (128 + c).toByte
-      }
-      MediaRecord(d, wavBytes(8000, samples), "wav")
-    }.toDF()
-  }
+      docs: DataFrame): DataFrame =
+    synthAudioTableWith(spark, docs) { (d, k, i) =>
+      val t = synthAudioCell(k, i)
+      if (d % 2 == 0) 2 * t
+      else if (i < AudioFpFrameLen) 0 // silenced intro frame
+      else t
+    }
 
   /** Hamming-tolerant audio near-dup over `(doc_id, afp)` rows via
     * pigeonhole banding — the [[dHashWords]] near-dup plan on the
-    * 32-bit audio fingerprint: split into `maxDist + 1` bit bands, so
-    * any two fingerprints within `maxDist` differ in at most
-    * `maxDist` bands and SHARE at least one (recall 1 by
-    * construction); candidates verify with one popcount. One shuffle
-    * on (band, value), never all-pairs. */
+    * audio fingerprint: split the FULL 63-bit fingerprint domain
+    * ([[audioFingerprint]] emits up to [[AudioFpMaxFrames]] - 1 = 63
+    * comparison bits — banding only the low 32 would make every
+    * low-slice agreement a candidate for long audio, degrading the
+    * candidate bound the banding exists for; review-caught) into
+    * `maxDist + 1` bit bands: any two fingerprints within `maxDist`
+    * differ in at most `maxDist` bands and SHARE at least one
+    * (recall 1 by construction, for ANY band partition); candidates
+    * verify with one popcount. One shuffle on (band, value), never
+    * all-pairs. */
   def audioFpNearPairs(fps: DataFrame, maxDist: Int = 2): DataFrame = {
-    require(maxDist >= 1 && maxDist < 32, "audio near: bad maxDist")
+    require(maxDist >= 1 && maxDist < 63, "audio near: bad maxDist")
+    val domain = AudioFpMaxFrames - 1 // 63 comparison bits, sign clear
     val bands = maxDist + 1
-    val width = 32 / bands
+    val width = domain / bands
     val bandCols = (0 until bands).map { i =>
       val lo = i * width
-      val w = if (i == bands - 1) 32 - lo else width
+      val w = if (i == bands - 1) domain - lo else width
       struct(lit(i).as("b"),
         shiftrightunsigned(col("afp"), lo)
           .bitwiseAND(lit((1L << w) - 1)).as("v"))
@@ -1254,6 +1261,40 @@ object Multimodal {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct() // a pair can share several bands
+  }
+
+  /** Two-word image hamming near-dup over `(doc_id, hi, lo)` rows
+    * (the [[dHashWords]] layout): 4 x 16-bit pigeonhole bands over
+    * the 64-bit fingerprint — within hamming 3, at most 3 bands
+    * differ, so one is shared (recall 1 by construction); candidates
+    * verify with two popcounts. One shuffle on (band, value), never
+    * all-pairs. Extracted so the three banded near-dup plans (image
+    * words / audio fingerprint / clip frames) share the maintained
+    * shape instead of hand-copying it (review-caught). */
+  def phashNearPairs(words: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      "phash near: the 4-band split certifies hamming <= 3 only")
+    val bands = words.select(col("doc_id"), col("hi"), col("lo"),
+        explode(array(
+          struct(lit(0).as("b"), (col("hi") % 65536).as("v")),
+          struct(lit(1).as("b"), (col("hi") / 65536).cast("long").as("v")),
+          struct(lit(2).as("b"), (col("lo") % 65536).as("v")),
+          struct(lit(3).as("b"), (col("lo") / 65536).cast("long").as("v"))
+        )).as("band"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("band.b").as("b"), col("band.v").as("v"))
+    val a = bands.select(col("b"), col("v"), col("doc_id").as("doc_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = bands.select(col("b"), col("v"), col("doc_id").as("doc_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"))
+    a.join(b, Seq("b", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct() // a pair can share several bands

@@ -1043,33 +1043,12 @@ object PipelineQueries {
     // makes the row oracle-pairable); candidates verify with two
     // 32-bit popcounts. One shuffle on (band, value); candidate
     // volume scales with band collisions, never n^2.
-    "dedup_image_phash_near" -> ((s, d) => {
-      val h = Multimodal.perceptualHashWords(s,
-          Multimodal.synthPhashNearTable(s, Tables.documents(s, d)))
-        .toDF()
-      val bands = h.select(col("doc_id"), col("hi"), col("lo"),
-        explode(array(
-          struct(lit(0).as("b"), (col("hi") % 65536).as("v")),
-          struct(lit(1).as("b"), (col("hi") / 65536).cast("long").as("v")),
-          struct(lit(2).as("b"), (col("lo") % 65536).as("v")),
-          struct(lit(3).as("b"), (col("lo") / 65536).cast("long").as("v"))
-        )).as("band"))
-        .select(col("doc_id"), col("hi"), col("lo"),
-          col("band.b").as("b"), col("band.v").as("v"))
-      val a = bands.select(col("b"), col("v"), col("doc_id").as("doc_a"),
-        col("hi").as("hi_a"), col("lo").as("lo_a"))
-      val b = bands.select(col("b"), col("v"), col("doc_id").as("doc_b"),
-        col("hi").as("hi_b"), col("lo").as("lo_b"))
-      a.join(b, Seq("b", "v"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
-            bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
-            .cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct() // a pair can share several bands
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "dedup_image_phash_near" -> ((s, d) =>
+      Multimodal.phashNearPairs(
+          Multimodal.perceptualHashWords(s,
+              Multimodal.synthPhashNearTable(s, Tables.documents(s, d)))
+            .toDF())
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // AUDIO perceptual fingerprints through the real WAV codec: a
     // gain-invariant energy-delta-sign fingerprint (bit f = frame
@@ -1160,14 +1139,43 @@ object PipelineQueries {
   /** One oracle body for every single-query BM25 path (direct,
     * indexed, max-score-pruned) — scores must be identical across all
     * of them, so they differ only in term list and k. */
-  private def bm25OracleSqlFor(terms: Seq[String], k: Int): String = {
+  private def bm25OracleSqlFor(terms: Seq[String], k: Int): String =
+    bm25OracleBodyFor(terms, k, extraCtes = "", scWhere = "")
+
+  /** The phrase-constrained variant: same corpus-wide statistics
+    * (df from the UNRESTRICTED tf frame), with candidacy gated to
+    * docs whose sentinel-padded normalized token stream contains the
+    * consecutive phrase — the same token-level containment the
+    * engine's codegen'd instr gate computes. Shares the BM25 SQL
+    * skeleton with [[bm25OracleSqlFor]] so the arithmetic cannot
+    * drift between the two (the audioFpCteWith discipline,
+    * review-caught). */
+  private def bm25PhraseOracleSqlFor(phrase: Seq[String],
+      k: Int): String = {
+    val needle = " " + phrase.mkString(" ") + " "
+    bm25OracleBodyFor(phrase.distinct, k,
+      extraCtes =
+        s"""ph AS (SELECT doc_id FROM documents
+           |  WHERE instr(' ' || array_to_string(list_filter(
+           |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''),
+           |    ' ') || ' ', '$needle') > 0),
+           |""".stripMargin,
+      scWhere = "  WHERE tf.doc_id IN (SELECT doc_id FROM ph)\n")
+  }
+
+  /** ONE BM25 oracle skeleton for the single-query paths (direct,
+    * indexed, max-score-pruned, phrase): `extraCtes` injects
+    * candidacy CTEs before `tf`, `scWhere` a filter line before the
+    * score GROUP BY — both empty for the unconstrained paths. */
+  private def bm25OracleBodyFor(terms: Seq[String], k: Int,
+      extraCtes: String, scWhere: String): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
       |    '[^a-z]+')) AS term FROM documents),
       |wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
       |dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY 1),
       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
-      |tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
+      |${extraCtes}tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
       |  WHERE term IN ($inList) GROUP BY 1, 2),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |sc AS (SELECT tf.doc_id,
@@ -1176,42 +1184,7 @@ object PipelineQueries {
       |        + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))),
       |      4) AS score
       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-      |  GROUP BY tf.doc_id)
-      |SELECT doc_id, score,
-      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-      |    AS rank
-      |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
-  }
-
-  /** The phrase-constrained variant of [[bm25OracleSqlFor]]: same
-    * corpus-wide statistics (df from the UNRESTRICTED tf frame), with
-    * candidacy gated to docs whose sentinel-padded normalized token
-    * stream contains the consecutive phrase — the same token-level
-    * containment the engine's codegen'd instr gate computes. */
-  private def bm25PhraseOracleSqlFor(phrase: Seq[String],
-      k: Int): String = {
-    val inList = phrase.distinct.map(t => s"'$t'").mkString(", ")
-    val needle = " " + phrase.mkString(" ") + " "
-    s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
-      |    '[^a-z]+')) AS term FROM documents),
-      |wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
-      |dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY 1),
-      |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
-      |ph AS (SELECT doc_id FROM documents
-      |  WHERE instr(' ' || array_to_string(list_filter(
-      |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''),
-      |    ' ') || ' ', '$needle') > 0),
-      |tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
-      |  WHERE term IN ($inList) GROUP BY 1, 2),
-      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      |sc AS (SELECT tf.doc_id,
-      |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
-      |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25
-      |        + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))),
-      |      4) AS score
-      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-      |  WHERE tf.doc_id IN (SELECT doc_id FROM ph)
-      |  GROUP BY tf.doc_id)
+      |$scWhere  GROUP BY tf.doc_id)
       |SELECT doc_id, score,
       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
       |    AS rank
