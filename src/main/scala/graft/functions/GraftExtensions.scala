@@ -217,13 +217,25 @@ object GraftExtensions {
         DeflateRatio(args.head)
       })
 
+  private[functions] val groupTopNDescriptor =
+    (new FunctionIdentifier("group_top_n"),
+      new ExpressionInfo(
+        classOf[graft.ops.GroupTopN.GroupTopNAgg].getName,
+        "group_top_n"),
+      (args: Seq[Expression]) => {
+        arity("group_top_n", 3, args)
+        graft.ops.GroupTopN.GroupTopNAgg(args.head, args(1),
+          constInt("group_top_n", args(2)))
+      })
+
   private[functions] val descriptors = Seq(vecDotDescriptor,
     vecNormDescriptor, uniqUpToDescriptor, detSampleDescriptor,
     topKWeightedDescriptor, quantileStateDescriptor,
     quantileStateMergeDescriptor, quantileStateValueDescriptor,
     cmsStateDescriptor, cmsStateMergeDescriptor,
     cmsStateQueryDescriptor, gramBloomDescriptor,
-    gramBloomAdmitsDescriptor, deflateRatioDescriptor)
+    gramBloomAdmitsDescriptor, deflateRatioDescriptor,
+    groupTopNDescriptor)
 
   /** Register on an already-built session (tests, driver-owned
     * sessions where spark.sql.extensions can't be set). */

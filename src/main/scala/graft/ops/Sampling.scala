@@ -192,4 +192,96 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every raw document by how target-like its
+    * hashed n-gram distribution is, then keep the top-k. The paper's
+    * recipe, deterministically:
+    *
+    *  1. FEATURES: word unigrams + bigrams hashed into `buckets`
+    *     slots — `pmod(xxhash64(gram), buckets)`. The hashing trick
+    *     is what makes this 100 TB-viable: the feature space is a
+    *     FIXED `buckets`-row table regardless of corpus vocabulary
+    *     (no vocab to build, broadcast, or keep consistent across
+    *     shards), so the bucket LM below broadcasts by construction.
+    *  2. BUCKET LMs: per-bucket add-one-smoothed occurrence
+    *     probabilities under the TARGET slice (`isTarget`) and under
+    *     the full RAW corpus — one map-side-combined groupBy over the
+    *     staged gram table.
+    *  3. IMPORTANCE WEIGHT: per doc, the length-normalized
+    *     log-likelihood ratio
+    *       avg over gram occurrences of [ln p_t(b) - ln p_r(b)]
+    *     = avg(ln(tc+1) - ln(rc+1)) + ln(R+B) - ln(T+B),
+    *     rounded to 3 decimals (the [[graft.ops.TextAnalysis
+    *     .unigramLogLik]] FP discipline — the constant term folds out
+    *     of the avg, so both engines compose the identical expression
+    *     tree).
+    *  4. SELECT: the paper draws Gumbel top-k; this engine's
+    *     reproducibility contract (see object scaladoc) swaps that for
+    *     the deterministic top-k under the TOTAL order (weight DESC,
+    *     doc_id ASC) — Spark plans it as TakeOrdered (per-partition
+    *     heaps, never a global sort), and the k winner ids fan back
+    *     over a broadcast join to flag `selected`.
+    *
+    * Plan: the (doc_id, tgt, bucket) gram table is staged ONCE
+    * (Staging.materialize — it feeds the bucket LM fit AND the
+    * doc-side scoring join, the unigramLogLik share-the-scan move),
+    * the bucket LM + totals ride ONE broadcast each, and the output is
+    * one map-side-combined per-doc aggregate. Nothing shuffles on a
+    * text-derived key wider than the gram explode itself.
+    *
+    * Output: (doc_id, n_grams, dsir_weight, selected) for every doc
+    * with at least one gram. Oracle-replayable end to end: the bucket
+    * hash replays through [[graft.query.SqlU64.xxhStrCtes]] (guarded
+    * by the gram-domain probe in SamplingQueries.dynamicOracles) and
+    * everything else is counting + ln arithmetic.
+    */
+  def dsirSelect(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int, k: Int): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "dsir: buckets must be a power of two (pmod == low bits on both " +
+        "engines only when the modulus is a power of two)")
+    val toks = docs.select(id.as("doc_id"),
+      isTarget.cast("long").as("tgt"),
+      filter(split(lower(text), "[^a-z]+"), w => w =!= "").as("ws"))
+    // unigrams ++ bigrams in ONE explode: Curation.wordNgrams emits
+    // empty for size<n, so short docs degrade correctly (a 1-word doc
+    // contributes its unigram only)
+    val grams = toks.select(col("doc_id"), col("tgt"),
+      explode(concat(Curation.wordNgrams(col("ws"), 1),
+        Curation.wordNgrams(col("ws"), 2))).as("g"))
+    val bucketed = graft.scale.Staging.materialize(
+      grams.select(col("doc_id"), col("tgt"),
+        pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b")),
+      "dsir-gram-buckets")
+    // the bucket LM is <= `buckets` rows BY CONSTRUCTION (the hashing
+    // trick's whole point), but the broadcast still goes through the
+    // size guard so the mechanical no-growing-broadcast gate sees the
+    // proof instead of trusting a comment
+    val lm = graft.scale.Staging.guardedBroadcast(
+      bucketed.groupBy(col("b"))
+        .agg(sum(col("tgt")).as("tc"), count(lit(1)).as("rc")))
+    val totals = lm.agg(sum(col("tc")).as("t_total"),
+      sum(col("rc")).as("r_total"))
+    // staged: both the winners top-k and the output join consume the
+    // per-doc scores; unstaged, the scoring shuffle (the plan's
+    // expensive stage) runs TWICE (plan-audited: 6 exchanges -> 4)
+    val perDoc = graft.scale.Staging.materialize(bucketed
+      .join(lm, Seq("b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"), col("t_total"), col("r_total"))
+      .agg(count(lit(1)).as("n_grams"),
+        avg(log(col("tc") + 1) - log(col("rc") + 1)).as("llr"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("llr") + (log(col("r_total") + buckets)
+          - log(col("t_total") + buckets)), 3).as("dsir_weight")),
+      "dsir-perdoc")
+    val winners = perDoc
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), lit(1).as("selected"))
+    perDoc.join(broadcast(winners), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("dsir_weight"),
+        coalesce(col("selected"), lit(0)).as("selected"))
+  }
 }

@@ -18,6 +18,7 @@ object CurationQueries {
   private val N = 5        // n-gram width (flat word text; no lines)
   private val MinDocs = 3  // boilerplate = gram in >= 3 distinct docs
   private val Budget = 256 // packing window, tokens
+  private val SourceCapN = 10 // per-source document cap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Word 5-grams appearing in >= 3 distinct docs: the removal list of
@@ -78,6 +79,21 @@ object CurationQueries {
       Curation.chunkOverlap(Tables.documents(s, d), size = 200,
           stride = 150)
         .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Per-domain cap (RefinedWeb/CCNet-style source limiting): at most
+    // `SourceCapN` docs per source, the (n_chars DESC, doc_id ASC)
+    // best. Runs through the bounded-heap group_top_n aggregate (O(N)
+    // state per source, partial+final — see ops/GroupTopN scaladoc for
+    // why a rank window would full-sort a skewed domain at 100 TB);
+    // the DuckDB oracle replays the selection with row_number because
+    // the aggregate's (priority DESC, id ASC) order is total.
+    "curation_source_cap" -> ((s, d) =>
+      graft.ops.GroupTopN.capPerGroup(Tables.documents(s, d),
+          Seq(col("source")), col("n_chars"), col("doc_id"),
+          SourceCapN)
+        .select(col("source"), col("id").as("doc_id"),
+          col("priority").as("n_chars"))
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id"))),
 
     // CAPSTONE: the full pre-training corpus build — boilerplate +
     // repetition gates, eval-set decontamination, then per-shard
@@ -174,6 +190,17 @@ object CurationQueries {
        |  LATERAL (SELECT unnest(generate_series(1, len(ws) - ${N - 1})) AS i) g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The ORACLE may rank-window (it sorts anyway); the registered
+    // plan must not — the aggregate's total order (n_chars DESC,
+    // doc_id ASC) makes the two selections identical.
+    "curation_source_cap" ->
+      s"""SELECT source, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $SourceCapN
+         |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
     "curation_chunk_overlap" ->
       """SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
         |  CAST(len(substr(text, s + 1, 200)) AS BIGINT) AS chunk_len,

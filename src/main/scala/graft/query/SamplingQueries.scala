@@ -121,8 +121,23 @@ object SamplingQueries {
           keys = Seq("o_orderpriority"), value = col("o_totalprice"),
           determinator = Seq(col("o_orderkey")),
           probs = Seq(0.5, 0.9, 0.99), k = 8192)
-        .orderBy(col("o_orderpriority")))
+        .orderBy(col("o_orderpriority"))),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed
+    // unigram+bigram LM ratio against the src0/src1 "target domain",
+    // deterministic top-50 selection. Hash-gated via the xxHash64
+    // SQL replay (dynamicOracles below — the SimHash/BPE pattern:
+    // independent recomputation, guarded by a gram-domain probe).
+    "sample_dsir_select" -> ((s, d) =>
+      Sampling.dsirSelect(Tables.documents(s, d), col("doc_id"),
+          col("text"), col("source").isin(DsirTargets: _*),
+          DsirBuckets, DsirK)
+        .orderBy(col("doc_id")))
   )
+
+  private val DsirTargets = Seq("src0", "src1")
+  private val DsirBuckets = 4096
+  private val DsirK = 50
 
   /** Target token shares for the mixing demo: upweight the non-English
     * slices relative to their natural frequency. */
@@ -139,7 +154,84 @@ object SamplingQueries {
   def dynamicOracles(sfDir: String): Map[String, String] =
     dynamicOracles(sfDir, None)
 
+  /** Gram-domain probe for the DSIR xxHash64 replay: every hashed
+    * string must be ASCII (lower() and the `[^a-z]+` split agree
+    * across engines only there — a non-ASCII lower() can CREATE token
+    * chars, e.g. Turkish dotted-I) and < 32 bytes (the unrolled
+    * scalar hash's domain; max word <= 15 bounds every bigram at
+    * 2*15+1 = 31). Conservative by design — a probe failure keeps the
+    * query rows-only, never emits a wrong oracle. */
+  private def dsirSound(spark: SparkSession, sfDir: String): Boolean = {
+    val docs = Tables.documents(spark, sfDir)
+    val badChars = docs.filter(col("text").isNull ||
+        col("text").rlike("[^\\x20-\\x7E\\t\\n\\r\\f]"))
+      .limit(1).count()
+    if (badChars != 0) return false
+    val r = docs
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        w => w =!= "")).as("w"))
+      .agg(max(octet_length(col("w"))).as("max_len"))
+      .head()
+    !r.isNullAt(0) && r.getInt(0) <= 15
+  }
+
+  /** The `sample_dsir_select` replay — see [[graft.ops.Sampling
+    * .dsirSelect]] step-by-step: the same tokenize/gram build (g0
+    * unigram occurrences, g1 bigram positions 1..len-1),
+    * [[SqlU64.xxhStrCtes]] for the bucket hash (UBIGINT low bits ==
+    * pmod for the power-of-two bucket count), the add-one bucket LMs,
+    * and the identical avg + constant-term composition before the one
+    * 3-decimal round. Selection replays as ORDER BY (weight DESC,
+    * doc_id) LIMIT k — total order, so the two engines pick the same
+    * winners. */
+  private def dsirOracleSql: String = {
+    val tgt = DsirTargets.map(t => s"'$t'").mkString(", ")
+    s"""WITH
+       |toks AS (SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      w -> w <> '') AS tk
+       |  FROM documents),
+       |g0 AS (SELECT doc_id, source, unnest(tk) AS s FROM toks),
+       |g1 AS (SELECT doc_id, source, tk[i.i] || ' ' || tk[i.i+1] AS s
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) i
+       |  WHERE len(tk) >= 2),
+       |g AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1),
+       |u AS (SELECT s FROM g),
+       |${SqlU64.xxhStrCtes("u")},
+       |gb AS (SELECT g.doc_id, g.source,
+       |    (xh.h % $DsirBuckets)::BIGINT AS b
+       |  FROM g JOIN xh USING (s)),
+       |lm AS (SELECT b,
+       |    sum(CASE WHEN source IN ($tgt) THEN 1 ELSE 0 END) AS tc,
+       |    count(*) AS rc
+       |  FROM gb GROUP BY b),
+       |tot AS (SELECT sum(tc) AS t_total, sum(rc) AS r_total FROM lm),
+       |pd AS (SELECT doc_id, count(*) AS n_grams,
+       |    round(avg(ln(tc + 1) - ln(rc + 1))
+       |      + ln(r_total + $DsirBuckets) - ln(t_total + $DsirBuckets),
+       |      3) AS dsir_weight
+       |  FROM gb JOIN lm USING (b) CROSS JOIN tot
+       |  GROUP BY doc_id, t_total, r_total),
+       |sel AS (SELECT doc_id FROM pd
+       |  ORDER BY dsir_weight DESC, doc_id LIMIT $DsirK)
+       |SELECT pd.doc_id, pd.n_grams, pd.dsir_weight,
+       |  CASE WHEN sel.doc_id IS NULL THEN 0 ELSE 1 END AS selected
+       |FROM pd LEFT JOIN sel ON pd.doc_id = sel.doc_id
+       |ORDER BY pd.doc_id""".stripMargin
+  }
+
   def dynamicOracles(sfDir: String,
+      only: Option[Set[String]]): Map[String, String] = {
+    val dsir: Map[String, String] =
+      if (!only.forall(_("sample_dsir_select"))) Map.empty
+      else org.apache.spark.sql.SparkSession.getActiveSession
+        .filter(dsirSound(_, sfDir))
+        .map(_ => Map("sample_dsir_select" -> dsirOracleSql))
+        .getOrElse(Map.empty)
+    dsir ++ bpeMixtureOracle(sfDir, only)
+  }
+
+  private def bpeMixtureOracle(sfDir: String,
       only: Option[Set[String]]): Map[String, String] =
     if (!only.forall(_("sample_mixture_bpe"))) Map.empty
     else BpeOracle.forKey(sfDir).map { m =>

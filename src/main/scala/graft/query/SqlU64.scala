@@ -73,4 +73,51 @@ object SqlU64 {
     val b = mul(xor(a, shr(a, 27)), c2)
     xor(b, shr(b, 31))
   }
+
+  /** Little-endian lane of `n` bytes at 0-based offset expression
+    * `off` over string column `s` — `ord` is the byte value because
+    * every caller's soundness guard pins its corpus to ASCII. */
+  private def lane(off: String, n: Int): String =
+    (0 until n).map { k =>
+      s"(ord(substr(s, ($off) + ${k + 1}, 1))::UHUGEINT * " +
+        s"${java.math.BigInteger.ONE.shiftLeft(8 * k)}::UHUGEINT)"
+    }.mkString("(", " + ", ")")
+
+  /** The xxHash64(seed 42)-of-strings CTE chain — the engine's
+    * `xxhash64(string)` (UTF-8 bytes, Spark's default seed) replayed
+    * as pure SQL over the distinct strings of `src`'s column `s`,
+    * ending in `xh(s, h)` with `h` the UBIGINT hash. Unrolled for
+    * len < 32 ONLY (no stripe loop — up to three 8-byte rounds, one
+    * optional 4-byte round, up to three 1-byte rounds, then the
+    * avalanche; each round one CTE so the state threads as a column,
+    * never a nested megaexpression). Callers MUST probe their corpus
+    * (every hashed string ASCII and < 32 bytes) before emitting an
+    * oracle around this — [[graft.query.SimHashOracle.soundDocs]] is
+    * the model. Shared by the SimHash and DSIR replays so the two
+    * cannot drift on the arithmetic. */
+  def xxhStrCtes(src: String): String = {
+    val h0 = add(s"(42::UHUGEINT + $P5)", "l::UHUGEINT")
+    val b = new StringBuilder
+    b ++= s"x0 AS (SELECT s, strlen(s) AS l, $h0 AS h\n" +
+      s"      FROM (SELECT DISTINCT s FROM $src)),\n"
+    for (c <- 0 until 3)
+      b ++= s"x${c + 1} AS (SELECT s, l, CASE WHEN l >= ${8 * (c + 1)}" +
+        s" THEN ${round8("h", lane((8 * c).toString, 8))}" +
+        s" ELSE h END AS h FROM x$c),\n"
+    val off4 = "((l // 8) * 8)"
+    b ++= s"x4 AS (SELECT s, l, CASE WHEN l % 8 >= 4" +
+      s" THEN ${round4("h", lane(off4, 4))} ELSE h END AS h FROM x3),\n"
+    val offb = "((l // 8) * 8 + CASE WHEN l % 8 >= 4 THEN 4 ELSE 0 END)"
+    for (k <- 0 until 3)
+      b ++= s"x${5 + k} AS (SELECT s, l, CASE WHEN l % 4 >= ${k + 1}" +
+        s" THEN ${round1("h", s"ord(substr(s, ($offb) + ${k + 1}, 1))")}" +
+        s" ELSE h END AS h FROM x${4 + k}),\n"
+    b ++= s"x8 AS (SELECT s, ${mul(xor("h", shr("h", 33)), P2)} AS h" +
+      " FROM x7),\n"
+    b ++= s"x9 AS (SELECT s, ${mul(xor("h", shr("h", 29)), P3)} AS h" +
+      " FROM x8),\n"
+    b ++= s"xh AS (SELECT s, (${xor("h", shr("h", 32))})::UBIGINT AS h" +
+      " FROM x9)"
+    b.toString
+  }
 }

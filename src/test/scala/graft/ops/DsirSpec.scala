@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins [[Sampling.dsirSelect]] — DSIR importance resampling — on a
+  * planted two-domain corpus: target-vocabulary docs must outscore
+  * raw-vocabulary docs, the selection must be the deterministic top-k,
+  * and the whole computation must be partition-invariant (the
+  * engine-wide reproducibility contract).
+  */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two disjoint vocabularies: "target" docs speak tq/tw/te, "noise"
+  // docs speak nq/nw/ne; "mixed" docs interleave. Target slice =
+  // src 't'.
+  private lazy val docs = (
+    (1L to 10L).map(i => (i, "tq tw te tq tw te tq", "t")) ++
+    (11L to 20L).map(i => (i, "nq nw ne nq nw ne nq", "r")) ++
+    (21L to 25L).map(i => (i, "tq tw nq nw tq tw te", "r")) ++
+    // a raw doc that SPEAKS the target vocabulary — the doc DSIR
+    // exists to find
+    Seq((30L, "tq tw te tw tq te tw", "r"),
+      (31L, "", "r")) // gramless: must drop out, not crash
+  ).toDF("doc_id", "text", "source")
+
+  private def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Sampling.dsirSelect(df, col("doc_id"), col("text"),
+        col("source") === "t", 4096, k)
+      .orderBy(col("doc_id"))
+      .collect().toSeq
+
+  test("target-vocabulary docs outscore noise-vocabulary docs") {
+    val out = run(docs, 5)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getDouble(2), r.getInt(3))).toMap
+    // the target-speaking raw doc scores above every noise doc
+    val noiseMax = (11L to 20L).map(byId(_)._1).max
+    assert(byId(30L)._1 > noiseMax)
+    // mixed docs land between pure-target and pure-noise
+    val mixed = byId(21L)._1
+    assert(mixed > noiseMax && mixed < byId(1L)._1)
+    // the gramless doc is absent
+    assert(!byId.contains(31L))
+  }
+
+  test("selection is the exact top-k under (weight DESC, doc_id ASC)") {
+    val out = run(docs, 5)
+    val selected = out.filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    val expect = out.map(r => (r.getDouble(2), r.getLong(0)))
+      .sortBy { case (w, id) => (-w, id) }.take(5).map(_._2).toSet
+    assert(selected == expect)
+    assert(selected.size == 5)
+  }
+
+  test("partition-invariant: 1 vs 8 partitions, identical rows") {
+    val a = run(docs.repartition(1), 5).map(_.toSeq)
+    val b = run(docs.repartition(8), 5).map(_.toSeq)
+    assert(a == b)
+  }
+
+  test("k past the corpus selects every scored doc") {
+    val out = run(docs, 1000)
+    assert(out.forall(_.getInt(3) == 1))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins [[GroupTopN]] — the bounded-heap per-group top-N aggregate —
+  * against the rank-window formulation it replaces at scale: same
+  * answer, any partitioning, exact ties.
+  */
+class GroupTopNSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (group, priority, id): deliberate priority collisions so the
+  // (priority DESC, id ASC) tie-break is exercised, plus a group
+  // smaller than the cap
+  private lazy val rows = Seq(
+    ("a", 5L, 1L), ("a", 5L, 2L), ("a", 5L, 3L), ("a", 4L, 4L),
+    ("a", 9L, 5L), ("a", 1L, 6L), ("a", 9L, 7L),
+    ("b", 2L, 10L), ("b", 2L, 11L),
+    ("c", 7L, 20L), ("c", 7L, 21L), ("c", 7L, 22L), ("c", 6L, 23L),
+    ("c", 8L, 24L), ("c", 5L, 25L))
+    .toDF("g", "p", "id")
+
+  private def viaWindow(n: Int) = {
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("p").desc, col("id"))
+    rows.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("g"), col("id"), col("p").as("priority"))
+      .orderBy(col("g"), col("priority").desc, col("id"))
+      .collect().toSeq
+  }
+
+  private def viaHeap(df: org.apache.spark.sql.DataFrame, n: Int) =
+    GroupTopN.capPerGroup(df, Seq(col("g")), col("p"), col("id"), n)
+      .select(col("g"), col("id"), col("priority"))
+      .orderBy(col("g"), col("priority").desc, col("id"))
+      .collect().toSeq
+
+  test("matches the rank-window selection exactly, ties by smallest id") {
+    for (n <- Seq(1, 2, 3, 4, 10))
+      assert(viaHeap(rows, n) == viaWindow(n), s"n=$n")
+  }
+
+  test("partition-invariant: 1 vs 7 partitions, same answer") {
+    for (parts <- Seq(1, 7))
+      assert(viaHeap(rows.repartition(parts), 3) == viaWindow(3),
+        s"parts=$parts")
+  }
+
+  test("groups under the cap keep every row") {
+    val out = viaHeap(rows, 10)
+    assert(out.count(_.getString(0) == "b") == 2)
+  }
+
+  test("null priority or id rows are skipped, not ranked") {
+    val withNulls = rows.unionByName(
+      Seq(("a", Option.empty[Long], Option(99L)),
+        ("a", Option(99L), Option.empty[Long]))
+        .toDF("g", "p", "id"))
+    // the null-priority and null-id rows must not displace real ones
+    assert(viaHeap(withNulls, 3) == viaWindow(3))
+  }
+
+  test("SQL registration parity: group_top_n == Column API") {
+    graft.functions.GraftExtensions.register(spark)
+    rows.createOrReplaceTempView("gtn_rows")
+    val viaSql = spark.sql(
+      """SELECT g, e.id AS id, e.priority AS priority
+        |FROM (SELECT g, group_top_n(p, id, 3) AS top
+        |      FROM gtn_rows GROUP BY g)
+        |LATERAL VIEW explode(top) AS e
+        |ORDER BY g, priority DESC, id""".stripMargin)
+      .collect().toSeq
+    assert(viaSql == viaWindow(3))
+  }
+
+  test("randomized adds + partial merges match brute force (seeded)") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 60) {
+      val n = 1 + rnd.nextInt(8)
+      val entries = Seq.fill(1 + rnd.nextInt(120))(
+        (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong))
+      // split across 1-4 partial buffers, then merge — the
+      // distributed path
+      val bufs = Seq.fill(1 + rnd.nextInt(4))(new GroupTopN.TopNBuffer(n))
+      entries.foreach { case (p, i) =>
+        bufs(rnd.nextInt(bufs.size)).add(p, i)
+      }
+      val merged = bufs.reduce { (a, b) => a.mergeIn(b); a }
+      val brute = entries.distinct
+        .sortBy { case (p, i) => (-p, i) }.take(n)
+      // ids can repeat across adds; the heap keeps duplicates as
+      // given, so brute-force over the raw multiset too
+      val bruteMulti = entries
+        .sortBy { case (p, i) => (-p, i) }.take(n)
+      assert(merged.sorted.toSeq == bruteMulti,
+        s"trial $trial n=$n entries=$entries (distinct-brute $brute)")
+    }
+  }
+
+  test("heap never exceeds n entries (the scale contract)") {
+    val buf = new GroupTopN.TopNBuffer(4)
+    (1L to 1000L).foreach(i => buf.add(i % 37, i))
+    assert(buf.size == 4)
+    // top-4 of priorities 0..36 with max id per... verify against brute
+    val brute = (1L to 1000L).map(i => (i % 37, i))
+      .sortBy { case (p, i) => (-p, i) }.take(4)
+    assert(buf.sorted.toSeq == brute)
+  }
+}

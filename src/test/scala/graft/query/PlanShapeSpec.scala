@@ -49,7 +49,9 @@ class PlanShapeSpec extends SparkSpec {
       "retrieval_bm25_phrase",
       "retrieval_hybrid_indexed_batch",
       "retrieval_bm25_batch", "retrieval_bm25_indexed_batch",
-      "sample_quality_buckets", "retrieval_hybrid_rrf",
+      "sample_quality_buckets",
+      // DSIR's 1-row corpus-totals attach (the unigram_loglik shape)
+      "sample_dsir_select", "retrieval_hybrid_rrf",
       "retrieval_hybrid_rrf_batch", "retrieval_service_cap",
       // calendar-grid densification: the cross product's BOTH sides
       // are result-bounded (days x |levels|, never corpus rows)
