@@ -336,4 +336,98 @@ object Curation {
         length(col("chunk")).cast("long").as("chunk_len"),
         md5(col("chunk").cast("binary")).as("chunk_md5"))
   }
+
+  /** FIM — fill-in-the-middle transform (Bavarian et al. 2022, "
+    * Efficient Training of Language Models to Fill in the Middle"):
+    * each doc splits at two uniform character positions into
+    * (prefix, middle, suffix) and re-serializes in PSM order
+    * `<PRE>prefix<SUF>suffix<MID>middle`, teaching the model to
+    * infill. The paper samples the cut points; this engine's
+    * reproducibility contract draws them from the Knuth id hash
+    * instead ([[Sampling.hashKey]] of doc_id and of doc_id+odd-salt),
+    * so the SAME doc gets the SAME transform on any run, partitioning,
+    * or engine — which is also what makes the row oracle-pairable
+    * (DuckDB replays the hash arithmetic and the substring algebra).
+    * Pure projection, no shuffle — the at-scale shape for an
+    * objective transform is an embarrassingly parallel map.
+    *
+    * Output stays narrow: cut points, span lengths, and md5 of the
+    * transformed string (the chunkOverlap discipline — downstream
+    * equality never ships text).
+    */
+  def fimSplit(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val len = length(text).cast("long")
+    val a = Sampling.hashKey(id) % (len + 1)
+    val b = Sampling.hashKey(id + lit(1000003L)) % (len + 1)
+    val c1 = least(a, b)
+    val c2 = greatest(a, b)
+    // substr positions are int-typed (a >2^31-char doc does not fit a
+    // Spark string anyway); cuts stay long in the OUTPUT for oracle
+    // dtype parity (DuckDB's % yields BIGINT)
+    val fim = concat(
+      lit("<PRE>"), text.substr(lit(1), c1.cast("int")),
+      lit("<SUF>"), text.substr((c2 + 1).cast("int"),
+        (len - c2).cast("int")),
+      lit("<MID>"), text.substr((c1 + 1).cast("int"),
+        (c2 - c1).cast("int")))
+    docs.select(id.as("doc_id"), c1.as("cut1"), c2.as("cut2"),
+      (c2 - c1).as("n_middle"), md5(fim.cast("binary")).as("fim_md5"))
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020): the token stream
+    * is tiled into fixed `spanLen`-token blocks; each block is masked
+    * iff its deterministic hash clears the rate gate (maskNum /
+    * maskDen of blocks in expectation), masked blocks collapse to a
+    * NUMBERED sentinel `<extra_id_k>` in the input stream and expand
+    * to `sentinel + original tokens` in the target stream — the
+    * denoising objective's (input, target) pair. Block-tiled rather
+    * than the paper's merged random spans: tiling keeps every
+    * decision a pure per-block function of (doc_id, block) — no
+    * sequential scan, no RNG state — which is what makes the
+    * transform reproducible under any partitioning AND replayable by
+    * the DuckDB oracle (adjacent masked blocks read as consecutive
+    * sentinels instead of one merged span; same corruption rate,
+    * spec-documented trade).
+    *
+    * Everything runs inside array HOFs on the split token array —
+    * one codegen'd projection per doc, no explode, no shuffle.
+    * Sentinel numbering is the count of masked blocks before this
+    * one (O(blocks^2) lambda work per doc; blocks ~ tokens/spanLen,
+    * trivially small against the split itself). Output: token/mask
+    * accounting plus md5 of both streams.
+    *
+    * Id-domain note: the block key is `doc_id * 131071 + block`,
+    * exact while doc_id < 2^46 — beyond that, salt into the id
+    * upstream. The Knuth hash itself is overflow-safe for the full
+    * long domain ([[Sampling.hashKey]]).
+    */
+  def spanCorrupt(docs: DataFrame, id: Column, text: Column,
+      spanLen: Int = 3, maskNum: Int = 3, maskDen: Int = 20): DataFrame = {
+    require(spanLen > 0 && maskNum >= 0 && maskDen > 0 &&
+      maskNum <= maskDen, "spanCorrupt: need 0 <= maskNum/maskDen <= 1")
+    val toks = split(text, " ")
+    val nblocks = ceil(size(toks).cast("double") / spanLen).cast("long")
+    val blocks = when(nblocks > 0,
+      sequence(lit(0L), nblocks - 1)).otherwise(
+      array().cast("array<bigint>"))
+    def maskedOf(b: Column) =
+      Sampling.hashKey(id * lit(131071L) + b) % maskDen < maskNum
+    val masked = filter(blocks, b => maskedOf(b))
+    // numbered sentinel for block b = count of masked blocks before b
+    def sentinelOf(b: Column) = concat(lit("<extra_id_"),
+      size(filter(masked, m => m < b)).cast("string"), lit(">"))
+    def blockToks(b: Column) =
+      slice(toks, (b * spanLen + 1).cast("int"), lit(spanLen))
+    val inputStream = flatten(transform(blocks, b =>
+      when(maskedOf(b), array(sentinelOf(b))).otherwise(blockToks(b))))
+    val targetStream = flatten(transform(masked, b =>
+      concat(array(sentinelOf(b)), blockToks(b))))
+    docs.select(id.as("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      size(masked).cast("long").as("n_spans"),
+      aggregate(masked, lit(0L),
+        (acc, b) => acc + size(blockToks(b)).cast("long")).as("n_masked"),
+      md5(concat_ws(" ", inputStream).cast("binary")).as("input_md5"),
+      md5(concat_ws(" ", targetStream).cast("binary")).as("target_md5"))
+  }
 }

@@ -238,21 +238,8 @@ object Sampling {
     */
   def dsirSelect(docs: DataFrame, id: Column, text: Column,
       isTarget: Column, buckets: Int, k: Int): DataFrame = {
-    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
-      "dsir: buckets must be a power of two (pmod == low bits on both " +
-        "engines only when the modulus is a power of two)")
-    val toks = docs.select(id.as("doc_id"),
-      isTarget.cast("long").as("tgt"),
-      filter(split(lower(text), "[^a-z]+"), w => w =!= "").as("ws"))
-    // unigrams ++ bigrams in ONE explode: Curation.wordNgrams emits
-    // empty for size<n, so short docs degrade correctly (a 1-word doc
-    // contributes its unigram only)
-    val grams = toks.select(col("doc_id"), col("tgt"),
-      explode(concat(Curation.wordNgrams(col("ws"), 1),
-        Curation.wordNgrams(col("ws"), 2))).as("g"))
     val bucketed = graft.scale.Staging.materialize(
-      grams.select(col("doc_id"), col("tgt"),
-        pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b")),
+      dsirGramBuckets(docs, id, text, isTarget, buckets),
       "dsir-gram-buckets")
     // the bucket LM is <= `buckets` rows BY CONSTRUCTION (the hashing
     // trick's whole point), but the broadcast still goes through the
@@ -266,16 +253,8 @@ object Sampling {
     // staged: both the winners top-k and the output join consume the
     // per-doc scores; unstaged, the scoring shuffle (the plan's
     // expensive stage) runs TWICE (plan-audited: 6 exchanges -> 4)
-    val perDoc = graft.scale.Staging.materialize(bucketed
-      .join(lm, Seq("b"))
-      .crossJoin(broadcast(totals))
-      .groupBy(col("doc_id"), col("t_total"), col("r_total"))
-      .agg(count(lit(1)).as("n_grams"),
-        avg(log(col("tc") + 1) - log(col("rc") + 1)).as("llr"))
-      .select(col("doc_id"), col("n_grams"),
-        round(col("llr") + (log(col("r_total") + buckets)
-          - log(col("t_total") + buckets)), 3).as("dsir_weight")),
-      "dsir-perdoc")
+    val perDoc = graft.scale.Staging.materialize(
+      dsirWeigh(bucketed, lm, totals, buckets), "dsir-perdoc")
     val winners = perDoc
       .orderBy(col("dsir_weight").desc, col("doc_id"))
       .limit(k)
@@ -283,5 +262,90 @@ object Sampling {
     perDoc.join(broadcast(winners), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"), col("dsir_weight"),
         coalesce(col("selected"), lit(0)).as("selected"))
+  }
+
+  /** The DSIR featurization, shared by [[dsirSelect]] and the
+    * persisted-LM scorer: (doc_id, tgt, b) gram-bucket OCCURRENCES —
+    * unigrams ++ bigrams in ONE explode (Curation.wordNgrams emits
+    * empty for size<n, so short docs degrade correctly: a 1-word doc
+    * contributes its unigram only), bucket =
+    * pmod(xxhash64(gram), buckets). */
+  private[ops] def dsirGramBuckets(docs: DataFrame, id: Column,
+      text: Column, isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "dsir: buckets must be a power of two (pmod == low bits on both " +
+        "engines only when the modulus is a power of two)")
+    val toks = docs.select(id.as("doc_id"),
+      isTarget.cast("long").as("tgt"),
+      filter(split(lower(text), "[^a-z]+"), w => w =!= "").as("ws"))
+    toks.select(col("doc_id"), col("tgt"),
+      explode(concat(Curation.wordNgrams(col("ws"), 1),
+        Curation.wordNgrams(col("ws"), 2))).as("g"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"))
+  }
+
+  /** The DSIR per-doc weighing, shared by [[dsirSelect]] and the
+    * persisted-LM scorer: LEFT join so a gram bucket the LM never saw
+    * contributes ln(0+1) - ln(0+1) = 0 — exactly the add-one-smoothed
+    * value, which also makes the join mode answer-neutral for
+    * [[dsirSelect]] (there every bucket is occupied by construction).
+    * `lm` arrives broadcast-hinted/guarded by the caller; `totals` is
+    * 1 row. */
+  private def dsirWeigh(bucketed: DataFrame, lm: DataFrame,
+      totals: DataFrame, buckets: Int): DataFrame =
+    bucketed
+      .join(lm, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"), col("t_total"), col("r_total"))
+      .agg(count(lit(1)).as("n_grams"),
+        avg(log(coalesce(col("tc"), lit(0L)) + 1)
+          - log(coalesce(col("rc"), lit(0L)) + 1)).as("llr"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("llr") + (log(col("r_total") + buckets)
+          - log(col("t_total") + buckets)), 3).as("dsir_weight"))
+
+  /** Fit the DSIR bucket LM on a REFERENCE corpus and persist it —
+    * the train-once half of the train-once/score-forever split a
+    * streaming ingest needs (the [[graft.ops.SignatureStore]]
+    * pattern): `path/lm` = the (b, tc, rc) bucket table (<= `buckets`
+    * rows), `path/meta` = ONE row of (t_total, r_total, buckets).
+    * Totals are persisted rather than recomputed at score time so a
+    * scorer can never drift from the LM it probes. */
+  def dsirFitStore(refDocs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int, path: String): Unit = {
+    val spark = refDocs.sparkSession
+    val bucketed = graft.scale.Staging.materialize(
+      dsirGramBuckets(refDocs, id, text, isTarget, buckets),
+      "dsir-fit-buckets")
+    bucketed.groupBy(col("b"))
+      .agg(sum(col("tgt")).as("tc"), count(lit(1)).as("rc"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/lm")
+    spark.read.parquet(s"$path/lm")
+      .agg(sum(col("tc")).as("t_total"), sum(col("rc")).as("r_total"),
+        max(lit(buckets)).as("buckets"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  /** Score `docs` against a persisted DSIR LM ([[dsirFitStore]]) —
+    * the serve-time half: same featurization, same weighing, LM and
+    * totals read from the store (the 1-row meta read is the
+    * bounded-driver-read pattern every store here uses). Grams the
+    * reference never saw score 0 per occurrence (see [[dsirWeigh]]);
+    * docs with NO grams drop out — a gate should treat absence as
+    * "no target affinity established". */
+  def dsirScoreStore(docs: DataFrame, id: Column, text: Column,
+      path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val totals = spark.read.parquet(s"$path/meta")
+      .select(col("t_total"), col("r_total"))
+    val lm = graft.scale.Staging.guardedBroadcast(
+      spark.read.parquet(s"$path/lm"))
+    dsirWeigh(dsirGramBuckets(docs, id, text, lit(false), buckets),
+      lm, totals, buckets)
   }
 }

@@ -86,6 +86,15 @@ object CurationPipeline {
     *   store; each batch appends its kept docs' signatures, so the
     *   store tracks the curated table exactly. Near-dup hits land in
     *   the reject store labeled `near_dup`.
+    * @param dsirGate optional (path, minWeight): when set, each
+    *   micro-batch is scored against the PERSISTED DSIR bucket LM at
+    *   `path` ([[graft.ops.Sampling.dsirFitStore]] — train once on a
+    *   reference corpus, score every arrival forever) and docs whose
+    *   importance weight falls below `minWeight` are rejected
+    *   `off_target`; so are docs with no grams at all (no target
+    *   affinity can be established). Runs BEFORE the near-dup tier —
+    *   a broadcast-LM projection is cheaper than a signature probe,
+    *   so it shrinks the expensive tier's input.
     * @return (curated query, rejects query) — caller awaits both
     */
   def start(spark: SparkSession, srcDir: String, outDir: String,
@@ -93,6 +102,7 @@ object CurationPipeline {
       maxRepetition: Double = 0.5,
       allowedLangs: Option[Set[String]] = None,
       nearDupStore: Option[String] = None,
+      dsirGate: Option[(String, Double)] = None,
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow())
       : (StreamingQuery, StreamingQuery) = {
@@ -114,22 +124,41 @@ object CurationPipeline {
       .option("checkpointLocation", s"$checkpointDir-curated")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val kept = nearDupStore match {
+        val targeted = dsirGate match {
           case None => batch
+          case Some((path, minW)) =>
+            // one weight per batch doc; left join so gramless docs
+            // keep a row (null weight = reject). No broadcast hint:
+            // both sides are the micro-batch, AQE picks.
+            val weighed = graft.ops.Sampling.dsirScoreStore(batch,
+                col("doc_id"), col("text"), path)
+              .select(col("doc_id"), col("dsir_weight"))
+            val withW = batch.join(weighed, Seq("doc_id"), "left")
+              .localCheckpoint(true) // score ONCE for reject + keep
+            // batchId-keyed overwrite — replay rewrites its own dir
+            withW.filter(col("dsir_weight").isNull ||
+                col("dsir_weight") < minW)
+              .select(col("doc_id"), lit("off_target").as("reject_reason"))
+              .write.mode("overwrite")
+              .parquet(s"$outDir/rejects/batch=d$batchId")
+            withW.filter(col("dsir_weight") >= minW).drop("dsir_weight")
+        }
+        val kept = nearDupStore match {
+          case None => targeted
           case Some(path) =>
             val fs = graft.scale.Hdfs.of(batch.sparkSession, path)
             val seeded = fs.exists(
               new org.apache.hadoop.fs.Path(s"$path/bands/_SUCCESS"))
             if (!seeded) {
               // first batch seeds the store: everything is novel
-              graft.ops.SignatureStore.build(batch, path)
-              batch
+              graft.ops.SignatureStore.build(targeted, path)
+              targeted
             } else {
               val curatedSoFar = batch.sparkSession.read
                 .parquet(s"$outDir/curated")
                 .select(col("doc_id"), col("text"))
               val (keep, dups) = graft.ops.SignatureStore.ingest(
-                batch, curatedSoFar, path)
+                targeted, curatedSoFar, path)
               // store re-append on a batch retry only duplicates band
               // rows, which dedupeIncoming's distinct() absorbs — the
               // result set is retry-stable even though the store is

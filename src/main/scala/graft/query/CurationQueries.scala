@@ -95,6 +95,23 @@ object CurationQueries {
           col("priority").as("n_chars"))
         .orderBy(col("source"), col("n_chars").desc, col("doc_id"))),
 
+    // FIM objective transform (Bavarian et al. 2022): deterministic
+    // prefix/middle/suffix split re-serialized PSM, cut points from
+    // the Knuth id hash. Pure projection — no shuffle but the output
+    // order.
+    "curation_fim_split" -> ((s, d) =>
+      Curation.fimSplit(Tables.documents(s, d), col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id"))),
+
+    // T5 span corruption (Raffel et al. 2020): block-tiled masking at
+    // 15%, numbered sentinels, (input, target) stream fingerprints.
+    // One codegen'd projection per doc.
+    "curation_span_corruption" -> ((s, d) =>
+      Curation.spanCorrupt(Tables.documents(s, d), col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id"))),
+
     // CAPSTONE: the full pre-training corpus build — boilerplate +
     // repetition gates, eval-set decontamination, then per-shard
     // packing of the survivors. The distinct (doc, ngram) table is
@@ -201,6 +218,58 @@ object CurationQueries {
          |  FROM documents)
          |WHERE rk <= $SourceCapN
          |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
+    // Same Knuth-hash arithmetic as the sampling oracles (simple
+    // single-multiply form — exact for the testdata id ranges; the
+    // engine side is the overflow-safe split, bit-identical there).
+    "curation_fim_split" ->
+      """WITH f AS (SELECT doc_id, text, len(text)::BIGINT AS l,
+        |    (doc_id * 2654435761) % 4294967296 AS h1,
+        |    ((doc_id + 1000003) * 2654435761) % 4294967296 AS h2
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, l,
+        |    least(h1 % (l + 1), h2 % (l + 1)) AS c1,
+        |    greatest(h1 % (l + 1), h2 % (l + 1)) AS c2 FROM f)
+        |SELECT doc_id, c1 AS cut1, c2 AS cut2, (c2 - c1) AS n_middle,
+        |  md5('<PRE>' || substr(text, 1, c1)
+        |    || '<SUF>' || substr(text, c2 + 1, l - c2)
+        |    || '<MID>' || substr(text, c1 + 1, c2 - c1)) AS fim_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // Block piece = 1-based inclusive list slice; sentinel number =
+    // cumulative masked blocks BEFORE this one; target string_agg
+    // skips unmasked (NULL) pieces and coalesces the no-masked-block
+    // doc to '' (Spark's empty-array concat_ws).
+    "curation_span_corruption" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bl AS (SELECT doc_id, ws, len(ws)::BIGINT AS n,
+        |    CAST(ceil(len(ws) / 3.0) AS BIGINT) AS nb FROM t),
+        |b AS (SELECT doc_id, ws, n,
+        |    unnest(generate_series(0, nb - 1)) AS blk
+        |  FROM bl WHERE nb > 0),
+        |m AS (SELECT doc_id, ws, n, blk,
+        |    ((((doc_id * 131071 + blk) % 4294967296) * 2654435761)
+        |      % 4294967296) % 20 < 3 AS masked
+        |  FROM b),
+        |p AS (SELECT doc_id, n, blk, masked,
+        |    array_to_string(ws[blk*3 + 1 : blk*3 + 3], ' ') AS bs,
+        |    len(ws[blk*3 + 1 : blk*3 + 3])::BIGINT AS bn,
+        |    coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY blk
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS k
+        |  FROM m)
+        |SELECT doc_id, max(n) AS n_tok,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_spans,
+        |  CAST(sum(CASE WHEN masked THEN bn ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  md5(string_agg(CASE WHEN masked
+        |      THEN '<extra_id_' || k || '>' ELSE bs END,
+        |    ' ' ORDER BY blk)) AS input_md5,
+        |  md5(coalesce(string_agg(CASE WHEN masked
+        |      THEN '<extra_id_' || k || '>' || ' ' || bs END,
+        |    ' ' ORDER BY blk), '')) AS target_md5
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "curation_chunk_overlap" ->
       """SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
         |  CAST(len(substr(text, s + 1, 200)) AS BIGINT) AS chunk_len,

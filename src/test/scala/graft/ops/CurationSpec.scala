@@ -206,4 +206,93 @@ class CurationSpec extends SparkSpec {
     assert(got == Set((1L, 3L, false), (2L, 0L, true)),
       s"NULL text must yield (0, NULL): $got")
   }
+
+  // driver-side Knuth hash, the simple single-multiply form — exact
+  // for the small ids used here (the engine side is the overflow-safe
+  // split, bit-identical in this range)
+  private def knuth(id: Long): Long =
+    ((id % 4294967296L) * 2654435761L) % 4294967296L
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("fimSplit: independent driver-side replay of cuts and md5") {
+    val docs = Seq((1L, "hello brave new world of infill"),
+      (2L, ""), (7L, "x")).toDF("doc_id", "text")
+    val got = Curation.fimSplit(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(4))).toSeq
+    val expect = Seq((1L, "hello brave new world of infill"),
+      (2L, ""), (7L, "x")).map { case (id, text) =>
+      val l = text.length.toLong
+      val a = knuth(id) % (l + 1)
+      val b = knuth(id + 1000003L) % (l + 1)
+      val (c1, c2) = (math.min(a, b), math.max(a, b))
+      val fim = "<PRE>" + text.substring(0, c1.toInt) +
+        "<SUF>" + text.substring(c2.toInt) +
+        "<MID>" + text.substring(c1.toInt, c2.toInt)
+      (id, c1, c2, md5Hex(fim))
+    }
+    assert(got == expect)
+  }
+
+  test("spanCorrupt: reconstruction — input with sentinels replaced " +
+      "by their target spans rebuilds the original text") {
+    // drive the real corpus slice: reconstruct via the SAME driver
+    // replay that defines the expected streams, then assert both
+    // md5s AND the rebuilt text
+    val docs = Tables.documents(spark, sf0001).limit(50)
+      .select(col("doc_id"), col("text"))
+    val got = Curation.spanCorrupt(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val local = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var sawMasked = false
+    var sawUnmasked = false
+    local.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val blocks = toks.grouped(3).toArray
+      val masked = blocks.indices
+        .filter(b => knuth(id * 131071L + b) % 20 < 3)
+      val sentinel = masked.zipWithIndex.map { case (b, k) =>
+        b -> s"<extra_id_$k>"
+      }.toMap
+      val input = blocks.indices.flatMap(b =>
+        if (sentinel.contains(b)) Seq(sentinel(b)) else blocks(b).toSeq)
+        .mkString(" ")
+      val target = masked.flatMap(b => sentinel(b) +: blocks(b).toSeq)
+        .mkString(" ")
+      val (nTok, nSpans, nMasked, inMd5, tgtMd5) = got(id)
+      assert(nTok == toks.length.toLong)
+      assert(nSpans == masked.size.toLong)
+      assert(nMasked == masked.map(blocks(_).length).sum.toLong)
+      assert(inMd5 == md5Hex(input), s"doc $id input stream")
+      assert(tgtMd5 == md5Hex(target), s"doc $id target stream")
+      // the objective's soundness: splicing every target span back
+      // over its sentinel reproduces the original token stream
+      val spans = masked.map(b => sentinel(b) -> blocks(b)).toMap
+      val rebuilt = input.split(" ", -1).flatMap(t =>
+        spans.get(t).map(_.toSeq).getOrElse(Seq(t))).mkString(" ")
+      assert(rebuilt == text, s"doc $id reconstruction")
+      if (masked.nonEmpty) sawMasked = true
+      if (masked.size < blocks.length) sawUnmasked = true
+    }
+    // the corpus slice must actually exercise both regimes
+    assert(sawMasked && sawUnmasked)
+  }
+
+  test("spanCorrupt: partition-invariant and deterministic") {
+    val docs = Tables.documents(spark, sf0001).limit(40)
+      .select(col("doc_id"), col("text"))
+    val a = Curation.spanCorrupt(docs.repartition(1), col("doc_id"),
+      col("text")).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Curation.spanCorrupt(docs.repartition(7), col("doc_id"),
+      col("text")).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

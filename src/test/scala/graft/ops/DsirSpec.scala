@@ -65,4 +65,36 @@ class DsirSpec extends SparkSpec {
     val out = run(docs, 1000)
     assert(out.forall(_.getInt(3) == 1))
   }
+
+  test("persisted-LM scorer == dsirSelect weights on the fitting corpus") {
+    val store = tmpDir("dsir-store")
+    Sampling.dsirFitStore(docs, col("doc_id"), col("text"),
+      col("source") === "t", 4096, store)
+    val viaStore = Sampling.dsirScoreStore(docs, col("doc_id"),
+        col("text"), store)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaSelect = run(docs, 5)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaStore == viaSelect)
+  }
+
+  test("novel grams score exactly the smoothing constant") {
+    val store = tmpDir("dsir-store-novel")
+    Sampling.dsirFitStore(docs, col("doc_id"), col("text"),
+      col("source") === "t", 4096, store)
+    val meta = spark.read.parquet(s"$store/meta").head()
+    val (t, r) = (meta.getAs[Long]("t_total"), meta.getAs[Long]("r_total"))
+    val const = math.log(r + 4096.0) - math.log(t + 4096.0)
+    val novel = Seq((100L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val got = Sampling.dsirScoreStore(novel, col("doc_id"), col("text"),
+      store).head()
+    // every gram hits an unoccupied bucket (the planted vocab is tiny
+    // vs 4096 slots): per-occurrence contribution ln(1)-ln(1)=0, so
+    // the weight is the corpus-size constant alone
+    assert(got.getDouble(2) ==
+      BigDecimal(const).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(got.getLong(1) == 9L) // 5 unigrams + 4 bigrams
+  }
 }

@@ -76,6 +76,36 @@ class CurationPipelineSpec extends SparkSpec {
       == Seq((2L, "lang")))
   }
 
+  test("DSIR gate: off-target and gramless arrivals rejected " +
+      "off_target, on-target curated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("curation-dsir")
+    val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+    Files.createDirectories(Paths.get(src))
+    // train once: target slice speaks tq/tw/te, raw additionally
+    // nq/nw/ne — the persisted LM the stream scores against forever
+    val ref = ((1L to 10L).map(i => (i, "tq tw te tq tw te tq", "t")) ++
+      (11L to 20L).map(i => (i, "nq nw ne nq nw ne nq", "r")))
+      .toDF("doc_id", "text", "source")
+    val store = s"$base/dsir"
+    graft.ops.Sampling.dsirFitStore(ref, col("doc_id"), col("text"),
+      col("source") === "t", 4096, store)
+    writeDocs(src, "b1.json", Seq(
+      (1L, "tq tw te qa qb qc qd qe"),  // target grams -> weight > 0
+      (2L, "nq nw ne ra rb rc rd re"),  // raw-exclusive grams -> < 0
+      (3L, "1 2 3 4 5 6 7")))           // no [a-z] grams -> null weight
+    val (cq, rq) = CurationPipeline.start(spark, src, out, ck,
+      dsirGate = Some((store, 0.0)))
+    cq.awaitTermination(); rq.awaitTermination()
+    assert(CurationPipeline.curated(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val rejects = CurationPipeline.rejects(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rejects.toSeq ==
+      Seq((2L, "off_target"), (3L, "off_target")), s"$rejects")
+  }
+
   test("batch replay is exactly-once: rerun with fresh checkpoint, no dupes") {
     val base = tmpDir("curation-replay")
     val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
