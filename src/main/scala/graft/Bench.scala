@@ -177,7 +177,15 @@ object Bench {
     // round-13's own >0.55 s addition, seeded from the 68.6 s / 174
     // healthy window (canary 0.089/0.094, CPU 0.010/0.011, the
     // round's one suspect auto-remeasured and re-landed)
-    "multimodal_jpeg_stats" -> 0.59)
+    "multimodal_jpeg_stats" -> 0.59,
+    // round-13 second session: the two new entries above the tail
+    // threshold — DSIR seeded from the better of its two first armed
+    // windows (1.515 at loadavg 0.94 / 1.917 at 1.84; both
+    // zero-elevated), the targeted capstone from its first
+    // zero-elevated window (84.3 s / 185, json_props_extract
+    // re-landed in the same window)
+    "sample_dsir_select" -> 1.52,
+    "pipeline_targeted_corpus" -> 0.85)
   /** 1.5x (was 2.0x, round-11 VERDICT #1: curation_repeated_spans at
     * 1.74x over its committed median with BOTH canaries healthy slid
     * under the 2x gate three rounds running). Same-code run-to-run

@@ -132,12 +132,48 @@ object SamplingQueries {
       Sampling.dsirSelect(Tables.documents(s, d), col("doc_id"),
           col("text"), col("source").isin(DsirTargets: _*),
           DsirBuckets, DsirK)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // CAPSTONE: the targeted-corpus build composing this round's
+    // additions end to end — per-source cap (group_top_n, the bounded
+    // heap), DSIR importance selection over the capped subset (the LM
+    // fits on the pipeline's actual input), then per-lang packing of
+    // the winners. Text is read exactly twice (DSIR grams + token
+    // counts; the cap stage's scan prunes to (source, n_chars,
+    // doc_id)). Hash-gated end to end via the shared dsirPdCtes
+    // replay (dynamicOracles below).
+    "pipeline_targeted_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val capped = graft.ops.GroupTopN.capPerGroup(docs,
+          Seq(col("source")), col("n_chars"), col("doc_id"),
+          TargetedCapN)
+        .select(col("id").as("doc_id"))
+      // plain equi-join, no broadcast hint: at web scale the cap
+      // table is |sources| x N rows — millions of domains means it
+      // is NOT a dim table; AQE picks the strategy
+      val kept = docs.join(capped, Seq("doc_id"))
+      val winners = Sampling.dsirSelect(kept, col("doc_id"),
+          col("text"), col("source").isin(DsirTargets: _*),
+          DsirBuckets, TargetedK)
+        .filter(col("selected") === 1)
+        .select(col("doc_id"))
+      val counted = kept.join(winners, Seq("doc_id"))
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      graft.ops.Curation.packTokenCounts(counted, TargetedBudget)
+        .select(col("lang"), col("doc_id"), col("n_tok"),
+          col("tok_start"), col("tok_end"),
+          col("first_chunk"), col("last_chunk"))
+        .orderBy(col("lang"), col("doc_id"))
+    })
   )
 
   private val DsirTargets = Seq("src0", "src1")
   private val DsirBuckets = 4096
   private val DsirK = 50
+  private val TargetedCapN = 15   // per-source cap before selection
+  private val TargetedK = 100     // DSIR winners that get packed
+  private val TargetedBudget = 256 // packing window, tokens
 
   /** Target token shares for the mixing demo: upweight the non-English
     * slices relative to their natural frequency. */
@@ -175,22 +211,23 @@ object SamplingQueries {
     !r.isNullAt(0) && r.getInt(0) <= 15
   }
 
-  /** The `sample_dsir_select` replay — see [[graft.ops.Sampling
-    * .dsirSelect]] step-by-step: the same tokenize/gram build (g0
-    * unigram occurrences, g1 bigram positions 1..len-1),
-    * [[SqlU64.xxhStrCtes]] for the bucket hash (UBIGINT low bits ==
-    * pmod for the power-of-two bucket count), the add-one bucket LMs,
-    * and the identical avg + constant-term composition before the one
-    * 3-decimal round. Selection replays as ORDER BY (weight DESC,
-    * doc_id) LIMIT k — total order, so the two engines pick the same
-    * winners. */
-  private def dsirOracleSql: String = {
+  /** The DSIR replay's CTE chain up to `pd(doc_id, n_grams,
+    * dsir_weight)`, over any source CTE `src(doc_id, source, text)` —
+    * see [[graft.ops.Sampling.dsirSelect]] step-by-step: the same
+    * tokenize/gram build (g0 unigram occurrences, g1 bigram positions
+    * 1..len-1), [[SqlU64.xxhStrCtes]] for the bucket hash (UBIGINT
+    * low bits == pmod for the power-of-two bucket count), the add-one
+    * bucket LMs, and the identical avg + constant-term composition
+    * before the one 3-decimal round. Parameterized over `src` so the
+    * standalone query (over `documents`) and the targeted-corpus
+    * capstone (over its capped subset) replay through ONE generator —
+    * the no-drift rule every shared oracle here follows. */
+  private def dsirPdCtes(src: String): String = {
     val tgt = DsirTargets.map(t => s"'$t'").mkString(", ")
-    s"""WITH
-       |toks AS (SELECT doc_id, source,
+    s"""toks AS (SELECT doc_id, source,
        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
        |      w -> w <> '') AS tk
-       |  FROM documents),
+       |  FROM $src),
        |g0 AS (SELECT doc_id, source, unnest(tk) AS s FROM toks),
        |g1 AS (SELECT doc_id, source, tk[i.i] || ' ' || tk[i.i+1] AS s
        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) i
@@ -211,22 +248,71 @@ object SamplingQueries {
        |      + ln(r_total + $DsirBuckets) - ln(t_total + $DsirBuckets),
        |      3) AS dsir_weight
        |  FROM gb JOIN lm USING (b) CROSS JOIN tot
-       |  GROUP BY doc_id, t_total, r_total),
+       |  GROUP BY doc_id, t_total, r_total)""".stripMargin
+  }
+
+  /** The `sample_dsir_select` replay: [[dsirPdCtes]] over the full
+    * corpus + the deterministic top-k (ORDER BY weight DESC, doc_id
+    * LIMIT k — total order, so the two engines pick the same
+    * winners). */
+  private def dsirOracleSql: String =
+    s"""WITH
+       |${dsirPdCtes("documents")},
        |sel AS (SELECT doc_id FROM pd
        |  ORDER BY dsir_weight DESC, doc_id LIMIT $DsirK)
        |SELECT pd.doc_id, pd.n_grams, pd.dsir_weight,
        |  CASE WHEN sel.doc_id IS NULL THEN 0 ELSE 1 END AS selected
        |FROM pd LEFT JOIN sel ON pd.doc_id = sel.doc_id
        |ORDER BY pd.doc_id""".stripMargin
-  }
+
+  /** The `pipeline_targeted_corpus` replay: per-source cap
+    * (row_number over the same total order as group_top_n), the DSIR
+    * chain over the CAPPED subset ([[dsirPdCtes]] — the LM is fit on
+    * the pipeline's actual input, matching the Spark side), top-k
+    * selection, then the per-lang packing prefix sums (the
+    * curation_seq_packing arithmetic). */
+  private def targetedCorpusOracleSql: String =
+    s"""WITH
+       |capd AS (SELECT doc_id, text, lang, source FROM (
+       |    SELECT doc_id, text, lang, source,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY n_chars DESC, doc_id) AS rk
+       |    FROM documents) WHERE rk <= $TargetedCapN),
+       |${dsirPdCtes("capd")},
+       |sel AS (SELECT doc_id FROM pd
+       |  ORDER BY dsir_weight DESC, doc_id LIMIT $TargetedK),
+       |cnt AS (SELECT d.lang, d.doc_id,
+       |    len(string_split(d.text, ' '))::BIGINT AS n_tok
+       |  FROM capd d JOIN sel USING (doc_id)),
+       |pack AS (SELECT lang, doc_id, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS tok_end
+       |  FROM cnt)
+       |SELECT lang, doc_id, n_tok,
+       |  CAST(tok_end - n_tok AS BIGINT) AS tok_start,
+       |  CAST(tok_end AS BIGINT) AS tok_end,
+       |  CAST((tok_end - n_tok) // $TargetedBudget AS BIGINT)
+       |    AS first_chunk,
+       |  CAST((tok_end - 1) // $TargetedBudget AS BIGINT) AS last_chunk
+       |FROM pack ORDER BY lang, doc_id""".stripMargin
 
   def dynamicOracles(sfDir: String,
       only: Option[Set[String]]): Map[String, String] = {
+    // one probe serves both DSIR-replay consumers (the capstone's
+    // capped subset is contained in the probed corpus)
+    val wantDsir = only.forall(_("sample_dsir_select"))
+    val wantCap = only.forall(_("pipeline_targeted_corpus"))
     val dsir: Map[String, String] =
-      if (!only.forall(_("sample_dsir_select"))) Map.empty
+      if (!wantDsir && !wantCap) Map.empty
       else org.apache.spark.sql.SparkSession.getActiveSession
         .filter(dsirSound(_, sfDir))
-        .map(_ => Map("sample_dsir_select" -> dsirOracleSql))
+        .map { _ =>
+          (if (wantDsir) Map("sample_dsir_select" -> dsirOracleSql)
+           else Map.empty[String, String]) ++
+            (if (wantCap)
+              Map("pipeline_targeted_corpus" -> targetedCorpusOracleSql)
+            else Map.empty[String, String])
+        }
         .getOrElse(Map.empty)
     dsir ++ bpeMixtureOracle(sfDir, only)
   }

@@ -277,6 +277,20 @@ class PlanShapeSpec extends SparkSpec {
       s"capstone scanned documents.text $n times (contract: <= 2)")
   }
 
+  test("targeted-corpus capstone reads the documents text column at " +
+      "most twice") {
+    // cap -> DSIR -> pack: the cap stage's scan prunes to (source,
+    // n_chars, doc_id) — text reads are the DSIR gram explode + the
+    // packing token count, nothing else (a third read means a stage
+    // re-tokenized instead of consuming the staged frames)
+    val n = countColumnScans("documents", "text") {
+      SparkEntry.queries("pipeline_targeted_corpus")(spark, sf0001)
+        .collect()
+    }
+    assert(n > 0 && n <= 2,
+      s"targeted capstone scanned documents.text $n times (contract: <= 2)")
+  }
+
   test("registered indexed-BM25 probes (single + batch) carry the " +
       "bucket IN-list as a partition filter and never read text") {
     for (name <- Seq("retrieval_bm25_indexed",
