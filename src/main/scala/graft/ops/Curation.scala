@@ -405,6 +405,11 @@ object Curation {
       spanLen: Int = 3, maskNum: Int = 3, maskDen: Int = 20): DataFrame = {
     require(spanLen > 0 && maskNum >= 0 && maskDen > 0 &&
       maskNum <= maskDen, "spanCorrupt: need 0 <= maskNum/maskDen <= 1")
+    // null text is filtered EXPLICITLY (the chunkOverlap discipline):
+    // unfiltered it emits a nonsense n_tok = size(null) = -1 row that
+    // the oracle's WHERE nb > 0 drops — a latent row-set divergence
+    // on corpora with null docs (review-caught)
+    val nonNull = docs.filter(text.isNotNull)
     val toks = split(text, " ")
     val nblocks = ceil(size(toks).cast("double") / spanLen).cast("long")
     val blocks = when(nblocks > 0,
@@ -422,7 +427,7 @@ object Curation {
       when(maskedOf(b), array(sentinelOf(b))).otherwise(blockToks(b))))
     val targetStream = flatten(transform(masked, b =>
       concat(array(sentinelOf(b)), blockToks(b))))
-    docs.select(id.as("doc_id"),
+    nonNull.select(id.as("doc_id"),
       size(toks).cast("long").as("n_tok"),
       size(masked).cast("long").as("n_spans"),
       aggregate(masked, lit(0L),

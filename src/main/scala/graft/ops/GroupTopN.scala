@@ -97,10 +97,16 @@ object GroupTopN {
       while (i < other.size) { add(other.prio(i), other.id(i)); i += 1 }
     }
 
-    /** Entries in answer order: (priority DESC, id ASC). */
+    /** Entries in answer order: (priority DESC, id ASC) — via an
+      * explicit comparator, NOT sortBy(-p, ...): negating
+      * Long.MinValue is itself (overflow), which would rank a
+      * MinValue priority FIRST instead of last (review-caught; the
+      * SQL surface accepts any BIGINT priority). */
     def sorted: Array[(Long, Long)] = {
       val arr = Array.tabulate(size)(i => (prio(i), id(i)))
-      arr.sortBy { case (p, i) => (-p, i) }
+      arr.sortWith { case ((pa, ia), (pb, ib)) =>
+        pa > pb || (pa == pb && ia < ib)
+      }
     }
   }
 

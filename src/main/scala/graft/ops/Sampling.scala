@@ -339,10 +339,13 @@ object Sampling {
   def dsirScoreStore(docs: DataFrame, id: Column, text: Column,
       path: String): DataFrame = {
     val spark = docs.sparkSession
+    // ONE meta read serves buckets AND the totals frame (review-caught
+    // double read — it reruns per micro-batch on the streaming path)
     val meta = spark.read.parquet(s"$path/meta").head()
     val buckets = meta.getAs[Int]("buckets")
-    val totals = spark.read.parquet(s"$path/meta")
-      .select(col("t_total"), col("r_total"))
+    val totals = spark.range(1).select(
+      lit(meta.getAs[Long]("t_total")).as("t_total"),
+      lit(meta.getAs[Long]("r_total")).as("r_total"))
     val lm = graft.scale.Staging.guardedBroadcast(
       spark.read.parquet(s"$path/lm"))
     dsirWeigh(dsirGramBuckets(docs, id, text, lit(false), buckets),

@@ -68,9 +68,12 @@ object CurationPipeline {
 
   /** Start the curation streams over JSON-lines doc files in `srcDir`:
     * two queries fanned out from one source (the Structured Streaming
-    * idiom for independent sinks) — the curated stream carries the
-    * cross-batch dedup state in its own checkpoint; the reject stream
-    * is stateless.
+    * idiom for independent sinks) — the curated stream's cross-batch
+    * dedup state IS the curated store's persisted fingerprints (an
+    * anti-join per batch, self-excluding the replaying batch's dir),
+    * so dedup state can only ever contain docs that passed EVERY
+    * gate, including the batch-level DSIR tier; the reject stream is
+    * stateless.
     *
     * @param minTokens   reject docs shorter than this many tokens
     * @param maxRepetition reject docs whose duplicate-bigram fraction
@@ -113,12 +116,19 @@ object CurationPipeline {
       score(limited.json(srcDir), minTokens, maxRepetition, allowedLangs)
     }
 
-    // Cross-batch exact dedup ONLY among docs that pass the gates —
+    // Cross-batch exact dedup ONLY among docs that pass EVERY gate —
     // rejected docs must not occupy dedup state (nor shadow a clean
-    // later copy of the same fingerprint).
+    // later copy of the same fingerprint). The DSIR tier is a
+    // batch-level aggregation that cannot run inside the streaming
+    // projection, so dedup is STORE-BACKED inside foreachBatch (the
+    // curated table's own fingerprints, self-excluding the current
+    // batch dir) rather than streaming dropDuplicates state — with
+    // the state variant, an off_target-rejected doc's fingerprint
+    // would permanently shadow its re-crawl after the operator
+    // retrains the LM or lowers the threshold (round-13
+    // review-caught).
     val curatedQ = scored
       .filter(col("reject_reason").isNull)
-      .dropDuplicates("fingerprint")
       .writeStream
       .queryName("curation-pipeline-curated")
       .option("checkpointLocation", s"$checkpointDir-curated")
@@ -143,22 +153,39 @@ object CurationPipeline {
               .parquet(s"$outDir/rejects/batch=d$batchId")
             withW.filter(col("dsir_weight") >= minW).drop("dsir_weight")
         }
+        // exact dedup, all gates already applied: within-batch
+        // collapse + anti-join against the curated store's
+        // fingerprints. The prior read SELF-EXCLUDES this batch's
+        // partition so a replay never sees its own partial write
+        // (the SignatureStore self-excluding-probe lesson).
+        val inBatch = targeted.dropDuplicates("fingerprint")
+        val curatedDir = s"$outDir/curated"
+        val dedupFs = graft.scale.Hdfs.of(batch.sparkSession, curatedDir)
+        val deduped =
+          if (!dedupFs.exists(new org.apache.hadoop.fs.Path(curatedDir)))
+            inBatch
+          else {
+            val prior = batch.sparkSession.read.parquet(curatedDir)
+              .filter(col("batch") =!= batchId)
+              .select(col("fingerprint"))
+            inBatch.join(prior, Seq("fingerprint"), "left_anti")
+          }
         val kept = nearDupStore match {
-          case None => targeted
+          case None => deduped
           case Some(path) =>
             val fs = graft.scale.Hdfs.of(batch.sparkSession, path)
             val seeded = fs.exists(
               new org.apache.hadoop.fs.Path(s"$path/bands/_SUCCESS"))
             if (!seeded) {
               // first batch seeds the store: everything is novel
-              graft.ops.SignatureStore.build(targeted, path)
-              targeted
+              graft.ops.SignatureStore.build(deduped, path)
+              deduped
             } else {
               val curatedSoFar = batch.sparkSession.read
                 .parquet(s"$outDir/curated")
                 .select(col("doc_id"), col("text"))
               val (keep, dups) = graft.ops.SignatureStore.ingest(
-                targeted, curatedSoFar, path)
+                deduped, curatedSoFar, path)
               // store re-append on a batch retry only duplicates band
               // rows, which dedupeIncoming's distinct() absorbs — the
               // result set is retry-stable even though the store is
@@ -172,10 +199,13 @@ object CurationPipeline {
         }
         // batchId-keyed overwrite = exactly-once on retry: a replayed
         // micro-batch rewrites ITS OWN partition instead of appending a
-        // duplicate (same contract as SummingStore/EventSink appends)
+        // duplicate (same contract as SummingStore/EventSink appends).
+        // The fingerprint column is persisted — it IS the cross-batch
+        // dedup state now that the anti-join reads it from the store.
         kept.select(col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_tokens"),
-            round(col("rep_ratio"), 4).as("rep_ratio"))
+            round(col("rep_ratio"), 4).as("rep_ratio"),
+            col("fingerprint"))
           .write.mode("overwrite")
           .parquet(s"$outDir/curated/batch=$batchId")
         ()

@@ -245,7 +245,7 @@ object SamplingQueries {
        |tot AS (SELECT sum(tc) AS t_total, sum(rc) AS r_total FROM lm),
        |pd AS (SELECT doc_id, count(*) AS n_grams,
        |    round(avg(ln(tc + 1) - ln(rc + 1))
-       |      + ln(r_total + $DsirBuckets) - ln(t_total + $DsirBuckets),
+       |      + (ln(r_total + $DsirBuckets) - ln(t_total + $DsirBuckets)),
        |      3) AS dsir_weight
        |  FROM gb JOIN lm USING (b) CROSS JOIN tot
        |  GROUP BY doc_id, t_total, r_total)""".stripMargin

@@ -90,15 +90,30 @@ class GroupTopNSpec extends SparkSpec {
         bufs(rnd.nextInt(bufs.size)).add(p, i)
       }
       val merged = bufs.reduce { (a, b) => a.mergeIn(b); a }
-      val brute = entries.distinct
-        .sortBy { case (p, i) => (-p, i) }.take(n)
       // ids can repeat across adds; the heap keeps duplicates as
-      // given, so brute-force over the raw multiset too
-      val bruteMulti = entries
-        .sortBy { case (p, i) => (-p, i) }.take(n)
+      // given, so brute-force over the raw multiset — via the explicit
+      // comparator, NOT sortBy(-p, _): the negation overflows on
+      // Long.MinValue, and a test sharing the implementation's bug
+      // cannot catch it (this spec's original -p formula masked
+      // exactly that)
+      val bruteMulti = entries.sortWith { case ((pa, ia), (pb, ib)) =>
+        pa > pb || (pa == pb && ia < ib)
+      }.take(n)
       assert(merged.sorted.toSeq == bruteMulti,
-        s"trial $trial n=$n entries=$entries (distinct-brute $brute)")
+        s"trial $trial n=$n entries=$entries")
     }
+  }
+
+  test("Long.MinValue priority ranks LAST, not first (negation overflow)") {
+    val buf = new GroupTopN.TopNBuffer(3)
+    buf.add(Long.MinValue, 1L)
+    buf.add(0L, 2L)
+    buf.add(5L, 3L)
+    assert(buf.sorted.toSeq ==
+      Seq((5L, 3L), (0L, 2L), (Long.MinValue, 1L)))
+    // and it evicts FIRST at the cap
+    buf.add(1L, 4L)
+    assert(buf.sorted.toSeq == Seq((5L, 3L), (1L, 4L), (0L, 2L)))
   }
 
   test("heap never exceeds n entries (the scale contract)") {
@@ -107,7 +122,9 @@ class GroupTopNSpec extends SparkSpec {
     assert(buf.size == 4)
     // top-4 of priorities 0..36 with max id per... verify against brute
     val brute = (1L to 1000L).map(i => (i % 37, i))
-      .sortBy { case (p, i) => (-p, i) }.take(4)
+      .sortWith { case ((pa, ia), (pb, ib)) =>
+        pa > pb || (pa == pb && ia < ib)
+      }.take(4)
     assert(buf.sorted.toSeq == brute)
   }
 }
