@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.config.PipelineConfig
 import graft.pipeline.{DirectPipeline, MaterializedPipeline}
@@ -245,6 +246,81 @@ object StreamBench {
     emit(s"""{"metric":"stream_curation2_docs_per_sec",""" +
       s""""value":$cur2Rate,"unit":"docs/sec","docs":$nDocs,""" +
       s""""seconds":$cur2Sec,"kept":$kept2}""")
+
+    // Three-tier variant: DSIR off_target gate (persisted bucket LM,
+    // fit ONCE on a reference slice before the stream starts — the
+    // train-once/score-forever split) + fingerprint dedup + near-dup
+    // probe. Its OWN corpus: the two-tier generator with exactly 10%
+    // of ids (id % 10 == 5) swapped to an off-target noise vocabulary
+    // the LM's raw side knows and its target side does not — so the
+    // gate must reject exactly nDocs/10 as off_target while pricing a
+    // gram explode + broadcast-LM probe per micro-batch on top of
+    // both dedup tiers.
+    val noiseVocab = Array("qoph", "resh", "shin", "tav", "waw",
+      "yodh", "zayin", "heth", "teth", "samekh")
+    val csrc3 = s"$root/curation3_src"
+    Files.createDirectories(Paths.get(csrc3))
+    id = 0
+    (0 until nFiles).foreach { f =>
+      val sb = new StringBuilder(perDocFile * 300)
+      (0 until perDocFile).foreach { _ =>
+        val text =
+          if (id % 20 == 19) "loop loop " * 20 + "loop"
+          else if (id % 10 == 5) {
+            val r = new scala.util.Random(id)
+            Array.fill(45)(noiseVocab(r.nextInt(noiseVocab.length)))
+              .mkString(" ")
+          } else {
+            val seed = if (id % 10 == 9) id - 1 else id
+            val r = new scala.util.Random(seed)
+            Array.fill(45)(vocab(r.nextInt(vocab.length))).mkString(" ")
+          }
+        sb.append(s"""{"doc_id": $id, "text": "$text",""")
+          .append(s""" "lang": "en", "source": "crawl"}""").append('\n')
+        id += 1
+      }
+      Files.writeString(
+        Paths.get(csrc3).resolve(f"part-$f%04d.json"), sb.toString)
+    }
+    val dsirLm = s"$root/curation3_lm"
+    locally {
+      import spark.implicits._
+      val ref = (0 until 200).map { i =>
+        val r = new scala.util.Random(1000000 + i)
+        if (i < 100)
+          (i.toLong,
+            Array.fill(45)(vocab(r.nextInt(vocab.length))).mkString(" "),
+            "t")
+        else
+          (i.toLong,
+            Array.fill(45)(noiseVocab(r.nextInt(noiseVocab.length)))
+              .mkString(" "), "r")
+      }.toDF("doc_id", "text", "source")
+      graft.ops.Sampling.dsirFitStore(ref, col("doc_id"), col("text"),
+        col("source") === "t", 4096, dsirLm)
+    }
+    val cur3Sec = timed {
+      val (cq, rq) = graft.pipeline.CurationPipeline.start(
+        spark, csrc3, s"$root/curation3_out", s"$root/curation3_ck",
+        nearDupStore = Some(s"$root/curation3_sigs"),
+        dsirGate = Some((dsirLm, 0.0)),
+        maxFilesPerTrigger = Some(4))
+      cq.awaitTermination(); rq.awaitTermination()
+    }
+    val kept3 = graft.pipeline.CurationPipeline
+      .curated(spark, s"$root/curation3_out").count()
+    val offTarget = graft.pipeline.CurationPipeline
+      .rejects(spark, s"$root/curation3_out")
+      .filter(col("reject_reason") === "off_target").count()
+    require(offTarget == nDocs / 10,
+      s"dsir gate must reject exactly the planted noise docs: " +
+        s"$offTarget vs ${nDocs / 10}")
+    require(kept3 > 0 && kept3 < kept,
+      s"three-tier implausible: kept=$kept3 (two-tier kept=$kept2)")
+    val cur3Rate = nDocs / cur3Sec
+    emit(s"""{"metric":"stream_curation3_docs_per_sec",""" +
+      s""""value":$cur3Rate,"unit":"docs/sec","docs":$nDocs,""" +
+      s""""seconds":$cur3Sec,"kept":$kept3,"off_target":$offTarget}""")
 
     // Streaming BM25 postings maintenance: the curation corpus's doc
     // stream re-used as index arrivals — a base index is built from

@@ -161,7 +161,12 @@ object CurationPipeline {
         val inBatch = targeted.dropDuplicates("fingerprint")
         val curatedDir = s"$outDir/curated"
         val dedupFs = graft.scale.Hdfs.of(batch.sparkSession, curatedDir)
-        val deduped =
+        // localCheckpoint: the near-dup tier fires SEVERAL jobs over
+        // this frame (probe, verify, signature append) and each would
+        // otherwise re-run the store read + anti-join per job — the
+        // un-checkpointed rework measured ~3x on the two-tier
+        // streaming metric before this line
+        val deduped = (
           if (!dedupFs.exists(new org.apache.hadoop.fs.Path(curatedDir)))
             inBatch
           else {
@@ -169,7 +174,7 @@ object CurationPipeline {
               .filter(col("batch") =!= batchId)
               .select(col("fingerprint"))
             inBatch.join(prior, Seq("fingerprint"), "left_anti")
-          }
+          }).localCheckpoint(true)
         val kept = nearDupStore match {
           case None => deduped
           case Some(path) =>
