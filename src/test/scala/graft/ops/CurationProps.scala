@@ -104,4 +104,44 @@ object CurationProps extends Properties("Curation") {
           ((mix() == kept) :| "nondeterministic")
         }
     }
+
+  property("fimSplit: cuts in [0, len], span algebra exact, " +
+      "deterministic") = Prop.forAll(
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 100000L), docGen))) {
+    docs =>
+      import spark.implicits._
+      val df = docs.distinctBy(_._1).toDF("doc_id", "text")
+      def run() = Curation.fimSplit(df, col("doc_id"), col("text"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+      val rows = run()
+      val lens = docs.distinctBy(_._1)
+        .map { case (id, t) => id -> t.length.toLong }.toMap
+      val bounds = rows.forall { case (id, c1, c2, nMid, _) =>
+        0 <= c1 && c1 <= c2 && c2 <= lens(id) && nMid == c2 - c1
+      }
+      (bounds :| "cut bounds / span algebra") &&
+      ((run().toSeq == rows.toSeq) :| "nondeterministic")
+  }
+
+  property("spanCorrupt: accounting invariants over arbitrary corpora") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 100000L), docGen))) {
+      docs =>
+        import spark.implicits._
+        val df = docs.distinctBy(_._1).toDF("doc_id", "text")
+        val rows = Curation.spanCorrupt(df, col("doc_id"), col("text"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        rows.forall { case (_, nTok, nSpans, nMasked) =>
+          val nBlocks = (nTok + 2) / 3
+          // spans are whole blocks; masked tokens tile exactly: every
+          // masked block contributes 3 tokens except possibly the
+          // (single) final partial block
+          nSpans <= nBlocks && nMasked <= nTok &&
+            nMasked >= nSpans * 3 - 2 && nMasked <= nSpans * 3
+        } :| s"accounting: $rows"
+    }
 }
