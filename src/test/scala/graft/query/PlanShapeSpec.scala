@@ -277,6 +277,27 @@ class PlanShapeSpec extends SparkSpec {
       s"capstone scanned documents.text $n times (contract: <= 2)")
   }
 
+  test("source cap: bounded-heap partial aggregation, no rank window") {
+    // the whole point of group_top_n (ops/GroupTopN): heaps combine
+    // map-side and ONLY heaps shuffle — a Window/Sort over corpus rows
+    // here would reintroduce the hot-domain full-sort the aggregate
+    // exists to kill
+    val plan = finalPlan("curation_source_cap")
+    assert(plan.contains("partial_group_top_n"),
+      "map-side partial heap aggregation missing")
+    assert(!plan.contains("Window"), "rank window crept back in")
+  }
+
+  test("dsir winners plan as TakeOrdered — never a global sort") {
+    // the top-k selection must be per-partition heaps + one driver
+    // merge (TakeOrderedAndProject); a global Sort over per-doc
+    // scores is the corpus-wide-ordering scale killer
+    val plan = finalPlan("sample_dsir_select")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k not planned as TakeOrdered")
+    assert(!plan.contains("Window"), "window in the DSIR final plan")
+  }
+
   test("targeted-corpus capstone reads the documents text column at " +
       "most twice") {
     // cap -> DSIR -> pack: the cap stage's scan prunes to (source,
