@@ -333,6 +333,60 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Ratio-to-report (share of group total — the classic dashboard
+    // percent-of-total): each (day, event_type)'s value mass as a
+    // share of its day's total. WINDOW-FREE formulation: the
+    // per-(day, type) rollup joins its day totals back (|days| rows,
+    // broadcast) — a `sum over (partition by day)` window funnels
+    // every row of a day through one task, which at 100 TB is a
+    // hot-partition full-pass; the rollup+join shape shuffles only
+    // aggregated rows. Share is rounded from ONE division of two
+    // exact 2-decimal sums (both engines compose the same quotient).
+    "window_ratio_to_report" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).cast("string").as("day"),
+          col("event_type"))
+        .agg(round(sum(col("value")), 2).as("sum_value"))
+      val totals = daily.groupBy(col("day"))
+        .agg(sum(col("sum_value")).as("day_total"))
+      daily.join(broadcast(totals), Seq("day"))
+        .select(col("day"), col("event_type"), col("sum_value"),
+          round(col("sum_value") / col("day_total"), 6).as("share"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // 7-day rolling distinct users per day (the WAU curve): exact
+    // sliding-window uniques WITHOUT a sliding self-join — each
+    // distinct (user, day) pair fans out to the <= 7 target days its
+    // activity covers, then one distinct + count per target day.
+    // Scale shape: fan-out is a constant 7x over the DISTINCT pair
+    // set (already << events), the heavy distinct is map-side
+    // combined, and no day ever funnels raw events through one task.
+    // Only target days with a full 7-day lookback INSIDE the data
+    // range are emitted (boundary days would undercount by
+    // construction — the honest window).
+    "window_sliding_uniques" -> ((s, d) => {
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("dnum"))
+        .distinct()
+      // 1-row driver read for the day-range bounds (the accepted
+      // bounded-collect class) — literal filters instead of a 1-row
+      // crossJoin that would BNLJ into the quadratic-join sweep
+      val b = pairs.agg(min("dnum").as("lo"), max("dnum").as("hi"))
+        .head()
+      val (lo, hi) = (b.getInt(0), b.getInt(1))
+      pairs
+        .select(col("user_id"),
+          explode(sequence(col("dnum"), col("dnum") + 6)).as("t"))
+        .filter(col("t") >= lo + 6 && col("t") <= hi)
+        .groupBy(col("t"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(date_add(lit("2024-01-01"), col("t").cast("int"))
+          .cast("string").as("day"), col("wau"))
+        .orderBy(col("day"))
+    }),
+
     // Hopping (sliding) window rollup — 1 h windows every 30 min, so
     // each event lands in exactly 2 windows (the batch twin of the
     // streaming WindowedRollup pipeline; epoch-aligned like Spark's
@@ -593,6 +647,32 @@ object AnalyticsQueries {
         |  round((sy - slope_raw * sx) / n, 4) AS intercept
         |FROM ent e JOIN reg r ON e.event_type = r.event_type
         |ORDER BY 1""".stripMargin,
+    // The ORACLE may window; the registered plan must not (the
+    // hot-partition rule — same split as sample_quality_buckets).
+    "window_ratio_to_report" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    event_type, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, sum_value,
+        |  round(sum_value / sum(sum_value) OVER (PARTITION BY day), 6)
+        |    AS share
+        |FROM daily ORDER BY day, event_type""".stripMargin,
+    // Same fan-out formulation: each distinct (user, day) pair covers
+    // its <= 7 target days; only fully-covered target days emit.
+    "window_sliding_uniques" ->
+      """WITH pairs AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS dnum
+        |  FROM events),
+        |b AS (SELECT min(dnum) AS lo, max(dnum) AS hi FROM pairs),
+        |fan AS (SELECT user_id, dnum + k.k AS t
+        |  FROM pairs, LATERAL (SELECT unnest(range(0, 7)) AS k) k)
+        |SELECT CAST(CAST(DATE '2024-01-01' + t * INTERVAL 1 DAY
+        |      AS DATE) AS VARCHAR) AS day,
+        |  count(DISTINCT user_id) AS wau
+        |FROM fan CROSS JOIN b
+        |WHERE t >= lo + 6 AND t <= hi
+        |GROUP BY t ORDER BY day""".stripMargin,
     "hopping_rollup" ->
       """WITH t AS (SELECT event_type, value,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
