@@ -67,6 +67,25 @@ import org.apache.spark.sql.SparkSession
   *    one timed run of each sub-phase (the query's own halves); the
   *    seconds land in the artifact's `phases` field and are never
   *    added to the published time or total.
+  *
+  * Round-14 additions (the round-13 verdict's #1/#3: four >=3x driver
+  * movers — curation_seq_packing 19.4x among them — escaped the
+  * absolute rule because only the expensive tail carried committed
+  * medians, and the r13 driver artifact's in-run canary baseline was
+  * measured in a degraded moment at 1.264 s, 10x committed, defanging
+  * the per-entry 2x rule for the whole window):
+  *
+  *  - [[Committed]] now covers EVERY registered query (seeded from
+  *    the 84.3 s zero-elevated r13 closing artifact; pre-existing
+  *    entries keep their earlier, lower values), and the absolute
+  *    gate is `max(AbsoluteFactor x, + AbsoluteSlackSec)` so full
+  *    coverage doesn't turn sub-0.3 s host wobbles into flag churn.
+  *  - the operative canary baselines are the COMMITTED constants
+  *    ([[CanaryBaselineCommitted]]/[[CpuCanaryBaselineCommitted]]);
+  *    the start-of-run measurement is a bounded startup delay gate
+  *    (a run whose fresh baseline reads >2x committed waits, up to
+  *    [[MaxRecoveryAttempts]] x [[RecoveryWaitMs]], before starting)
+  *    plus `baseline_measured`/`startup_waits` telemetry.
   */
 object Bench {
 
@@ -82,7 +101,22 @@ object Bench {
   val PinFactor = 3.0
 
   val CanaryName = "window_running_sum"
+  /** Cross-run committed canary baselines — the OPERATIVE health
+    * references (round-13 VERDICT #3: the r13 driver artifact carried
+    * an in-run baseline of 1.264 s, 10x every committed value, because
+    * a start-of-run measurement taken in a degraded moment became the
+    * whole run's reference and defanged the 2x suspect rule for the
+    * entire window). The in-run measurement is now only (a) a startup
+    * sanity gate — a run whose fresh baseline exceeds 2x committed
+    * DELAYS, bounded, instead of starting degraded — and (b)
+    * telemetry (`baseline_measured` in the artifact). Re-seed these
+    * constants ONLY through the committed-medians path: a value from
+    * a healthy zero-elevated closing window, never mid-run. */
   val CanaryBaselineCommitted = 0.121
+  /** Committed steady-state CPU-canary seconds (min across the r12/13
+    * healthy closing artifacts: 0.009-0.011). Same provenance rule as
+    * [[CanaryBaselineCommitted]]. */
+  val CpuCanaryBaselineCommitted = 0.010
 
   /** Committed same-code sf0.1 medians for the tokenize/CPU-heavy
     * family the round-10 driver window inflated 2-5x on while the
@@ -185,7 +219,153 @@ object Bench {
     // zero-elevated window (84.3 s / 185, json_props_extract
     // re-landed in the same window)
     "sample_dsir_select" -> 1.52,
-    "pipeline_targeted_corpus" -> 0.85)
+    "pipeline_targeted_corpus" -> 0.85,
+    // round-14 extension (round-13 VERDICT #1): EVERY query now
+    // carries a committed median — curation_seq_packing's 19.4x
+    // driver-window step (0.134 -> 2.605 s, tight low-load passes,
+    // builder same-code window 0.144) plus doc_fingerprint (4.9x),
+    // agg_quantile_deterministic (3.6x) and multimodal_frames (3.3x)
+    // all escaped the absolute rule because only the expensive tail
+    // was covered. Entries below are seeded from the 84.3 s / 185
+    // zero-elevated round-13 closing artifact (git 2b229c0, canary
+    // 0.107/0.110/0.124, loadavg healthy); queries already covered
+    // above KEEP their earlier-era (lower) values — a slower week
+    // must not ratchet the gate. With full coverage the gate needs
+    // the +[[AbsoluteSlackSec]] small-entry guard: sub-0.3 s entries
+    // trade ±80 ms wobbles window to window, and a pure 1.5x factor
+    // on a 0.1 s median would flag plain host noise.
+    // the two post-artifact window additions were seeded from the r13
+    // driver window's 0.362/0.421 deflated by that window's 1.28x
+    // canary slowness; the first healthy round-14 window (93.5 s /
+    // 187, canary median 0.122 = committed, zero elevated) measured
+    // 0.316/0.355 — consistent, and the stricter synthetic seeds keep
+    // the gate at max(1.5x, +0.3 s) = 0.58/0.63 with healthy margin
+    "window_ratio_to_report" -> 0.283,
+    "window_sliding_uniques" -> 0.329,
+    "agg_approx_sketches" -> 0.17,
+    "agg_argmax" -> 0.136,
+    "agg_conditional_if" -> 0.174,
+    "agg_cube_distinct" -> 0.409,
+    "agg_delta_sum" -> 0.159,
+    "agg_entropy_linreg" -> 0.201,
+    "agg_exact_median" -> 0.164,
+    "agg_grouping_sets" -> 0.175,
+    "agg_histogram" -> 0.257,
+    "agg_hll_state_rollup" -> 0.145,
+    "agg_minmax_having" -> 0.464,
+    "agg_quantile_deterministic" -> 0.166,
+    "agg_quantile_state_rollup" -> 0.185,
+    "agg_quantiles_multi" -> 0.176,
+    "agg_rollup_time" -> 0.355,
+    "agg_stats_funcs" -> 0.164,
+    "agg_string_concat" -> 0.155,
+    "agg_sum_map" -> 0.421,
+    "agg_uniq_upto" -> 0.31,
+    "corpus_profile" -> 0.152,
+    "curation_boilerplate_frac" -> 0.123,
+    "curation_chunk_overlap" -> 0.127,
+    "curation_doc_repetition" -> 0.116,
+    "curation_fim_split" -> 0.112,
+    "curation_pack_bpe" -> 0.116,
+    "curation_seq_packing" -> 0.144,
+    "curation_source_cap" -> 0.146,
+    "curation_span_corruption" -> 0.15,
+    "dedup_audio_fp" -> 0.257,
+    "dedup_audio_fp_near" -> 0.75,
+    "dedup_exact" -> 0.206,
+    "dedup_video_near" -> 0.602,
+    "doc_fingerprint" -> 0.116,
+    "emb_label_centroids" -> 0.23,
+    "embedding_neardup_lsh" -> 0.409,
+    "embedding_neardup_oracle" -> 0.331,
+    "enum_name_to_code" -> 0.149,
+    "events_bloom_skip_lookup" -> 0.227,
+    "events_point_lookup" -> 0.116,
+    "events_point_lookup_sql" -> 0.146,
+    "funnel_step_durations" -> 0.165,
+    "funnel_steps" -> 0.432,
+    "funnel_steps_fold" -> 0.37,
+    "funnel_steps_strict" -> 0.379,
+    "hopping_rollup" -> 0.199,
+    "hourly_rollup" -> 0.26,
+    "interval_concurrency" -> 0.456,
+    "join_anti_not_exists" -> 0.287,
+    "join_asof_prev_click" -> 0.185,
+    "join_bloom_prune" -> 0.592,
+    "join_cross_dims" -> 0.255,
+    "join_full_outer" -> 0.235,
+    "join_left_outer" -> 0.23,
+    "join_semi_exists" -> 0.278,
+    "multimodal_audio_fp" -> 0.225,
+    "multimodal_bmp_resize" -> 0.124,
+    "multimodal_bmp_stats" -> 0.133,
+    "multimodal_bytes" -> 0.098,
+    "multimodal_features" -> 0.255,
+    "multimodal_frames" -> 0.155,
+    "multimodal_jpeg_resize" -> 0.915,
+    "multimodal_phash" -> 0.352,
+    "multimodal_png_stats" -> 0.391,
+    "multimodal_quality_gate" -> 0.472,
+    "multimodal_wav_stats" -> 0.117,
+    "mv_daily_rollup" -> 0.221,
+    "mv_level_totals" -> 0.128,
+    "partition_key_yyyymmdd" -> 0.27,
+    "pivot_status_counts" -> 0.148,
+    "pred_in_like_range" -> 0.231,
+    "q12_late_priority" -> 0.564,
+    "q13_custdist" -> 0.496,
+    "q14_promo_effect" -> 0.298,
+    "q15_top_supplier" -> 0.343,
+    "q16_supplier_spec_count" -> 0.354,
+    "q17_small_qty_revenue" -> 0.404,
+    "q1_pricing_summary" -> 0.164,
+    "q22_dormant_customers" -> 0.49,
+    "q3_shipping_priority" -> 0.534,
+    "q6_forecast_revenue" -> 0.122,
+    "quality_outliers_mad" -> 0.295,
+    "range_join_price_bands" -> 0.179,
+    "replacing_latest" -> 0.251,
+    "retrieval_bm25_cached_batch" -> 0.342,
+    "retrieval_bm25_indexed" -> 0.436,
+    "retrieval_bm25_phrase" -> 0.558,
+    "sample_clause_estimate" -> 0.258,
+    "sample_mixture_bpe" -> 0.339,
+    "sample_mixture_lang" -> 0.22,
+    "sample_temperature_lang" -> 0.245,
+    "scalar_array_hofs" -> 0.166,
+    "scalar_date_parts" -> 0.189,
+    "scalar_string_funcs" -> 0.115,
+    "sequence_count_chains" -> 0.142,
+    "sequence_match_users" -> 0.145,
+    "session_gap" -> 0.304,
+    "session_window_native" -> 0.336,
+    "setop_union" -> 0.205,
+    "sim_cosine_ivf" -> 0.249,
+    "sim_cosine_ivf_full" -> 0.552,
+    "sim_cosine_lsh_exhaustive" -> 0.439,
+    "sim_cosine_pq" -> 0.442,
+    "sim_cosine_topk" -> 0.33,
+    "sim_cosine_topk_int8" -> 0.321,
+    "subquery_scalar_correlated" -> 0.579,
+    "text_compression_ratio" -> 0.12,
+    "text_hashing_features" -> 0.556,
+    "text_lang_id" -> 0.101,
+    "text_linear_score" -> 0.205,
+    "text_pii_scrub" -> 0.117,
+    "text_quality" -> 0.132,
+    "text_token_count" -> 0.105,
+    "text_token_count_bpe" -> 0.106,
+    "timeseries_fill_hours" -> 0.215,
+    "topk_limit" -> 0.104,
+    "unpivot_lineitem_measures" -> 0.135,
+    "vocab_topk_approx" -> 0.242,
+    "window_gap_fill" -> 0.325,
+    "window_interpolate" -> 0.284,
+    "window_lag_lead" -> 0.11,
+    "window_range_frame" -> 0.091,
+    "window_rank_topn" -> 0.384,
+    "window_running_sum" -> 0.107,
+    "window_value_family" -> 0.124)
   /** 1.5x (was 2.0x, round-11 VERDICT #1: curation_repeated_spans at
     * 1.74x over its committed median with BOTH canaries healthy slid
     * under the 2x gate three rounds running). Same-code run-to-run
@@ -193,10 +373,23 @@ object Bench {
     * that while catching the sub-2x drift the old gate missed. */
   val AbsoluteFactor = 1.5
 
+  /** Small-entry guard for the full-coverage gate (round-13 VERDICT
+    * #1: "flag any driver value > max(1.5x, +0.3 s)"): with a
+    * committed median for every query, a pure factor rule would flag
+    * every ±80 ms wobble on the sub-0.3 s entries (the
+    * json_props_extract/agg_cms churn NOTES round 13 documents), so
+    * an entry is suspect only past BOTH the factor and an absolute
+    * +0.3 s step. For the expensive tail the factor dominates and the
+    * gate is unchanged; for a 0.1 s query the threshold is 0.4 s —
+    * still far below any real mover (doc_fingerprint's unflagged r13
+    * step was 0.088 -> 0.432). */
+  val AbsoluteSlackSec = 0.3
+
   /** Armed at the committed scale only, like [[Pins]]. */
   def isAbsoluteSuspect(name: String, median: Double,
       armed: Boolean): Boolean =
-    armed && Committed.get(name).exists(c => median > c * AbsoluteFactor)
+    armed && Committed.get(name).exists(c =>
+      median > math.max(c * AbsoluteFactor, c + AbsoluteSlackSec))
 
   // ---- CPU canary: a pure-JVM, Spark-free, fixed-work microbench in
   // the exact phase the Spark canary is blind to. window_running_sum
@@ -521,19 +714,42 @@ object Bench {
       try canaryFn(spark, sfDir).count() catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    // In-run canary baseline: min of 3 back-to-back runs right after
-    // warmup, before any heavy query has touched the page cache. The
-    // committed 0.121 s is the cross-run reference; the in-run min is
-    // what per-entry canaries compare against (2x = suspect window).
-    val canaryBaseline = (0 until 3).map(_ => runCanary()).min
-    // CPU canary baseline: discarded JIT-warm runs until the timing
-    // stabilizes (shakedown run showed min-of-3-after-2 landing ~1.7x
-    // above steady state — a baseline that high desensitizes the 2x
-    // suspect rule), then min of 5.
-    val cpuCanaryBaseline = {
+    // Start-of-run canary measurement: min of 3 back-to-back runs
+    // right after warmup (CPU canary: min of 5 after 8 JIT-warm
+    // discards). Since round 14 this is a startup SANITY GATE plus
+    // telemetry, no longer the operative baseline — the r13 driver
+    // run measured its baseline in a degraded moment (1.264 s vs
+    // committed 0.121) and that one reading defanged the 2x suspect
+    // rule for the whole window (round-13 VERDICT #3). Per-entry
+    // suspect checks now compare against the COMMITTED baselines; a
+    // run that starts degraded waits (bounded) for the host to clear.
+    def measureCanaryBaseline(): Double =
+      (0 until 3).map(_ => runCanary()).min
+    def measureCpuCanaryBaseline(): Double = {
       (0 until 8).foreach(_ => cpuCanaryOnce())
       (0 until 5).map(_ => cpuCanaryOnce()).min
     }
+    var canaryBaselineMeasured = measureCanaryBaseline()
+    var cpuCanaryBaselineMeasured = measureCpuCanaryBaseline()
+    var startupWaits = 0
+    while ((canaryBaselineMeasured > CanaryBaselineCommitted * 2 ||
+          cpuCanaryBaselineMeasured > CpuCanaryBaselineCommitted * 2) &&
+        startupWaits < MaxRecoveryAttempts) {
+      startupWaits += 1
+      System.err.println(
+        s"[bench] startup canary degraded (spark " +
+          f"$canaryBaselineMeasured%.3f" + "s vs committed " +
+          f"$CanaryBaselineCommitted%.3f" + "s, cpu " +
+          f"$cpuCanaryBaselineMeasured%.3f" + "s vs " +
+          f"$CpuCanaryBaselineCommitted%.3f" + "s); delaying " +
+          s"${RecoveryWaitMs / 1000}s " +
+          s"(attempt $startupWaits/$MaxRecoveryAttempts)")
+      Thread.sleep(RecoveryWaitMs)
+      canaryBaselineMeasured = measureCanaryBaseline()
+      cpuCanaryBaselineMeasured = measureCpuCanaryBaseline()
+    }
+    val canaryBaseline = CanaryBaselineCommitted
+    val cpuCanaryBaseline = CpuCanaryBaselineCommitted
 
     // Median of 3 timed passes per query: single-pass timing published
     // five phantom >=2x "regressions" in round 4 (host-noise spikes on
@@ -728,17 +944,24 @@ object Bench {
     val gcTotal = results.values.flatMap(_.valid.map(_.gcSec)).sum
     val ioTotal = results.values
       .flatMap(_.valid.map(_.ioMb)).filter(_ >= 0).sum
-    def canaryStatsOf(name: String, baseline: Double, end: Double,
-        pick: Entry => Double): String =
+    // `baseline` is the COMMITTED cross-run reference the suspect
+    // rules gate against; `baseline_measured` is the start-of-run
+    // reading (post startup-gate), kept as telemetry so a reader can
+    // still see what the host looked like when the run began
+    // (round-13 VERDICT #3).
+    def canaryStatsOf(name: String, baseline: Double, measured: Double,
+        end: Double, pick: Entry => Double): String =
       s"""{"name":"$name","baseline":${fmt(baseline)},""" +
+        s""""baseline_measured":${fmt(measured)},""" +
         s""""median":${fmt(results.values.map(pick).toSeq
           .sorted.apply(results.size / 2))},""" +
         s""""max":${fmt(results.values.map(pick).max)},""" +
         s""""end":${fmt(end)}}"""
-    val canaryStats =
-      canaryStatsOf(CanaryName, canaryBaseline, canaryNow, _.canarySec)
+    val canaryStats = canaryStatsOf(CanaryName, canaryBaseline,
+      canaryBaselineMeasured, canaryNow, _.canarySec)
     val cpuCanaryStats = canaryStatsOf("cpu_tokenize_hash",
-      cpuCanaryBaseline, cpuCanaryNow, _.cpuCanarySec)
+      cpuCanaryBaseline, cpuCanaryBaselineMeasured, cpuCanaryNow,
+      _.cpuCanarySec)
     def strArr(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-pass phase attribution for the probed entries (round-11
@@ -752,7 +975,7 @@ object Bench {
           }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary":$canaryStats,"cpu_canary":$cpuCanaryStats,"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"remeasured":${remeasured.size},"recovery_attempts":$recoveryAttempts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary":$canaryStats,"cpu_canary":$cpuCanaryStats,"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"remeasured":${remeasured.size},"recovery_attempts":$recoveryAttempts,"startup_waits":$startupWaits,"sf":"$sfDir"}"""
     // Artifact file carries the per-query spread (min/max over the 3
     // passes, chronological per-pass loadavg), per-pass GC seconds and
     // actual-disk-read MB, the per-entry canary series, and the pin /
@@ -761,7 +984,7 @@ object Bench {
     // page cache (ioMB high), heap (gc high), or host load (loadavg)
     // without a re-run.
     val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"phases":$phasesJson,"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"recovery_attempts":$recoveryAttempts,"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"phases":$phasesJson,"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"recovery_attempts":$recoveryAttempts,"startup_waits":$startupWaits,"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), fileLine + "\n")
     println(line)

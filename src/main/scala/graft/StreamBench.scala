@@ -315,7 +315,12 @@ object StreamBench {
     require(offTarget == nDocs / 10,
       s"dsir gate must reject exactly the planted noise docs: " +
         s"$offTarget vs ${nDocs / 10}")
-    require(kept3 > 0 && kept3 < kept,
+    // kept2 is the right bound: the three-tier corpus is the two-tier
+    // generator with 10% of ids swapped to noise docs the gate must
+    // reject, so its survivor count sits strictly below the two-tier
+    // run's (round-13 ADVICE: the old check compared against tier-1's
+    // `kept` while the message printed kept2).
+    require(kept3 > 0 && kept3 < kept2,
       s"three-tier implausible: kept=$kept3 (two-tier kept=$kept2)")
     val cur3Rate = nDocs / cur3Sec
     emit(s"""{"metric":"stream_curation3_docs_per_sec",""" +

@@ -289,15 +289,82 @@ object Curation {
 
   /** [[packChunks]] over a frame that already carries `n_tok` — for
     * pipelines that computed the token count in an earlier shared
-    * scan and should not re-split the text column here. */
+    * scan and should not re-split the text column here.
+    *
+    * The running sum is a TWO-PHASE prefix sum, not a per-shard
+    * window: `Window.partitionBy(shard)` funnels each shard through
+    * ONE task, and the shard key is `lang` — at corpus scale the
+    * dominant language is ~half the rows through a single partition,
+    * the exact hot-partition pathology the rest of this codebase
+    * designs away (the [[graft.ops.GroupTopN]] rationale, the
+    * window-free `window_ratio_to_report` formulation). Instead:
+    *
+    *   1. bucket each row by `orderCol >> bucketShift` — an
+    *      arithmetic shift is floor-division by 2^bucketShift, a
+    *      MONOTONE coarsening of the order (holds for negative ids
+    *      too), so buckets are contiguous order ranges and
+    *      deterministic in the data — no range sampling, no
+    *      two-actions-disagree hazard;
+    *   2. per-(shard, bucket) subtotals — one map-side-combined
+    *      aggregation whose output is bounded by the bucket count,
+    *      not the corpus;
+    *   3. exclusive running sum of the subtotals per shard — a window
+    *      over the BOUNDED subtotal frame (≤ one row per occupied
+    *      bucket; ~2^shift ids each), never the corpus;
+    *   4. join the offsets back on (shard, bucket) and run the
+    *      within-bucket running sum with the window partitioned by
+    *      (shard, bucket) — high cardinality, every partition ≤
+    *      2^bucketShift rows of three narrow columns, and the window
+    *      reuses the join's hash partitioning (same keys), so the
+    *      corpus pays ONE exchange just as the old shape did.
+    *
+    * `orderCol` must be an integral column (it is `doc_id` at every
+    * call site); `bucketShift` trades bucket size against subtotal
+    * count — the default 2^12 ids per bucket keeps a 10^11-id corpus
+    * at ~10^7 subtotal rows (a few hundred MB through one small
+    * window task) while splitting any realistic shard thousands of
+    * ways. Results are identical to the single-window formulation by
+    * the prefix-sum decomposition; the oracle replay is unchanged.
+    */
   def packTokenCounts(counted: DataFrame, budget: Int,
-      shardCol: String = "lang", orderCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(shardCol)).orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    counted
-      .select(col(shardCol), col(orderCol), col("n_tok"))
-      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      shardCol: String = "lang", orderCol: String = "doc_id",
+      bucketShift: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // staged, not recomputed: the two-phase sum reads this frame twice
+    // (subtotals + the joined within-bucket sum), and `n_tok` can be
+    // expensive upstream (a BPE token count, a text split) — without
+    // the stage both consumers would re-derive it and re-scan the
+    // text column, breaking the reads-text-at-most-twice capstone
+    // contract. Four narrow columns, never text.
+    val bucketed = graft.scale.Staging.materialize(
+      counted
+        .select(col(shardCol), col(orderCol), col("n_tok"))
+        .withColumn("pack_bucket",
+          shiftright(col(orderCol).cast("long"), bucketShift)),
+      "pack-buckets")
+    val subtotals = bucketed
+      .groupBy(col(shardCol), col("pack_bucket"))
+      .agg(sum(col("n_tok")).as("bucket_tok"))
+    // exclusive prefix over the bounded subtotal frame; coalesce
+    // covers each shard's first bucket (empty frame -> null sum)
+    val wOff = Window.partitionBy(col(shardCol))
+      .orderBy(col("pack_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals
+      .withColumn("bucket_off",
+        coalesce(sum(col("bucket_tok")).over(wOff), lit(0L)))
+      .select(col(shardCol), col("pack_bucket"), col("bucket_off"))
+    // no broadcast hint: AQE broadcasts the offset side when small;
+    // when it shuffle-joins instead, the join's (shard, bucket) hash
+    // partitioning is exactly what the window below requires, so no
+    // extra corpus exchange either way
+    val wIn = Window.partitionBy(col(shardCol), col("pack_bucket"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .join(offsets, Seq(shardCol, "pack_bucket"))
+      .withColumn("tok_end",
+        sum(col("n_tok")).over(wIn) + col("bucket_off"))
       .select(col(shardCol), col(orderCol), col("n_tok"),
         (col("tok_end") - col("n_tok")).as("tok_start"),
         col("tok_end"))

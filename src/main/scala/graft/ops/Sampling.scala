@@ -329,26 +329,87 @@ object Sampling {
       .parquet(s"$path/meta")
   }
 
+  /** One memoized persisted-LM read: the bucket table materialized as
+    * local rows (bounded: <= `buckets` rows by the [[dsirFitStore]]
+    * group-by) plus the meta scalars, keyed by the store's content
+    * stamp. */
+  private case class DsirLm(stamp: String, buckets: Int, tTotal: Long,
+    rTotal: Long, lmSchema: org.apache.spark.sql.types.StructType,
+    lmRows: java.util.List[org.apache.spark.sql.Row])
+
+  private val dsirLmMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DsirLm]()
+  // test-visible telemetry: the CurationPipeline spec asserts the
+  // cache actually short-circuits the per-micro-batch store reads and
+  // that a retrain (stamp change) misses cleanly
+  private[graft] val dsirLmHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val dsirLmMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Content stamp of a persisted DSIR LM: name+length+mtime of every
+    * file under `path/lm` and `path/meta` (the
+    * [[graft.ops.Bm25ResultCache.indexStamp]] discipline — a retrain
+    * rewrites both dirs, so any refit changes the stamp and every
+    * memo key misses cleanly). Driver-side listing only — no Spark
+    * job. */
+  private[graft] def dsirLmStamp(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val fs = graft.scale.Hdfs.of(spark, path)
+    Seq(s"$path/lm", s"$path/meta").flatMap { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Seq(s"$dir:absent")
+      else fs.listStatus(p).toSeq
+        .map(st => s"${st.getPath.getName}:${st.getLen}:" +
+          s"${st.getModificationTime}")
+        .sorted
+    }.mkString("|")
+  }
+
   /** Score `docs` against a persisted DSIR LM ([[dsirFitStore]]) —
     * the serve-time half: same featurization, same weighing, LM and
     * totals read from the store (the 1-row meta read is the
     * bounded-driver-read pattern every store here uses). Grams the
     * reference never saw score 0 per occurrence (see [[dsirWeigh]]);
     * docs with NO grams drop out — a gate should treat absence as
-    * "no target affinity established". */
+    * "no target affinity established".
+    *
+    * The LM is train-once by design, but the streaming gate calls
+    * this on EVERY micro-batch — an uncached read costs two Spark
+    * jobs per batch (the meta head + the lm scan feeding a broadcast
+    * build) on a table that never changes between retrains. The read
+    * is therefore memoized per JVM, keyed by the store's content
+    * stamp ([[dsirLmStamp]] — a cheap driver-side listing per call):
+    * a hit replays the <= `buckets`-row bucket table as a local
+    * relation (broadcast of a local relation never rescans the
+    * store), a retrain changes the stamp and misses cleanly
+    * (round-13 VERDICT #5). */
   def dsirScoreStore(docs: DataFrame, id: Column, text: Column,
       path: String): DataFrame = {
     val spark = docs.sparkSession
-    // ONE meta read serves buckets AND the totals frame (review-caught
-    // double read — it reruns per micro-batch on the streaming path)
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val buckets = meta.getAs[Int]("buckets")
+    val stamp = dsirLmStamp(spark, path)
+    val cached = dsirLmMemo.get(path) match {
+      case c if c != null && c.stamp == stamp =>
+        dsirLmHits.incrementAndGet(); c
+      case _ =>
+        dsirLmMisses.incrementAndGet()
+        // ONE meta read serves buckets AND the totals frame
+        // (review-caught double read — it reran per micro-batch on
+        // the streaming path before the memo existed)
+        val meta = spark.read.parquet(s"$path/meta").head()
+        val lmDf = spark.read.parquet(s"$path/lm")
+        val c = DsirLm(stamp, meta.getAs[Int]("buckets"),
+          meta.getAs[Long]("t_total"), meta.getAs[Long]("r_total"),
+          lmDf.schema, lmDf.collectAsList())
+        dsirLmMemo.put(path, c); c
+    }
     val totals = spark.range(1).select(
-      lit(meta.getAs[Long]("t_total")).as("t_total"),
-      lit(meta.getAs[Long]("r_total")).as("r_total"))
-    val lm = graft.scale.Staging.guardedBroadcast(
-      spark.read.parquet(s"$path/lm"))
-    dsirWeigh(dsirGramBuckets(docs, id, text, lit(false), buckets),
-      lm, totals, buckets)
+      lit(cached.tTotal).as("t_total"),
+      lit(cached.rTotal).as("r_total"))
+    // local relation (no store scan) -> plain broadcast: the row count
+    // is <= buckets by the fit's group-by, so the guardedBroadcast
+    // count() probe would only add a job here
+    val lm = org.apache.spark.sql.functions.broadcast(
+      spark.createDataFrame(cached.lmRows, cached.lmSchema))
+    dsirWeigh(dsirGramBuckets(docs, id, text, lit(false),
+      cached.buckets), lm, totals, cached.buckets)
   }
 }

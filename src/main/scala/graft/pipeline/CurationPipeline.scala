@@ -15,12 +15,15 @@ import graft.ops.TextAnalysis
   *
   *   1. quality gates — token-count floor and repetition-ratio ceiling,
   *      both narrow codegen'd projections fused into the scan;
-  *   2. cross-batch EXACT dedup on the content fingerprint —
-  *      state-store-backed `dropDuplicates`, so a re-crawled page is
-  *      dropped even when it arrives days after the original (state =
-  *      one fingerprint per kept doc; at production scale pair with a
-  *      watermark for bounded-lateness dedup, same H4 tradeoff as
-  *      [[DirectPipeline]]);
+  *   2. cross-batch EXACT dedup on the content fingerprint — an
+  *      anti-join against the curated store's own persisted
+  *      fingerprints (self-excluding the replaying batch's partition),
+  *      so a re-crawled page is dropped even when it arrives days
+  *      after the original, and dedup "state" can only ever contain
+  *      docs that passed EVERY gate including the batch-level DSIR
+  *      tier (a streaming dropDuplicates state entry for a rejected
+  *      doc would permanently shadow its re-crawl after an LM
+  *      retrain);
   *   3. accepted docs append to the curated store; rejects append to a
   *      reject store WITH the failed gate named, so filter tuning is
   *      auditable (what a pipeline operator actually needs when a
@@ -74,6 +77,17 @@ object CurationPipeline {
     * so dedup state can only ever contain docs that passed EVERY
     * gate, including the batch-level DSIR tier; the reject stream is
     * stateless.
+    *
+    * '''Migration from the pre-store-backed-dedup version''' (which
+    * used streaming `dropDuplicates` state): resuming an OLD
+    * checkpoint fails — removing a stateful operator changes the
+    * streaming plan, so a deployment upgrading across that change
+    * must start from a FRESH `checkpointDir` (the curated store
+    * itself carries the dedup state forward, so no docs re-admit).
+    * An old curated store also lacks the persisted `fingerprint`
+    * column the anti-join reads; [[migrateFingerprints]] backfills it
+    * once (recomputing fingerprints from the stored text) before the
+    * upgraded stream's first batch.
     *
     * @param minTokens   reject docs shorter than this many tokens
     * @param maxRepetition reject docs whose duplicate-bigram fraction
@@ -186,8 +200,20 @@ object CurationPipeline {
               graft.ops.SignatureStore.build(deduped, path)
               deduped
             } else {
+              // Same self-exclusion as the exact-dedup read above: on
+              // a replay AFTER the curated partition write committed
+              // but BEFORE the checkpoint commit, the band store
+              // already holds this batch's signatures (at-least-once
+              // append) and an unfiltered curatedSoFar would contain
+              // the batch's own docs — two within-batch near-dup
+              // survivors would flag EACH OTHER as near_dup and the
+              // rewritten partition would silently drop them.
+              // Excluding the batch's own partition prunes those
+              // candidates away in dedupeIncoming's verify left_semi,
+              // restoring retry-stability (round-13 ADVICE).
               val curatedSoFar = batch.sparkSession.read
                 .parquet(s"$outDir/curated")
+                .filter(col("batch") =!= batchId)
                 .select(col("doc_id"), col("text"))
               val (keep, dups) = graft.ops.SignatureStore.ingest(
                 deduped, curatedSoFar, path)
@@ -232,6 +258,31 @@ object CurationPipeline {
       .start()
 
     (curatedQ, rejectsQ)
+  }
+
+  /** One-shot backfill for curated stores written BEFORE dedup became
+    * store-backed: adds the `fingerprint` column the per-batch
+    * anti-join reads, recomputed from the stored text (the same
+    * [[TextAnalysis.fingerprint]] the gate projection applies, so old
+    * and new rows dedup against each other exactly). Writes to a
+    * sibling staging dir then renames — never reads and overwrites
+    * the same path. No-op when the column is already present. Run
+    * once, before the upgraded stream's first batch, alongside the
+    * fresh `checkpointDir` the plan change requires (see [[start]]).
+    */
+  def migrateFingerprints(spark: SparkSession, outDir: String): Unit = {
+    val dir = s"$outDir/curated"
+    val fs = graft.scale.Hdfs.of(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(dirPath) &&
+        !spark.read.parquet(dir).columns.contains("fingerprint")) {
+      val staged = s"$outDir/curated_fp_migration"
+      spark.read.parquet(dir)
+        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+        .write.mode("overwrite").partitionBy("batch").parquet(staged)
+      fs.delete(dirPath, true)
+      fs.rename(new org.apache.hadoop.fs.Path(staged), dirPath)
+    }
   }
 
   def curated(spark: SparkSession, outDir: String): DataFrame =

@@ -210,12 +210,19 @@ object CurationQueries {
     // The ORACLE may rank-window (it sorts anyway); the registered
     // plan must not — the aggregate's total order (n_chars DESC,
     // doc_id ASC) makes the two selections identical.
+    // The inner WHERE mirrors the engine aggregate's null handling:
+    // group_top_n skips null-priority/null-id rows, while DuckDB's
+    // row_number would rank NULL n_chars rows (NULLS LAST) — on a
+    // corpus where a source has fewer than SourceCapN non-null docs
+    // plus null-n_chars docs, an unfiltered oracle would include rows
+    // the engine drops (round-13 ADVICE).
     "curation_source_cap" ->
       s"""SELECT source, doc_id, n_chars FROM (
          |  SELECT source, doc_id, n_chars,
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY n_chars DESC, doc_id) AS rk
-         |  FROM documents)
+         |  FROM documents
+         |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
          |WHERE rk <= $SourceCapN
          |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
     // Same Knuth-hash arithmetic as the sampling oracles (simple

@@ -91,7 +91,9 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.isAbsoluteSuspect("dedup_simhash", c * 1.51, true))
     assert(!Bench.isAbsoluteSuspect("dedup_simhash", c * 1.4, true))
     assert(!Bench.isAbsoluteSuspect("dedup_simhash", c * 100, false))
-    assert(!Bench.isAbsoluteSuspect("q1_pricing_summary", 999.0, true))
+    // since round 14 EVERY registered query carries a committed
+    // median, so only a genuinely unknown name escapes the rule
+    assert(!Bench.isAbsoluteSuspect("no_such_query", 999.0, true))
     // the five round-10 inflation victims are all gated
     assert(Seq("curation_repeated_spans", "dedup_ngram_jaccard",
       "dedup_simhash", "agg_cms_state_rollup", "dict_get_nation")
@@ -145,6 +147,51 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.Committed.keySet.subsetOf(
       graft.SparkEntry.queries.keySet))
     assert(Bench.Pins.keySet.subsetOf(graft.SparkEntry.queries.keySet))
+  }
+
+  // ---- round-14 additions (round-13 VERDICT #1/#3)
+
+  test("full coverage: EVERY registered query carries a committed " +
+      "median — the r13 movers' escape hole (only the expensive tail " +
+      "was covered) is closed") {
+    val uncovered = graft.SparkEntry.queries.keySet -- Bench.Committed.keySet
+    assert(uncovered.isEmpty,
+      s"queries with no committed median: ${uncovered.toSeq.sorted}")
+    // the four r13 movers that slipped through specifically
+    assert(Seq("curation_seq_packing", "doc_fingerprint",
+      "agg_quantile_deterministic", "multimodal_frames")
+      .forall(Bench.Committed.contains))
+  }
+
+  test("absolute gate = max(1.5x, +0.3s): the slack term keeps " +
+      "sub-0.3s wobbles unflagged while real movers still fire") {
+    assert(Bench.AbsoluteSlackSec == 0.3)
+    // a 0.1s-committed entry wobbling +80ms (the json_props/cms churn)
+    // stays quiet: 0.18 < max(0.15, 0.4) = 0.4
+    assert(!Bench.isAbsoluteSuspect("doc_fingerprint",
+      Bench.Committed("doc_fingerprint") + 0.08, true))
+    // but doc_fingerprint's actual unflagged r13 step (0.088 -> 0.432)
+    // fires
+    assert(Bench.isAbsoluteSuspect("doc_fingerprint", 0.432, true))
+    // for the expensive tail the factor dominates and is unchanged
+    val c = Bench.Committed("retrieval_service_cap")
+    assert(Bench.isAbsoluteSuspect("retrieval_service_cap",
+      c * 1.51, true))
+    assert(!Bench.isAbsoluteSuspect("retrieval_service_cap",
+      c * 1.49, true))
+  }
+
+  test("canary baseline provenance: committed constants exist and sit " +
+      "in the healthy-window range — the operative baseline can never " +
+      "again be a degraded start-of-run reading") {
+    // r13 driver artifact carried baseline 1.264 vs committed
+    // 0.107-0.122; these constants ARE the operative baseline now
+    assert(Bench.CanaryBaselineCommitted == 0.121)
+    assert(Bench.CpuCanaryBaselineCommitted == 0.010)
+    // the startup gate threshold: a fresh baseline over 2x committed
+    // delays the run (same suspect arithmetic)
+    assert(Bench.isCanarySuspect(Bench.CanaryBaselineCommitted * 2.0,
+      Bench.CanaryBaselineCommitted))
   }
 
   test("cpu canary: deterministic fixed work, strictly positive time") {

@@ -79,6 +79,35 @@ class DsirSpec extends SparkSpec {
     assert(viaStore == viaSelect)
   }
 
+  test("LM memo: repeat scores hit the cache with identical results; " +
+      "a refit changes the stamp and misses cleanly") {
+    val store = tmpDir("dsir-store-memo")
+    Sampling.dsirFitStore(docs, col("doc_id"), col("text"),
+      col("source") === "t", 4096, store)
+    def score() = Sampling.dsirScoreStore(docs, col("doc_id"),
+        col("text"), store)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val h0 = Sampling.dsirLmHits.get()
+    val m0 = Sampling.dsirLmMisses.get()
+    val first = score()
+    val second = score()
+    assert(second == first, "cached replay must be bit-identical")
+    // first call may hit or miss depending on suite order (the memo
+    // is per-JVM); the SECOND call against an unchanged store must hit
+    assert(Sampling.dsirLmHits.get() >= h0 + 1)
+    // retrain on a flipped target: stamp changes (fresh mtimes), the
+    // memo misses, and the new weights reflect the retrain — a stale
+    // cache would keep serving the old LM
+    Thread.sleep(5) // mtime granularity guard
+    Sampling.dsirFitStore(docs, col("doc_id"), col("text"),
+      col("source") === "r", 4096, store)
+    val refit = score()
+    assert(Sampling.dsirLmMisses.get() >= m0 + 1)
+    assert(refit != first,
+      "refit with a flipped target must change the served weights")
+  }
+
   test("novel grams score exactly the smoothing constant") {
     val store = tmpDir("dsir-store-novel")
     Sampling.dsirFitStore(docs, col("doc_id"), col("text"),

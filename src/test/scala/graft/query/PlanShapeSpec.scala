@@ -136,6 +136,46 @@ class PlanShapeSpec extends SparkSpec {
   // asserted as bounds on today's measured plan (PlanAudit values).
 
   /** AQE-final physical plan text (execute first so AQE finalizes). */
+  test("packing: two-phase prefix sum — no per-lang window over " +
+      "corpus rows in any packTokenCounts consumer") {
+    // Window.partitionBy(lang) over the corpus funnels ~half of a
+    // 100 TB corpus (the dominant language) through ONE task. The
+    // packing rework decomposes the running sum: the only admissible
+    // windows are (a) the within-bucket sum, partitioned by
+    // (lang, pack_bucket) — bounded at 2^bucketShift rows per
+    // partition — and (b) windows whose DIRECT input (through
+    // Project/Filter chains) is an Aggregate, i.e. the bounded
+    // subtotal-offsets frame or a histogram. A deep collectFirst
+    // would be vacuous here: the corpus-side window's child is the
+    // offsets JOIN, which contains the subtotal Aggregate somewhere
+    // underneath — hence the strip-chain check.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, LogicalPlan, Project, Sort, Window => LWindow}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => strip(pr.child)
+      case f: Filter => strip(f.child)
+      case s: Sort => strip(s.child)
+      case other => other
+    }
+    Seq("curation_seq_packing", "curation_pack_bpe",
+        "pipeline_pretraining_corpus", "pipeline_targeted_corpus")
+      .foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q: expected the prefix-sum windows")
+      windows.foreach { w =>
+        val bucketPartitioned =
+          w.partitionSpec.exists(_.toString.contains("pack_bucket"))
+        val overBoundedAggregate = strip(w.child).isInstanceOf[Aggregate]
+        assert(bucketPartitioned || overBoundedAggregate,
+          s"$q: window partitioned by a low-cardinality key over " +
+            s"corpus-sized input (the 100x hot-partition shape):\n$w")
+      }
+    }
+  }
+
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf0001)
     df.collect()
