@@ -145,7 +145,7 @@ object Bench {
     // gate; with the tail covered and the gate at 1.5x, an elevation
     // like any of them is re-measured and surfaced with telemetry.
     "retrieval_service_cap" -> 4.81,
-    "pipeline_pretraining_corpus" -> 2.08,
+    "pipeline_pretraining_corpus" -> 2.57, // re-seeded r14: two-phase packing shape (93.5s window)
     "pipeline_corpus_curation" -> 1.75,
     "dedup_components_lsh" -> 1.35,
     "curation_boilerplate" -> 1.33,
@@ -219,7 +219,7 @@ object Bench {
     // zero-elevated window (84.3 s / 185, json_props_extract
     // re-landed in the same window)
     "sample_dsir_select" -> 1.52,
-    "pipeline_targeted_corpus" -> 0.85,
+    "pipeline_targeted_corpus" -> 1.27, // re-seeded r14: two-phase packing shape (93.5s window)
     // round-14 extension (round-13 VERDICT #1): EVERY query now
     // carries a committed median — curation_seq_packing's 19.4x
     // driver-window step (0.134 -> 2.605 s, tight low-load passes,
@@ -266,8 +266,8 @@ object Bench {
     "curation_chunk_overlap" -> 0.127,
     "curation_doc_repetition" -> 0.116,
     "curation_fim_split" -> 0.112,
-    "curation_pack_bpe" -> 0.116,
-    "curation_seq_packing" -> 0.144,
+    "curation_pack_bpe" -> 0.256, // re-seeded r14: two-phase packing shape (old-shape 0.116)
+    "curation_seq_packing" -> 0.335, // re-seeded r14: two-phase packing shape (old-shape 0.144)
     "curation_source_cap" -> 0.146,
     "curation_span_corruption" -> 0.15,
     "dedup_audio_fp" -> 0.257,

@@ -1378,7 +1378,27 @@ object PipelineQueries {
       "verify" -> ((s, d) => Similarity.verifyCandidates(
         Similarity.ensureLshCandidates(Tables.embeddings(s, d),
           lshCandPath(d)),
-        Tables.embeddings(s, d), cosineT))))
+        Tables.embeddings(s, d), cosineT))),
+    // r13's biggest unexplained number (0.134 -> 2.605 in the driver
+    // window on unchanged code, unflagged for lack of a committed
+    // median): the round-14 two-phase rework changed the plan, so the
+    // probe decomposes its NEW halves — the tokenize+bucket+subtotal
+    // stage (text split is the CPU phase the r10 blind spot lived in)
+    // vs the staged frame's prefix-sum remainder
+    "curation_seq_packing" -> Seq(
+      "tokenize_subtotals" -> ((s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("lang"), col("doc_id"),
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.split(col("text"), " "))
+              .cast("long").as("n_tok"))
+          .withColumn("pack_bucket",
+            org.apache.spark.sql.functions.shiftright(
+              col("doc_id").cast("long"), 12))
+          .groupBy(col("lang"), col("pack_bucket"))
+          .agg(org.apache.spark.sql.functions.sum(col("n_tok"))
+            .as("bucket_tok"))
+      })))
 
   /** Session-dynamic oracles (round-11 verdict #2): once the BPE
     * queries have trained their merge table for `sfDir`, export it

@@ -155,4 +155,47 @@ class CurationPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rejects.toSeq == Seq((3L, "near_dup")), rejects.toSeq.toString)
   }
+
+  test("fingerprint migration: a pre-store-backed curated store is " +
+      "backfilled once and then dedups a re-crawl; migrated store is " +
+      "a no-op second time") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("curation-migrate")
+    val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+    Files.createDirectories(Paths.get(src))
+    val oldText =
+      "a perfectly ordinary document curated by the previous deployment"
+
+    // a curated store written BEFORE dedup became store-backed: same
+    // layout, NO fingerprint column
+    import spark.implicits._
+    Seq((100L, oldText, "en", "crawl", 9L, 0.0))
+      .toDF("doc_id", "text", "lang", "source", "n_tokens", "rep_ratio")
+      .withColumn("batch", org.apache.spark.sql.functions.lit(999L))
+      .write.partitionBy("batch").parquet(s"$out/curated")
+
+    CurationPipeline.migrateFingerprints(spark, out)
+    val migrated = spark.read.parquet(s"$out/curated")
+    assert(migrated.columns.contains("fingerprint"))
+    val fpAfter = migrated.filter(col("doc_id") === 100L)
+      .select("fingerprint").head().getString(0)
+    // idempotent: a second run must not rewrite (same fingerprint,
+    // same row count)
+    CurationPipeline.migrateFingerprints(spark, out)
+    assert(spark.read.parquet(s"$out/curated").count() == 1)
+    assert(spark.read.parquet(s"$out/curated")
+      .select("fingerprint").head().getString(0) == fpAfter)
+
+    // the upgraded stream (fresh checkpoint, as the migration doc
+    // requires) now dedups a re-crawl of the OLD store's doc via the
+    // backfilled fingerprints
+    writeDocs(src, "b1.json", Seq(
+      (101L, oldText), // exact re-crawl of the pre-migration doc
+      (102L, "novel content arriving after the deployment upgraded")))
+    runOnce(src, out, ck)
+    val curated = CurationPipeline.curated(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(curated.toSeq == Seq(100L, 102L),
+      s"curated = ${curated.mkString(",")}")
+  }
 }
