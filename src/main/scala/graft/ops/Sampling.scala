@@ -181,16 +181,27 @@ object Sampling {
   }
 
   /** At most `n` rows per stratum, chosen by hash order (a
-    * deterministic pseudo-random draw), id as tie-break. One shuffle
-    * on the strata key; `row_number` keeps only the first n per group.
-    */
+    * deterministic pseudo-random draw), id as tie-break; `id` must be
+    * unique (it is `doc_id` at the call sites).
+    *
+    * Scale shape (round 14 — this was the codebase's last
+    * low-cardinality rank window): a `row_number() over (partition by
+    * stratum)` funnels the dominant stratum through ONE task at
+    * corpus scale, so the draw runs as a bounded
+    * [[graft.ops.GroupTopN]] heap instead — map-side partial heaps,
+    * only O(n)-entry heap states shuffle — and the n x |strata|
+    * winner ids semi-join back (size-guarded broadcast) to recover
+    * the full rows. capPerGroup's total order is (priority DESC, id
+    * ASC); hash-ascending draw = negated hash priority (hashBucket <
+    * 2^30, so negation cannot overflow — unlike Long.MinValue, the
+    * trap the heap's comparator exists to avoid). */
   def stratifiedFixedN(df: DataFrame, stratum: Column, id: Column,
       n: Int): DataFrame = {
-    val w = Window.partitionBy(stratum)
-      .orderBy(hashBucket(id, 1 << 30), id)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    val winners = graft.ops.GroupTopN.capPerGroup(
+        df, Seq(stratum), -hashBucket(id, 1 << 30), id, n)
+      .select(col("id").as("__keep_id"))
+    df.join(graft.scale.Staging.guardedBroadcast(winners),
+      id === col("__keep_id"), "left_semi")
   }
 
   /** DSIR — Data Selection via Importance Resampling (Xie et al.,

@@ -33,9 +33,15 @@ object SamplingQueries {
     // Training-order materialization: the first 100-doc shard of each
     // of two epoch-seeded deterministic global shuffles (data order is
     // part of a training run's reproducibility contract — see
-    // Sampling.epochKey). Per-epoch windows, so the rank shuffle
-    // partitions by epoch; a full-order materialization at scale is a
-    // range-partitioned sorted write, not a global window.
+    // Sampling.epochKey). Round 14: the per-epoch rank window went
+    // the way of every other low-cardinality window here — |epoch|=2
+    // funneled the whole corpus through two tasks just to keep 100
+    // rows each. The head of each epoch's order is a bounded
+    // group_top_n heap (priority = -key, so DESC-priority = key ASC;
+    // ties fall to doc_id ASC exactly as before); the ONLY window
+    // left ranks the <= 100-row-per-epoch winner set. A full-order
+    // materialization at scale remains a range-partitioned sorted
+    // write (Sampling.writeEpochShards), never a window.
     "sample_epoch_order" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val keyed = Tables.documents(s, d)
@@ -43,12 +49,13 @@ object SamplingQueries {
           explode(sequence(lit(1), lit(2))).as("epoch"))
         .withColumn("key",
           Sampling.epochKey(col("doc_id"), col("epoch")))
+      val winners = graft.ops.GroupTopN.capPerGroup(keyed,
+        Seq(col("epoch")), -col("key"), col("doc_id"), 100)
       val w = Window.partitionBy(col("epoch"))
-        .orderBy(col("key"), col("doc_id"))
-      keyed.withColumn("ord", row_number().over(w).cast("long"))
-        .filter(col("ord") <= 100)
+        .orderBy(col("priority").desc, col("id"))
+      winners.withColumn("ord", row_number().over(w).cast("long"))
         .select(col("epoch").cast("long").as("epoch"), col("ord"),
-          col("doc_id"))
+          col("id").as("doc_id"))
         .orderBy(col("epoch"), col("ord"))
     }),
 

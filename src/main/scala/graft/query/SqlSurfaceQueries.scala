@@ -374,17 +374,62 @@ object SqlSurfaceQueries {
     // and ceil(p*n) is ONE IEEE multiply both engines compute
     // bit-identically — no FP seam at any scale. Interpolated
     // percentiles stay pinned by agg_exact_median (off-boundary).
+    // Round 14: the one-window formulation (row_number + count over
+    // partition(l_returnflag) — THREE flag values, so a whole flag's
+    // lineitem rows through one task at scale) became a two-phase
+    // rank locate: (1) per-(flag, price-bucket) counts, bucket =
+    // price cast long >> 6 — monotone for the positive TPC-H price
+    // domain, so buckets are contiguous price ranges and the subtotal
+    // frame is bounded by the VALUE domain, not the corpus; (2)
+    // exclusive prefix + per-flag n over the bounded frame; (3) each
+    // target rank ceil(n*p) — the SAME single IEEE multiply as before
+    // — locates its bucket (off < r <= off+cnt), and ONLY rows of
+    // target buckets are ranked, windowed on (flag, bucket, quantile)
+    // so a bucket serving two quantiles ranks each copy
+    // independently. Ties share a value and can never span a bucket
+    // (equal price -> equal bucket), so the selected values are
+    // bit-identical to the global-rank formulation.
     "agg_quantiles_multi" -> ((s, d) => {
-      val part = Window.partitionBy(col("l_returnflag"))
-      val ranked = Tables.lineitem(s, d)
+      val priced = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn",
-          row_number().over(part.orderBy(col("l_extendedprice"))))
-        .withColumn("n", count(lit(1)).over(part))
-      def q(p: Double) = max(when(col("rn") === ceil(col("n") * p),
-        col("l_extendedprice")))
-      ranked.groupBy(col("l_returnflag"))
-        .agg(q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
+        .withColumn("qb",
+          shiftright(col("l_extendedprice").cast("long"), 6))
+      val counts = priced.groupBy(col("l_returnflag"), col("qb"))
+        .agg(count(lit(1)).as("cnt"))
+      val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("qb"))
+      val offs = counts
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cnt"))
+          .over(Window.partitionBy(col("l_returnflag"))))
+      // one pass over the bounded offset frame for all three targets
+      // (a per-quantile filter union re-aggregated the counts thrice)
+      val marks = offs
+        .select(col("l_returnflag"), col("qb"), col("off"), col("cnt"),
+          explode(array(Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+            .map { case (nm, p) =>
+              struct(lit(nm).as("q_name"),
+                ceil(col("n") * p).as("r"))
+            }: _*)).as("t"))
+        .filter(col("off") < col("t.r") &&
+          col("t.r") <= col("off") + col("cnt"))
+        .select(col("l_returnflag"), col("qb"),
+          col("t.q_name").as("q_name"),
+          (col("t.r") - col("off")).as("local_rn"))
+      val wIn = Window
+        .partitionBy(col("l_returnflag"), col("qb"), col("q_name"))
+        .orderBy(col("l_extendedprice"))
+      priced.join(broadcast(marks), Seq("l_returnflag", "qb"))
+        .withColumn("lrn", row_number().over(wIn))
+        .filter(col("lrn") === col("local_rn"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("q_name") === "p50", col("l_extendedprice")))
+            .as("p50"),
+          max(when(col("q_name") === "p90", col("l_extendedprice")))
+            .as("p90"),
+          max(when(col("q_name") === "p99", col("l_extendedprice")))
+            .as("p99"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -328,6 +328,116 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), "rank window crept back in")
   }
 
+  test("stratified draw: bounded-heap partials + broadcast semi-join " +
+      "back, no per-stratum rank window") {
+    // round 14: the hash-order draw was the codebase's last
+    // low-cardinality rank window — now a GroupTopN heap whose
+    // winners semi-join back, so no stratum ever funnels corpus rows
+    // through one task
+    val plan = finalPlan("sample_stratified_lang")
+    assert(plan.contains("partial_group_top_n"),
+      "map-side partial heap aggregation missing")
+    assert(!plan.contains("Window"), "rank window crept back in")
+    assert(plan.contains("LeftSemi"), "winner semi-join missing")
+  }
+
+  test("epoch-order head: bounded-heap partials; the only window " +
+      "ranks the heap's own <=100-row-per-epoch output") {
+    // round 14: |epoch|=2 made the old per-epoch rank window funnel
+    // the whole corpus through two tasks to keep 100 rows each
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, Generate, LogicalPlan, Project, Sort,
+      Window => LWindow}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => strip(pr.child)
+      case f: Filter => strip(f.child)
+      case s: Sort => strip(s.child)
+      case g: Generate => strip(g.child)
+      case other => other
+    }
+    val plan = finalPlan("sample_epoch_order")
+    assert(plan.contains("partial_group_top_n"),
+      "map-side partial heap aggregation missing")
+    val logical = SparkEntry.queries("sample_epoch_order")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val windows = logical.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "the winner-ranking window must exist")
+    windows.foreach { w =>
+      assert(strip(w.child).isInstanceOf[Aggregate],
+        s"window over non-heap (corpus-sized) input:\n$w")
+    }
+  }
+
+  test("interval sweep: two-phase — every window is either " +
+      "(key, sweep_bucket)-partitioned or over the bounded subtotals") {
+    // round 14: the boundary sweep's running sum windowed on the bare
+    // group key (a day) — a whole day's boundaries through one task
+    // at corpus scale; now the packTokenCounts decomposition with a
+    // cross-bucket lead carried by the subtotal frame
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, LogicalPlan, Project, Sort, Window => LWindow}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => strip(pr.child)
+      case f: Filter => strip(f.child)
+      case s: Sort => strip(s.child)
+      case other => other
+    }
+    val plan = SparkEntry.queries("interval_concurrency")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "the sweep windows must exist")
+    windows.foreach { w =>
+      val bucketPartitioned =
+        w.partitionSpec.exists(_.toString.contains("sweep_bucket"))
+      // the sessionize stage upstream windows by user_id — high
+      // cardinality by construction, equally admissible
+      val userPartitioned =
+        w.partitionSpec.exists(_.toString.contains("user_id"))
+      val overBoundedAggregate = strip(w.child).isInstanceOf[Aggregate]
+      assert(bucketPartitioned || userPartitioned || overBoundedAggregate,
+        s"window partitioned by a low-cardinality key over " +
+          s"corpus-sized input:\n$w")
+    }
+  }
+
+  test("multi-quantile: rank-locate — no per-flag window over corpus " +
+      "rows; only target price-buckets are ever ranked") {
+    // round 14: row_number over partition(l_returnflag) — three flag
+    // values — became counts per (flag, price-bucket) + rank-locate;
+    // admissible windows carry the bucket in their partitionSpec or
+    // consume the bounded count frame
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, LogicalPlan, Project, Sort, Window => LWindow}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => strip(pr.child)
+      case f: Filter => strip(f.child)
+      case s: Sort => strip(s.child)
+      case other => other
+    }
+    // a window stacked on another window over the aggregate (off,
+    // then n) is still bounded — strip through Window as well
+    @annotation.tailrec
+    def stripW(p: LogicalPlan): LogicalPlan = strip(p) match {
+      case w: LWindow => stripW(w.child)
+      case other => other
+    }
+    val plan = SparkEntry.queries("agg_quantiles_multi")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "the rank-locate windows must exist")
+    windows.foreach { w =>
+      val bucketPartitioned =
+        w.partitionSpec.exists(_.toString.contains("qb"))
+      val overBoundedAggregate = stripW(w.child).isInstanceOf[Aggregate]
+      assert(bucketPartitioned || overBoundedAggregate,
+        s"window partitioned by a low-cardinality key over " +
+          s"corpus-sized input:\n$w")
+    }
+  }
+
   test("dsir winners plan as TakeOrdered — never a global sort") {
     // the top-k selection must be per-partition heaps + one driver
     // merge (TakeOrderedAndProject); a global Sort over per-doc
