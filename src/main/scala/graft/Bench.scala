@@ -807,12 +807,23 @@ object Bench {
     // string-phase contention the shuffle canary is blind to), and
     // entries absolutely elevated vs their committed medians (the
     // round-10 movers fired none of the intra-run rules)
-    val suspects = firstPass.toSeq
+    // Ranked by elevation over committed before the 40-entry cap:
+    // with full Committed coverage a whole-run degraded window makes
+    // EVERY entry canary-suspect, and a registration-order take(40)
+    // would re-measure 40 healthy early entries while a genuinely
+    // regressed late one is dropped (review-caught). The worst movers
+    // re-measure first; the artifact records how many were cut.
+    val allSuspects = firstPass.toSeq
       .filter(e => pinViolation(e) ||
         isCanarySuspect(e._2.canarySec, canaryBaseline) ||
         isCanarySuspect(e._2.cpuCanarySec, cpuCanaryBaseline) ||
         isAbsoluteSuspect(e._1, e._2.median, pinsArmed))
-      .map(_._1).take(40)
+      .sortBy { case (n, e) =>
+        -Committed.get(n).map(c => e.median / c).getOrElse(1.0)
+      }
+      .map(_._1)
+    val suspects = allSuspects.take(40)
+    val suspectsTruncated = allSuspects.size - suspects.size
     // ALWAYS measured (one ~0.1 s run): the artifact's canary.end is
     // the end-of-run health reading a reader compares against the
     // baseline — publishing the baseline as "end" on suspect-free
@@ -975,7 +986,7 @@ object Bench {
           }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary":$canaryStats,"cpu_canary":$cpuCanaryStats,"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"remeasured":${remeasured.size},"recovery_attempts":$recoveryAttempts,"startup_waits":$startupWaits,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary":$canaryStats,"cpu_canary":$cpuCanaryStats,"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"remeasured":${remeasured.size},"recovery_attempts":$recoveryAttempts,"startup_waits":$startupWaits,"suspects_truncated":$suspectsTruncated,"sf":"$sfDir"}"""
     // Artifact file carries the per-query spread (min/max over the 3
     // passes, chronological per-pass loadavg), per-pass GC seconds and
     // actual-disk-read MB, the per-entry canary series, and the pin /
@@ -984,7 +995,7 @@ object Bench {
     // page cache (ioMB high), heap (gc high), or host load (loadavg)
     // without a re-run.
     val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"phases":$phasesJson,"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"recovery_attempts":$recoveryAttempts,"startup_waits":$startupWaits,"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"phases":$phasesJson,"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"recovery_attempts":$recoveryAttempts,"startup_waits":$startupWaits,"suspects_truncated":$suspectsTruncated,"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), fileLine + "\n")
     println(line)

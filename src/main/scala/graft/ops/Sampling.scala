@@ -197,9 +197,16 @@ object Sampling {
     * trap the heap's comparator exists to avoid). */
   def stratifiedFixedN(df: DataFrame, stratum: Column, id: Column,
       n: Int): DataFrame = {
-    val winners = graft.ops.GroupTopN.capPerGroup(
-        df, Seq(stratum), -hashBucket(id, 1 << 30), id, n)
-      .select(col("id").as("__keep_id"))
+    // staged BEFORE the guarded broadcast: the winners frame is a
+    // fresh corpus aggregation, and guardedBroadcast's count() probe
+    // would otherwise execute that whole plan once and the semi-join
+    // a second time (review-caught) — the stage pins the n x |strata|
+    // result so both consumers replay it
+    val winners = graft.scale.Staging.materialize(
+      graft.ops.GroupTopN.capPerGroup(
+          df, Seq(stratum), -hashBucket(id, 1 << 30), id, n)
+        .select(col("id").as("__keep_id")),
+      "stratified-winners")
     df.join(graft.scale.Staging.guardedBroadcast(winners),
       id === col("__keep_id"), "left_semi")
   }
@@ -361,7 +368,12 @@ object Sampling {
     * [[graft.ops.Bm25ResultCache.indexStamp]] discipline — a retrain
     * rewrites both dirs, so any refit changes the stamp and every
     * memo key misses cleanly). Driver-side listing only — no Spark
-    * job. */
+    * job. The NAME component is what makes this robust on
+    * coarse-mtime filesystems (S3's 1 s LastModified): Spark embeds a
+    * fresh per-write-job UUID in every parquet part-file name
+    * (`part-00000-<uuid>...`), so a rewrite changes the listing even
+    * when mtimes and lengths collide — mtime only guards non-Spark
+    * tampering with an existing file in place. */
   private[graft] def dsirLmStamp(spark: org.apache.spark.sql.SparkSession,
       path: String): String = {
     val fs = graft.scale.Hdfs.of(spark, path)
@@ -406,21 +418,56 @@ object Sampling {
         // (review-caught double read — it reran per micro-batch on
         // the streaming path before the memo existed)
         val meta = spark.read.parquet(s"$path/meta").head()
-        val lmDf = spark.read.parquet(s"$path/lm")
-        val c = DsirLm(stamp, meta.getAs[Int]("buckets"),
-          meta.getAs[Long]("t_total"), meta.getAs[Long]("r_total"),
-          lmDf.schema, lmDf.collectAsList())
-        dsirLmMemo.put(path, c); c
+        val buckets = meta.getAs[Int]("buckets")
+        if (buckets > DsirLmMemoMaxBuckets) null
+        else {
+          val lmDf = spark.read.parquet(s"$path/lm")
+          val c = DsirLm(stamp, buckets,
+            meta.getAs[Long]("t_total"), meta.getAs[Long]("r_total"),
+            lmDf.schema, lmDf.collectAsList())
+          // bounded memo: a long-lived driver scoring against many
+          // store paths must not accumulate every LM ever read
+          // (review-caught) — the cap is generous (the memo exists
+          // for ONE streaming gate re-reading ONE path)
+          if (dsirLmMemo.size >= DsirLmMemoMaxEntries) dsirLmMemo.clear()
+          dsirLmMemo.put(path, c); c
+        }
     }
-    val totals = spark.range(1).select(
-      lit(cached.tTotal).as("t_total"),
-      lit(cached.rTotal).as("r_total"))
-    // local relation (no store scan) -> plain broadcast: the row count
-    // is <= buckets by the fit's group-by, so the guardedBroadcast
-    // count() probe would only add a job here
-    val lm = org.apache.spark.sql.functions.broadcast(
-      spark.createDataFrame(cached.lmRows, cached.lmSchema))
-    dsirWeigh(dsirGramBuckets(docs, id, text, lit(false),
-      cached.buckets), lm, totals, cached.buckets)
+    if (cached == null) {
+      // oversized LM: skip the driver-side memo entirely and keep the
+      // old degradation path — a size-guarded broadcast that falls
+      // back to a shuffle join past the row guard (review-caught: the
+      // memo's unconditional collect+broadcast would OOM the driver
+      // where this path degrades gracefully)
+      val meta = spark.read.parquet(s"$path/meta").head()
+      val buckets = meta.getAs[Int]("buckets")
+      val totals = spark.range(1).select(
+        lit(meta.getAs[Long]("t_total")).as("t_total"),
+        lit(meta.getAs[Long]("r_total")).as("r_total"))
+      val lm = graft.scale.Staging.guardedBroadcast(
+        spark.read.parquet(s"$path/lm"))
+      dsirWeigh(dsirGramBuckets(docs, id, text, lit(false), buckets),
+        lm, totals, buckets)
+    } else {
+      val totals = spark.range(1).select(
+        lit(cached.tTotal).as("t_total"),
+        lit(cached.rTotal).as("r_total"))
+      // local relation (no store scan) -> plain broadcast: the row
+      // count is <= buckets <= DsirLmMemoMaxBuckets by construction,
+      // so the guardedBroadcast count() probe would only add a job
+      val lm = org.apache.spark.sql.functions.broadcast(
+        spark.createDataFrame(cached.lmRows, cached.lmSchema))
+      dsirWeigh(dsirGramBuckets(docs, id, text, lit(false),
+        cached.buckets), lm, totals, cached.buckets)
+    }
   }
+
+  /** Memo eligibility bound: LMs past this bucket count are scored
+    * through the uncached guarded-broadcast path (driver heap guard);
+    * LMs under it are at most a few MB of (b, tc, rc) longs. */
+  val DsirLmMemoMaxBuckets = 1 << 20
+  /** Memo entry cap — cleared wholesale when exceeded (simplicity
+    * over LRU: one streaming gate reads one path; the cap only guards
+    * pathological many-store drivers). */
+  val DsirLmMemoMaxEntries = 64
 }

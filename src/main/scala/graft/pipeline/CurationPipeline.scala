@@ -274,14 +274,49 @@ object CurationPipeline {
     val dir = s"$outDir/curated"
     val fs = graft.scale.Hdfs.of(spark, dir)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    if (fs.exists(dirPath) &&
-        !spark.read.parquet(dir).columns.contains("fingerprint")) {
-      val staged = s"$outDir/curated_fp_migration"
-      spark.read.parquet(dir)
-        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
-        .write.mode("overwrite").partitionBy("batch").parquet(staged)
-      fs.delete(dirPath, true)
-      fs.rename(new org.apache.hadoop.fs.Path(staged), dirPath)
+    val stagedPath = new org.apache.hadoop.fs.Path(
+      s"$outDir/curated_fp_migration")
+    val backupPath = new org.apache.hadoop.fs.Path(
+      s"$outDir/curated_pre_fp_backup")
+    // Crash recovery FIRST (review-caught: the original delete-then-
+    // rename lost the whole store — and silently reset dedup — if the
+    // JVM died between the two). The swap below never has a moment
+    // with no recoverable copy: a missing curated dir means a crash
+    // landed between its two renames, and exactly one of staged /
+    // backup holds the data.
+    if (!fs.exists(dirPath)) {
+      if (fs.exists(stagedPath)) fs.rename(stagedPath, dirPath)
+      else if (fs.exists(backupPath)) fs.rename(backupPath, dirPath)
+      else return // nothing to migrate
+    }
+    if (spark.read.parquet(dir).columns.contains("fingerprint")) {
+      // already migrated — drop leftovers from a crash after the
+      // staged-in rename but before the backup delete
+      if (fs.exists(backupPath)) fs.delete(backupPath, true)
+      if (fs.exists(stagedPath)) fs.delete(stagedPath, true)
+    } else {
+      require(!fs.exists(backupPath),
+        s"curated store present without fingerprints AND $backupPath " +
+          "exists — not a state this protocol produces; inspect " +
+          "manually before migrating")
+      // a staged dir WITHOUT its parquet commit marker is a partial
+      // write from a crashed prior attempt — rebuild it
+      val stagedComplete = fs.exists(
+        new org.apache.hadoop.fs.Path(stagedPath, "_SUCCESS"))
+      if (!stagedComplete) {
+        if (fs.exists(stagedPath)) fs.delete(stagedPath, true)
+        spark.read.parquet(dir)
+          .withColumn("fingerprint",
+            TextAnalysis.fingerprint(col("text")))
+          .write.mode("overwrite").partitionBy("batch")
+          .parquet(stagedPath.toString)
+      }
+      // swap: old aside, staged in, backup dropped — at every point
+      // the data exists under curated, staged, or backup, and the
+      // recovery preamble above can resume from any interleaving
+      fs.rename(dirPath, backupPath)
+      fs.rename(stagedPath, dirPath)
+      fs.delete(backupPath, true)
     }
   }
 

@@ -1386,19 +1386,13 @@ object PipelineQueries {
     // stage (text split is the CPU phase the r10 blind spot lived in)
     // vs the staged frame's prefix-sum remainder
     "curation_seq_packing" -> Seq(
-      "tokenize_subtotals" -> ((s, d) => {
-        val docs = Tables.documents(s, d)
-        docs.select(col("lang"), col("doc_id"),
-            org.apache.spark.sql.functions.size(
-              org.apache.spark.sql.functions.split(col("text"), " "))
-              .cast("long").as("n_tok"))
-          .withColumn("pack_bucket",
-            org.apache.spark.sql.functions.shiftright(
-              col("doc_id").cast("long"), 12))
-          .groupBy(col("lang"), col("pack_bucket"))
-          .agg(org.apache.spark.sql.functions.sum(col("n_tok"))
-            .as("bucket_tok"))
-      })))
+      // composed from the query's OWN helpers (wordTokenCounts +
+      // packBucketSubtotals) — a re-inlined copy would silently keep
+      // timing the old phase shape when the tokenizer or bucket shift
+      // changes (review-caught)
+      "tokenize_subtotals" -> ((s, d) =>
+        graft.ops.Curation.packBucketSubtotals(
+          graft.ops.Curation.wordTokenCounts(Tables.documents(s, d))))))
 
   /** Session-dynamic oracles (round-11 verdict #2): once the BPE
     * queries have trained their merge table for `sfDir`, export it

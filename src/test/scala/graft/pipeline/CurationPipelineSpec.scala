@@ -198,4 +198,63 @@ class CurationPipelineSpec extends SparkSpec {
     assert(curated.toSeq == Seq(100L, 102L),
       s"curated = ${curated.mkString(",")}")
   }
+
+  test("fingerprint migration crash recovery: every mid-swap state " +
+      "restores the store instead of silently losing it") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val base = tmpDir("curation-migrate-crash")
+    val out = s"$base/out"
+    def writeOldStore(): Unit =
+      Seq((100L, "a doc", "en", "crawl", 2L, 0.0))
+        .toDF("doc_id", "text", "lang", "source", "n_tokens",
+          "rep_ratio")
+        .withColumn("batch", lit(7L))
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$out/curated")
+    val fs = graft.scale.Hdfs.of(spark, out)
+    def p(d: String) = new org.apache.hadoop.fs.Path(s"$out/$d")
+    def countCurated() = spark.read.parquet(s"$out/curated").count()
+
+    // crash between rename(curated -> backup) and rename(staged ->
+    // curated): curated absent, BOTH staged (new data) and backup
+    // (old) present — recovery must prefer the completed staged copy
+    writeOldStore()
+    CurationPipeline.migrateFingerprints(spark, out) // builds fp store
+    fs.rename(p("curated"), p("curated_pre_fp_backup"))
+    // simulate: the staged dir was already renamed in — reconstruct
+    // the pre-rename interleaving instead: move curated (migrated) to
+    // the staged name, leaving backup in place
+    fs.rename(p("curated_pre_fp_backup"), p("curated_fp_migration"))
+    writeOldStore() // old copy back under the backup name
+    fs.rename(p("curated"), p("curated_pre_fp_backup"))
+    CurationPipeline.migrateFingerprints(spark, out)
+    assert(countCurated() == 1)
+    assert(spark.read.parquet(s"$out/curated").columns
+      .contains("fingerprint"))
+    assert(!fs.exists(p("curated_fp_migration")) &&
+      !fs.exists(p("curated_pre_fp_backup")),
+      "recovery must leave no migration leftovers")
+
+    // crash after the staged-in rename but before the backup delete:
+    // curated (migrated) + backup both present — next run cleans up
+    writeOldStore()
+    CurationPipeline.migrateFingerprints(spark, out)
+    Seq((1L, "x")).toDF("a", "b").write.mode("overwrite")
+      .parquet(s"$out/curated_pre_fp_backup")
+    CurationPipeline.migrateFingerprints(spark, out)
+    assert(!fs.exists(p("curated_pre_fp_backup")),
+      "post-swap leftover backup must be dropped")
+    assert(countCurated() == 1)
+
+    // crash mid-staged-write (no _SUCCESS): the partial stage is
+    // rebuilt, not swapped in
+    writeOldStore()
+    fs.mkdirs(p("curated_fp_migration"))
+    // a marker-less dir only (no _SUCCESS) — migrate must rebuild
+    CurationPipeline.migrateFingerprints(spark, out)
+    assert(spark.read.parquet(s"$out/curated").columns
+      .contains("fingerprint"))
+    assert(countCurated() == 1)
+  }
 }

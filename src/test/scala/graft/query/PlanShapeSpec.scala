@@ -334,11 +334,22 @@ class PlanShapeSpec extends SparkSpec {
     // low-cardinality rank window — now a GroupTopN heap whose
     // winners semi-join back, so no stratum ever funnels corpus rows
     // through one task
+    // the winners frame is STAGED (its heap aggregation runs in the
+    // staging job, not the published plan), so the registered plan
+    // shows the semi-join against the stage; the heap shape itself is
+    // asserted on the unstaged construction below and by the
+    // source-cap pin
     val plan = finalPlan("sample_stratified_lang")
-    assert(plan.contains("partial_group_top_n"),
-      "map-side partial heap aggregation missing")
     assert(!plan.contains("Window"), "rank window crept back in")
     assert(plan.contains("LeftSemi"), "winner semi-join missing")
+    val winnersPlan = graft.ops.GroupTopN.capPerGroup(
+        graft.Tables.documents(spark, sf0001),
+        Seq(org.apache.spark.sql.functions.col("lang")),
+        -org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.col("doc_id"), 5)
+      .queryExecution.executedPlan.toString
+    assert(winnersPlan.contains("partial_group_top_n"),
+      "map-side partial heap aggregation missing from the draw")
   }
 
   test("epoch-order head: bounded-heap partials; the only window " +
