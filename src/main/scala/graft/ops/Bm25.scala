@@ -202,10 +202,14 @@ object Bm25 {
             + lit(b) * col("dl") / col("avgdl")))).as("s"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("s")), 4).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // per-query heap top-k (round 14): a query_id-partitioned rank
+    // window funnels every candidate of one query through one task —
+    // corpus-proportional for a common term's postings; see
+    // GroupTopN.rankByScore for the exact fixed-point equivalence
+    graft.ops.GroupTopN.rankByScore(scored, Seq(col("query_id")),
+        col("score"), col("doc_id"), k, decimals = 4,
+        scoreName = "score", idName = "doc_id")
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
   /** The scoring tail shared by the direct and indexed paths: tf per

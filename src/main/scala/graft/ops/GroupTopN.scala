@@ -217,4 +217,41 @@ object GroupTopN {
       .select(groupCols :+ explode(col("__top")).as("__e"): _*)
       .select(groupCols :+ col("__e.id").as("id") :+
         col("__e.priority").as("priority"): _*)
+
+  /** Exact per-group top-k under (score DESC, id ASC) with a dense
+    * 1..k rank column — the scale-safe replacement for
+    * `row_number().over(Window.partitionBy(group).orderBy(score
+    * DESC, id))` on per-query CANDIDATE frames, whose partitions grow
+    * with the corpus (brute-force ANN ranks |corpus| candidates per
+    * query; a common BM25 term's postings are corpus-proportional —
+    * either way, one query's whole candidate set through ONE task).
+    * Here only O(k) heap states shuffle and the ONLY window ranks the
+    * <= k winners per group.
+    *
+    * `scoreCol` must already be rounded to at most `decimals`
+    * decimals (every ranking score in this codebase is
+    * `round(..., 4)`): the fixed-point mapping
+    * `round(score * 10^decimals).cast(long)` is then injective and
+    * order-preserving — heap selection under the long priority equals
+    * the double ordering exactly — and `priority / 10^decimals`
+    * reconstructs the IDENTICAL double (the long is exact below 2^53
+    * and IEEE division is correctly rounded, agreeing with the
+    * nearest-double result `round`'s BigDecimal path produced). The
+    * outer `round` before the cast matters: the double nearest x.1234
+    * times 10^4 can land a hair BELOW the integer, and a bare cast
+    * truncates. */
+  def rankByScore(df: DataFrame, groupCols: Seq[Column],
+      scoreCol: Column, idCol: Column, k: Int, decimals: Int = 4,
+      scoreName: String = "score", idName: String = "id"): DataFrame = {
+    val scale = math.pow(10.0, decimals)
+    val winners = capPerGroup(df, groupCols,
+      round(scoreCol * scale).cast("long"), idCol, k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*)
+      .orderBy(col("priority").desc, col("id"))
+    winners
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(groupCols :+ col("id").as(idName) :+
+        (col("priority") / scale).as(scoreName) :+ col("rank"): _*)
+  }
 }

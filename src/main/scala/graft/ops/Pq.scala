@@ -213,14 +213,20 @@ object Pq {
       rerank: Int = 64): DataFrame = {
     val (scored0, qmap) = adcScores(queries, corpus, m, k, iters)
     if (rerank > 0) {
-      val wAdc = Window.partitionBy(col("q_idx"))
-        .orderBy(col("sim_raw").desc, col("neighbor_id"))
+      // per-query heap shortlist (round 14): the ADC scan scores the
+      // WHOLE corpus per query, so a q_idx-partitioned rank window is
+      // the hot-partition shape at scale. The heap's fixed-point key
+      // rounds sim_raw to 7 decimals — far below ADC's own
+      // approximation error, and the shortlist feeds an EXACT rerank,
+      // so a sub-1e-7 near-tie swap can only exchange candidates the
+      // recall gate treats identically.
       // Staged: the shortlist (≤ |queries| x R rows) feeds a count
       // (the broadcast guard) and the candidate join — unstaged, the
       // whole ADC scan would run twice.
-      val shortlist = graft.scale.Staging.materialize(scored0
-        .withColumn("adc_rank", row_number().over(wAdc))
-        .filter(col("adc_rank") <= rerank)
+      val shortlist = graft.scale.Staging.materialize(
+        graft.ops.GroupTopN.rankByScore(scored0, Seq(col("q_idx")),
+            col("sim_raw"), col("neighbor_id"), rerank, decimals = 7,
+            scoreName = "sim_raw", idName = "neighbor_id")
         .join(broadcast(qmap), Seq("q_idx"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id")), "pq-shortlist")
@@ -237,21 +243,25 @@ object Pq {
         .select(col("query_id"), col("neighbor_id"),
           round(Similarity.cosine(col("q_emb"), col("c_emb")), 4)
             .as("sim"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      exact.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= topK)
+      rankSim4(exact, topK)
     } else {
       val scored = scored0
         .join(broadcast(qmap), Seq("q_idx"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           round(col("sim_raw"), 4).as("sim"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= topK)
+      rankSim4(scored, topK)
     }
   }
+
+  /** Per-query exact top-k on a 4-decimal-rounded sim — the
+    * rank-window replacement (heap selection, exact fixed-point
+    * equivalence: [[graft.ops.GroupTopN.rankByScore]]). */
+  private def rankSim4(scored: DataFrame, k: Int): DataFrame =
+    graft.ops.GroupTopN.rankByScore(scored, Seq(col("query_id")),
+        col("sim"), col("neighbor_id"), k, decimals = 4,
+        scoreName = "sim", idName = "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank"))
 
 }

@@ -101,11 +101,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(vec_dot(col("q_emb"), col("c_emb"))
           / (col("q_norm") * col("c_norm")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // per-query heap top-k (round 14): brute force scores |corpus|
+    // candidates PER QUERY — a query_id-partitioned rank window is
+    // the hot-partition shape at scale (GroupTopN.rankByScore)
+    rankSim(scored, k)
   }
+
+  /** Shared per-query exact top-k: (sim DESC, neighbor_id ASC) with a
+    * dense rank, heap-selected — see [[GroupTopN.rankByScore]] for
+    * the fixed-point equivalence to the old rank-window formulation
+    * (every `sim` here is `round(..., 4)`). */
+  private def rankSim(scored: DataFrame, k: Int): DataFrame =
+    GroupTopN.rankByScore(scored, Seq(col("query_id")), col("sim"),
+        col("neighbor_id"), k, decimals = 4,
+        scoreName = "sim", idName = "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank"))
 
   /** Mean-pooled class centroids: one row per (label, dim) with the
     * average component value, double math. One posexplode map stage +
@@ -388,10 +399,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(vec_dot(col("q_emb"), col("c_emb"))
           / (col("q_norm") * col("c_norm")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    ranked.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankSim(ranked, k)
   }
 
   /** LSH-bucketed near-neighbor candidates re-ranked exactly: same
@@ -425,10 +433,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q_emb"), col("c_emb")), 4).as("sim"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankSim(scored, k)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

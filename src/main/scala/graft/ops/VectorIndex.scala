@@ -597,13 +597,17 @@ object VectorIndex {
       // keep only (cell, query) pairs the query actually probed —
       // semantic parity with queryIvf's per-query cell ranking
       .join(broadcast(probeDf), Seq("cell", "q_idx"))
-    val wAdc = Window.partitionBy(col("q_idx"))
-      .orderBy(col("sim_raw").desc, col("neighbor_id"))
+    // per-query heap shortlist (round 14): even cell-pruned, a
+    // query's probed-cell candidates grow with the corpus, so the
+    // q_idx rank window was the hot-partition shape; 7-decimal
+    // fixed-point selection sits far below ADC's approximation error
+    // and feeds an EXACT rerank (see Pq.pqTopK's identical note)
     val qmap = qids.zipWithIndex.toSeq
       .map { case (id, i) => (i, id) }.toDF("q_idx", "query_id")
-    val shortlist = graft.scale.Staging.materialize(scored
-      .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= rerank)
+    val shortlist = graft.scale.Staging.materialize(
+      graft.ops.GroupTopN.rankByScore(scored, Seq(col("q_idx")),
+          col("sim_raw"), col("neighbor_id"), rerank, decimals = 7,
+          scoreName = "sim_raw", idName = "neighbor_id")
       .join(broadcast(qmap), Seq("q_idx"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id")), "ivfpq-shortlist")
@@ -667,10 +671,7 @@ object VectorIndex {
       .select(col("query_id"), col("neighbor_id"),
         round(vec_dot(col("q_emb"), col("c_emb"))
           / (col("q_norm") * col("c_norm")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
+    rankSim4(exact, topK)
   }
 
   /** Query the persisted index: rank cells per query vector on the
@@ -722,9 +723,19 @@ object VectorIndex {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(vec_dot(col("q_emb"), col("embedding"))
           / (col("q_norm") * col("c_norm")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    ranked.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankSim4(ranked, k)
   }
+
+  /** Per-query exact top-k on a 4-decimal-rounded sim — the
+    * rank-window replacement (heap selection, exact fixed-point
+    * equivalence: [[graft.ops.GroupTopN.rankByScore]]; a
+    * query_id-partitioned window ranks a corpus-growing candidate
+    * set through one task). */
+  private def rankSim4(scored: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.GroupTopN.rankByScore(scored, Seq(col("query_id")),
+        col("sim"), col("neighbor_id"), k, decimals = 4,
+        scoreName = "sim", idName = "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank"))
 }

@@ -449,6 +449,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("per-query top-k family: every rank window consumes the " +
+      "bounded heap output, never the candidate set") {
+    // round 14: brute-force ANN ranks |corpus| candidates per query
+    // and a common BM25 term's postings are corpus-proportional — the
+    // query_id rank windows over those candidate frames were the last
+    // per-query hot-partition shapes. All ranking now heap-selects
+    // (GroupTopN.rankByScore, exact fixed-point equivalence) and the
+    // only admissible Window ranks the <= k winners per query — its
+    // child strips (through the winners explode) to the heap
+    // Aggregate. RRF fusion is exempt by construction: its input is
+    // top-k-bounded per query by the upstream retrievers.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, Generate, LogicalPlan, Project, Sort,
+      Window => LWindow}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => strip(pr.child)
+      case f: Filter => strip(f.child)
+      case s: Sort => strip(s.child)
+      case g: Generate => strip(g.child)
+      case other => other
+    }
+    Seq("sim_cosine_topk", "sim_cosine_lsh", "sim_cosine_ivf_full",
+        "sim_cosine_pq", "retrieval_bm25_batch").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      plan.collect { case w: LWindow => w }.foreach { w =>
+        assert(strip(w.child).isInstanceOf[Aggregate],
+          s"$q: rank window over a non-heap (candidate-sized) " +
+            s"input:\n$w")
+      }
+    }
+  }
+
   test("dsir winners plan as TakeOrdered — never a global sort") {
     // the top-k selection must be per-partition heaps + one driver
     // merge (TakeOrderedAndProject); a global Sort over per-doc
