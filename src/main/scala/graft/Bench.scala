@@ -118,6 +118,29 @@ object Bench {
     * [[CanaryBaselineCommitted]]. */
   val CpuCanaryBaselineCommitted = 0.010
 
+  /** Host-calibration escape hatch (round-14 ADVICE): the committed
+    * canary constants are reference-machine values; on a uniformly
+    * slower host the startup gate would burn its full bounded wait and
+    * every entry would read canary-suspect (bounded by the ranked
+    * re-measure cap, but the whole artifact reads degraded). Setting
+    * `SPARK_GRAFT_CANARY_BASELINE` / `SPARK_GRAFT_CPU_CANARY_BASELINE`
+    * (seconds) re-seeds the operative baselines for THAT host — the
+    * artifact still publishes whatever baseline was used, so a reader
+    * can tell a re-calibrated run from a reference one. The committed
+    * constants in code only ever change through the healthy
+    * zero-elevated-closing-window rule above; the env override exists
+    * so the harness stays usable off the reference machine without
+    * touching them. Unparseable values are ignored (never let a typo
+    * silently zero the gate). */
+  private def envBaseline(name: String, committed: Double): Double =
+    sys.env.get(name).flatMap(_.toDoubleOption).filter(_ > 0)
+      .getOrElse(committed)
+  def canaryBaselineOperative: Double =
+    envBaseline("SPARK_GRAFT_CANARY_BASELINE", CanaryBaselineCommitted)
+  def cpuCanaryBaselineOperative: Double =
+    envBaseline("SPARK_GRAFT_CPU_CANARY_BASELINE",
+      CpuCanaryBaselineCommitted)
+
   /** Committed same-code sf0.1 medians for the tokenize/CPU-heavy
     * family the round-10 driver window inflated 2-5x on while the
     * shuffle-shaped canary read BELOW baseline and every pin held —
@@ -589,12 +612,13 @@ object Bench {
     val bmPath = storePath("graft_bm25_")
     val int8Path = storePath("graft_int8_")
     val lshPath = storePath("graft_lshcand_")
+    val memoPath = storePath("graft_bm25memo_")
     val bloomPath = graft.scale.SkipIndex.defaultPath(sfDir)
     val gramPath = graft.scale.TextSkipIndex.defaultPath(sfDir)
     val samplePath = graft.scale.SampleLayout.defaultPath(sfDir)
     val storePaths =
-      Seq(ivfPath, sigsPath, bmPath, int8Path, lshPath, bloomPath,
-        gramPath, samplePath)
+      Seq(ivfPath, sigsPath, bmPath, int8Path, lshPath, memoPath,
+        bloomPath, gramPath, samplePath)
     require(ivfPath == graft.ops.VectorIndex.defaultPath(sfDir) &&
       bmPath == graft.ops.Bm25.defaultPath(sfDir),
       "bench store path must match the registered queries' index path")
@@ -646,6 +670,25 @@ object Bench {
     // and dedup_components_lsh
     build("lsh")(graft.ops.Similarity.ensureLshCandidates(
       Tables.embeddings(spark, sfDir), lshPath))
+    // the BM25 result-cache memo behind retrieval_service_cap_cached:
+    // ONE cached-batch run on the CURRENT index stamp, so stamp-fresh
+    // misses (testdata or postings changed since the last bench on
+    // this host) score + append HERE instead of inside pass 1 of the
+    // timed entry — the entry then measures steady-state cache
+    // serving on all three passes, which is the operation it exists
+    // to measure (round-14 VERDICT #1: the 1.46 -> 3.00 elevation had
+    // no way to distinguish a miss-path repricing from probe cost).
+    // Stale-stamp batches are dead weight the probe still scans; they
+    // stay until a Bm25ResultCache.compact with the full live termset
+    // universe across ALL cached entries/k values (not just this
+    // batch's), which the bench deliberately does not guess at.
+    build("bm25_memo") {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Bm25ResultCache.scoreTopKCachedBatch(spark, bmPath,
+        memoPath, graft.query.PipelineQueries.serviceCapBatch(
+          spark, sfDir).select(col("query_id"), col("terms")),
+        20).count()
+    }
     // the bloom-indexed events layout behind events_bloom_skip_lookup
     build("bloom")(graft.scale.SkipIndex.ensureEventsBloom(
       Tables.events(spark, sfDir), bloomPath))
@@ -666,6 +709,7 @@ object Bench {
         "retrieval_service_cap", "retrieval_bm25_cached_batch",
         "retrieval_service_cap_cached"),
       "int8" -> Seq("sim_cosine_topk_int8"),
+      "bm25_memo" -> Seq("retrieval_service_cap_cached"),
       "lsh" -> Seq("embedding_neardup_lsh", "dedup_components_lsh"),
       "bloom" -> Seq("events_bloom_skip_lookup"),
       "gram" -> Seq("text_ngram_skip_search", "text_token_skip_search"),
@@ -732,8 +776,8 @@ object Bench {
     var canaryBaselineMeasured = measureCanaryBaseline()
     var cpuCanaryBaselineMeasured = measureCpuCanaryBaseline()
     var startupWaits = 0
-    while ((canaryBaselineMeasured > CanaryBaselineCommitted * 2 ||
-          cpuCanaryBaselineMeasured > CpuCanaryBaselineCommitted * 2) &&
+    while ((canaryBaselineMeasured > canaryBaselineOperative * 2 ||
+          cpuCanaryBaselineMeasured > cpuCanaryBaselineOperative * 2) &&
         startupWaits < MaxRecoveryAttempts) {
       startupWaits += 1
       System.err.println(
@@ -748,8 +792,8 @@ object Bench {
       canaryBaselineMeasured = measureCanaryBaseline()
       cpuCanaryBaselineMeasured = measureCpuCanaryBaseline()
     }
-    val canaryBaseline = CanaryBaselineCommitted
-    val cpuCanaryBaseline = CpuCanaryBaselineCommitted
+    val canaryBaseline = canaryBaselineOperative
+    val cpuCanaryBaseline = cpuCanaryBaselineOperative
 
     // Median of 3 timed passes per query: single-pass timing published
     // five phantom >=2x "regressions" in round 4 (host-noise spikes on

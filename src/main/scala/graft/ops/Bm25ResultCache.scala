@@ -68,11 +68,18 @@ object Bm25ResultCache {
     org.apache.commons.codec.digest.DigestUtils.md5Hex(
       terms.map(t => s"${t.length}:$t").mkString("|") + s";k=$k;$stamp")
 
-  /** The cached batch path: same contract, columns, and VALUES as
-    * [[Bm25.scoreTopKIndexedBatch]] — only the work differs. */
-  def scoreTopKCachedBatch(spark: SparkSession, path: String,
-      memoPath: String, queries: DataFrame, k: Int): DataFrame = {
-    import spark.implicits._
+  /** The canonicalized batch: per-query termsets, one representative
+    * per distinct termset, and each representative's memo key under
+    * the CURRENT index stamp — shared by the cached scoring path and
+    * the bench's memo-probe phase so the probe can never drift from
+    * what the query actually probes. */
+  private[graft] case class CanonBatch(
+      canon: Seq[(String, Seq[String])],
+      repOf: Map[Seq[String], String],
+      keyOf: Map[String, String])
+
+  private[graft] def canonicalize(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int): CanonBatch = {
     val qrows = queries.select(col("query_id"), col("terms"))
       .limit(Bm25.MaxBatchQueries + 1).collect()
     require(qrows.length <= Bm25.MaxBatchQueries,
@@ -107,6 +114,33 @@ object Bm25ResultCache {
     val stamp = indexStamp(spark, path)
     val keyOf: Map[String, String] = repOf
       .map { case (ts, rid) => (rid, tsKey(ts, k, stamp)) }
+    CanonBatch(canon, repOf, keyOf)
+  }
+
+  /** The memo-PROBE phase alone (round-14 VERDICT #1: the cached cap
+    * entry elevated 2.05x with no phase attribution): the exact frame
+    * whose collect decides hit/miss inside [[scoreTopKCachedBatch]] —
+    * canonicalize, key under the current stamp, filter the memo to
+    * wanted keys, distinct. Counting it times the full memo scan +
+    * key filter and nothing else; built from the SAME canonicalize
+    * helper the scoring path calls, so the probe can't drift. */
+  def probeOnly(spark: SparkSession, path: String, memoPath: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val cb = canonicalize(spark, path, queries, k)
+    readMemo(spark, memoPath)
+      .filter(col("ts_key").isin(cb.keyOf.values.toSeq: _*))
+      .select(col("ts_key")).distinct()
+  }
+
+  /** The cached batch path: same contract, columns, and VALUES as
+    * [[Bm25.scoreTopKIndexedBatch]] — only the work differs. */
+  def scoreTopKCachedBatch(spark: SparkSession, path: String,
+      memoPath: String, queries: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val cb = canonicalize(spark, path, queries, k)
+    val canon = cb.canon
+    val repOf = cb.repOf
+    val keyOf = cb.keyOf
     val memo = readMemo(spark, memoPath)
     val wanted = keyOf.values.toSeq
     val present: Set[String] = memo

@@ -239,7 +239,20 @@ object GroupTopN {
     * nearest-double result `round`'s BigDecimal path produced). The
     * outer `round` before the cast matters: the double nearest x.1234
     * times 10^4 can land a hair BELOW the integer, and a bare cast
-    * truncates. */
+    * truncates.
+    *
+    * RELAXED precondition for SHORTLIST selection (round-14 ADVICE):
+    * the PQ/IVF-PQ ADC shortlists call this on UNROUNDED raw scores
+    * at `decimals = 7`. There the fixed-point key is a quantization
+    * of the score, not an exact image — two candidates within 5e-8
+    * of each other can swap relative to the exact double ordering.
+    * That is sound ONLY because those call sites feed an EXACT
+    * rerank: a sub-1e-7 near-tie swap exchanges candidates the
+    * downstream recall gate treats identically, and the final
+    * published ordering comes from the rerank's own (properly
+    * rounded) rankByScore call. A call site whose output ordering is
+    * the PUBLISHED ordering must keep the strict
+    * already-rounded-to-`decimals` contract. */
   def rankByScore(df: DataFrame, groupCols: Seq[Column],
       scoreCol: Column, idCol: Column, k: Int, decimals: Int = 4,
       scoreName: String = "score", idName: String = "id"): DataFrame = {

@@ -357,6 +357,11 @@ object Sampling {
 
   private val dsirLmMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DsirLm]()
+  // total collected LM rows across ALL memo entries — the entry cap
+  // alone bounds nothing useful (round-14 ADVICE: 64 entries x 2^20
+  // rows each is multi-GB of driver heap with Row overhead; the
+  // per-entry bucket guard never limited the SUM)
+  private val dsirLmMemoRows = new java.util.concurrent.atomic.AtomicLong
   // test-visible telemetry: the CurationPipeline spec asserts the
   // cache actually short-circuits the per-micro-batch store reads and
   // that a retrain (stamp change) misses cleanly
@@ -428,9 +433,21 @@ object Sampling {
           // bounded memo: a long-lived driver scoring against many
           // store paths must not accumulate every LM ever read
           // (review-caught) — the cap is generous (the memo exists
-          // for ONE streaming gate re-reading ONE path)
-          if (dsirLmMemo.size >= DsirLmMemoMaxEntries) dsirLmMemo.clear()
-          dsirLmMemo.put(path, c); c
+          // for ONE streaming gate re-reading ONE path). Bounded on
+          // BOTH axes (round-14 ADVICE): entry count AND total cached
+          // rows across entries — the wholesale clear resets both,
+          // and a single entry is always admissible afterwards
+          // (<= DsirLmMemoMaxBuckets < DsirLmMemoMaxTotalRows).
+          val newRows = c.lmRows.size.toLong
+          if (dsirLmMemo.size >= DsirLmMemoMaxEntries ||
+              dsirLmMemoRows.get() + newRows > DsirLmMemoMaxTotalRows) {
+            dsirLmMemo.clear()
+            dsirLmMemoRows.set(0L)
+          }
+          val prev = dsirLmMemo.put(path, c)
+          dsirLmMemoRows.addAndGet(
+            newRows - (if (prev == null) 0L else prev.lmRows.size.toLong))
+          c
         }
     }
     if (cached == null) {
@@ -470,4 +487,12 @@ object Sampling {
     * over LRU: one streaming gate reads one path; the cap only guards
     * pathological many-store drivers). */
   val DsirLmMemoMaxEntries = 64
+  /** Total cached LM rows across ALL memo entries (round-14 ADVICE:
+    * the per-entry bucket guard times the entry cap allowed ~2^26
+    * collected Rows — multi-GB with Row overhead). 2^21 rows of
+    * (bucket, tc, rc) is ~100-300 MB worst case at GenericRow
+    * overhead — still generous for the one-gate-one-path workload,
+    * and oversize working sets degrade to the uncached
+    * guarded-broadcast path exactly as before. */
+  val DsirLmMemoMaxTotalRows: Long = 1L << 21
 }

@@ -29,9 +29,18 @@ import graft.ops.TextAnalysis
   *      auditable (what a pipeline operator actually needs when a
   *      quality knob changes).
   *
-  * Near-dup (MinHash/SimHash) stays batch-side by design: banding joins
-  * need the full corpus; the streaming layer handles the exact-identity
-  * tier and periodic batch jobs re-sweep the curated store.
+  * Near-dup deduplication runs in BOTH regimes: the optional streaming
+  * tier (`nearDupStore` below) probes every micro-batch against the
+  * persisted MinHash band table of everything curated so far — the
+  * arriving batch is the broadcast side, so the probe never shuffles
+  * the store — and catches a near-identical re-crawl as it arrives.
+  * What the streaming tier CANNOT see is a near-dup pair between two
+  * docs that were each novel when they arrived but whose band rows
+  * only collide transitively (or a threshold retune), so periodic
+  * batch re-sweeps of the curated store (the full banding join +
+  * component closure) remain the completeness pass; prefer streaming
+  * + periodic re-sweep when re-crawls dominate, batch-only when the
+  * corpus arrives as a one-shot table.
   */
 object CurationPipeline {
 
@@ -278,6 +287,24 @@ object CurationPipeline {
       s"$outDir/curated_fp_migration")
     val backupPath = new org.apache.hadoop.fs.Path(
       s"$outDir/curated_pre_fp_backup")
+    // Hadoop FileSystem signals rename/delete failure by RETURNING
+    // false, not throwing (round-14 ADVICE): a swallowed false from
+    // rename(staged -> curated) followed by the unconditional backup
+    // delete — plus a stream start that treats a missing curated dir
+    // as first-batch — could recreate curated with only new data and
+    // let the NEXT migrate run delete the staged dir holding the full
+    // history. Every mutation in this protocol goes through these
+    // checked wrappers so a silent false aborts the swap loudly with
+    // the recovery preamble still able to finish the job on re-run.
+    def renameOrThrow(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to),
+        s"fingerprint migration: rename $from -> $to returned false; " +
+          "aborting the swap (re-run resumes from the recovery preamble)")
+    def deleteOrThrow(p: org.apache.hadoop.fs.Path): Unit =
+      require(!fs.exists(p) || fs.delete(p, true),
+        s"fingerprint migration: delete $p returned false; aborting " +
+          "(re-run resumes from the recovery preamble)")
     // Crash recovery FIRST (review-caught: the original delete-then-
     // rename lost the whole store — and silently reset dedup — if the
     // JVM died between the two). The swap below never has a moment
@@ -285,15 +312,15 @@ object CurationPipeline {
     // landed between its two renames, and exactly one of staged /
     // backup holds the data.
     if (!fs.exists(dirPath)) {
-      if (fs.exists(stagedPath)) fs.rename(stagedPath, dirPath)
-      else if (fs.exists(backupPath)) fs.rename(backupPath, dirPath)
+      if (fs.exists(stagedPath)) renameOrThrow(stagedPath, dirPath)
+      else if (fs.exists(backupPath)) renameOrThrow(backupPath, dirPath)
       else return // nothing to migrate
     }
     if (spark.read.parquet(dir).columns.contains("fingerprint")) {
       // already migrated — drop leftovers from a crash after the
       // staged-in rename but before the backup delete
-      if (fs.exists(backupPath)) fs.delete(backupPath, true)
-      if (fs.exists(stagedPath)) fs.delete(stagedPath, true)
+      deleteOrThrow(backupPath)
+      deleteOrThrow(stagedPath)
     } else {
       require(!fs.exists(backupPath),
         s"curated store present without fingerprints AND $backupPath " +
@@ -304,7 +331,7 @@ object CurationPipeline {
       val stagedComplete = fs.exists(
         new org.apache.hadoop.fs.Path(stagedPath, "_SUCCESS"))
       if (!stagedComplete) {
-        if (fs.exists(stagedPath)) fs.delete(stagedPath, true)
+        deleteOrThrow(stagedPath)
         spark.read.parquet(dir)
           .withColumn("fingerprint",
             TextAnalysis.fingerprint(col("text")))
@@ -314,9 +341,9 @@ object CurationPipeline {
       // swap: old aside, staged in, backup dropped — at every point
       // the data exists under curated, staged, or backup, and the
       // recovery preamble above can resume from any interleaving
-      fs.rename(dirPath, backupPath)
-      fs.rename(stagedPath, dirPath)
-      fs.delete(backupPath, true)
+      renameOrThrow(dirPath, backupPath)
+      renameOrThrow(stagedPath, dirPath)
+      deleteOrThrow(backupPath)
     }
   }
 

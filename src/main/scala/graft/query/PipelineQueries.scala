@@ -1372,6 +1372,52 @@ object PipelineQueries {
       "dense" -> ((s, d) => graft.pipeline.RetrievalPipeline
         .denseHalf(s, VectorIndex.defaultPath(d), serviceCapBatch(s, d),
           20, nProbe = 4))),
+    // r14's one changed-plan elevation (1.46 -> 3.00 committed-vs-
+    // driver with NO phase attribution — round-14 VERDICT #1): the
+    // cached cap decomposes into the memo PROBE (read every committed
+    // memo batch, key-filter, distinct — the phase that would grow if
+    // stale batches accumulated), the full cached lexical half (probe
+    // + hit fan-back + miss scoring when the stamp moved), and the
+    // shared dense IVF half (also under the r14 heap rework — the
+    // uncached twin elevated by the SAME absolute +1.55 s, so if the
+    // dense phase carries it, the repricing is the shared tail, not
+    // the cache)
+    "retrieval_service_cap_cached" -> Seq(
+      "memo_probe" -> ((s, d) => graft.ops.Bm25ResultCache.probeOnly(
+        s, Bm25.defaultPath(d), bm25MemoPath(d),
+        serviceCapBatch(s, d), 20)),
+      "lexical_cached" -> ((s, d) => graft.ops.Bm25ResultCache
+        .scoreTopKCachedBatch(s, Bm25.defaultPath(d), bm25MemoPath(d),
+          serviceCapBatch(s, d).select(col("query_id"), col("terms")),
+          20)),
+      "dense" -> ((s, d) => graft.pipeline.RetrievalPipeline
+        .denseHalf(s, VectorIndex.defaultPath(d), serviceCapBatch(s, d),
+          20, nProbe = 4))),
+    // r14 driver: 0.552 -> 0.902 stable at per-pass loadavg ~1.1 (the
+    // low-load-elevation signature); prime suspect is page-cache state
+    // on the persisted cells layout. "cells_scan" forces actual bytes
+    // of the embedding column through the scan (a bare count() reads
+    // only footers) — elevated scan + healthy remainder = cold cache;
+    // flat scan + elevated query = the score/rank compute moved.
+    "sim_cosine_ivf_full" -> Seq(
+      "ensure_check" -> ((s, d) => {
+        VectorIndex.ensureIvf(Tables.embeddings(s, d),
+          VectorIndex.defaultPath(d))
+        s.range(1).toDF()
+      }),
+      "cells_scan" -> ((s, d) => s.read
+        .parquet(VectorIndex.defaultPath(d) + "/cells")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.size(col("embedding")))
+          .as("probe_bytes")))),
+    // r14 driver: 0.74 -> 1.168, same low-load signature. No persisted
+    // store here — the query is synth + decode + dHash (CPU) then the
+    // banded self-join (shuffle). "synth_hash" is the CPU half; the
+    // remainder is the band join + popcount verify.
+    "dedup_image_phash_near" -> Seq(
+      "synth_hash" -> ((s, d) => Multimodal.perceptualHashWords(s,
+          Multimodal.synthPhashNearTable(s, Tables.documents(s, d)))
+        .toDF())),
     "dedup_components_lsh" -> Seq(
       // candidate scan + exact verify; the registered query's
       // remainder is the pointer-doubling closure

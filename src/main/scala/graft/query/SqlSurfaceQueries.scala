@@ -389,6 +389,21 @@ object SqlSurfaceQueries {
     // independently. Ties share a value and can never span a bucket
     // (equal price -> equal bucket), so the selected values are
     // bit-identical to the global-rank formulation.
+    // RESIDUAL SKEW (round-14 ADVICE): stage (3)'s within-bucket
+    // window partitions are still corpus-PROPORTIONAL — the 64-unit
+    // buckets give a FIXED ~1600-bucket domain over the TPC-H price
+    // range, so one target bucket holds O(corpus/1600) rows through
+    // one task. That is a constant-factor bound (1/1600th of a flag's
+    // rows, vs the whole flag before the rework), not the
+    // corpus-independent bound the heap family gives. A deployment
+    // where even corpus/1600 overflows a task derives the shift from
+    // a row budget instead of a fixed width: bucketShift =
+    // floor(log2(maxPrice * nFlags / targetRowsPerBucket)) — halving
+    // the width doubles the (still value-domain-bounded) subtotal
+    // frame and halves the final stage's partition, so the knob
+    // trades stage-(2) frame size against stage-(3) skew without
+    // touching result values (the tie argument above is
+    // width-independent).
     "agg_quantiles_multi" -> ((s, d) => {
       val priced = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"))
