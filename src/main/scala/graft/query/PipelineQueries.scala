@@ -1293,6 +1293,108 @@ object PipelineQueries {
       |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB replay of the full hybrid serving stack at the contract
+    * cap — the dynamic oracle that moves `retrieval_service_cap` from
+    * rows-only to hash-gated (round-14 verdict #3). Replays:
+    *
+    *  - the cap batch generator ([[serviceCapBatch]]): query_id =
+    *    printf('q%%04d', vec_id) for vec_id < 1024, terms = three
+    *    base-16 digit picks from the SHARED [[serviceCapPool]]
+    *    (distinct), query vector = the corpus embedding itself;
+    *  - the lexical half: per-query BM25 top-20 with the established
+    *    [[bm25OracleBodyFor]] arithmetic (the termset-dedup
+    *    canonicalization is a pure optimization, invisible per
+    *    query_id);
+    *  - the dense half at nProbe=4: per-query probed cells = top-4
+    *    centroids by `dot(q, c)/|c|` (affinity DESC, cell ASC — the
+    *    `CentroidTopCells` first-index-wins tie rule), centroids READ
+    *    FROM THE PERSISTED INDEX (KMeans is iterative float compute,
+    *    not SQL-replayable; the layout under test is exactly what the
+    *    engine probes), cell ASSIGNMENT read from the cells layout's
+    *    hive partitions, exact cosine top-20 within the probed cells,
+    *    NO self-exclusion (the engine probes with synthetic disjoint
+    *    ids — a query's own vector ranks first);
+    *  - RRF fusion (w = 1/(60+rank), round 6) and the final top-10 —
+    *    [[hybridBatchOracleSql]]'s tail verbatim.
+    *
+    * Registered only when the persisted index exists with NO delta
+    * batches (the SQL reads the base cells layout; a store with
+    * streamed deltas keeps the entry rows-only rather than risking a
+    * wrong oracle). The store-read dependence means a stale or
+    * corrupt index surfaces as a hash mismatch — same failure
+    * surface the engine itself has. */
+  private[query] def serviceCapOracle(sfDir: String): Option[String] = {
+    val ivf = VectorIndex.defaultPath(sfDir)
+    val ok = new java.io.File(s"$ivf/centroids/_SUCCESS").exists() &&
+      new java.io.File(s"$ivf/cells/_SUCCESS").exists() &&
+      !new java.io.File(s"$ivf/cells_delta").exists()
+    if (!ok) return None
+    val poolVals = serviceCapPool.zipWithIndex
+      .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+    Some(
+      s"""WITH
+         |qs AS (SELECT vec_id, printf('q%04d', vec_id) AS query_id,
+         |    embedding
+         |  FROM embeddings WHERE vec_id < 1024),
+         |pool(i, term) AS (VALUES $poolVals),
+         |qt AS (SELECT DISTINCT q.query_id, p.term
+         |  FROM qs q JOIN pool p ON p.i IN (q.vec_id % 16,
+         |    (q.vec_id // 16) % 16, (q.vec_id // 256) % 16)),
+         |w AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+         |    '[^a-z]+')) AS term FROM documents),
+         |wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM wf
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+         |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25
+         |        + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))),
+         |      4) AS score
+         |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc) WHERE rank <= 20),
+         |cents AS (SELECT cell, centroid
+         |  FROM read_parquet('$ivf/centroids/*.parquet')),
+         |aff AS (SELECT q.query_id, c.cell,
+         |    list_inner_product(CAST(q.embedding AS DOUBLE[]),
+         |        CAST(c.centroid AS DOUBLE[]))
+         |      / sqrt(list_sum(list_transform(c.centroid,
+         |          x -> CAST(x AS DOUBLE) * x))) AS a
+         |  FROM qs q CROSS JOIN cents c),
+         |pc AS (SELECT query_id, cell FROM (
+         |  SELECT query_id, cell, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY a DESC, cell) AS pr
+         |  FROM aff) WHERE pr <= 4),
+         |asg AS (SELECT vec_id, cell
+         |  FROM read_parquet('$ivf/cells/*/*.parquet',
+         |    hive_partitioning = true)),
+         |dense AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT pc.query_id, e.vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY pc.query_id ORDER BY
+         |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |        CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS rank
+         |  FROM pc JOIN qs q USING (query_id)
+         |    JOIN asg a ON a.cell = pc.cell
+         |    JOIN embeddings e ON e.vec_id = a.vec_id)
+         |  WHERE rank <= 20),
+         |u AS (SELECT query_id, doc_id, 1.0 / (60 + rank) AS w FROM lex
+         |  UNION ALL SELECT query_id, doc_id, 1.0 / (60 + rank)
+         |  FROM dense),
+         |fused AS (SELECT query_id, doc_id, round(sum(w), 6) AS rrf
+         |  FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+  }
+
   /** The service-cap query batch: one hybrid query per corpus
     * embedding under the MaxBatchQueries cap (bounded collect,
     * <= 1024 x 64 floats), terms rotating over mid-frequency corpus
@@ -1300,15 +1402,20 @@ object PipelineQueries {
     * Ensures both persisted layouts (stamped no-ops when current).
     * Shared by the registered query and the bench's phase probes so
     * all three time the identical batch. */
+  /** The cap batch's term pool — shared by [[serviceCapBatch]] and
+    * the DuckDB replay ([[serviceCapOracle]]) so the two term
+    * generators cannot drift. */
+  private val serviceCapPool = Vector("window", "merge", "spark",
+    "join", "scan", "key", "hash", "filter", "batch", "sort", "group",
+    "column", "stream", "vector", "query", "table")
+
   private[graft] def serviceCapBatch(s: SparkSession,
       d: String): DataFrame = {
     import s.implicits._
     Bm25.ensurePostings(Tables.documents(s, d), Bm25.defaultPath(d))
     val emb = Tables.embeddings(s, d)
     VectorIndex.ensureIvf(emb, VectorIndex.defaultPath(d))
-    val pool = Vector("window", "merge", "spark", "join", "scan",
-      "key", "hash", "filter", "batch", "sort", "group", "column",
-      "stream", "vector", "query", "table")
+    val pool = serviceCapPool
     emb.filter(col("vec_id") < 1024)
       .select(col("vec_id"), col("embedding"))
       .collect()
@@ -1464,7 +1571,24 @@ object PipelineQueries {
         SimHashOracle.forCorpus(sfDir)
           .map(sql => Map("dedup_simhash" -> sql)).getOrElse(Map.empty)
       else Map.empty[String, String]
-    bpe ++ simhash
+    // round-15 (r14 verdict #3): the incremental-store probe replayed
+    // as a full independent MinHash recomputation — same corpus-probe
+    // gate as the SimHash replay (shared string-hash domain)
+    val minhash =
+      if (want("dedup_incoming_store"))
+        MinHashOracle.forCorpus(sfDir)
+          .map(sql => Map("dedup_incoming_store" -> sql))
+          .getOrElse(Map.empty)
+      else Map.empty[String, String]
+    // round-15 (r14 verdict #3): the hybrid cap batch replayed against
+    // the persisted IVF layout — file-existence gate only, no Spark job
+    val servicecap =
+      if (want("retrieval_service_cap"))
+        serviceCapOracle(sfDir)
+          .map(sql => Map("retrieval_service_cap" -> sql))
+          .getOrElse(Map.empty)
+      else Map.empty[String, String]
+    bpe ++ simhash ++ minhash ++ servicecap
   }
 
   private def bpeDynamicOracles(sfDir: String): Map[String, String] =
