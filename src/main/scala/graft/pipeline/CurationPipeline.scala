@@ -50,6 +50,29 @@ object CurationPipeline {
     StructField("lang", StringType),
     StructField("source", StringType)))
 
+  /** Per-tier wall-clock accumulator for the curated foreachBatch
+    * (round-14 VERDICT #2: the three-tier throughput gap — 1229 vs
+    * 725 docs/s — was attributed only as "per-batch eager
+    * materializations + near-dup probe"; this records WHICH tier the
+    * seconds go to, across all micro-batches of a run). Thread-safe;
+    * one instance per [[start]] call via `phaseRecorder`. */
+  final class PhaseRecorder {
+    private val totals = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.DoubleAdder]()
+    private[CurationPipeline] def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      try body
+      finally totals.computeIfAbsent(name,
+        _ => new java.util.concurrent.atomic.DoubleAdder)
+        .add((System.nanoTime() - t0) / 1e9)
+    }
+    /** Accumulated seconds per tier, over every batch so far. */
+    def snapshot: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      totals.asScala.map { case (k, v) => (k, v.sum()) }.toMap
+    }
+  }
+
   /** Gate scoring: token count, duplicate-bigram fraction, predicted
     * language (content-based, NOT the metadata column — crawls lie),
     * content fingerprint, and the failed-gate label (null = accepted).
@@ -130,8 +153,15 @@ object CurationPipeline {
       nearDupStore: Option[String] = None,
       dsirGate: Option[(String, Double)] = None,
       maxFilesPerTrigger: Option[Int] = None,
-      trigger: Trigger = Trigger.AvailableNow())
+      trigger: Trigger = Trigger.AvailableNow(),
+      phaseRecorder: Option[PhaseRecorder] = None)
       : (StreamingQuery, StreamingQuery) = {
+    // phase attribution is optional and must never change behavior:
+    // absent a recorder, tier bodies run unwrapped
+    def phase[A](name: String)(body: => A): A = phaseRecorder match {
+      case None => body
+      case Some(r) => r.timed(name)(body)
+    }
     def scored = {
       val reader = spark.readStream.schema(docSchema)
       val limited = maxFilesPerTrigger
@@ -157,40 +187,53 @@ object CurationPipeline {
       .option("checkpointLocation", s"$checkpointDir-curated")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // tier rejects accumulate here and land in ONE batchId-keyed
+        // write at the end (round-14 VERDICT #2: the old shape paid a
+        // write job per tier per batch — two of the three reject
+        // writes the verdict counted; the gate-rejects write lives on
+        // the other stream and cannot merge across queries)
+        val rejectFrames =
+          scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         val targeted = dsirGate match {
           case None => batch
-          case Some((path, minW)) =>
+          case Some((path, minW)) => phase("dsir_gate") {
+            // materialize the gated micro-batch ONCE before deriving:
+            // `weighed` is built FROM `batch`, so without this stage
+            // the join below evaluates the source read + gate
+            // projection (tokenize/langid/fingerprint) TWICE per
+            // batch — the round-15 phase telemetry priced that at
+            // ~20 s per 50k-doc run, most of the tier-3 throughput
+            // gap the round-14 verdict asked to attribute
+            val gated = batch.localCheckpoint(true)
             // one weight per batch doc; left join so gramless docs
             // keep a row (null weight = reject). No broadcast hint:
             // both sides are the micro-batch, AQE picks.
-            val weighed = graft.ops.Sampling.dsirScoreStore(batch,
+            val weighed = graft.ops.Sampling.dsirScoreStore(gated,
                 col("doc_id"), col("text"), path)
               .select(col("doc_id"), col("dsir_weight"))
-            val withW = batch.join(weighed, Seq("doc_id"), "left")
+            val withW = gated.join(weighed, Seq("doc_id"), "left")
               .localCheckpoint(true) // score ONCE for reject + keep
-            // batchId-keyed overwrite — replay rewrites its own dir
-            withW.filter(col("dsir_weight").isNull ||
+            rejectFrames += withW.filter(col("dsir_weight").isNull ||
                 col("dsir_weight") < minW)
               .select(col("doc_id"), lit("off_target").as("reject_reason"))
-              .write.mode("overwrite")
-              .parquet(s"$outDir/rejects/batch=d$batchId")
             withW.filter(col("dsir_weight") >= minW).drop("dsir_weight")
+          }
         }
         // exact dedup, all gates already applied: within-batch
         // collapse + anti-join against the curated store's
         // fingerprints. The prior read SELF-EXCLUDES this batch's
         // partition so a replay never sees its own partial write
         // (the SignatureStore self-excluding-probe lesson).
-        val inBatch = targeted.dropDuplicates("fingerprint")
-        val curatedDir = s"$outDir/curated"
-        val dedupFs = graft.scale.Hdfs.of(batch.sparkSession, curatedDir)
-        // localCheckpoint: the near-dup tier fires SEVERAL jobs over
-        // this frame (probe, verify, signature append) and each would
-        // otherwise re-run the store read + anti-join per job — the
-        // un-checkpointed rework measured ~3x on the two-tier
-        // streaming metric before this line
-        val deduped = (
-          if (!dedupFs.exists(new org.apache.hadoop.fs.Path(curatedDir)))
+        val deduped = phase("exact_dedup") {
+          val inBatch = targeted.dropDuplicates("fingerprint")
+          val curatedDir = s"$outDir/curated"
+          val dedupFs = graft.scale.Hdfs.of(batch.sparkSession, curatedDir)
+          // localCheckpoint: the near-dup tier fires SEVERAL jobs over
+          // this frame (probe, verify, signature append) and each would
+          // otherwise re-run the store read + anti-join per job — the
+          // un-checkpointed rework measured ~3x on the two-tier
+          // streaming metric before this line
+          (if (!dedupFs.exists(new org.apache.hadoop.fs.Path(curatedDir)))
             inBatch
           else {
             val prior = batch.sparkSession.read.parquet(curatedDir)
@@ -198,9 +241,10 @@ object CurationPipeline {
               .select(col("fingerprint"))
             inBatch.join(prior, Seq("fingerprint"), "left_anti")
           }).localCheckpoint(true)
+        }
         val kept = nearDupStore match {
           case None => deduped
-          case Some(path) =>
+          case Some(path) => phase("near_dup") {
             val fs = graft.scale.Hdfs.of(batch.sparkSession, path)
             val seeded = fs.exists(
               new org.apache.hadoop.fs.Path(s"$path/bands/_SUCCESS"))
@@ -230,24 +274,38 @@ object CurationPipeline {
               // rows, which dedupeIncoming's distinct() absorbs — the
               // result set is retry-stable even though the store is
               // at-least-once
-              dups.select(col("doc_id"),
-                  lit("near_dup").as("reject_reason"))
-                .write.mode("overwrite")
-                .parquet(s"$outDir/rejects/batch=nd$batchId")
+              rejectFrames += dups.select(col("doc_id"),
+                lit("near_dup").as("reject_reason"))
               keep
             }
+          }
+        }
+        // ONE merged tier-rejects write per batch, batchId-keyed
+        // overwrite — replay rewrites its own dir. (Upgrade note: the
+        // pre-round-15 layout wrote off_target and near_dup rejects
+        // to separate batch=d/batch=nd dirs; a store written by that
+        // version replays cleanly because a rewritten batch=d dir
+        // carries the union and a stale batch=nd dir holds rows the
+        // union duplicates only on a mid-upgrade replay of the SAME
+        // batch — fresh stores, the normal case, never see both.)
+        if (rejectFrames.nonEmpty) phase("reject_write") {
+          rejectFrames.reduce(_ unionByName _)
+            .write.mode("overwrite")
+            .parquet(s"$outDir/rejects/batch=d$batchId")
         }
         // batchId-keyed overwrite = exactly-once on retry: a replayed
         // micro-batch rewrites ITS OWN partition instead of appending a
         // duplicate (same contract as SummingStore/EventSink appends).
         // The fingerprint column is persisted — it IS the cross-batch
         // dedup state now that the anti-join reads it from the store.
-        kept.select(col("doc_id"), col("text"), col("lang"),
-            col("source"), col("n_tokens"),
-            round(col("rep_ratio"), 4).as("rep_ratio"),
-            col("fingerprint"))
-          .write.mode("overwrite")
-          .parquet(s"$outDir/curated/batch=$batchId")
+        phase("curated_write") {
+          kept.select(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_tokens"),
+              round(col("rep_ratio"), 4).as("rep_ratio"),
+              col("fingerprint"))
+            .write.mode("overwrite")
+            .parquet(s"$outDir/curated/batch=$batchId")
+        }
         ()
       }
       .start()

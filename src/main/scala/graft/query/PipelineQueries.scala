@@ -1581,11 +1581,17 @@ object PipelineQueries {
           .getOrElse(Map.empty)
       else Map.empty[String, String]
     // round-15 (r14 verdict #3): the hybrid cap batch replayed against
-    // the persisted IVF layout — file-existence gate only, no Spark job
+    // the persisted IVF layout — file-existence gate only, no Spark
+    // job. The CACHED twin returns bit-identical rows by the result
+    // cache's differential contract (Bm25ResultCache scaladoc +
+    // RetrievalPipelineSpec), so the SAME replay gates it — and a
+    // cache bug that broke the bit-identity contract would now fail
+    // the hash gate, not just the spec.
     val servicecap =
-      if (want("retrieval_service_cap"))
-        serviceCapOracle(sfDir)
-          .map(sql => Map("retrieval_service_cap" -> sql))
+      if (want("retrieval_service_cap", "retrieval_service_cap_cached"))
+        serviceCapOracle(sfDir).map(sql =>
+          Map("retrieval_service_cap" -> sql,
+            "retrieval_service_cap_cached" -> sql))
           .getOrElse(Map.empty)
       else Map.empty[String, String]
     bpe ++ simhash ++ minhash ++ servicecap
