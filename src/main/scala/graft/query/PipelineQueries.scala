@@ -1323,12 +1323,76 @@ object PipelineQueries {
     * wrong oracle). The store-read dependence means a stale or
     * corrupt index surfaces as a hash mismatch — same failure
     * surface the engine itself has. */
-  private[query] def serviceCapOracle(sfDir: String): Option[String] = {
-    val ivf = VectorIndex.defaultPath(sfDir)
-    val ok = new java.io.File(s"$ivf/centroids/_SUCCESS").exists() &&
+  /** The persisted index exists with no streamed deltas — the
+    * precondition both IVF replays share (their SQL reads the base
+    * cells layout only). */
+  private def ivfReplayable(ivf: String): Boolean =
+    new java.io.File(s"$ivf/centroids/_SUCCESS").exists() &&
       new java.io.File(s"$ivf/cells/_SUCCESS").exists() &&
       !new java.io.File(s"$ivf/cells_delta").exists()
-    if (!ok) return None
+
+  /** The pruned-probe CTE block both IVF replays share, given a
+    * `qs(query_id, embedding)` CTE: per-query probed cells = top-
+    * `nProbe` centroid affinities (`dot(q, c)/|c|`, affinity DESC /
+    * cell ASC — CentroidTopCells' first-index-wins ties), centroids
+    * and cell assignment read from the persisted layout itself.
+    * Emits `pc(query_id, cell)` and `asg(vec_id, cell)`. */
+  private def ivfProbeCtes(ivf: String, nProbe: Int): String =
+    s"""cents AS (SELECT cell, centroid
+       |  FROM read_parquet('$ivf/centroids/*.parquet')),
+       |aff AS (SELECT q.query_id, c.cell,
+       |    list_inner_product(CAST(q.embedding AS DOUBLE[]),
+       |        CAST(c.centroid AS DOUBLE[]))
+       |      / sqrt(list_sum(list_transform(c.centroid,
+       |          x -> CAST(x AS DOUBLE) * x))) AS a
+       |  FROM qs q CROSS JOIN cents c),
+       |pc AS (SELECT query_id, cell FROM (
+       |  SELECT query_id, cell, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY a DESC, cell) AS pr
+       |  FROM aff) WHERE pr <= $nProbe),
+       |asg AS (SELECT vec_id, cell
+       |  FROM read_parquet('$ivf/cells/*/*.parquet',
+       |    hive_partitioning = true))""".stripMargin
+
+  /** DuckDB replay of the PRUNED persisted-IVF probe — the dynamic
+    * oracle that moves `sim_cosine_ivf_indexed` from rows-only to
+    * hash-gated (round-15; the serviceCapOracle dense half at the
+    * registered query's own configuration: vec_id < 8 corpus-id
+    * queries, nProbe = 4, SELF-excluding, top-10 with the sim
+    * column). The full-probe twin `sim_cosine_ivf_full` stays gated
+    * by the brute-force oracle (exact by construction); THIS entry
+    * gates the pruning itself — cell routing and partition-pruned
+    * scan — against the layout's own centroids/assignment, so the
+    * "approximate config → rows-only" rule no longer applies: the
+    * pruned result is a deterministic function of the persisted
+    * layout, which the oracle reads as input. */
+  private[query] def simIvfIndexedOracle(sfDir: String)
+      : Option[String] = {
+    val ivf = VectorIndex.defaultPath(sfDir)
+    if (!ivfReplayable(ivf)) return None
+    Some(
+      s"""WITH
+         |qs AS (SELECT vec_id AS query_id, embedding
+         |  FROM embeddings WHERE vec_id < 8),
+         |${ivfProbeCtes(ivf, nProbe = 4)}
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT pc.query_id, e.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |      CAST(e.embedding AS DOUBLE[])), 4) AS sim,
+         |    row_number() OVER (PARTITION BY pc.query_id ORDER BY
+         |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |        CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id)
+         |      AS rank
+         |  FROM pc JOIN qs q USING (query_id)
+         |    JOIN asg a ON a.cell = pc.cell
+         |    JOIN embeddings e ON e.vec_id = a.vec_id
+         |      AND e.vec_id != pc.query_id)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+  }
+
+  private[query] def serviceCapOracle(sfDir: String): Option[String] = {
+    val ivf = VectorIndex.defaultPath(sfDir)
+    if (!ivfReplayable(ivf)) return None
     val poolVals = serviceCapPool.zipWithIndex
       .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
     Some(
@@ -1360,21 +1424,7 @@ object PipelineQueries {
          |  SELECT query_id, doc_id, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
          |  FROM sc) WHERE rank <= 20),
-         |cents AS (SELECT cell, centroid
-         |  FROM read_parquet('$ivf/centroids/*.parquet')),
-         |aff AS (SELECT q.query_id, c.cell,
-         |    list_inner_product(CAST(q.embedding AS DOUBLE[]),
-         |        CAST(c.centroid AS DOUBLE[]))
-         |      / sqrt(list_sum(list_transform(c.centroid,
-         |          x -> CAST(x AS DOUBLE) * x))) AS a
-         |  FROM qs q CROSS JOIN cents c),
-         |pc AS (SELECT query_id, cell FROM (
-         |  SELECT query_id, cell, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY a DESC, cell) AS pr
-         |  FROM aff) WHERE pr <= 4),
-         |asg AS (SELECT vec_id, cell
-         |  FROM read_parquet('$ivf/cells/*/*.parquet',
-         |    hive_partitioning = true)),
+         |${ivfProbeCtes(ivf, nProbe = 4)},
          |dense AS (SELECT query_id, doc_id, rank FROM (
          |  SELECT pc.query_id, e.vec_id AS doc_id,
          |    row_number() OVER (PARTITION BY pc.query_id ORDER BY
@@ -1594,7 +1644,15 @@ object PipelineQueries {
             "retrieval_service_cap_cached" -> sql))
           .getOrElse(Map.empty)
       else Map.empty[String, String]
-    bpe ++ simhash ++ minhash ++ servicecap
+    // round-15: the pruned persisted-IVF probe at the registered
+    // configuration — deterministic given the layout the oracle reads
+    val ivfIndexed =
+      if (want("sim_cosine_ivf_indexed"))
+        simIvfIndexedOracle(sfDir)
+          .map(sql => Map("sim_cosine_ivf_indexed" -> sql))
+          .getOrElse(Map.empty)
+      else Map.empty[String, String]
+    bpe ++ simhash ++ minhash ++ servicecap ++ ivfIndexed
   }
 
   private def bpeDynamicOracles(sfDir: String): Map[String, String] =
