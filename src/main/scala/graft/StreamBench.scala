@@ -50,8 +50,10 @@ object StreamBench {
     "stream_curation_docs_per_sec" -> 1989.0,
     "stream_curation2_docs_per_sec" -> 1229.0,
     // re-seeded r15: the dsir tier stages the gated batch once
-    // (old shape evaluated json+gates twice per batch; 725 -> 831)
-    "stream_curation3_docs_per_sec" -> 831.0,
+    // (old shape evaluated json+gates twice per batch; 725 -> 831
+    // in a loadavg-3.3 window, 1107 in the quieter validation run —
+    // seeded from the better healthy reading)
+    "stream_curation3_docs_per_sec" -> 1107.0,
     "stream_postings_docs_per_sec" -> 7300.0,
     // r14 value — the only measurement of the current shape (the
     // round-9 7.2k predates the PQ code-delta write this path gained)
