@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Dev experiment: attribute retrieval_service_cap's cost between its
   * lexical (batched indexed BM25) and dense (batched IVF probe) halves
-  * plus fusion, at bench conditions (4 threads), so the PLANS.md
-  * ~10 ms/query figure carries a breakdown.
+  * plus fusion, at bench conditions, with per-stage decomposition so
+  * an optimization round can see WHERE inside each half the time goes.
   */
 object CapExp {
   def main(args: Array[String]): Unit = {
@@ -18,6 +18,9 @@ object CapExp {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("SCRATCH_OHA_FALLBACK").foreach(v =>
+      spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v))
     import spark.implicits._
     val bmPath = graft.ops.Bm25.defaultPath(sfDir)
     graft.ops.Bm25.ensurePostings(Tables.documents(spark, sfDir), bmPath)
@@ -38,17 +41,37 @@ object CapExp {
       (1 to 3).foreach { _ =>
         val t0 = System.nanoTime()
         val n = body
-        println(f"CAPEXP $tag%-10s ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
+        println(f"CAPEXP $tag%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
       }
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); -1L
+    }
+    // ---- lexical decomposition (mirrors Bm25.scoreTopKIndexedBatch)
+    val terms = pool
+    timed("lex:probe") {
+      noop(spark.read.parquet(s"$bmPath/postings")
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          col("bucket"))
+        .filter(col("term").isin(terms: _*)))
     }
     timed("lexical") {
       graft.ops.Bm25.scoreTopKIndexedBatch(spark, bmPath,
         queries.select(col("query_id"), col("terms")), 20).count()
     }
+    // ---- dense decomposition (mirrors RetrievalPipeline.denseHalf)
+    val qvecs = qrows.zipWithIndex.map { case (r, i) =>
+      ((1L << 40) + i, r.getSeq[Float](1))
+    }.toSeq.toDF("vec_id", "embedding")
+    timed("dense:cents") {
+      spark.read.parquet(s"$ivfPath/centroids").collect().length.toLong
+    }
+    timed("dense:scan") {
+      noop(spark.read.parquet(s"$ivfPath/cells")
+        .select(col("vec_id"), col("embedding"), col("c_norm"),
+          col("cell")))
+    }
     timed("dense") {
-      val qvecs = qrows.zipWithIndex.map { case (r, i) =>
-        ((1L << 40) + i, r.getSeq[Float](1))
-      }.toSeq.toDF("vec_id", "embedding")
       graft.ops.VectorIndex.queryIvf(spark, ivfPath, qvecs, 20,
         nProbe = 4).count()
     }

@@ -172,9 +172,31 @@ object Bm25 {
 
   /** The batch scoring tail shared by the direct and indexed batch
     * paths: per-term df + idf (broadcast), per-(query, doc) score sum,
-    * per-query rank window (shuffle key query_id — queries
-    * parallelize; rank ≤ k prunes below the shuffle via
-    * WindowGroupLimit). */
+    * per-query heap top-k (shuffle key query_id — queries
+    * parallelize).
+    *
+    * Round-15 shape (optimization round; guide §2.3/§2.4 "shuffle the
+    * lightweight proxy, not the expansion"): the per-(doc, term)
+    * contribution `s` depends only on (tf, dl, idf, avgdl) — NOT on
+    * the query — so it is computed ONCE per posting row BEFORE the
+    * qterms fan-out (the old plan re-evaluated the BM25 arithmetic,
+    * and on the direct path re-probed the lengths join, once per
+    * EXPANDED (query, doc, term) row). The narrow (term, doc_id, s)
+    * frame is then co-partitioned by doc_id BEFORE the broadcast
+    * expansion: every expanded row of one (query, doc) pair is born in
+    * the doc's partition, so HashPartitioning(doc_id) satisfies the
+    * (query_id, doc_id) aggregation's ClusteredDistribution and the
+    * score sum runs WITHOUT an exchange. The shuffle that remains
+    * carries |postings| pre-expansion rows instead of
+    * |postings| x |queries-per-term| expanded pairs — measured at the
+    * sf0.1 service cap: the 4.31M-row / 164 MiB pair exchange became a
+    * 41K-row / ~2 MiB postings exchange (the only corpus-proportional
+    * exchange left in the plan). The explicit partition count pins the
+    * exchange at the session's shuffle parallelism: AQE would coalesce
+    * the tiny pre-expansion map output to one partition and serialize
+    * the x|queries| expansion + aggregation behind it (the classic
+    * expansion-after-shuffle blindspot — AQE sizes on map output, not
+    * downstream fan-out). */
   private def scoreBatch(tf: DataFrame, lengths: DataFrame,
       corpusStats: DataFrame, qterms: DataFrame, k: Int, k1: Double,
       b: Double): DataFrame = {
@@ -185,21 +207,22 @@ object Bm25 {
           / (col("df") + lit(0.5))).as("idf"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
     // a tf that already CARRIES dl (the postings layout stores it on
-    // every row) skips the lengths join entirely — the join probed
-    // every expanded (query, doc, term) row and the distinct that
-    // built `lengths` re-aggregated the pruned postings, both for a
-    // value each row already holds. The direct (tokenize) path still
-    // joins: its tf covers only queried terms, so total doc length
-    // must come from the separate lengths frame.
-    val base = tf
-      .join(broadcast(qterms), Seq("term"))
+    // every row) skips the lengths join entirely. The direct
+    // (tokenize) path still joins: its tf covers only queried terms,
+    // so total doc length must come from the separate lengths frame —
+    // but now the join probes |postings| rows, never the expansion.
+    val withDl = if (tf.columns.contains("dl")) tf
+      else tf.join(lengths, Seq("doc_id"))
+    val contrib = withDl
       .join(broadcast(idf), Seq("term"))
-    val scored = (if (tf.columns.contains("dl")) base
-      else base.join(lengths, Seq("doc_id")))
-      .select(col("query_id"), col("doc_id"),
+      .select(col("term"), col("doc_id"),
         (col("idf") * (col("tf") * (lit(k1) + 1.0))
           / (col("tf") + lit(k1) * (lit(1.0) - b
             + lit(b) * col("dl") / col("avgdl")))).as("s"))
+    val parts = tf.sparkSession.sessionState.conf.numShufflePartitions
+    val scored = contrib
+      .repartition(parts, col("doc_id"))
+      .join(broadcast(qterms), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("s")), 4).as("score"))
     // per-query heap top-k (round 14): a query_id-partitioned rank
@@ -614,7 +637,19 @@ object Bm25 {
       }.toSeq
     val repOf: Map[Seq[String], String] = canon.groupBy(_._2)
       .map { case (ts, qs) => (ts, qs.map(_._1).min) }
-    val pairs = repOf.toSeq
+    // Round-15: representatives score under a compact INT index, not
+    // their string query_id — the (query, doc) aggregation keys and
+    // the heap groups hash a 4-byte int instead of a string, and the
+    // expanded rows carry 4 bytes of query identity through the
+    // scoring stage (guide §2.3 "narrower types"). The fan-back
+    // broadcast at the end (<= |queries| x k result rows) restores the
+    // caller-visible string ids; it now runs unconditionally — on an
+    // all-distinct batch it maps each rep index to its own query_id.
+    // Index order is deterministic (sorted by representative id) but
+    // carries no meaning: every rep scores and ranks independently.
+    val repIdx: Map[Seq[String], Int] = repOf.toSeq.sortBy(_._2)
+      .zipWithIndex.map { case ((ts, _), i) => (ts, i) }.toMap
+    val pairs = repIdx.toSeq
       .flatMap { case (ts, rid) => ts.map(t => (rid, t)) }
     require(pairs.nonEmpty, "bm25 batch: no query terms")
     val terms = pairs.map(_._2).distinct
@@ -627,16 +662,13 @@ object Bm25 {
       tfAll.select(col("doc_id"), col("term"), col("tf"), col("dl")),
       tfAll.select(col("doc_id"), col("dl")), corpusStats, qterms,
       k, k1, b)
-    if (repOf.size == canon.size) repScored
-    else {
-      val mapping = canon
-        .map { case (qid, ts) => (repOf(ts), qid) }
-        .toDF("rep_id", "query_id")
-      repScored.withColumnRenamed("query_id", "rep_id")
-        .join(broadcast(mapping), Seq("rep_id"))
-        .select(col("query_id"), col("doc_id"), col("score"),
-          col("rank"))
-    }
+    val mapping = canon
+      .map { case (qid, ts) => (repIdx(ts), qid) }
+      .toDF("rep_idx", "query_id")
+    repScored.withColumnRenamed("query_id", "rep_idx")
+      .join(broadcast(mapping), Seq("rep_idx"))
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("rank"))
   }
 
   /** Outcome of a max-score-pruned probe, for specs and diagnostics:
