@@ -100,8 +100,17 @@ object Curation {
     */
   def boilerplateNgrams(docs: DataFrame, n: Int = 5,
       minDocs: Int = 3): DataFrame =
-    docNgrams(docs, n)
-      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+    // count(DISTINCT doc_id) in ONE aggregation instead of
+    // docNgrams's distinct() followed by a count groupBy — the old
+    // shape exchanged every (doc, gram-string) pair TWICE (once for
+    // the distinct, once re-keyed by ngram); the distinct-aggregate
+    // dedups (ngram, doc_id) map-side and exchanges once (round-15
+    // optimization; guide §2.4 "two operations keyed the same way can
+    // share one exchange"). Same value by definition.
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(wordNgrams(col("ws"), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
   /** Per-document boilerplate fraction: of each doc's distinct word
@@ -156,9 +165,22 @@ object Curation {
     val evalGrams = graft.scale.Staging.materialize(
       docNgrams(eval, n).select(col("ngram")).distinct(),
       "decontam-evalgrams")
-    docNgrams(train, n)
+    // Round-15 optimization: the old shape ran docNgrams(train) —
+    // whose distinct() exchanges EVERY training (doc, gram-string)
+    // pair — before the eval join. The eval-gram join is the selective
+    // filter (eval suites are tiny), so it now gates the exploded
+    // grams INSIDE the scan's codegen span, before any exchange, and
+    // the per-doc distinct-shared-gram count happens in ONE
+    // aggregation keyed by doc_id over the few surviving rows (guide
+    // §2.3 "project/filter before the exchange"). Value-identical:
+    // count(DISTINCT ngram) per doc over join survivors equals the
+    // old distinct-then-count — in-doc gram repeats collapse in the
+    // distinct aggregate rather than the pre-join distinct.
+    train.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(wordNgrams(col("ws"), n)).as("ngram"))
       .join(graft.scale.Staging.guardedBroadcast(evalGrams), Seq("ngram"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ngram")).as("n_shared"))
   }
 
   /** Within-document repetition: the fraction of a doc's word bigrams
@@ -200,8 +222,10 @@ object Curation {
       .filter(col("h").isNotNull)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("h")), "repeated-spans-windows")
-    val flagged = windows.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    // one distinct-aggregate exchange instead of distinct() + count
+    // groupBy (round-15; same move as boilerplateNgrams)
+    val flagged = windows
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = Window.partitionBy("doc_id").orderBy("pos")
