@@ -580,7 +580,16 @@ object Bm25 {
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25: empty query")
-    val (tf, corpusStats) = indexedProbe(spark, path, terms)
+    val (tf0, corpusStats) = indexedProbe(spark, path, terms)
+    // Stage the pruned probe (round-15 optimization, guide §1.3/§6):
+    // the df aggregate and the scoring tail are SEPARATE consumers of
+    // the probe, and their exchanges key differently (term vs doc_id),
+    // so unstaged the bucket-pruned parquet scan ran twice per query.
+    // The staged frame is the pruned postings only — narrow, bounded
+    // by the queried terms' posting lists.
+    val tf = graft.scale.Staging.materialize(
+      tf0.select(col("term"), col("doc_id"), col("tf"), col("dl")),
+      "bm25-indexed-probe")
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // tf keeps its dl column -> score skips the lengths join (the
     // lengths argument is never evaluated on this path)
@@ -655,7 +664,15 @@ object Bm25 {
     val terms = pairs.map(_._2).distinct
     import spark.implicits._
     val qterms = pairs.toDF("query_id", "term")
-    val (tfAll, corpusStats) = indexedProbe(spark, path, terms)
+    val (tfAll0, corpusStats) = indexedProbe(spark, path, terms)
+    // Stage the pruned probe (round-15 optimization, guide §1.3/§6):
+    // scoreBatch consumes it twice — the per-term df aggregate and the
+    // contribution compute key their exchanges differently (term vs
+    // doc_id), so unstaged the bucket-pruned parquet scan ran twice
+    // per batch. Staged rows are pre-expansion postings only.
+    val tfAll = graft.scale.Staging.materialize(
+      tfAll0.select(col("term"), col("doc_id"), col("tf"), col("dl")),
+      "bm25-indexed-batch-probe")
     // tf keeps its dl column -> scoreBatch skips the lengths join
     // (the lengths argument is never evaluated on this path)
     val repScored = scoreBatch(

@@ -276,7 +276,11 @@ object Dedup {
   def simHashCandidates(docs: DataFrame, maxDist: Int = 7): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val sh = simHash(docs)
+    // Stage the fingerprint pass: the band join below is a SELF-join,
+    // and unstaged both sides recompute the scan + shingle + simhash
+    // projection (round-15 optimization, guide §1.3 "a self-join runs
+    // its input twice"). The staged frame is 2 narrow columns per doc.
+    val sh = graft.scale.Staging.materialize(simHash(docs), "simhash-fp")
     val chunkStructs = array((0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("simhash"), c * width)

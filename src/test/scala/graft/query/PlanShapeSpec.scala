@@ -242,12 +242,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "BroadcastNestedLoop") == 0, plan)
   }
 
-  test("q21: the repeated orders broadcast is exchange-reused") {
+  test("q21: the late tree (lineitem⋈orders) executes exactly once — " +
+      "staged, not re-derived per join") {
+    // round-15: the late tree is staged, replacing the old shape whose
+    // semi pass and anti pass each executed it (the orders broadcast
+    // was exchange-reused, but the join + filter work still ran
+    // twice). One orders scan across EVERY pass = the tree ran once;
+    // lineitem is scanned exactly twice (the late tree + the
+    // other-suppliers probe side).
+    val nOrders = countColumnScans("orders", "o_orderdate") {
+      SparkEntry.queries("q21_waiting_supplier")(spark, sf0001)
+        .collect()
+    }
+    assert(nOrders == 1,
+      s"orders scanned $nOrders times; the staged late tree must be " +
+        "its only consumer")
+    val nLineitem = countColumnScans("lineitem", "l_suppkey") {
+      SparkEntry.queries("q21_waiting_supplier")(spark, sf0001)
+        .collect()
+    }
+    assert(nLineitem == 2,
+      s"lineitem scanned $nLineitem times (contract: late tree + " +
+        "others probe = 2)")
     val plan = finalPlan("q21_waiting_supplier")
-    assert(plan.contains("ReusedExchange"),
-      "the orders scan feeding both the semi and anti passes must be " +
-        "planned once and reused")
-    assert(count(plan, "SortMergeJoin") == 0, plan)
     assert(count(plan, "BroadcastNestedLoop") == 0, plan)
   }
 
@@ -509,14 +526,18 @@ class PlanShapeSpec extends SparkSpec {
 
   test("registered indexed-BM25 probes (single + batch) carry the " +
       "bucket IN-list as a partition filter and never read text") {
+    // the probe is STAGED since round-15, so the pruned scan lives in
+    // the staged subtree's own execution — assert over EVERY plan the
+    // query fires (parquet stage mode), not just the final pass
     for (name <- Seq("retrieval_bm25_indexed",
         "retrieval_bm25_indexed_batch")) {
-      val plan = SparkEntry.queries(name)(spark, sf0001)
-        .queryExecution.executedPlan.toString
-      assert("PartitionFilters: \\[[^\\]]*bucket".r
-          .findFirstIn(plan).isDefined,
-        s"$name: postings scan not partition-pruned:\n$plan")
-      assert(!plan.contains("text#"),
+      val plans = plansDuring {
+        SparkEntry.queries(name)(spark, sf0001).collect()
+      }
+      assert(plans.exists(p => "PartitionFilters: \\[[^\\]]*bucket".r
+          .findFirstIn(p).isDefined),
+        s"$name: postings scan not partition-pruned in any pass")
+      assert(plans.forall(!_.contains("text#")),
         s"$name must never read the corpus text column at query time")
     }
   }
@@ -527,16 +548,20 @@ class PlanShapeSpec extends SparkSpec {
     // the load-shape entry drives hybridTopKBatch at the contract
     // bound; the scan COUNT is independent of the batch size, so the
     // same two pruned probes must appear no matter how many queries
-    // ride the batch
-    val plan = SparkEntry.queries("retrieval_service_cap")(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*bucket".r
-        .findFirstIn(plan).isDefined,
-      s"postings probe not bucket-pruned at the cap:\n$plan")
-    assert("PartitionFilters: \\[[^\\]]*cell".r
-        .findFirstIn(plan).isDefined,
-      s"IVF probe not cell-pruned at the cap:\n$plan")
-    assert(!plan.contains("text#"),
+    // ride the batch. The lexical probe is staged (round-15): its
+    // bucket-pruned scan is in the staged subtree's execution, so the
+    // pin sweeps every plan the entry fires.
+    val plans = plansDuring {
+      SparkEntry.queries("retrieval_service_cap")(spark, sf0001)
+        .collect()
+    }
+    assert(plans.exists(p => "PartitionFilters: \\[[^\\]]*bucket".r
+        .findFirstIn(p).isDefined),
+      "postings probe not bucket-pruned at the cap in any pass")
+    assert(plans.exists(p => "PartitionFilters: \\[[^\\]]*cell".r
+        .findFirstIn(p).isDefined),
+      "IVF probe not cell-pruned at the cap in any pass")
+    assert(plans.forall(!_.contains("text#")),
       "the service probe must never read the corpus text column")
   }
 
@@ -556,7 +581,17 @@ class PlanShapeSpec extends SparkSpec {
     val windows = plan.collect { case w: LWindow => w }
     assert(windows.nonEmpty, "the histogram cumsum window must exist")
     windows.foreach { w =>
-      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+      // round-15: the histogram is STAGED (it feeds both the cuts
+      // branch and the bucket aggregation), so a window child may be
+      // the staged frame's leaf (LogicalRDD under localCheckpoint)
+      // instead of the Aggregate itself. Either way the input is the
+      // value-domain-bounded histogram; the growth bound itself is
+      // measured universally by HotPartitionSpec.
+      val overAggregate =
+        w.child.collectFirst { case a: Aggregate => a }.isDefined
+      val overStagedLeaf = w.child.collectLeaves().forall(
+        l => l.getClass.getSimpleName.contains("LogicalRDD"))
+      assert(overAggregate || overStagedLeaf,
         s"window over non-aggregated (corpus-sized) input:\n$w")
     }
   }
