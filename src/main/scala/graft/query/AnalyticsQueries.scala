@@ -169,14 +169,23 @@ object AnalyticsQueries {
       val docs = Tables.documents(s, d)
       val ll = TextAnalysis.unigramLogLik(docs, col("doc_id"),
         col("text"))
-      // staged: the scored frame feeds both the histogram/cuts branch
-      // and the bucket-assignment branch — unstaged, each branch
-      // re-runs the whole LM pass
-      val j = graft.scale.Staging.materialize(
-        ll.join(docs.select(col("doc_id"), col("lang")),
-          Seq("doc_id")), "quality-j")
-      val hist = j.groupBy(col("lang"), col("avg_loglik"))
-        .agg(count(lit(1)).as("cnt"))
+      val j = ll.join(docs.select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      // Round-15 shape (optimization round; guide §2.3 "decide with
+      // small rows"): every output aggregate is a function of the
+      // (lang, avg_loglik) HISTOGRAM — n_docs = Σcnt, words = Σ(per-
+      // score word sums), min/max_ll = extremes of the bucket's score
+      // values — so bucket assignment now runs on the value-domain-
+      // bounded histogram rows instead of re-scanning the corpus-sized
+      // scored frame (the old second pass + its exchange are gone; the
+      // per-doc frame now has ONE consumer and needs no stage). The
+      // histogram replaces it as the staged frame — it feeds both the
+      // cuts branch and the bucket aggregation, and is bounded by the
+      // distinct-score domain, not the corpus.
+      val hist = graft.scale.Staging.materialize(
+        j.groupBy(col("lang"), col("avg_loglik"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_words")).as("words_sum")), "quality-hist")
       val wcum = Window.partitionBy(col("lang"))
         .orderBy(col("avg_loglik").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -190,14 +199,14 @@ object AnalyticsQueries {
             col("avg_loglik"))).as("c1"),
           max(when(col("cum") >= ceil(col("n") * 2.0 / 3.0),
             col("avg_loglik"))).as("c2"))
-      j.join(broadcast(cuts), Seq("lang"))
+      hist.join(broadcast(cuts), Seq("lang"))
         .withColumn("bucket",
           when(col("avg_loglik") >= col("c1"), 1L)
             .when(col("avg_loglik") >= col("c2"), 2L)
             .otherwise(3L))
         .groupBy(col("lang"), col("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_words")).as("words"),
+        .agg(sum(col("cnt")).as("n_docs"),
+          sum(col("words_sum")).as("words"),
           min(col("avg_loglik")).as("min_ll"),
           max(col("avg_loglik")).as("max_ll"))
         .orderBy(col("lang"), col("bucket"))

@@ -160,12 +160,18 @@ object PipelineQueries {
     // embedding_neardup_oracle); the registered scale shape is
     // dedup_components_lsh below.
     // Same anchor cap as embedding_neardup_oracle (no-op at sf0.01).
+    // pointerDoubling OFF (round-15 optimization): the near-dup pair
+    // graph is a union of small cliques, where the jump join saves no
+    // rounds and costs one join per round (measured by graft.CompExp:
+    // 5 rounds either way at sf0.1, ~25% cheaper per round without).
+    // The converged labels are the same unique fixpoint either way.
     "dedup_components_oracle" -> ((s, d) =>
       Components.connectedComponents(
           Similarity.nearDupPairs(
               Tables.embeddings(s, d).filter(col("vec_id") < anchorCap),
               cosineT)
-            .select(col("vec_a").as("src"), col("vec_b").as("dst")))
+            .select(col("vec_a").as("src"), col("vec_b").as("dst")),
+          pointerDoubling = false)
         .select(col("id").as("vec_id"), col("comp"))
         .orderBy(col("vec_id"))),
 
@@ -173,13 +179,16 @@ object PipelineQueries {
     // equi-join pair generation + shuffle-bounded pointer doubling).
     // Recall < 1 at the demo threshold -> rows-only; the components
     // algorithm itself is oracle-proven via dedup_components_oracle.
+    // pointerDoubling OFF — same clique-shaped-graph measurement as
+    // dedup_components_oracle above.
     "dedup_components_lsh" -> ((s, d) =>
       Components.connectedComponents(
           Similarity.verifyCandidates(
               Similarity.ensureLshCandidates(Tables.embeddings(s, d),
                 lshCandPath(d)),
               Tables.embeddings(s, d), cosineT)
-            .select(col("vec_a").as("src"), col("vec_b").as("dst")))
+            .select(col("vec_a").as("src"), col("vec_b").as("dst")),
+          pointerDoubling = false)
         .select(col("id").as("vec_id"), col("comp"))
         .orderBy(col("vec_id"))),
 
