@@ -473,9 +473,16 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, t: Double,
       cents: Array[Array[Double]]): DataFrame = {
     val bc = vectors.sparkSession.sparkContext.broadcast(cents)
-    val assigned = vectors.select(col("vec_id"), col("embedding"),
-      vec_norm(col("embedding")).as("norm"),
-      centroid_top_cells(col("embedding"), bc, 2).as("cells"))
+    // Staged (round-15 optimization, guide §1.3): the assigned frame
+    // feeds THREE consumers (both sides of the cell self-join and the
+    // final keeper projection) — unstaged, each consumer re-scans the
+    // embeddings and re-computes vec_norm + centroid_top_cells
+    // (ScanAudit: 3 embeddings scans; 1 after).
+    val assigned = graft.scale.Staging.materialize(
+      vectors.select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("norm"),
+        centroid_top_cells(col("embedding"), bc, 2).as("cells")),
+      "semantic-assigned")
     // pairing frame: one row per (vector, cell) for its top-2 cells;
     // a pair meeting in BOTH cells is collapsed by the drops distinct
     def side(s: String) = assigned.select(
