@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Nothing may follow graft.Bench's one-line JSON in captured stdout
+// (the driver's tail capture clipped the round-14 line): suppress
+// sbt's trailing "[success] Total time ..." line globally.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

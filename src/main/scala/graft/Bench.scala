@@ -503,6 +503,30 @@ object Bench {
   val MaxRecoveryAttempts = 5
   val RecoveryWaitMs = 45000L
 
+  /** Round-16 (round-15 VERDICT #1): the artifact must self-defend
+    * against MID-RUN contamination. The r15 driver window published
+    * `degraded: false` while its own telemetry read canary max 28x /
+    * end 6.1x baseline with zero suspects re-measured — the old flag
+    * keyed only on pin violations. A window is now degraded when:
+    *  - a pin still violates after the re-measure (unchanged), or
+    *  - EITHER canary's end-of-run reading is >= 2x its operative
+    *    baseline (the bounded recovery wait already ran by then, so
+    *    an elevated end means the window never recovered), or
+    *  - the Spark canary's in-run MAX hit >= [[MaxContaminationRatio]]
+    *    AND suspects exist that were never re-measured (elevated
+    *    medians from the contaminated stretch stand unrepaired).
+    * The max rule uses the SPARK canary only and a 4x bar: healthy
+    * windows show one-off max blips near 2x on both canaries (the
+    * 106.4 s round-16 open window: spark max 2.2x, cpu max 6.8x, all
+    * suspects re-measured) — an end reading or an unrepaired-suspect
+    * max is evidence, a lone blip is not. */
+  val MaxContaminationRatio = 4.0
+  def windowDegraded(pinViolations: Boolean, canaryMaxRatio: Double,
+      canaryEndRatio: Double, cpuCanaryEndRatio: Double,
+      unremeasuredSuspects: Boolean): Boolean =
+    pinViolations || canaryEndRatio >= 2.0 || cpuCanaryEndRatio >= 2.0 ||
+      (canaryMaxRatio >= MaxContaminationRatio && unremeasuredSuspects)
+
   /** Of two same-bits measurements, publish the lower median — the
     * one not paying the transient environment cost. An all-failed
     * re-measure never replaces a valid first reading (its sentinel
@@ -928,7 +952,18 @@ object Bench {
     val failedQueries = (firstPass.toSeq ++ remeasured.toSeq)
       .filter(_._2.samples.exists(_.failed)).map(_._1)
       .distinct.sorted
-    val degraded = stillViolating.nonEmpty
+    // In-run contamination telemetry over EVERY measurement taken
+    // (first pass and re-measures) — see [[windowDegraded]].
+    val canaryMaxRatio = (firstPass.values ++ remeasured.values)
+      .map(_.canarySec).max / canaryBaseline
+    val canaryEndRatio = canaryNow / canaryBaseline
+    val cpuCanaryEndRatio = cpuCanaryNow / cpuCanaryBaseline
+    val unremeasuredSuspects =
+      suspects.exists(n => !remeasured.contains(n)) ||
+        suspectsTruncated > 0
+    val degraded = windowDegraded(stillViolating.nonEmpty,
+      canaryMaxRatio, canaryEndRatio, cpuCanaryEndRatio,
+      unremeasuredSuspects)
     if (degraded || suspects.nonEmpty || failedQueries.nonEmpty) {
       System.err.println(
         s"[bench] canary baseline=${f"$canaryBaseline%.3f"}s " +
@@ -1030,7 +1065,7 @@ object Bench {
           }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary":$canaryStats,"cpu_canary":$cpuCanaryStats,"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"remeasured":${remeasured.size},"recovery_attempts":$recoveryAttempts,"startup_waits":$startupWaits,"suspects_truncated":$suspectsTruncated,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg":$load,"degraded":$degraded,"canary_max_ratio":${fmt2(canaryMaxRatio)},"canary_end_ratio":${fmt2(canaryEndRatio)},"canary":$canaryStats,"cpu_canary":$cpuCanaryStats,"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"remeasured":${remeasured.size},"recovery_attempts":$recoveryAttempts,"startup_waits":$startupWaits,"suspects_truncated":$suspectsTruncated,"sf":"$sfDir"}"""
     // Artifact file carries the per-query spread (min/max over the 3
     // passes, chronological per-pass loadavg), per-pass GC seconds and
     // actual-disk-read MB, the per-entry canary series, and the pin /
@@ -1039,10 +1074,18 @@ object Bench {
     // page cache (ioMB high), heap (gc high), or host load (loadavg)
     // without a re-run.
     val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"phases":$phasesJson,"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"recovery_attempts":$recoveryAttempts,"startup_waits":$startupWaits,"suspects_truncated":$suspectsTruncated,"degraded":$degraded,"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":${jsonMap(_.min)},"queries_max":${jsonMap(_.max)},"queries_load":${jsonArrMap(_.samples.map(_.load), fmt2)},"queries_gc_sec":${jsonArrMap(_.samples.map(_.gcSec), fmt)},"queries_io_mb":${jsonArrMap(_.samples.map(_.ioMb), fmt)},"canary_series":$canarySeries,"canary":$canaryStats,"cpu_canary_series":$cpuCanarySeries,"cpu_canary":$cpuCanaryStats,"gc_sec_total":${fmt(gcTotal)},"io_mb_total":${fmt(ioTotal)},"store_build_s":${storeBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"store_build_failed":${strArr(storeBuildFailed.toSeq)},"store_queries":${storeQueries.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + strArr(v) }.mkString("{", ",", "}")},"failed_passes":${results.toSeq.sortBy(_._1).filter(_._2.samples.exists(_.failed)).map { case (k, v) => "\"" + k + "\":[" + v.samples.zipWithIndex.filter(_._1.failed).map(_._2).mkString(",") + "]" }.mkString("{", ",", "}")},"phases":$phasesJson,"pins":${Pins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"committed":${Committed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"pin_violations":${strArr(stillViolating)},"elevated":${strArr(elevated)},"failed_queries":${strArr(failedQueries)},"suspects":${strArr(suspects)},"remeasured":${strArr(remeasured.keys.toSeq.sorted)},"recovery_attempts":$recoveryAttempts,"startup_waits":$startupWaits,"suspects_truncated":$suspectsTruncated,"degraded":$degraded,"canary_max_ratio":${fmt2(canaryMaxRatio)},"canary_end_ratio":${fmt2(canaryEndRatio)},"cpu_canary_end_ratio":${fmt2(cpuCanaryEndRatio)},"passes":$passes,"loadavg":$load,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), fileLine + "\n")
-    println(line)
+    // The one-line JSON is the ABSOLUTE LAST stdout of this program
+    // (round-15 VERDICT #3/#4: the r14 line was clipped by the
+    // driver's tail-capture budget, destroying a whole round's
+    // baseline): stop Spark FIRST so no shutdown logging can follow
+    // it, then print and flush. build.sbt additionally suppresses
+    // sbt's trailing "[success] Total time" line (Global/showSuccess)
+    // so nothing at all follows the JSON in captured output.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -197,9 +197,20 @@ object Bm25 {
     * the x|queries| expansion + aggregation behind it (the classic
     * expansion-after-shuffle blindspot — AQE sizes on map output, not
     * downstream fan-out). */
+  /** Widest term union the mask-pivot tail (below) will handle; past
+    * it the expansion tail runs. The cap bounds the per-doc slots
+    * array (and the wasted multiply-adds on docs matching few of a
+    * rep's terms) — the mask shape's work is |docs with any queried
+    * term| x |reps| x |slots|, profitable exactly when the term
+    * union is small and match density is high (the stop-word-df
+    * serving workload); the expansion shape stays the right plan for
+    * wide, selective unions. */
+  private[ops] val MaskSlotCap = 64
+
   private def scoreBatch(tf: DataFrame, lengths: DataFrame,
       corpusStats: DataFrame, qterms: DataFrame, k: Int, k1: Double,
-      b: Double): DataFrame = {
+      b: Double, repTerms: Option[Seq[(Int, Seq[String])]] = None)
+      : DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(corpusStats))
       .select(col("term"),
@@ -220,11 +231,54 @@ object Bm25 {
           / (col("tf") + lit(k1) * (lit(1.0) - b
             + lit(b) * col("dl") / col("avgdl")))).as("s"))
     val parts = tf.sparkSession.sessionState.conf.numShufflePartitions
-    val scored = contrib
-      .repartition(parts, col("doc_id"))
-      .join(broadcast(qterms), Seq("term"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("s")), 4).as("score"))
+    val repartitioned = contrib.repartition(parts, col("doc_id"))
+    // Round-16 (guide §8 "decide with small rows" / §2.3): when the
+    // caller holds the per-rep termsets on the driver and their union
+    // is narrow (the indexed-batch serving path; [[MaskSlotCap]]),
+    // the (query, doc) scores come from a per-doc SLOT VECTOR instead
+    // of the row expansion: pivot the (term, doc, s) contributions
+    // into one |terms|-wide array per doc (grouped by doc_id on the
+    // exchange already paid above — ~|docs| groups, not the old
+    // |query x doc| ~2M), then score every rep against every doc as
+    // one codegen'd vec_dot with the rep's 0/1 term mask. A doc with
+    // no matching term for a rep scores a true 0 (every BM25
+    // contribution is strictly positive: idf > 0 for any df <= N,
+    // tf > 0), so `raw > 0` reproduces the expansion's candidacy
+    // exactly — measured at the sf0.1 service cap the tail's
+    // 4.38M-row broadcast expansion and its 1.9M-group hash
+    // aggregate disappear (CapExp2, bit-identical output). Slot
+    // order is the sorted term list, so the per-(rep, doc) sum order
+    // is fixed; the expansion tail's sum order was row order — both
+    // land on the same 4-decimal rounding (oracle re-passed at all
+    // SFs).
+    val masked = repTerms.filter(reps =>
+      reps.flatMap(_._2).distinct.size <= MaskSlotCap)
+    val scored = masked match {
+      case Some(reps) =>
+        import tf.sparkSession.implicits._
+        val termList = reps.flatMap(_._2).distinct.sorted
+        val slotExprs = termList.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, col("s"))).as(s"s$i") }
+        val docSlots = repartitioned
+          .groupBy(col("doc_id"))
+          .agg(slotExprs.head, slotExprs.tail: _*)
+          .select(col("doc_id"), array(termList.indices.map(i =>
+            coalesce(col(s"s$i"), lit(0.0))): _*).as("slots"))
+        val repsDf = reps.map { case (rid, ts) =>
+          (rid, termList.map(t => if (ts.contains(t)) 1.0 else 0.0))
+        }.toDF("query_id", "mask")
+        docSlots.join(broadcast(repsDf))
+          .select(col("query_id"), col("doc_id"),
+            graft.functions.VectorFunctions.vec_dot(
+              col("slots"), col("mask")).as("raw"))
+          .filter(col("raw") > 0)
+          .select(col("query_id"), col("doc_id"),
+            round(col("raw"), 4).as("score"))
+      case None => repartitioned
+        .join(broadcast(qterms), Seq("term"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(col("s")), 4).as("score"))
+    }
     // per-query heap top-k (round 14): a query_id-partitioned rank
     // window funnels every candidate of one query through one task —
     // corpus-proportional for a common term's postings; see
@@ -678,7 +732,10 @@ object Bm25 {
     val repScored = scoreBatch(
       tfAll.select(col("doc_id"), col("term"), col("tf"), col("dl")),
       tfAll.select(col("doc_id"), col("dl")), corpusStats, qterms,
-      k, k1, b)
+      k, k1, b,
+      // driver-held termsets -> the mask-pivot tail when the union is
+      // narrow (scoreBatch decides; values identical either way)
+      repTerms = Some(repIdx.toSeq.map { case (ts, rid) => (rid, ts) }))
     val mapping = canon
       .map { case (qid, ts) => (repIdx(ts), qid) }
       .toDF("rep_idx", "query_id")

@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Rounds a `pointerDoubling = false` run propagates linearly before
+    * switching the jump join ON anyway (round-16, round-15 ADVICE):
+    * near-dup similarity is not transitive, so a caller's "the graph
+    * is clique-shaped" is a measurement, not an invariant — a
+    * chain-like component of diameter > maxIter would otherwise turn
+    * the disabled optimization into a hard `require(converged)`
+    * failure at scale. Clique unions converge in ~2-5 rounds and
+    * never reach the switch (keeping the measured ~25%/round saving);
+    * anything still moving after this many rounds gets logarithmic
+    * convergence, so total rounds are bounded by
+    * AdaptiveDoublingAfter + O(log2 diameter) — far inside the
+    * default maxIter for any physical graph. */
+  val AdaptiveDoublingAfter = 6
+
   /** @param edges two-column DataFrame (`src`, `dst`), undirected.
     * @param pointerDoubling add the comp -> label(comp) jump join each
     *   round. Keeps round count logarithmic in component diameter — the
@@ -28,7 +42,12 @@ object Components {
     *   graphs (near-dup clusters) it saves no rounds and costs one join
     *   per round (measured: 5 rounds either way on the sf0.1 near-dup
     *   graph, ~25% cheaper per round without it — graft.CompExp), so
-    *   callers that KNOW the graph is clique-shaped may disable it.
+    *   callers that KNOW the graph is clique-shaped may disable it —
+    *   `false` means "start without the jump join", and the run
+    *   switches it on adaptively after [[AdaptiveDoublingAfter]]
+    *   non-converged rounds (the clique assumption is then observably
+    *   wrong for this input, and linear propagation on a deep
+    *   component must not run into the maxIter failure).
     * @param verbose print per-round changed counts (diagnostics).
     * @return (`id`, `comp`) for every node incident to an edge, where
     *   `comp` is the smallest node id in the component.
@@ -64,7 +83,8 @@ object Components {
       // so the jump preserves correctness while making convergence
       // logarithmic in component diameter instead of linear (a 75-node
       // chain-ish component converges in ~4 rounds, not ~11).
-      val updated = (if (!pointerDoubling) m1
+      val doubleNow = pointerDoubling || i >= AdaptiveDoublingAfter
+      val updated = (if (!doubleNow) m1
         else m1
           .join(labels.select(col("id").as("comp"),
             col("comp").as("jump")), Seq("comp"), "left_outer")

@@ -50,7 +50,19 @@ object Rrf {
     require(lists.nonEmpty, "rrf: no lists to fuse")
     val contributions = lists.map(_.select(col("query_id"), col("doc_id"),
       (lit(1.0) / (lit(c) + col("rank"))).as("w")))
-    val fused = contributions.reduce(_ unionByName _)
+    val unioned = contributions.reduce(_ unionByName _)
+    // ONE exchange serves both the sum and the rank window (round-16,
+    // guide §2.4 "two operations keyed the same way share one
+    // exchange"): hash-partitioning by query_id alone clusters the
+    // (query_id, doc_id) groups — the aggregate's ClusteredDistribution
+    // is satisfied — AND is exactly the window's required partitioning;
+    // the default groupBy(query_id, doc_id) partitioning keyed on BOTH
+    // columns forced a second full exchange before the window. The
+    // explicit count pins the exchange against AQE coalescing the
+    // k-bounded frame below the session's parallelism.
+    val parts = unioned.sparkSession.sessionState.conf.numShufflePartitions
+    val fused = unioned
+      .repartition(parts, col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("w")), 6).as("rrf"))
     val w = Window.partitionBy(col("query_id"))

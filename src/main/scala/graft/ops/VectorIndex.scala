@@ -689,19 +689,60 @@ object VectorIndex {
         r.getDouble(2)))
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(cents.map(_._2))
-    val idOf = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
-    val q = queries
-      .select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"),
-        vec_norm(col("embedding")).as("q_norm"),
-        explode(centroid_top_cells(col("embedding"), bc, nProbe))
-          .as("cidx"))
-      .select(col("query_id"), col("q_emb"), col("q_norm"),
-        element_at(idOf, col("cidx") + 1).as("cell"))
-    // the probed cell set, resolved small on the driver so the scan
-    // filter is a literal IN over the partition column
-    val probedCells = q.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // Round-16 (guide §1.2 "how many passes are unavoidable"): the
+    // old shape evaluated the queries subtree TWICE per call — once
+    // for the probed-cell `distinct().collect()` and once as the
+    // broadcast build of `q` — and ran cell assignment as its own
+    // Spark job. A BOUNDED query set (<= Bm25.MaxBatchQueries — every
+    // registered caller's is) collects ONCE and assigns cells on the
+    // driver through the SAME expression object the distributed path
+    // evaluates ([[graft.functions.CentroidTopCells.topCells]]; the
+    // norm loop mirrors [[graft.functions.VectorDot]]'s accumulation
+    // order), so cell choice, q_norm, and every downstream sim are
+    // bit-identical. Larger or null-carrying query sets keep the
+    // distributed assignment.
+    val qhead = queries.select(col("vec_id"), col("embedding"))
+      .limit(Bm25.MaxBatchQueries + 1).collect()
+    val bounded = qhead.length <= Bm25.MaxBatchQueries &&
+      qhead.forall(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val (q, probedCells): (DataFrame, Seq[Int]) = if (bounded) {
+      import spark.implicits._
+      val assigner = graft.functions.CentroidTopCells(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          null, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)), bc, nProbe)
+      val rows = qhead.toSeq.flatMap { r =>
+        val id = r.getLong(0)
+        val e = r.getSeq[Float](1)
+        val arr = e.toArray
+        var acc = 0.0
+        var j = 0
+        while (j < arr.length) {
+          acc += arr(j).toDouble * arr(j).toDouble; j += 1
+        }
+        val norm = math.sqrt(acc)
+        assigner.topCells(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(arr))
+          .toIntArray().toSeq
+          .map(ci => (id, e, norm, cents(ci)._1))
+      }
+      (rows.toDF("query_id", "q_emb", "q_norm", "cell"),
+        rows.map(_._4).distinct.sorted)
+    } else {
+      val idOf = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
+      val qDf = queries
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"),
+          vec_norm(col("embedding")).as("q_norm"),
+          explode(centroid_top_cells(col("embedding"), bc, nProbe))
+            .as("cidx"))
+        .select(col("query_id"), col("q_emb"), col("q_norm"),
+          element_at(idOf, col("cidx") + 1).as("cell"))
+      // the probed cell set, resolved small on the driver so the scan
+      // filter is a literal IN over the partition column
+      (qDf, qDf.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq)
+    }
     val scanCols = Seq("vec_id", "embedding", "c_norm", "cell").map(col)
     // streamed arrivals (VectorIngestPipeline) live as batchId-keyed
     // delta partitions beside the base cells; cell is a partition

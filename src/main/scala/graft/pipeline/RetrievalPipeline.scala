@@ -104,10 +104,33 @@ object RetrievalPipeline {
     */
   def hybridTopKBatch(spark: SparkSession, bmPath: String,
       ivfPath: String, queries: DataFrame, k: Int, perList: Int = 20,
-      nProbe: Int = 4): DataFrame =
-    Rrf.fuseBatch(Seq(
+      nProbe: Int = 4): DataFrame = {
+    // Build the two halves CONCURRENTLY (round-16, guide §2.6 "overlap
+    // independent jobs"): each half's construction runs several
+    // driver-blocking actions (bounded collects, the probe stage
+    // write, centroid reads) that are fully independent of the other
+    // half's — sequential construction paid their sum, concurrent
+    // pays the max. Result-identical: both threads only CONSTRUCT
+    // DataFrames against the immutable inputs; fusion consumes them
+    // exactly as before.
+    val (lex, dense) = inParallel(
       lexicalHalf(spark, bmPath, queries, perList),
-      denseHalf(spark, ivfPath, queries, perList, nProbe)), k)
+      denseHalf(spark, ivfPath, queries, perList, nProbe))
+    Rrf.fuseBatch(Seq(lex, dense), k)
+  }
+
+  /** Run two independent construction blocks on two threads (guide
+    * §2.6); exceptions propagate to the caller. Spark job submission
+    * is thread-safe by design — concurrent driver actions back-fill
+    * each other's scheduling gaps. */
+  private[graft] def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fbF = Future(fb)
+    val a = fa
+    (a, Await.result(fbF, Duration.Inf))
+  }
 
   /** [[hybridTopKBatch]] with the lexical half served through the
     * persisted per-termset RESULT CACHE ([[graft.ops.Bm25ResultCache]]
@@ -119,13 +142,17 @@ object RetrievalPipeline {
     * partition-pruned scans with no per-termset reuse structure. */
   def hybridTopKBatchCached(spark: SparkSession, bmPath: String,
       ivfPath: String, memoPath: String, queries: DataFrame, k: Int,
-      perList: Int = 20, nProbe: Int = 4): DataFrame =
-    Rrf.fuseBatch(Seq(
+      perList: Int = 20, nProbe: Int = 4): DataFrame = {
+    // same concurrent construction as hybridTopKBatch (guide §2.6);
+    // the memo probe/append and the dense probe touch disjoint stores
+    val (lex, dense) = inParallel(
       graft.ops.Bm25ResultCache.scoreTopKCachedBatch(spark, bmPath,
           memoPath, queries.select(col("query_id"), col("terms")),
           perList)
         .select(col("query_id"), col("doc_id"), col("rank")),
-      denseHalf(spark, ivfPath, queries, perList, nProbe)), k)
+      denseHalf(spark, ivfPath, queries, perList, nProbe))
+    Rrf.fuseBatch(Seq(lex, dense), k)
+  }
 
   /** The batch's lexical half alone — exposed (beside [[denseHalf]])
     * so the bench can time each phase of `retrieval_service_cap` per

@@ -164,7 +164,10 @@ object PipelineQueries {
     // graph is a union of small cliques, where the jump join saves no
     // rounds and costs one join per round (measured by graft.CompExp:
     // 5 rounds either way at sf0.1, ~25% cheaper per round without).
-    // The converged labels are the same unique fixpoint either way.
+    // The converged labels are the same unique fixpoint either way —
+    // and since round 16, OFF means "start linear, switch to doubling
+    // adaptively" (Components.AdaptiveDoublingAfter), so a deep
+    // chain-like component can never run the round budget out.
     "dedup_components_oracle" -> ((s, d) =>
       Components.connectedComponents(
           Similarity.nearDupPairs(
@@ -180,7 +183,9 @@ object PipelineQueries {
     // Recall < 1 at the demo threshold -> rows-only; the components
     // algorithm itself is oracle-proven via dedup_components_oracle.
     // pointerDoubling OFF — same clique-shaped-graph measurement as
-    // dedup_components_oracle above.
+    // dedup_components_oracle above; same round-16 adaptive-switch
+    // safety (this is the 100TB-shape entry, where an unexpectedly
+    // deep component must converge, not throw).
     "dedup_components_lsh" -> ((s, d) =>
       Components.connectedComponents(
           Similarity.verifyCandidates(
@@ -1471,9 +1476,13 @@ object PipelineQueries {
   private[graft] def serviceCapBatch(s: SparkSession,
       d: String): DataFrame = {
     import s.implicits._
-    Bm25.ensurePostings(Tables.documents(s, d), Bm25.defaultPath(d))
     val emb = Tables.embeddings(s, d)
-    VectorIndex.ensureIvf(emb, VectorIndex.defaultPath(d))
+    // the two stamped ensure checks touch disjoint stores — run them
+    // on two threads (guide §2.6; round-16): each is a count + file
+    // reads, and the batch generator pays their max instead of sum
+    graft.pipeline.RetrievalPipeline.inParallel(
+      Bm25.ensurePostings(Tables.documents(s, d), Bm25.defaultPath(d)),
+      VectorIndex.ensureIvf(emb, VectorIndex.defaultPath(d)))
     val pool = serviceCapPool
     emb.filter(col("vec_id") < 1024)
       .select(col("vec_id"), col("embedding"))

@@ -201,4 +201,41 @@ class BenchProtocolSpec extends AnyFunSuite {
     val b = Bench.cpuCanaryOnce()
     assert(a > 0.0 && b > 0.0)
   }
+
+  // ---- round-16 additions (round-15 VERDICT #1: the r15 driver
+  // window published degraded:false at canary max 28x / end 6.1x with
+  // zero suspects re-measured)
+
+  test("windowDegraded: the replayed r15 contaminated window marks " +
+      "itself degraded") {
+    // spark canary max 3.419/0.121 = 28.3x, end 0.740/0.121 = 6.1x,
+    // cpu end 0.109/0.010 = 10.9x, 29 suspects, 0 remeasured
+    assert(Bench.windowDegraded(pinViolations = false,
+      canaryMaxRatio = 28.3, canaryEndRatio = 6.1,
+      cpuCanaryEndRatio = 10.9, unremeasuredSuspects = true))
+    // the end rule fires alone, even had every suspect re-measured
+    assert(Bench.windowDegraded(false, 1.0, 6.1, 1.0, false))
+    assert(Bench.windowDegraded(false, 1.0, 1.0, 10.9, false))
+  }
+
+  test("windowDegraded: a healthy window with one-off canary blips " +
+      "and all suspects re-measured publishes non-degraded") {
+    // the round-16 open window: spark max 2.16x, end 1.09x, cpu end
+    // 1.4x, every suspect re-measured
+    assert(!Bench.windowDegraded(false, 2.16, 1.09, 1.4, false))
+    // even a 28x mid-run spike is repaired evidence once every
+    // suspect was re-measured in a recovered window and the end
+    // reading is healthy
+    assert(!Bench.windowDegraded(false, 28.3, 1.09, 1.4, false))
+  }
+
+  test("windowDegraded: an in-run max spike >= 4x with unrepaired " +
+      "suspects degrades; pins still degrade unconditionally") {
+    assert(Bench.windowDegraded(false, Bench.MaxContaminationRatio,
+      1.0, 1.0, unremeasuredSuspects = true))
+    assert(!Bench.windowDegraded(false, Bench.MaxContaminationRatio,
+      1.0, 1.0, unremeasuredSuspects = false))
+    assert(!Bench.windowDegraded(false, 3.9, 1.0, 1.0, true))
+    assert(Bench.windowDegraded(true, 1.0, 1.0, 1.0, false))
+  }
 }

@@ -80,6 +80,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
         case None => spark.conf.unset(graft.scale.Staging.DirConf)
       }
     }
-    plans.toArray(Array.empty[String]).toSeq
+    val out = plans.toArray(Array.empty[String]).toSeq
+    // Round-15 ADVICE: the listener bus is async and the drain above
+    // is time-bounded — an empty capture would make every NEGATIVE
+    // assertion built on this helper (plans.forall(!_.contains(...)))
+    // pass vacuously, silently disarming the scan pins. Every call
+    // site executes at least one action inside `body`, so zero
+    // captured plans is a broken capture, never a valid result.
+    assert(out.nonEmpty,
+      "plansDuring captured no plans — listener bus drained empty; " +
+        "negative plan pins would pass vacuously")
+    out
   }
 }

@@ -220,6 +220,35 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("mask-pivot tail gates on term-union width: a batch past " +
+      "MaskSlotCap takes the expansion tail with identical values") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val path = tmpDir("bm25-widebatch")
+    Bm25.ensurePostings(docs, path)
+    // a term union wider than the slot cap: real terms plus filler the
+    // corpus does not contain (absent terms change no score — df = 0
+    // rows contribute nothing — but they widen the union past the
+    // gate, forcing the expansion tail)
+    val filler = (0 until Bm25.MaskSlotCap).map(i => f"zzfiller$i%02d")
+    val qdefs = Seq(
+      ("kj", Seq("key", "join", "scan") ++ filler.take(40)),
+      ("wm", Seq("window", "merge") ++ filler.drop(40)))
+    assert(qdefs.flatMap(_._2).distinct.size > Bm25.MaskSlotCap)
+    val wide = Bm25.scoreTopKIndexedBatch(spark, path,
+        qdefs.toDF("query_id", "terms"), 12).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    for ((qid, terms) <- qdefs) {
+      val single = Bm25.scoreTopKIndexed(spark, path, terms, 12)
+        .collect()
+        .map(r => (qid, r.getLong(0)) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      assert(wide.view.filterKeys(_._1 == qid).toMap == single,
+        s"wide batch for $qid diverges from the single-query probe")
+    }
+  }
+
   test("indexed batch sees committed deltas under one snapshot " +
       "(appended docs score immediately, batch == grown direct batch)") {
     import spark.implicits._

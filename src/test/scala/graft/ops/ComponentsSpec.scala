@@ -28,6 +28,21 @@ class ComponentsSpec extends SparkSpec {
     assert(dropped == Set((2L, 1L), (3L, 1L), (8L, 7L)))
   }
 
+  test("pointerDoubling=false survives a chain deeper than maxIter " +
+      "(adaptive switch — round-15 ADVICE: near-dup similarity is not " +
+      "transitive, so the clique assumption must not hard-fail)") {
+    // path 0-1-...-40: diameter 40 > maxIter 25, so pure linear
+    // propagation could never converge inside the round budget; the
+    // adaptive switch to pointer doubling after AdaptiveDoublingAfter
+    // rounds must finish it
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges,
+        pointerDoubling = false)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 41 && got.values.forall(_ == 0L),
+      s"chain must collapse to component 0, got $got")
+  }
+
   test("random graph matches a union-find reference") {
     val rnd = new scala.util.Random(11)
     val edgeSeq = Seq.fill(200)((rnd.nextInt(120).toLong,

@@ -584,14 +584,22 @@ class PlanShapeSpec extends SparkSpec {
       // round-15: the histogram is STAGED (it feeds both the cuts
       // branch and the bucket aggregation), so a window child may be
       // the staged frame's leaf (LogicalRDD under localCheckpoint)
-      // instead of the Aggregate itself. Either way the input is the
-      // value-domain-bounded histogram; the growth bound itself is
-      // measured universally by HotPartitionSpec.
+      // instead of the Aggregate itself. Round-16 (round-15 ADVICE):
+      // "any all-LogicalRDD child" accepted EVERY staged frame —
+      // including a corpus-sized per-doc one — so the staged leaf
+      // must now carry the histogram's aggregate-produced columns
+      // (`cnt`, `words_sum`), which no per-doc frame has; the growth
+      // bound itself is measured universally by HotPartitionSpec.
       val overAggregate =
         w.child.collectFirst { case a: Aggregate => a }.isDefined
-      val overStagedLeaf = w.child.collectLeaves().forall(
-        l => l.getClass.getSimpleName.contains("LogicalRDD"))
-      assert(overAggregate || overStagedLeaf,
+      val histCols = Set("lang", "avg_loglik", "cnt", "words_sum")
+      val overStagedHistogram = {
+        val leaves = w.child.collectLeaves()
+        leaves.nonEmpty && leaves.forall(l =>
+          l.getClass.getSimpleName.contains("LogicalRDD") &&
+            l.output.map(_.name).toSet == histCols)
+      }
+      assert(overAggregate || overStagedHistogram,
         s"window over non-aggregated (corpus-sized) input:\n$w")
     }
   }
