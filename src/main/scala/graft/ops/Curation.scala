@@ -223,7 +223,12 @@ object Curation {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("h")), "repeated-spans-windows")
     // one distinct-aggregate exchange instead of distinct() + count
-    // groupBy (round-15; same move as boilerplateNgrams)
+    // groupBy (round-15; same move as boilerplateNgrams). Round-16
+    // A/B (round-15 VERDICT #4 suspected this rewrite for the
+    // 1.09 -> 1.41 committed move): reverting to distinct()+count
+    // measured 1.519 s median vs 1.291 s for this shape over 7
+    // quiet-window passes at sf0.1 — the rewrite is the faster shape
+    // and the r15 window's move was environment, so it stays.
     val flagged = windows
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

@@ -478,6 +478,19 @@ object Similarity {
     // final keeper projection) — unstaged, each consumer re-scans the
     // embeddings and re-computes vec_norm + centroid_top_cells
     // (ScanAudit: 3 embeddings scans; 1 after).
+    // DOCUMENTED EXCEPTION to the stage-only-narrower-frames rule
+    // (round-15 ADVICE, measured round-16): this stage carries the
+    // full embedding column beside (vec_id, norm, cells) — wider than
+    // its source — so in parquet stage mode (real clusters) every run
+    // rewrites the embedding corpus to scratch once. The rule-abiding
+    // alternative (stage only (vec_id, norm, cells), join embeddings
+    // back onto the candidate pairs for the dot check) measured 1.02 s
+    // vs 0.69 s at sf0.1: the two join-backs shuffle the PAIR set by
+    // vec_a then vec_b — pair cardinality is cell-quadratic, i.e.
+    // larger than the corpus — while the wide stage moves each
+    // embedding exactly once into the cell join. The wide stage is
+    // the §8 "move the heavy bytes once" shape here; the scratch
+    // write is the documented cluster-mode price.
     val assigned = graft.scale.Staging.materialize(
       vectors.select(col("vec_id"), col("embedding"),
         vec_norm(col("embedding")).as("norm"),

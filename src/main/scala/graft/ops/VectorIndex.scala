@@ -626,9 +626,14 @@ object VectorIndex {
           col("embedding").as("c_emb"), col("c_norm"), col("cell"))
         .filter(col("cell").isin(probedCells: _*)))
     }
-    val qside = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"),
-      vec_norm(col("embedding")).as("q_norm"))
+    // q-side from the rows already collected above (round-16, guide
+    // §1.2): the old projection re-evaluated the queries subtree —
+    // one more scan + job per call. qnorms came from the same
+    // ascending-index double accumulation vec_norm runs, so every
+    // downstream sim is bit-identical.
+    val qside = qrows.toSeq.zipWithIndex.map { case (r, i) =>
+      (qids(i), r.getSeq[Float](1), qnorms(i))
+    }.toDF("query_id", "q_emb", "q_norm")
     val shortRows = graft.scale.Staging.guardedBroadcast(shortlist)
       .join(rerankFloats, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("c_emb"),
@@ -657,9 +662,12 @@ object VectorIndex {
       d.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"), col("c_norm"), col("cell"))))
     val pqCells = spark.read.parquet(s"$path/pq_cells")
+    // the two staleness footer counts are independent jobs — overlap
+    // them (round-16, guide §2.6)
+    val (nCoded, nCells) = graft.scale.Staging.inParallel(
+      pqCells.count(), spark.read.parquet(s"$path/cells").count())
     val uncoveredRows =
-      if (pqCells.count() ==
-        spark.read.parquet(s"$path/cells").count()) None
+      if (nCoded == nCells) None
       else Some(exactSide(floats.join(
         pqCells.select(col("vec_id").as("neighbor_id"), col("cell"))
           .filter(col("cell").isin(probedCells: _*)),

@@ -113,23 +113,10 @@ object RetrievalPipeline {
     // pays the max. Result-identical: both threads only CONSTRUCT
     // DataFrames against the immutable inputs; fusion consumes them
     // exactly as before.
-    val (lex, dense) = inParallel(
+    val (lex, dense) = graft.scale.Staging.inParallel(
       lexicalHalf(spark, bmPath, queries, perList),
       denseHalf(spark, ivfPath, queries, perList, nProbe))
     Rrf.fuseBatch(Seq(lex, dense), k)
-  }
-
-  /** Run two independent construction blocks on two threads (guide
-    * §2.6); exceptions propagate to the caller. Spark job submission
-    * is thread-safe by design — concurrent driver actions back-fill
-    * each other's scheduling gaps. */
-  private[graft] def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fbF = Future(fb)
-    val a = fa
-    (a, Await.result(fbF, Duration.Inf))
   }
 
   /** [[hybridTopKBatch]] with the lexical half served through the
@@ -145,7 +132,7 @@ object RetrievalPipeline {
       perList: Int = 20, nProbe: Int = 4): DataFrame = {
     // same concurrent construction as hybridTopKBatch (guide §2.6);
     // the memo probe/append and the dense probe touch disjoint stores
-    val (lex, dense) = inParallel(
+    val (lex, dense) = graft.scale.Staging.inParallel(
       graft.ops.Bm25ResultCache.scoreTopKCachedBatch(spark, bmPath,
           memoPath, queries.select(col("query_id"), col("terms")),
           perList)

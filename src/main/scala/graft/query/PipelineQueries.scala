@@ -1480,7 +1480,7 @@ object PipelineQueries {
     // the two stamped ensure checks touch disjoint stores — run them
     // on two threads (guide §2.6; round-16): each is a count + file
     // reads, and the batch generator pays their max instead of sum
-    graft.pipeline.RetrievalPipeline.inParallel(
+    graft.scale.Staging.inParallel(
       Bm25.ensurePostings(Tables.documents(s, d), Bm25.defaultPath(d)),
       VectorIndex.ensureIvf(emb, VectorIndex.defaultPath(d)))
     val pool = serviceCapPool

@@ -91,6 +91,21 @@ object Staging {
     }
   }
 
+  /** Run two independent construction blocks on two threads (guide
+    * §2.6 "overlap independent jobs"; round-16): driver-blocking
+    * actions during query CONSTRUCTION (bounded collects, stage
+    * writes, footer counts) that do not depend on each other pay
+    * their max instead of their sum. Exceptions propagate to the
+    * caller; Spark job submission is thread-safe by design. */
+  def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fbF = Future(fb)
+    val a = fa
+    (a, Await.result(fbF, Duration.Inf))
+  }
+
   /** Broadcast `side` only while its row count is at or under
     * [[BroadcastRowsConf]]; past that, return it unhinted so the
     * planner falls back to a shuffle join (always available for the
