@@ -149,10 +149,6 @@ object Bm25 {
     * math, spec-pinned. */
   def scoreTopKBatch(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qterms = queries
-      .select(col("query_id"), explode(col("terms")).as("term"))
-      .distinct()
-    val termSet = qterms.select(col("term")).distinct()
     // staged for the same two-consumers-per-frame reason as scoreTopK
     val lengths = graft.scale.Staging.materialize(docs
       .select(col("doc_id"),
@@ -162,12 +158,55 @@ object Bm25 {
     val corpusStats = lengths
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
       .na.fill(0L)
-    val tf = graft.scale.Staging.materialize(docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .join(broadcast(termSet), Seq("term"), "left_semi")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf")), "bm25-batch-tf")
-    scoreBatch(tf, lengths, corpusStats, qterms, k, k1, b)
+    // Round-16 (guide §1.2): a BOUNDED batch whose term union fits
+    // the mask cap resolves its termsets with ONE bounded collect —
+    // the term filter becomes a literal IN inside the scan's codegen
+    // span (no termSet distinct + broadcast jobs) and the scoring
+    // tail takes the mask-pivot shape. NULL terms arrays contribute
+    // no terms (explode parity) and repeated query_ids keep their
+    // union-of-terms semantics (the old (query_id, term) distinct).
+    // Unbounded or wide-union batches keep the broadcast-semi-join
+    // shape unchanged.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qhead = queries.select(col("query_id"), col("terms"))
+      .limit(MaxBatchQueries + 1).collect()
+    val perQ: Seq[(String, Seq[String])] =
+      if (qhead.length > MaxBatchQueries) Seq.empty
+      else qhead.toSeq
+        .map(r => (r.getString(0),
+          Option(r.getSeq[String](1)).getOrElse(Seq.empty)))
+        .groupBy(_._1)
+        .map { case (qid, rows) =>
+          (qid, rows.flatMap(_._2).distinct.sorted)
+        }.toSeq
+    val termList = perQ.flatMap(_._2).distinct.sorted
+    val bounded = qhead.length <= MaxBatchQueries &&
+      termList.nonEmpty && termList.size <= MaskSlotCap
+    if (bounded) {
+      val tf = graft.scale.Staging.materialize(docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(termList: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")), "bm25-batch-tf")
+      val qterms = perQ.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "term")
+      val repsDf = perQ.map { case (q, ts) => (q, maskOf(termList, ts)) }
+        .toDF("query_id", "mask")
+      scoreBatch(tf, lengths, corpusStats, qterms, k, k1, b,
+        maskSpec = Some((termList, repsDf)))
+    } else {
+      val qterms = queries
+        .select(col("query_id"), explode(col("terms")).as("term"))
+        .distinct()
+      val termSet = qterms.select(col("term")).distinct()
+      val tf = graft.scale.Staging.materialize(docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .join(broadcast(termSet), Seq("term"), "left_semi")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")), "bm25-batch-tf")
+      scoreBatch(tf, lengths, corpusStats, qterms, k, k1, b)
+    }
   }
 
   /** The batch scoring tail shared by the direct and indexed batch
@@ -207,9 +246,19 @@ object Bm25 {
     * wide, selective unions. */
   private[ops] val MaskSlotCap = 64
 
+  /** Mask input for [[scoreBatch]]'s pivot tail: the sorted term list
+    * (slot order) and a (query_id, mask) frame — one 0/1 double per
+    * slot per rep, mask(i) = 1 iff the rep's termset contains
+    * termList(i). The query_id column keeps the caller's id type
+    * (compact ints on the indexed path, caller-visible strings on the
+    * direct path). Callers build it via [[maskOf]]. */
+  private[ops] def maskOf(termList: Seq[String],
+      ts: Seq[String]): Seq[Double] =
+    termList.map(t => if (ts.contains(t)) 1.0 else 0.0)
+
   private def scoreBatch(tf: DataFrame, lengths: DataFrame,
       corpusStats: DataFrame, qterms: DataFrame, k: Int, k1: Double,
-      b: Double, repTerms: Option[Seq[(Int, Seq[String])]] = None)
+      b: Double, maskSpec: Option[(Seq[String], DataFrame)] = None)
       : DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(corpusStats))
@@ -251,12 +300,10 @@ object Bm25 {
     // is fixed; the expansion tail's sum order was row order — both
     // land on the same 4-decimal rounding (oracle re-passed at all
     // SFs).
-    val masked = repTerms.filter(reps =>
-      reps.flatMap(_._2).distinct.size <= MaskSlotCap)
+    val masked = maskSpec.filter { case (termList, _) =>
+      termList.nonEmpty && termList.size <= MaskSlotCap }
     val scored = masked match {
-      case Some(reps) =>
-        import tf.sparkSession.implicits._
-        val termList = reps.flatMap(_._2).distinct.sorted
+      case Some((termList, repsDf)) =>
         val slotExprs = termList.zipWithIndex.map { case (t, i) =>
           sum(when(col("term") === t, col("s"))).as(s"s$i") }
         val docSlots = repartitioned
@@ -264,9 +311,6 @@ object Bm25 {
           .agg(slotExprs.head, slotExprs.tail: _*)
           .select(col("doc_id"), array(termList.indices.map(i =>
             coalesce(col(s"s$i"), lit(0.0))): _*).as("slots"))
-        val repsDf = reps.map { case (rid, ts) =>
-          (rid, termList.map(t => if (ts.contains(t)) 1.0 else 0.0))
-        }.toDF("query_id", "mask")
         docSlots.join(broadcast(repsDf))
           .select(col("query_id"), col("doc_id"),
             graft.functions.VectorFunctions.vec_dot(
@@ -729,13 +773,16 @@ object Bm25 {
       "bm25-indexed-batch-probe")
     // tf keeps its dl column -> scoreBatch skips the lengths join
     // (the lengths argument is never evaluated on this path)
+    // driver-held termsets -> the mask-pivot tail when the union is
+    // narrow (scoreBatch decides; values identical either way)
+    val termList = terms.sorted
+    val repsDf = repIdx.toSeq
+      .map { case (ts, rid) => (rid, maskOf(termList, ts)) }
+      .toDF("query_id", "mask")
     val repScored = scoreBatch(
       tfAll.select(col("doc_id"), col("term"), col("tf"), col("dl")),
       tfAll.select(col("doc_id"), col("dl")), corpusStats, qterms,
-      k, k1, b,
-      // driver-held termsets -> the mask-pivot tail when the union is
-      // narrow (scoreBatch decides; values identical either way)
-      repTerms = Some(repIdx.toSeq.map { case (ts, rid) => (rid, ts) }))
+      k, k1, b, maskSpec = Some((termList, repsDf)))
     val mapping = canon
       .map { case (qid, ts) => (repIdx(ts), qid) }
       .toDF("rep_idx", "query_id")

@@ -52,13 +52,60 @@ object Components {
     * @return (`id`, `comp`) for every node incident to an edge, where
     *   `comp` is the smallest node id in the component.
     */
+  /** Edge-count bound under which the label propagation runs as a
+    * driver-side union-find instead of the iterative Spark loop
+    * (round-16, guide §2.3 "decide with small rows" / §1.2 "the
+    * distributed algorithm"): each propagation round costs two joins,
+    * an eager checkpoint, and a count — ~0.4-0.5 s of fixed job
+    * latency per round regardless of data size — so a 186-edge
+    * near-dup graph paid ~2.2 s for what is microseconds of actual
+    * union-find work. Under the bound the edges are a bounded driver
+    * read (16 bytes/edge; ~3 MB at the cap — the MaxBatchQueries
+    * collect discipline), the fixpoint is computed exactly on the
+    * driver, and the result returns as a local relation; past it the
+    * shuffle-bounded loop runs unchanged, which is the only shape
+    * that exists at 100 TB. Same unique min-id fixpoint either way
+    * (spec-pinned equality on randomized graphs). */
+  val DriverMaxEdges = 200000
+
   def connectedComponents(edges: DataFrame,
       maxIter: Int = 25, pointerDoubling: Boolean = true,
-      verbose: Boolean = false): DataFrame = {
+      verbose: Boolean = false,
+      driverMaxEdges: Int = DriverMaxEdges): DataFrame = {
     // materialize the edge list ONCE before mirroring: `edges` is often
     // an expensive upstream plan (e.g. the near-dup pair join), and the
     // union would otherwise execute it twice
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    if (driverMaxEdges > 0) {
+      // bounded probe: limit short-circuits, so a corpus-scale edge
+      // set reads ~driverMaxEdges rows, never the full set
+      val head = e.limit(driverMaxEdges + 1).collect()
+      if (head.length <= driverMaxEdges &&
+          head.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        head.foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b)
+        }
+        val nodes = parent.keys.toArray
+        // min-id label per component == the loop's converged fixpoint
+        val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
+        nodes.foreach { n =>
+          val r = find(n)
+          minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+        }
+        import e.sparkSession.implicits._
+        return nodes.toSeq.map(n => (n, minOfRoot(find(n))))
+          .toDF("id", "comp")
+      }
+    }
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -455,16 +455,18 @@ object PipelineQueries {
         ("kj", Seq("key", "join", "scan")),
         ("sp", Seq("spark", "part")),
         ("wm", Seq("window", "merge"))).toDF("query_id", "terms")
-      val lex = Bm25.scoreTopKBatch(Tables.documents(s, d), qs, 20)
-        .select(col("query_id"), col("doc_id"), col("rank"))
       val emb = Tables.embeddings(s, d)
       val qid = when(col("query_id") === 0L, "kj")
         .when(col("query_id") === 1L, "sp")
         .otherwise("wm")
-      val dense = Similarity.bruteForceTopK(
-          emb.filter(col("vec_id").isin(0L, 1L, 2L)), emb, 20)
-        .select(qid.as("query_id"), col("neighbor_id").as("doc_id"),
-          col("rank"))
+      // independent halves on two threads (round-16, guide §2.6)
+      val (lex, dense) = graft.scale.Staging.inParallel(
+        Bm25.scoreTopKBatch(Tables.documents(s, d), qs, 20)
+          .select(col("query_id"), col("doc_id"), col("rank")),
+        Similarity.bruteForceTopK(
+            emb.filter(col("vec_id").isin(0L, 1L, 2L)), emb, 20)
+          .select(qid.as("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank")))
       graft.ops.Rrf.fuseBatch(Seq(lex, dense), 10)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -479,21 +481,26 @@ object PipelineQueries {
     // real vec_ids so self-exclusion matches the oracle.
     "retrieval_hybrid_indexed_batch" -> ((s, d) => {
       val bmPath = Bm25.defaultPath(d)
-      Bm25.ensurePostings(Tables.documents(s, d), bmPath)
       val emb = Tables.embeddings(s, d)
       val ivfPath = graft.ops.VectorIndex.defaultPath(d)
-      graft.ops.VectorIndex.ensureIvf(emb, ivfPath)
+      // the two ensure checks, then the two halves' construction, are
+      // independent — two threads each (round-16, guide §2.6; same
+      // move as RetrievalPipeline.hybridTopKBatch)
+      graft.scale.Staging.inParallel(
+        Bm25.ensurePostings(Tables.documents(s, d), bmPath),
+        graft.ops.VectorIndex.ensureIvf(emb, ivfPath))
       val qs = hybridBatchQs(s)
-      val lex = Bm25.scoreTopKIndexedBatch(s, bmPath, qs, 20)
-        .select(col("query_id"), col("doc_id"), col("rank"))
       val qid = when(col("qvec") === 0L, "kj")
         .when(col("qvec") === 1L, "sp")
         .otherwise("wm")
-      val dense = graft.ops.VectorIndex.queryIvf(s, ivfPath,
-          emb.filter(col("vec_id").isin(0L, 1L, 2L)), 20, nProbe = 16)
-        .select(col("query_id").as("qvec"),
-          col("neighbor_id").as("doc_id"), col("rank"))
-        .select(qid.as("query_id"), col("doc_id"), col("rank"))
+      val (lex, dense) = graft.scale.Staging.inParallel(
+        Bm25.scoreTopKIndexedBatch(s, bmPath, qs, 20)
+          .select(col("query_id"), col("doc_id"), col("rank")),
+        graft.ops.VectorIndex.queryIvf(s, ivfPath,
+            emb.filter(col("vec_id").isin(0L, 1L, 2L)), 20, nProbe = 16)
+          .select(col("query_id").as("qvec"),
+            col("neighbor_id").as("doc_id"), col("rank"))
+          .select(qid.as("query_id"), col("doc_id"), col("rank")))
       graft.ops.Rrf.fuseBatch(Seq(lex, dense), 10)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -537,12 +544,14 @@ object PipelineQueries {
     // IEEE division, so the fused scores pair bit-for-bit against the
     // SQL oracle.
     "retrieval_hybrid_rrf" -> ((s, d) => {
-      val lex = Bm25.scoreTopK(Tables.documents(s, d), Bm25QueryTerms, 20)
-        .select(col("doc_id"), col("rank"))
       val emb = Tables.embeddings(s, d)
-      val dense = Similarity.bruteForceTopK(
-          emb.filter(col("vec_id") === 0), emb, 20)
-        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      // independent halves on two threads (round-16, guide §2.6)
+      val (lex, dense) = graft.scale.Staging.inParallel(
+        Bm25.scoreTopK(Tables.documents(s, d), Bm25QueryTerms, 20)
+          .select(col("doc_id"), col("rank")),
+        Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") === 0), emb, 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank")))
       graft.ops.Rrf.fuse(Seq(lex, dense), 10)
         .orderBy(col("rank"))
     }),

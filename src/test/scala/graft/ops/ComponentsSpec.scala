@@ -36,8 +36,10 @@ class ComponentsSpec extends SparkSpec {
     // adaptive switch to pointer doubling after AdaptiveDoublingAfter
     // rounds must finish it
     val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    // driverMaxEdges = 0 forces the distributed loop — the adaptive
+    // switch under test lives there, not in the driver union-find
     val got = Components.connectedComponents(edges,
-        pointerDoubling = false)
+        pointerDoubling = false, driverMaxEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(got.size == 41 && got.values.forall(_ == 0L),
       s"chain must collapse to component 0, got $got")
@@ -63,14 +65,24 @@ class ComponentsSpec extends SparkSpec {
     val expected = byRoot.values.flatMap { ns =>
       val m = ns.min; ns.map(_ -> m)
     }.toMap
-    val got = Components.connectedComponents(edgeSeq.toDF("src", "dst"))
+    // distributed loop (driverMaxEdges = 0 forces it) — the 100 TB
+    // shape must match the reference, not just the driver twin
+    val got = Components.connectedComponents(edgeSeq.toDF("src", "dst"),
+        driverMaxEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(got == expected)
     // the pointerDoubling=false path (cheaper per round, more rounds on
     // chain graphs) must compute the identical clustering
     val flat = Components.connectedComponents(edgeSeq.toDF("src", "dst"),
-        pointerDoubling = false)
+        pointerDoubling = false, driverMaxEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(flat == expected)
+    // the bounded driver union-find path (round-16 default under
+    // DriverMaxEdges) computes the identical min-id labeling
+    val driver = Components.connectedComponents(
+        edgeSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(driver == expected,
+      "driver union-find must equal the distributed fixpoint")
   }
 }
