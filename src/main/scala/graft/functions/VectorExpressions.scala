@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the embedding-similarity hot path.
   *
@@ -71,6 +71,74 @@ case class VectorDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** `vec_gather_sum(indices, values)`: sum over i of
+  * `values[indices[i]]` — the gather-and-accumulate loop behind
+  * lookup-table scoring (DSIR's per-doc log-likelihood-ratio sum,
+  * where `indices` is the doc's gram-bucket array and `values` the
+  * collected per-bucket LLR table).
+  *
+  * Same rationale as [[VectorDot]]: the HOF formulation
+  * (`aggregate(arr, 0.0, (acc, b) => acc + element_at(lut, b + 1))`)
+  * pays an interpreted lambda frame per element; this compiles to a
+  * primitive loop inside whole-stage codegen. Accumulation order is
+  * array order — identical to the order Spark's `avg` visits the
+  * same terms when the indices arrive as exploded rows — so the fp
+  * sum is bit-identical to the join+aggregate shape it replaces
+  * (pinned by GramHashParitySpec). Out-of-range or NULL indices
+  * contribute 0.0 (the add-one-smoothing identity of the DSIR
+  * caller); indices produced by a pmod can never be out of range.
+  */
+case class VectorGatherSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure("vec_gather_sum expects (array<bigint>, " +
+            s"array<double>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  /** Public for the generated-code call-through. */
+  def gatherSum(idx: ArrayData, values: ArrayData): Double = {
+    val n = idx.numElements()
+    val m = values.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!idx.isNullAt(i)) {
+        val j = idx.getLong(i)
+        if (j >= 0 && j < m && !values.isNullAt(j.toInt))
+          acc += values.getDouble(j.toInt)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    gatherSum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vectorGatherSum", this,
+      classOf[VectorGatherSum].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.gatherSum($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+
+  override def prettyName: String = "vec_gather_sum"
+}
+
 /** Column-API entry points for the vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -80,6 +148,11 @@ object VectorFunctions {
   /** Dot product of two array<float|double> columns, in double. */
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(VectorDot(expr(a), expr(b)))
+
+  /** Sum of `values[i]` over the elements i of an array<bigint>
+    * index column — lookup-table scoring in one codegen'd loop. */
+  def vec_gather_sum(indices: Column, values: Column): Column =
+    ColumnBridge.column(VectorGatherSum(expr(indices), expr(values)))
 
   /** L2 norm of a vector column. */
   def vec_norm(a: Column): Column = {

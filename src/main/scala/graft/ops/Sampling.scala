@@ -255,7 +255,93 @@ object Sampling {
     * everything else is counting + ln arithmetic.
     */
   def dsirSelect(docs: DataFrame, id: Column, text: Column,
-      isTarget: Column, buckets: Int, k: Int): DataFrame = {
+      isTarget: Column, buckets: Int, k: Int,
+      driverLmMaxBuckets: Int = DsirDriverLmMaxBuckets): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "dsir: buckets must be a power of two (pmod == low bits on both " +
+        "engines only when the modulus is a power of two)")
+    if (buckets > driverLmMaxBuckets)
+      return dsirSelectJoin(docs, id, text, isTarget, buckets, k)
+    // Driver-LM path (round 16, session 2; guide §2.3 "decide with
+    // small rows" / §2.4 remove shuffles): the bucket LM is <=
+    // `buckets` rows BY CONSTRUCTION (the hashing trick's whole
+    // point), so under the bound it is a BOUNDED collect — and with
+    // the LLR table on the driver, per-doc scoring is a pure
+    // codegen'd projection (vec_gather_sum over the doc's bucket
+    // array against the table literal). Versus the join shape
+    // ([[dsirSelectJoin]]) this removes the gram-row stage (per-doc
+    // ARRAYS stage instead: same bytes, ~2 orders of magnitude fewer
+    // rows), the scoring broadcast join over every gram occurrence,
+    // and the per-doc aggregation exchange. Bit-identical weights:
+    // gram_hashes replays pmod(xxhash64(gram), buckets) exactly, the
+    // gather-sum accumulates per-gram LLR terms in the same order the
+    // exploded avg did (array order), and the driver composes
+    // log/round through the same double arithmetic — pinned by
+    // GramHashParitySpec (driver-LM == forced-join equality) and the
+    // DsirSpec store-vs-select parity.
+    val toks = docs.select(id.as("doc_id"),
+      isTarget.cast("long").as("tgt"),
+      filter(split(lower(text), "[^a-z]+"), w => w =!= "").as("ws"))
+    val ba = concat(
+      graft.functions.GramHashFunctions
+        .gram_hashes(col("ws"), 1, buckets.toLong),
+      graft.functions.GramHashFunctions
+        .gram_hashes(col("ws"), 2, buckets.toLong))
+    // filter AFTER the stage: pushed below the projection, the
+    // deterministic size(concat(...)) predicate would re-inline the
+    // gram pipeline and hash every doc twice (the SimHash64
+    // isnotnull-pushdown lesson); on the staged frame it is a cheap
+    // column read. Gramless docs drop out exactly as the exploded
+    // shape dropped them (no rows from an empty array).
+    val barr = graft.scale.Staging.materialize(
+      toks.select(col("doc_id"), col("tgt"), ba.as("ba")),
+      "dsir-gram-buckets")
+      .filter(size(col("ba")) > 0)
+    // bounded collect: <= `buckets` <= driverLmMaxBuckets rows (pmod
+    // image), the same discipline as Components.DriverMaxEdges
+    val lmRows = barr
+      .select(col("tgt"), explode(col("ba")).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(col("tgt")).as("tc"), count(lit(1)).as("rc"))
+      .collect()
+    val llr = new Array[Double](buckets)
+    var tTot = 0L
+    var rTot = 0L
+    lmRows.foreach { r =>
+      val b = r.getLong(0).toInt
+      val tc = r.getLong(1)
+      val rc = r.getLong(2)
+      tTot += tc
+      rTot += rc
+      // same double composition as dsirWeigh's
+      // log(coalesce(tc,0)+1) - log(coalesce(rc,0)+1): long + 1,
+      // cast, ln — Math.log is Spark's Log
+      llr(b) = math.log((tc + 1L).toDouble) - math.log((rc + 1L).toDouble)
+    }
+    val constTerm = math.log((rTot + buckets).toDouble) -
+      math.log((tTot + buckets).toDouble)
+    val llrLit = typedLit(llr.toSeq)
+    // staged: both the winners top-k and the output join consume the
+    // per-doc scores (doc-count-sized frame, the narrow-stage rule)
+    val perDoc = graft.scale.Staging.materialize(
+      barr.select(col("doc_id"),
+        size(col("ba")).cast("long").as("n_grams"),
+        round(graft.functions.VectorFunctions
+            .vec_gather_sum(col("ba"), llrLit)
+          / size(col("ba")).cast("double") + lit(constTerm), 3)
+          .as("dsir_weight")),
+      "dsir-perdoc")
+    dsirPickTopK(perDoc, k)
+  }
+
+  /** The pre-round-16 join-shaped [[dsirSelect]]: gram-occurrence
+    * stage + guarded-broadcast LM join + per-doc aggregation. Kept as
+    * the fallback for bucket spaces past the driver-LM bound (where
+    * the collected LLR table would strain driver heap / plan size),
+    * and force-covered by GramHashParitySpec so the 100 TB-wide-LM
+    * shape stays exercised. */
+  private[ops] def dsirSelectJoin(docs: DataFrame, id: Column,
+      text: Column, isTarget: Column, buckets: Int, k: Int): DataFrame = {
     val bucketed = graft.scale.Staging.materialize(
       dsirGramBuckets(docs, id, text, isTarget, buckets),
       "dsir-gram-buckets")
@@ -273,6 +359,13 @@ object Sampling {
     // expensive stage) runs TWICE (plan-audited: 6 exchanges -> 4)
     val perDoc = graft.scale.Staging.materialize(
       dsirWeigh(bucketed, lm, totals, buckets), "dsir-perdoc")
+    dsirPickTopK(perDoc, k)
+  }
+
+  /** Shared selection tail: deterministic top-k under (weight DESC,
+    * doc_id ASC) — TakeOrdered, never a global sort — with the winner
+    * flag fanned back over a broadcast join. */
+  private def dsirPickTopK(perDoc: DataFrame, k: Int): DataFrame = {
     val winners = perDoc
       .orderBy(col("dsir_weight").desc, col("doc_id"))
       .limit(k)
@@ -478,6 +571,13 @@ object Sampling {
         cached.buckets), lm, totals, cached.buckets)
     }
   }
+
+  /** [[dsirSelect]] driver-LM bound: bucket spaces past this fall back
+    * to the join-shaped [[dsirSelectJoin]] (the collected LLR table and
+    * its plan literal are `buckets` doubles — 8 MB at the bound; past
+    * it, driver heap and task-binary size argue for the broadcast-join
+    * shape). The registered callers use 4096 buckets (32 KB). */
+  val DsirDriverLmMaxBuckets = 1 << 20
 
   /** Memo eligibility bound: LMs past this bucket count are scored
     * through the uncached guarded-broadcast path (driver heap guard);

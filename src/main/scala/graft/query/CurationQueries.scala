@@ -123,18 +123,30 @@ object CurationQueries {
     // 4x slower at sf0.1).
     "pipeline_pretraining_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // ONE metadata scan computes every per-doc scalar the pipeline
-      // needs downstream of the gram gates — token count (packing)
-      // and bigram repetition (quality gate) — so the text column is
-      // read and split exactly twice in the whole pipeline: here and
-      // in the gram explode below (the unfused plan scanned it three
-      // times: grams, repetitionRatio, packChunks).
+      // ONE text scan + ONE split computes EVERYTHING the pipeline
+      // needs per doc — token count (packing), bigram repetition
+      // (quality gate), AND the distinct gram-hash array the gates
+      // consume (round 16, session 2; guide §1.2 "remove unnecessary
+      // passes"). The round-15 shape read and split text twice
+      // (docMeta scalars here, docNgramHashes explode below) and paid
+      // a corpus-wide distinct EXCHANGE to dedup (doc, gram) pairs;
+      // per-doc dedup is array_distinct inside this projection — no
+      // exchange at all (a gram repeated ACROSS docs must stay once
+      // per doc, which per-doc dedup preserves exactly).
+      // The gram STRING never reaches the output — every consumer
+      // counts or joins on it — so grams are hashed at generation
+      // (gram_hashes == xxhash64(gram string), GramHashParitySpec):
+      // the staged arrays and all gate joins move 8-byte keys, not
+      // ~30-byte strings. Collision semantics unchanged from
+      // docNgramHashes (see its scaladoc).
       val docMeta = Staging.materialize(
         docs.select(col("doc_id"), col("lang"), col("source"),
             split(col("text"), " ").as("ws"))
           .select(col("doc_id"), col("lang"), col("source"),
             size(col("ws")).cast("long").as("n_tok"),
-            Curation.wordNgrams(col("ws"), 2).as("bg"))
+            Curation.wordNgrams(col("ws"), 2).as("bg"),
+            array_distinct(graft.functions.GramHashFunctions
+              .gram_hashes(col("ws"), N)).as("gh"))
           .select(col("doc_id"), col("lang"), col("source"),
             col("n_tok"),
             // same arithmetic as Curation.repetitionRatio (long/long
@@ -143,22 +155,21 @@ object CurationQueries {
               .otherwise(round(lit(1.0) -
                 size(array_distinct(col("bg"))).cast("long") /
                   size(col("bg")).cast("long"), 4))
-              .as("rep_ratio")),
+              .as("rep_ratio"),
+            col("gh")),
         "capstone-docmeta")
-      // The gram STRING never reaches the output — every consumer
-      // counts or joins on it — so grams are hashed at generation
-      // (docNgramHashes): the distinct, the staged table, and all
-      // gate joins shuffle 8-byte keys, not ~30-byte strings.
-      // Collision risk and the measured effect are on the operator's
-      // scaladoc. `source` is CARRIED through the explode (it rides
-      // the rows the scan already produces) rather than joined back
-      // from docMeta — the round-7 join broadcast one row per
-      // DOCUMENT, a corpus-proportional broadcast that OOMs the
-      // driver at 100 TB (the exact growing-broadcast class the
-      // gram-flag list below is guarded against).
-      val grams = Staging.materialize(
-        Curation.docNgramHashes(docs, N, carry = Seq("source")),
-        "capstone-grams")
+      // Exploding the STAGED arrays is array iteration, not
+      // re-tokenization, so the gram view no longer needs its own
+      // stage: each of its two consumers (flag aggregation, gate
+      // join) re-explodes the staged frame instead of re-reading a
+      // second materialization (one stage write removed). `source`
+      // rides the explode rather than joining back from docMeta —
+      // the round-7 join broadcast one row per DOCUMENT, a
+      // corpus-proportional broadcast that OOMs the driver at 100 TB
+      // (the exact growing-broadcast class the gram-flag list below
+      // is guarded against).
+      val grams = docMeta.select(col("doc_id"), col("source"),
+        explode(col("gh")).as("ngram"))
       // Boilerplate and decontamination flag lists FUSED into ONE
       // aggregation over the gram table (n_docs count + any-in-eval
       // in the same groupBy), then both gates applied in ONE

@@ -321,17 +321,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("capstone reads the documents text column at most twice") {
-    // the fused-metadata contract (round 7): ONE metadata scan
-    // (n_tok + rep_ratio) + ONE gram explode (source carried, not
-    // joined back). A third text scan means a gate re-derived per-doc
-    // text state instead of reading the staged frames.
+  test("capstone reads the documents text column exactly once") {
+    // the fused-metadata contract (round 7: <= 2 — metadata scan +
+    // gram explode; round 16 session 2: == 1 — the gram-hash arrays
+    // are computed IN the metadata projection, so one scan + one
+    // split feeds scalars AND gates). A second text scan means a gate
+    // re-derived per-doc text state instead of reading the staged
+    // frame.
     val n = countColumnScans("documents", "text") {
       SparkEntry.queries("pipeline_pretraining_corpus")(spark, sf0001)
         .collect()
     }
-    assert(n > 0 && n <= 2,
-      s"capstone scanned documents.text $n times (contract: <= 2)")
+    assert(n == 1,
+      s"capstone scanned documents.text $n times (contract: exactly 1)")
   }
 
   test("source cap: bounded-heap partial aggregation, no rank window") {
@@ -508,6 +510,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       "top-k not planned as TakeOrdered")
     assert(!plan.contains("Window"), "window in the DSIR final plan")
+  }
+
+  test("dsir scoring is a gather-sum projection over the staged " +
+      "bucket arrays — no per-gram LM join, no per-doc avg aggregate") {
+    // round-16 driver-LM path: the per-doc weight must come from the
+    // codegen'd vec_gather_sum over the staged (doc, bucket-array)
+    // frame against the collected LLR table. The old shape's
+    // signature — a broadcast join of every gram occurrence against
+    // the LM followed by an avg() per-doc aggregation (one exchange
+    // per corpus pass) — must appear in NO pass of the query
+    val plans = plansDuring {
+      SparkEntry.queries("sample_dsir_select")(spark, sf0001).collect()
+    }
+    assert(plans.nonEmpty, "plan capture drained empty")
+    assert(plans.exists(_.contains("vec_gather_sum")),
+      "scoring pass is not the gather-sum projection")
+    assert(!plans.exists(_.contains("avg(")),
+      "a pass still aggregates per-gram LLR terms (old join shape)")
   }
 
   test("targeted-corpus capstone reads the documents text column at " +
