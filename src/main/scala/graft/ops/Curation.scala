@@ -59,11 +59,21 @@ object Curation {
 
   /** Distinct (doc_id, ngram) pairs for a documents frame — the shared
     * candidate-generation step. Distinct BEFORE any join/count so a
-    * gram repeated inside one doc counts that doc once. */
+    * gram repeated inside one doc counts that doc once.
+    *
+    * The dedup key is (doc_id, ngram) and every doc's grams are
+    * already on one row, so the distinct is per-doc LOCAL work —
+    * `array_distinct` inside the projection — not a corpus-wide
+    * `distinct()` exchange (round 16, session 2; guide §2.4 "remove
+    * shuffles outright"): the old shape shuffled every (doc, gram)
+    * pair once just to dedup what each row could dedup itself.
+    * Same multiset of output rows (array_distinct keeps first
+    * occurrences), no row order guarantee — all consumers aggregate
+    * or join. */
   def docNgrams(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(wordNgrams(col("ws"), n)).as("ngram"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(col("ws"), n))).as("ngram"))
 
   /** [[docNgrams]] with the gram carried as a 64-bit hash instead of
     * the string — for consumers that only count or join on the gram
@@ -100,17 +110,18 @@ object Curation {
     */
   def boilerplateNgrams(docs: DataFrame, n: Int = 5,
       minDocs: Int = 3): DataFrame =
-    // count(DISTINCT doc_id) in ONE aggregation instead of
-    // docNgrams's distinct() followed by a count groupBy — the old
-    // shape exchanged every (doc, gram-string) pair TWICE (once for
-    // the distinct, once re-keyed by ngram); the distinct-aggregate
-    // dedups (ngram, doc_id) map-side and exchanges once (round-15
-    // optimization; guide §2.4 "two operations keyed the same way can
-    // share one exchange"). Same value by definition.
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(wordNgrams(col("ws"), n)).as("ngram"))
+    // Per-doc dedup is LOCAL (array_distinct in the projection, the
+    // docNgrams move), so distinct-doc counting is a plain count:
+    // each doc contributes each of its distinct grams exactly once.
+    // Round-15 had fused the dedup into a count(DISTINCT doc_id)
+    // aggregate (one exchange, but (ngram, doc_id) dedup STATE in the
+    // partial aggregation); round 16 session 2 moves the dedup into
+    // the row itself — still one exchange, and the partial aggregate
+    // is a plain long count per gram (guide §2.3 "aggregate before
+    // you shuffle"). Same value by definition.
+    docNgrams(docs, n)
       .groupBy(col("ngram"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
   /** Per-document boilerplate fraction: of each doc's distinct word
@@ -162,17 +173,25 @@ object Curation {
     // unconditionally hinted: eval suites are tiny by design, but the
     // guard keeps a caller who feeds a large eval corpus on a working
     // shuffle join instead of a driver OOM.
+    // docNgrams dedups per doc locally (array_distinct), so the eval
+    // list needs only ONE exchange (the cross-doc ngram distinct) —
+    // the round-15 shape paid two (the (doc, ngram) distinct, then
+    // the ngram distinct).
     val evalGrams = graft.scale.Staging.materialize(
       docNgrams(eval, n).select(col("ngram")).distinct(),
       "decontam-evalgrams")
     // Round-15 optimization: the old shape ran docNgrams(train) —
-    // whose distinct() exchanges EVERY training (doc, gram-string)
-    // pair — before the eval join. The eval-gram join is the selective
-    // filter (eval suites are tiny), so it now gates the exploded
-    // grams INSIDE the scan's codegen span, before any exchange, and
-    // the per-doc distinct-shared-gram count happens in ONE
-    // aggregation keyed by doc_id over the few surviving rows (guide
-    // §2.3 "project/filter before the exchange"). Value-identical:
+    // which dedups EVERY training (doc, gram) pair — before the eval
+    // join. The eval-gram join is the selective filter (eval suites
+    // are tiny), so it gates the RAW exploded grams INSIDE the scan's
+    // codegen span, before any dedup work, and the per-doc
+    // distinct-shared-gram count happens in ONE aggregation keyed by
+    // doc_id over the few surviving rows (guide §2.3 "project/filter
+    // before the exchange"). Round-16 session-2 A/B: routing the
+    // train side through the array_distinct docNgrams instead
+    // measured 1.09 -> 1.39 s median at sf0.1 — per-doc dedup of the
+    // WHOLE corpus costs more than distinct-agg state on the join's
+    // few survivors, so the gate-first shape stays. Value-identical:
     // count(DISTINCT ngram) per doc over join survivors equals the
     // old distinct-then-count — in-doc gram repeats collapse in the
     // distinct aggregate rather than the pre-join distinct.
