@@ -231,30 +231,34 @@ object Curation {
   def repeatedSpans(docs: DataFrame, w: Int = 10,
       minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Staged: the windows table feeds BOTH the flag aggregation and
-    // the position join-back — unstaged, the explode + md5 pass runs
-    // twice (measured 3.0 -> 1.6 s at sf0.1).
+    // Staged as per-doc window-hash ARRAYS (round 16, session 2 —
+    // the same bytes as the exploded rows in ~1/(L-w) the row count):
+    // the stage feeds BOTH the flag aggregation and the position
+    // join-back — unstaged, the tokenize + hash pass runs twice
+    // (measured 3.0 -> 1.6 s at sf0.1 when the stage landed in r15).
     val windows = graft.scale.Staging.materialize(docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        posexplode_outer(windowHashes(col("ws"), w)).as(Seq("pos", "h")))
-      .filter(col("h").isNotNull)
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("h")), "repeated-spans-windows")
-    // one distinct-aggregate exchange instead of distinct() + count
-    // groupBy (round-15; same move as boilerplateNgrams). Round-16
-    // A/B (round-15 VERDICT #4 suspected this rewrite for the
-    // 1.09 -> 1.41 committed move): reverting to distinct()+count
-    // measured 1.519 s median vs 1.291 s for this shape over 7
-    // quiet-window passes at sf0.1 — the rewrite is the faster shape
-    // and the r15 window's move was environment, so it stays.
+      .select(col("doc_id"), windowHashes(col("ws"), w).as("wh")),
+      "repeated-spans-windows")
+    // Distinct-doc counts without distinct STATE (the docNgrams /
+    // boilerplateNgrams move): dedup per doc is array_distinct on the
+    // staged array — local, exchange-free — after which each doc
+    // contributes each of its distinct windows once and a plain
+    // count(1) per hash IS the distinct-doc count. (r15 carried
+    // count(DISTINCT doc_id) dedup state through the aggregation;
+    // r16-session-1 A/B'd that against distinct()+count and kept it —
+    // this shape removes the dedup work from the aggregate entirely.)
     val flagged = windows
-      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      .select(explode(array_distinct(col("wh"))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    windows.join(flagged.select(col("h")), Seq("h"), "left_semi")
+    windows
+      .select(col("doc_id"), posexplode(col("wh")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      .join(flagged.select(col("h")), Seq("h"), "left_semi")
       .withColumn("end", col("pos") + w)
       .withColumn("max_end", max(col("end")).over(prevEnd))
       .withColumn("new_island",
