@@ -154,7 +154,10 @@ object Bench {
     * its CPU-canary telemetry instead of silently standing. */
   val Committed: Map[String, Double] = Map(
     // round-10/11 movers (original absolute-rule members)
-    "curation_repeated_spans" -> 1.02,
+    // re-seeded r16 session 2: per-doc hash-array stage (0.822
+    // zero-elevated closing window, widened toward the 1.10 Scratch
+    // median on a loaded host)
+    "curation_repeated_spans" -> 0.95,
     "dedup_ngram_jaccard" -> 0.84,
     "dedup_simhash" -> 0.99,
     "agg_cms_state_rollup" -> 0.14,
@@ -178,10 +181,14 @@ object Bench {
     // healthy window doesn't false-flag the new shape. Still 48%
     // tighter than the old 4.81.
     "retrieval_service_cap" -> 2.5,
-    "pipeline_pretraining_corpus" -> 2.57, // re-seeded r14: two-phase packing shape (93.5s window)
+    // re-seeded r16 session 2: one-text-scan gram-array fuse (1.515
+    // closing window / 2.09 loaded-host Scratch median)
+    "pipeline_pretraining_corpus" -> 1.80,
     "pipeline_corpus_curation" -> 1.75,
     "dedup_components_lsh" -> 0.64, // re-seeded r16: bounded driver union-find (0.472 closing x canary ratio)
-    "curation_boilerplate" -> 1.33,
+    // re-seeded r16 session 2: local gram dedup, no distinct state
+    // (1.039 closing window / 1.06 Scratch median)
+    "curation_boilerplate" -> 1.05,
     "retrieval_hybrid_rrf_batch" -> 1.28,
     "dedup_components_oracle" -> 0.48, // re-seeded r16: bounded driver union-find (0.355 closing x canary ratio)
     "sim_cosine_ivfpq" -> 1.21,
@@ -251,8 +258,12 @@ object Bench {
     // zero-elevated), the targeted capstone from its first
     // zero-elevated window (84.3 s / 185, json_props_extract
     // re-landed in the same window)
-    "sample_dsir_select" -> 1.52,
-    "pipeline_targeted_corpus" -> 1.27, // re-seeded r14: two-phase packing shape (93.5s window)
+    // re-seeded r16 session 2: driver-LM gather-sum scoring (0.523
+    // closing window / 0.64 Scratch median; seed between)
+    "sample_dsir_select" -> 0.60,
+    // re-seeded r16 session 2: rides the DSIR driver-LM path (0.845
+    // closing window / 1.18 loaded-host Scratch median)
+    "pipeline_targeted_corpus" -> 1.00,
     // round-14 extension (round-13 VERDICT #1): EVERY query now
     // carries a committed median — curation_seq_packing's 19.4x
     // driver-window step (0.134 -> 2.605 s, tight low-load passes,
